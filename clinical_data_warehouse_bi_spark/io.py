@@ -1,0 +1,83 @@
+"""Sources / sinks / catalog ops (SURVEY.md section 2.1, S1-S7).
+
+The reference's sources are full-table SQL scans of 8 MIMIC-IV tables
+(Stage_area.sql:30,50,70,91,104,135,180,199) and its sinks are CTAS /
+INSERT...SELECT into MariaDB tables. Spark-first mapping: parquet
+scans (columnar, predicate pushdown, column pruning for free) and
+parquet writes as the layer-materialization barriers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every table the driver materializes per scale factor (TESTDATA.md)
+DRIVER_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1 table scan: one parquet-backed table (lazy; Catalyst prunes
+    columns and pushes predicates into the scan).
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot map
+    to its microsecond TimestampType; we read it as a raw nanosecond
+    long and truncate to micros (exact: driver data has no sub-us
+    precision, and DuckDB's view of the same file is also micros).
+    """
+    # must be set in case the caller's session (e.g. the driver's)
+    # didn't come from our factory; it is a runtime SQL conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer div: ns epochs (~1.7e18) exceed double's exact range
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = DRIVER_TABLES
+) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = DRIVER_TABLES
+) -> None:
+    """Register each table as a temp view so operators can be written
+    in Spark SQL when that is clearer than the DataFrame API."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_layer(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S2/S3 sink: materialize a pipeline layer (the reference's CTAS /
+    INSERT...SELECT barrier, Stage_area.sql:25-30 etc.).
+
+    ``partition_by`` is the Spark replacement for the reference's six
+    B-tree indexes (DWH.sql:193-198): partition pruning + parquet
+    min/max stats serve point/range lookups at scale.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def show_tables(spark: SparkSession) -> DataFrame:
+    """S7 catalog listing (DWH.sql:215 `SHOW TABLES`)."""
+    return spark.sql("SHOW TABLES")

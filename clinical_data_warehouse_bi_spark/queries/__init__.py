@@ -1,0 +1,5 @@
+"""Query modules — importing this package registers every query."""
+
+from clinical_data_warehouse_bi_spark.queries import (  # noqa: F401
+    core,
+)

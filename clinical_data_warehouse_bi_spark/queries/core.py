@@ -1,0 +1,363 @@
+"""Core relational queries: scans, projection/filter/cleansing,
+aggregation, windows, sorts, unions (SURVEY.md sections 2.1-2.8)
+realized on the driver's star schema per FIXTURES.md section C.
+
+Every query here has a DuckDB oracle; aliases match exactly on both
+sides (driver sorts columns by name before value-hashing).
+
+Determinism rules used throughout (100 TB notes inline):
+- Never hash-compare raw double ARITHMETIC: cast money inputs to
+  decimal first (exact, associative) so Spark's parallel partial aggs
+  and DuckDB's serial sums agree bit-for-bit.
+- LIMIT/row_number only over total orders (unique tiebreak column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import cleanse
+from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's pre-aggregation table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_per_order",
+    oracle="""
+    SELECT l_orderkey AS admission_id,
+           count(*) AS total_events,
+           count(DISTINCT l_partkey) AS distinct_concepts,
+           count(DISTINCT l_returnflag) AS distinct_sources
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_agg_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — `agg_disorders_per_admission` (DWH.sql:203-210):
+    COUNT(*) + 2x COUNT(DISTINCT) grouped by admission, mapped to
+    lineitem-per-order.
+
+    Scale: one hash-partial agg + one shuffle on the group key; Spark
+    plans count(*) and the two distincts with partial map-side
+    aggregation (expand + two-phase). At 100 TB swap the exact
+    distincts for approx_count_distinct (see q_agg_per_order_approx).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy(F.col("l_orderkey").alias("admission_id"))
+        .agg(
+            F.count("*").alias("total_events"),
+            F.countDistinct("l_partkey").alias("distinct_concepts"),
+            F.countDistinct("l_returnflag").alias("distinct_sources"),
+        )
+    )
+
+
+@register("q_pricing_summary", oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: group-by + multi-agg with
+    arithmetic (A-class + F14). Inputs cast to decimal so parallel
+    partial aggregation is exact and order-insensitive (double sums
+    are not associative -> would not survive a 1000-executor re-plan).
+
+    The exact decimal sum is converted decimal->string->double: both
+    engines parse decimal strings correctly-rounded, whereas DuckDB's
+    direct decimal->double conversion can be 1 ulp off Spark's.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+
+    def exact_double(c):
+        return c.cast("string").cast("double")
+
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_double(F.sum(F.col("l_quantity").cast("decimal(12,2)"))).alias("sum_qty"),
+            exact_double(F.sum(price)).alias("sum_base_price"),
+            exact_double(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+            exact_double(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / cleansing
+# ---------------------------------------------------------------------------
+
+
+@register("q_project_rename", oracle="""
+    SELECT c_custkey AS patient_id, c_name AS patient_name,
+           c_mktsegment AS segment, c_acctbal AS balance
+    FROM customer
+    """)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — project + rename (Stage_area.sql:27-29 `subject_id AS
+    patient_id`). Column pruning reaches the parquet scan (ReadSchema
+    lists only 4 of 5 columns)."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.select(
+        F.col("c_custkey").alias("patient_id"),
+        F.col("c_name").alias("patient_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+@register("q_keyword_filter", oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE lower(p_type) LIKE '%promo%'
+       OR lower(p_type) LIKE '%economy%'
+       OR lower(p_type) LIKE '%standard%'
+    """)
+def q_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/F2/F3 — OR-chain LIKE over lowered strings (the concept-dim
+    keyword extract, Stage_area.sql:92-95). Predicate is folded and
+    pushed toward the scan by Catalyst."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    return p.select("p_partkey", "p_name", "p_type").filter(
+        cleanse.keyword_filter("p_type", ["promo", "economy", "standard"])
+    )
+
+
+@register("q_null_reject", oracle="""
+    SELECT event_id, user_id, ts FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND props IS NOT NULL
+    """)
+def q_null_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — NULL-rejection predicates (Stage_area.sql:183-185)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("props").isNotNull()
+    ).select("event_id", "user_id", "ts")
+
+
+@register("q_regex_numeric_parse", oracle="""
+    WITH ex AS (
+      SELECT event_id,
+             regexp_extract(props, '"k":\\s*(-?[0-9]+(\\.[0-9]+)?)', 1) AS raw_value
+      FROM events)
+    SELECT event_id,
+           CAST(CASE WHEN regexp_matches(raw_value, '^[0-9]+(\\.[0-9]+)?$')
+                     THEN CAST(raw_value AS DECIMAL(10,2)) END AS DOUBLE) AS k_value
+    FROM ex
+    """)
+def q_regex_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/M1/F4/F7 — regex-guarded numeric parse of a string field
+    (Stage_area.sql:141-147: REGEXP gate then CAST AS DECIMAL(10,2)),
+    applied to the JSON-ish `events.props`."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    raw = F.regexp_extract(F.col("props"), '"k":\\s*(-?[0-9]+(\\.[0-9]+)?)', 1)
+    return ev.select(
+        "event_id",
+        cleanse.regex_guarded_numeric(raw, "decimal(10,2)").cast("double").alias("k_value"),
+    )
+
+
+@register("q_sentinel_timestamps", oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  WHEN o_orderkey % 11 = 0 THEN ' '
+                  ELSE CAST(o_orderdate AS VARCHAR) END AS raw_ts
+      FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN raw_ts IS NULL OR trim(raw_ts) = ''
+                THEN TIMESTAMP '1900-01-01 00:00:00'
+                ELSE CAST(raw_ts AS TIMESTAMP) END AS admit_ts,
+           CAST(CASE WHEN raw_ts IS NULL OR trim(raw_ts) = ''
+                     THEN TIMESTAMP '2999-12-31 23:59:59'
+                     ELSE CAST(raw_ts AS TIMESTAMP) END AS VARCHAR) AS disch_ts
+    FROM raw
+    """)
+def q_sentinel_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F1/F5 — CASE WHEN NULL-or-blank -> sentinel timestamp else
+    cast (Stage_area.sql:41-48, 62-69). The nullable/blank raw column
+    is derived deterministically since driver data has no blank
+    timestamps."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    raw = (
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 11 == 0, F.lit(" "))
+        .otherwise(F.col("o_orderdate").cast("string"))
+    )
+    base = o.select("o_orderkey", raw.alias("raw_ts"))
+    return base.select(
+        "o_orderkey",
+        cleanse.sentinel_timestamp("raw_ts", cleanse.SENTINEL_LOW).alias("admit_ts"),
+        cleanse.sentinel_timestamp("raw_ts", cleanse.SENTINEL_HIGH)
+        .cast("string")
+        .alias("disch_ts"),
+    )
+
+
+@register("q_calendar_dim", oracle="""
+    SELECT event_datetime,
+           month(event_datetime) AS month_num,
+           year(event_datetime) AS year_num,
+           isodow(event_datetime) AS weekday_num,
+           dayname(event_datetime) AS day_name,
+           monthname(event_datetime) AS month_name,
+           dayofweek(event_datetime) IN (0, 6) AS is_weekend
+    FROM (SELECT DISTINCT l_shipdate AS event_datetime FROM lineitem)
+    """)
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9-F13/P6/A7 — the timestamp-grain dim_date build
+    (Stage_area.sql:289-301): DISTINCT fact timestamps + derived
+    calendar attributes. MariaDB WEEKDAY+1 == Spark weekday()+1 ==
+    DuckDB isodow (1=Monday); MariaDB DAYOFWEEK(1=Sun..7=Sat) ==
+    Spark dayofweek == DuckDB dayofweek+1."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    d = li.select(F.col("l_shipdate").alias("event_datetime")).distinct()
+    return d.select(*cleanse.calendar_columns("event_datetime"))
+
+
+# ---------------------------------------------------------------------------
+# Distinct / duplicates / windows / top-k
+# ---------------------------------------------------------------------------
+
+
+@register("q_distinct_combos", oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """)
+def q_distinct_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — SELECT DISTINCT (the junk-dim population,
+    Stage_area.sql:270-275). Partial (map-side) distinct then a tiny
+    shuffle — cardinality-bounded output, scale-safe."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register("q_dup_probe", oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 1
+    """)
+def q_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 — GROUP BY ... HAVING count(*)>1 duplicate detection
+    (QA.sql:124-176)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+@register("q_surrogate_key", oracle="""
+    SELECT row_number() OVER (ORDER BY s_suppkey) AS provider_id,
+           s_name, s_nationkey
+    FROM supplier
+    """)
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — ROW_NUMBER() OVER () surrogate key (Stage_area.sql:58).
+    Deterministic ORDER BY replaces MariaDB's insertion order. This
+    global window single-partitions — correct for dimension tables
+    only; fact keys use keys.distributed_key() at scale."""
+    from clinical_data_warehouse_bi_spark.keys import row_number_key
+
+    s = load_tables(spark, sf_dir, ("supplier",))["supplier"]
+    return s.select(
+        row_number_key([F.col("s_suppkey")]).alias("provider_id"),
+        "s_name",
+        "s_nationkey",
+    )
+
+
+@register("q_topk_orders", oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — LIMIT (Stage_area.sql:229) made deterministic with a
+    total order (unique tiebreak). Spark plans TakeOrderedAndProject —
+    per-partition top-k then a k-row merge; no global sort at scale."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unions
+# ---------------------------------------------------------------------------
+
+
+@register("q_multi_source_union", oracle="""
+    SELECT 'lineitem' AS event_source_type, l_orderkey AS source_id,
+           l_shipdate AS event_ts, l_quantity AS measurement_value
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+    UNION ALL
+    SELECT 'orders', o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+    UNION ALL
+    SELECT 'events', event_id, CAST(ts AS TIMESTAMP), value
+    FROM events
+    WHERE event_id IS NOT NULL AND ts IS NOT NULL
+    """)
+def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/P4/F15 — the three-branch conform-and-union fact build
+    (Stage_area.sql:169-222: labs + diagnoses + OMR into one fact
+    table, each branch NULL-rejected and tagged with a literal source
+    type). Union is a no-shuffle narrow op in Spark."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "events"))
+    a = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_shipdate").isNotNull())
+        .select(
+            F.lit("lineitem").alias("event_source_type"),
+            F.col("l_orderkey").alias("source_id"),
+            F.col("l_shipdate").alias("event_ts"),
+            F.col("l_quantity").alias("measurement_value"),
+        )
+    )
+    b = (
+        t["orders"]
+        .filter(F.col("o_orderkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.lit("orders").alias("event_source_type"),
+            F.col("o_orderkey").alias("source_id"),
+            F.col("o_orderdate").alias("event_ts"),
+            F.col("o_totalprice").alias("measurement_value"),
+        )
+    )
+    c = (
+        t["events"]
+        .filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.lit("events").alias("event_source_type"),
+            F.col("event_id").alias("source_id"),
+            F.col("ts").alias("event_ts"),
+            F.col("value").alias("measurement_value"),
+        )
+    )
+    return a.unionByName(b).unionByName(c)
