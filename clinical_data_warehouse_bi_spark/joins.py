@@ -1,0 +1,135 @@
+"""Join operators (SURVEY.md section 2.3, J1-J12).
+
+Reference parity (all citations into /root/reference):
+- J1-J3 dim lookup left joins: Stage_area.sql:181-182, 200-202.
+- J4 normalized-string join: Stage_area.sql:219-220
+  (`ON TRIM(LOWER(result_name)) = TRIM(LOWER(concept_name))`).
+- J5/J6 interval (as-of) joins: Stage_area.sql:237-245, 251-256
+  (`event_datetime BETWEEN intime AND outtime`). MariaDB's UPDATE
+  keeps an arbitrary match; here multi-matches are deduplicated
+  DETERMINISTICALLY (row_number over an explicit order).
+- J7 null-safe join: Stage_area.sql:278-283
+  (`(a IS NULL AND b IS NULL) OR a=b` == Spark `<=>`).
+- J8-J10 anti/semi patterns: Stage_area.sql:299-301; DWH.sql:124-177.
+- J12 scalar-subquery lookup: Stage_area.sql:225-231.
+
+Scale notes: dimension sides are broadcast (classic star-schema win —
+no shuffle of the fact). The interval join is an equi-join on the
+reference's natural keys with the BETWEEN as a post-join filter plus
+windowed dedup, NOT a broadcast-nested-loop: the equi keys keep it a
+hash join at 100 TB; skewed keys are AQE-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark.cleanse import normalized_key
+
+
+def lookup_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1-J3: fact x (filtered) dimension lookup. Dim is broadcast by
+    default — at warehouse scale dims are MBs while facts are TBs."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on, how)
+
+
+def normalized_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """J4: equi-join on TRIM(LOWER(x)) of both sides."""
+    return left.join(
+        F.broadcast(right),
+        normalized_key(left.__getattr__(left_col)).eqNullSafe(
+            normalized_key(right.__getattr__(right_col))
+        ),
+        how,
+    )
+
+
+def interval_join_pick_first(
+    left: DataFrame,
+    right: DataFrame,
+    equi: Column,
+    ts_col: Column,
+    lo_col: Column,
+    hi_col: Column,
+    left_key: list[str],
+    order: list[Column],
+    how: str = "left",
+) -> DataFrame:
+    """J5/J6: equi-keys + `ts BETWEEN lo AND hi`, then deterministic
+    pick-first over ``order`` per ``left_key`` row (replaces MariaDB
+    UPDATE's arbitrary-match semantics, Stage_area.sql:237-245).
+
+    The BETWEEN rides on the equi hash join as a post-filter; the
+    dedup window partitions by the left row's key — same shuffle key
+    as the join, so AQE can reuse the exchange.
+    """
+    joined = left.join(right, equi & ts_col.between(lo_col, hi_col), how)
+    w = Window.partitionBy(*left_key).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def null_safe_join(
+    left: DataFrame, right: DataFrame, pairs: list[tuple[str, str]], how: str = "inner"
+) -> DataFrame:
+    """J7: join where NULL == NULL (junk-dim linkage)."""
+    cond = None
+    for lc, rc in pairs:
+        c = left.__getattr__(lc).eqNullSafe(right.__getattr__(rc))
+        cond = c if cond is None else (cond & c)
+    return left.join(F.broadcast(right), cond, how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J8/J9: rows of left with no match in right (insert-if-absent /
+    NOT EXISTS; Catalyst decorrelates either way)."""
+    return left.join(right, on, "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J10/J11 keep-side: rows of left with a match in right."""
+    return left.join(right, on, "left_semi")
+
+
+def orphan_cleanup(
+    fact: DataFrame, dim: DataFrame, fk: str, dim_key: str
+) -> DataFrame:
+    """J10/M6 exact DWH semantics (DWH.sql:150-177): drop fact rows
+    whose NON-NULL FK has no dim match; NULL-FK rows are kept.
+
+    Pure recompute replacing MariaDB's DELETE: left join + keep
+    (fk IS NULL) OR matched."""
+    d = F.broadcast(dim.select(F.col(dim_key).alias("__dim_key")).distinct())
+    return (
+        fact.join(d, fact.__getattr__(fk) == F.col("__dim_key"), "left")
+        .filter(fact.__getattr__(fk).isNull() | F.col("__dim_key").isNotNull())
+        .drop("__dim_key")
+    )
+
+
+def scalar_lookup_default(
+    fact: DataFrame, col: str, scalar_df: DataFrame, out: str | None = None
+) -> DataFrame:
+    """J12/M2: UPDATE ... SET x = (scalar subquery) WHERE x IS NULL as
+    coalesce with a driver-side one-row lookup (one tiny job — fine at
+    any scale; it is one row by construction)."""
+    row = scalar_df.first()
+    default = None if row is None else row[0]
+    return fact.withColumn(out or col, F.coalesce(F.col(col), F.lit(default)))

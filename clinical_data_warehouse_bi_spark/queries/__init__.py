@@ -2,4 +2,6 @@
 
 from clinical_data_warehouse_bi_spark.queries import (  # noqa: F401
     core,
+    join_ops,
+    qa_report,
 )

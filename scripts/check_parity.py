@@ -46,7 +46,8 @@ def normalize(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
             s = s.map(lambda v: None if pd.isna(v) else str(bool(v)))
         else:
             s = s.map(lambda v: None if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
-        cells.append(s.tolist())
+        # NaT -> NaN after strftime, etc.: anything non-str is a null
+        cells.append([c if isinstance(c, str) else None for c in s.tolist()])
     rows = sorted(
         tuple("<NULL>" if c is None else c for c in row) for row in zip(*cells)
     ) if cells else []

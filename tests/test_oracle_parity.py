@@ -29,7 +29,8 @@ def _normalize(df: pd.DataFrame):
                 if v is None or (isinstance(v, float) and pd.isna(v))
                 else str(v)
             )
-        cells.append(s.tolist())
+        # NaT -> NaN after strftime, etc.: anything non-str is a null
+        cells.append([c if isinstance(c, str) else None for c in s.tolist()])
     rows = (
         sorted(tuple("<NULL>" if c is None else c for c in row) for row in zip(*cells))
         if cells
