@@ -2,6 +2,9 @@
 
 from clinical_data_warehouse_bi_spark.queries import (  # noqa: F401
     core,
+    dedup,
     join_ops,
     qa_report,
+    similarity,
+    text_ops,
 )

@@ -1,0 +1,235 @@
+"""Deduplication queries over the `documents` table (north-star
+extensions; BASELINE.json): exact hash dedup, MinHash+LSH,
+n-gram Jaccard, SimHash. All hashes are md5/arithmetic-portable so
+every query here is DuckDB-oracle-checked (not rows-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import text as T
+from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.registry import register
+
+# shared SQL fragments for the DuckDB oracles ------------------------------
+
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SQL_SHINGLES = f"""
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+"""
+_SQL_MINHASH = f"""
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+  FROM ({_SQL_SHINGLES}) s,
+       (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+  GROUP BY doc_id, seed
+"""
+_SQL_BAND_SIGS = f"""
+  SELECT doc_id, CAST(floor(seed / 4.0) AS INT) AS band_id,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+  FROM ({_SQL_MINHASH})
+  GROUP BY doc_id, CAST(floor(seed / 4.0) AS INT)
+"""
+_SQL_LSH_PAIRS = f"""
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ({_SQL_BAND_SIGS}) a
+  JOIN ({_SQL_BAND_SIGS}) b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+"""
+
+
+@register("q_dedup_exact", oracle="""
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one shuffle on md5(text)
+    (uniform — no skew by construction), keep the minimum doc_id as
+    the group representative. `n_copies > 1` rows are the duplicate
+    clusters. At 100 TB this is THE cheap first pass before any
+    near-dup machinery."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register("q_minhash_signatures", oracle=_SQL_MINHASH)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (doc_id, seed, minhash): 16 hash
+    functions h_i(sh) = md5(i || ':' || sh), signature = min per doc.
+    Lexicographic min over md5 hex is a valid uniform MinHash family
+    and engine-portable (Spark/DuckDB md5 agree; their native hash()
+    functions do not)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return T.minhash_signatures(docs)
+
+
+@register("q_minhash_lsh_pairs", oracle=_SQL_LSH_PAIRS)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs: band the 16-hash signature into
+    4 bands x 4 rows, bucket-join on (band_id, band-signature md5),
+    emit distinct doc_a < doc_b. The band join is the scale path: no
+    all-pairs comparison ever happens; work is proportional to true
+    collision clusters (Broder's shingling/LSH construction)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return T.lsh_candidate_pairs(T.lsh_band_signatures(T.minhash_signatures(docs)))
+
+
+@register("q_ngram_jaccard", oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SQL_SHINGLES})
+                WHERE doc_id < 200),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_n
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.inter_n,
+           sa.n + sb.n - i.inter_n AS union_n,
+           CAST(i.inter_n AS DOUBLE) / CAST(sa.n + sb.n - i.inter_n AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for every pair sharing at least
+    one shingle (bounded to doc_id < 200 — the exact-pairwise form is
+    the verification tool, not the scale path; q_minhash_lsh_pairs is
+    the scale path). Long/long division is IEEE-identical across
+    engines, so `jaccard` is hash-compared exactly."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(T.word_shingles(T.tokens("text"), 3)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_n",
+            (F.col("na") + F.col("nb") - F.col("inter_n")).alias("union_n"),
+            (
+                F.col("inter_n").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter_n")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("q_lsh_near_dup", oracle=f"""
+    WITH cand AS ({_SQL_LSH_PAIRS}),
+    sh AS (SELECT DISTINCT doc_id, sh FROM ({_SQL_SHINGLES})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter_n
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter_n AS DOUBLE) / CAST(sa.n + sb.n - i.inter_n AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """)
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline at scale: LSH candidates (cheap,
+    bucketed) -> exact Jaccard verification ONLY on candidates. This
+    is the composition a 100 TB dedup job runs; all-pairs Jaccard
+    (q_ngram_jaccard) exists only as its ground-truth check."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cand = T.lsh_candidate_pairs(T.lsh_band_signatures(T.minhash_signatures(docs)))
+    sh = docs.select(
+        "doc_id", F.explode(T.word_shingles(T.tokens("text"), 3)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter_n").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter_n")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("q_simhash", oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    bits AS (SELECT unnest(generate_series(0, 31)) AS j),
+    contrib AS (
+      SELECT t.doc_id, b.j,
+             CASE WHEN (
+               (strpos('0123456789abcdef',
+                       substr(md5(t.tok), CAST(b.j // 4 AS INT) + 1, 1)) - 1)
+               >> (b.j % 4)) & 1 = 1
+             THEN 1 ELSE -1 END AS c
+      FROM tok t, bits b),
+    bitsum AS (SELECT doc_id, j, sum(c) AS s FROM contrib GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (Charikar): each token votes +1/-1
+    on every bit of its hash; bit j of the fingerprint is the vote
+    sign. Token bit j is extracted from md5 hex nibble j//4 (portable:
+    strpos-based nibble decode, identical in both engines). Near-dup
+    = small Hamming distance between fingerprints."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    bits = spark.range(32).select(F.col("id").cast("int").alias("j"))
+    contrib = tok.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "j",
+        F.expr(
+            "CASE WHEN ((locate(substr(md5(tok), CAST(floor(j / 4) AS INT) + 1, 1),"
+            " '0123456789abcdef') - 1) >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END"
+        ).alias("c"),
+    )
+    bitsum = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,157 @@
+"""Text-analysis queries over `documents` (north-star extensions):
+stats/token counting, quality scoring, language ID, fingerprinting.
+All built-in-function only (JVM-side, codegen) and oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import text as T
+from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.registry import register
+
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# language lexicon rendered once for the oracle (MUST mirror T.LANG_LEXICON)
+_LEX_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in T.LANG_LEXICON)
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"
+
+
+@register("q_text_stats", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+             length(text) AS n_chars_actual,
+             length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+      FROM documents)
+    SELECT doc_id, n_chars_actual,
+           len(toks) AS n_tokens,
+           n_bpe_tokens,
+           CAST(alnum_chars AS DOUBLE) / greatest(len(toks), 1) AS avg_token_len,
+           CAST(n_chars_actual
+                - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                AS DOUBLE) / greatest(n_chars_actual, 1) AS punct_ratio
+    FROM t
+    """)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document statistics: whitespace/alnum token
+    count, a BPE-ish regex token count (letters runs | single digits |
+    single punctuation — the GPT-2-style pre-tokenizer shape), average
+    token length, punctuation ratio. Pure per-row expressions: no
+    shuffle at all; scales linearly."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = T.tokens("text")
+    n_chars = F.length("text")
+    alnum = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    bpe = F.expr(r"size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0))")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (alnum.cast("double") / F.greatest(F.size(toks), F.lit(1))).alias("avg_token_len"),
+        (
+            (n_chars - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")))
+            .cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("punct_ratio"),
+    )
+
+
+@register("q_lang_id", oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    lex(lang, word) AS (VALUES {_LEX_VALUES}),
+    hits AS (
+      SELECT t.doc_id, l.lang, count(*) AS hits
+      FROM tok t JOIN lex l ON t.tok = l.word
+      GROUP BY t.doc_id, l.lang),
+    ranked AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang ASC) AS rn
+      FROM hits)
+    SELECT doc_id, lang AS pred_lang, hits FROM ranked WHERE rn = 1
+    """)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count stopword-lexicon hits per
+    language, argmax per document (ties broken alphabetically).
+    The lexicon is a broadcast dim; the token explode + group is one
+    shuffle on doc_id. N-gram extension slot documented in text.py."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    lex = spark.createDataFrame(T.LANG_LEXICON, ["lang", "word"])
+    hits = (
+        tok.join(F.broadcast(lex), tok["tok"] == lex["word"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    )
+
+
+@register("q_quality_score", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(len(list_intersect(toks, {_STOP_LIST_SQL})) AS DOUBLE)
+             / greatest(len(list_distinct(toks)), 1) AS stop_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1) AS type_token_ratio,
+           least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+           0.4 * (CAST(len(list_intersect(toks, {_STOP_LIST_SQL})) AS DOUBLE)
+                  / greatest(len(list_distinct(toks)), 1))
+         + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / greatest(len(toks), 1))
+         + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality_score
+    FROM t
+    """)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (Gopher/C4-style cheap filters):
+    stopword presence ratio, type-token ratio (lexical diversity),
+    length score; fixed-weight blend. Expression structure is kept
+    IDENTICAL to the oracle so IEEE double arithmetic matches
+    bit-for-bit. array_intersect/list_intersect both dedup — same
+    semantics."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = T.tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
+    n_tok = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.greatest(
+        n_types, F.lit(1)
+    )
+    ttr = n_types.cast("double") / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("type_token_ratio"),
+        len_score.alias("len_score"),
+        (
+            F.lit(0.4) * stop_ratio + F.lit(0.3) * ttr + F.lit(0.3) * len_score
+        ).alias("quality_score"),
+    )
+
+
+@register("q_doc_fingerprint", oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fingerprint
+    FROM documents
+    """)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over whitespace/punctuation-normalized
+    text: robust to formatting-only differences, the key for exact
+    near-canonical dedup (md5 — portable across engines)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        "doc_id", F.md5(T.normalized_text("text")).alias("fingerprint")
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis / dedup building blocks for the training-data
+pipeline extensions (BASELINE.json north star): normalization,
+tokenization, word-shingling, MinHash signatures, SimHash.
+
+Everything is built from JVM-side built-in functions (no Python UDFs)
+so the hot path stays inside whole-stage codegen, and every hash is
+md5- or arithmetic-based so the DuckDB oracle can reproduce it
+bit-for-bit (Spark's hash()/xxhash64() and DuckDB's hash() are
+different algorithms — never use them in compared output).
+
+Scale notes: shingle explode multiplies rows by ~tokens-per-doc; the
+minhash groupBy keys on (doc_id, seed) which is uniformly distributed
+by construction — no skew. Band-bucket self-join is the standard
+LSH candidate generation: join key (band_id, signature) keeps the
+pair blow-up bounded by true near-duplicate clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default MinHash configuration: 16 hashes in 4 bands of 4 rows
+MINHASH_SEEDS = 16
+MINHASH_BANDS = 4
+
+#: small stopword lexicon for language ID / quality scoring (shared
+#: verbatim with the DuckDB oracles — keep sorted, lowercase)
+LANG_LEXICON: list[tuple[str, str]] = [
+    ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"), ("en", "in"),
+    ("en", "is"), ("en", "a"),
+    ("es", "el"), ("es", "la"), ("es", "de"), ("es", "que"), ("es", "y"),
+    ("es", "los"), ("es", "es"),
+    ("de", "der"), ("de", "die"), ("de", "das"), ("de", "und"), ("de", "ist"),
+    ("de", "von"), ("de", "mit"),
+    ("fr", "le"), ("fr", "les"), ("fr", "et"), ("fr", "des"), ("fr", "un"),
+    ("fr", "une"), ("fr", "est"),
+]
+
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "a", "for", "on", "with"]
+
+
+def normalized_text(col: Column | str) -> Column:
+    """lowercase, collapse every non-alphanumeric run to one space."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """array of lowercase alphanumeric tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.expr(f"regexp_extract_all(lower({_name(col, c)}), '[a-z0-9]+', 0)")
+
+
+def _name(col, c: Column) -> str:
+    if isinstance(col, str):
+        return col
+    raise ValueError("tokens() requires a column name (used inside expr)")
+
+
+def word_shingles(tok_col: Column, n: int = 3) -> Column:
+    """n-word shingles: positions 1..len-n+1 of the token array
+    (empty array when the doc is shorter than n)."""
+    parts = lambda i: [F.element_at(tok_col, i + off) for off in range(n)]  # noqa: E731
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", *parts(i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_seeds: int = MINHASH_SEEDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, seed, minhash): minhash = min over the doc's shingles
+    of md5(seed || ':' || shingle). Lexicographic min over md5 hex is
+    a valid uniform MinHash family and is engine-portable."""
+    spark = docs.sparkSession
+    toks = tokens(text_col)
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(toks, shingle_n)).alias("sh"),
+    )
+    seeds = spark.range(num_seeds).select(F.col("id").cast("int").alias("seed"))
+    return (
+        shingled.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_signatures(minhash: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band_id, band_sig): md5 of the band's minhashes
+    concatenated in seed order."""
+    banded = minhash.withColumn(
+        "band_id", F.floor(F.col("seed") / F.lit(MINHASH_SEEDS // bands)).cast("int")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "minhash"))), lambda x: x["minhash"]
+    )
+    return banded.groupBy("doc_id", "band_id").agg(
+        F.md5(F.array_join(ordered, "|")).alias("band_sig")
+    )
+
+
+def lsh_candidate_pairs(band_sigs: DataFrame) -> DataFrame:
+    """distinct (doc_a < doc_b) sharing at least one band signature."""
+    a = band_sigs.select(
+        F.col("doc_id").alias("doc_a"), "band_id", F.col("band_sig").alias("sig_a")
+    )
+    b = band_sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id_b"),
+        F.col("band_sig").alias("sig_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
