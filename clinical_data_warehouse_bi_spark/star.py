@@ -1,0 +1,459 @@
+"""The reference's full 3-script lifecycle (SURVEY.md section 3) as a
+lazy Spark dataflow: staging build (Stage_area.sql) -> warehouse
+promote (DWH.sql) -> pre-aggregation, with QA in qa.py.
+
+MariaDB's mutable-state idioms become pure recomputes:
+- UPDATE + regex guard        -> withColumn(when(rlike, cast))
+- UPDATE + scalar subquery    -> coalesce with driver-side scalar
+- UPDATE + BETWEEN join       -> interval join + deterministic
+                                 row_number pick-first (MariaDB kept
+                                 an arbitrary match)
+- DELETE + LEFT JOIN IS NULL  -> orphan_cleanup (semi-join keep)
+- AUTO_INCREMENT              -> row_number over explicit order
+                                 (dims) / monotonically_increasing_id
+                                 (facts at scale)
+
+Every transform chains lazily inside one Catalyst plan per layer; the
+only materialization barriers are the optional parquet writes between
+layers — exactly the staging/dwh boundaries the reference has.
+
+Scale notes: concept/junk/date dims are broadcast in every fact
+lookup. The interval joins key on (patient_id, admission_id) — the
+reference's own equi keys — so they stay hash joins; AQE handles the
+admission skew typical of clinical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark.cleanse import (
+    NUMERIC_RE,
+    keyword_filter,
+    normalized_key,
+    sentinel_timestamp,
+)
+from clinical_data_warehouse_bi_spark.joins import (
+    interval_join_pick_first,
+    orphan_cleanup,
+)
+
+LAB_KEYWORDS = [
+    "sodium", "potassium", "bicarbonate", "chloride", "ph", "base excess", "anion gap",
+]
+DIAGNOSIS_KEYWORDS = [
+    "hypo", "hyper", "acidosis", "alkalosis", "electrolyte", "sodium",
+    "potassium", "bicarbonate", "ph",
+]
+OMR_KEYWORDS = ["sodium", "potassium", "bicarbonate", "chloride", "anion gap", "ph"]
+
+FACT_COLS = [
+    "disorder_event_id", "patient_id", "admission_id", "event_datetime",
+    "careunit_id", "clinical_concept_id", "measurement_value",
+    "measurement_unit", "event_source_type", "event_date", "junk_id",
+    "provider_id",
+]
+
+
+def _calendar(src: DataFrame, ts: str = "event_datetime") -> DataFrame:
+    """dim_date attribute derivation (Stage_area.sql:289-301 /
+    DWH.sql:124-135). MariaDB WEEKDAY+1 == Spark weekday()+1 (1=Mon);
+    DAYOFWEEK IN (1,7) == Spark dayofweek (1=Sun, 7=Sat)."""
+    c = F.col(ts)
+    return src.select(
+        c.alias("event_datetime"),
+        F.month(c).alias("month"),
+        F.year(c).alias("year"),
+        (F.weekday(c) + F.lit(1)).alias("day_of_week"),
+        F.date_format(c, "EEEE").alias("day_name"),
+        F.date_format(c, "MMMM").alias("month_name"),
+        F.dayofweek(c).isin(1, 7).alias("is_weekend"),
+    ).distinct()
+
+
+def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Stage_area.sql as one lazy dataflow. ``src`` holds the 8
+    MIMIC-IV-shaped tables: patients, admissions, transfers,
+    d_labitems, d_icd_diagnoses, labevents, diagnoses_icd, omr."""
+    # -- dim_patients (Stage_area.sql:25-30): project + rename
+    dim_patients = src["patients"].select(
+        F.col("subject_id").alias("patient_id"), "gender", "dod"
+    )
+
+    # -- dim_admissions (36-50): sentinel timestamps for null/blank
+    dim_admissions = src["admissions"].select(
+        F.col("subject_id").alias("patient_id"),
+        F.col("hadm_id").alias("admission_id"),
+        "admission_type",
+        sentinel_timestamp("admittime", "1900-01-01 00:00:00").alias("admittime"),
+        sentinel_timestamp("dischtime", "2999-12-31 23:59:59").alias("dischtime"),
+        "insurance",
+    )
+
+    # -- dim_provider (56-70): ROW_NUMBER() OVER () surrogate; we give
+    #    the window an explicit deterministic order (insertion order is
+    #    undefined in the reference's SELECT anyway)
+    w_prov = Window.orderBy(
+        F.col("subject_id").asc_nulls_first(),
+        F.col("hadm_id").asc_nulls_first(),
+        F.col("intime").asc_nulls_first(),
+        F.col("careunit").asc_nulls_first(),
+    )
+    dim_provider = src["transfers"].select(
+        F.row_number().over(w_prov).alias("provider_id"),
+        F.col("subject_id").alias("patient_id"),
+        F.col("hadm_id").alias("admission_id"),
+        F.col("careunit").alias("careunit_id"),
+        sentinel_timestamp("intime", "1900-01-01 00:00:00").alias("intime"),
+        sentinel_timestamp("outtime", "2999-12-31 23:59:59").alias("outtime"),
+    )
+
+    # -- dim_concepts (76-113): keyword extracts + 'Unknown' fallback;
+    #    AUTO_INCREMENT across the three insert batches -> row_number
+    #    over (batch, code)
+    labs = (
+        src["d_labitems"]
+        .filter(keyword_filter("label", LAB_KEYWORDS))
+        .select(
+            F.lit(1).alias("__batch"),
+            F.lit("Lab").alias("concept_type"),
+            F.col("label").alias("concept_name"),
+            F.col("itemid").cast("string").alias("code"),
+            F.col("label").alias("description"),
+        )
+    )
+    diags = (
+        src["d_icd_diagnoses"]
+        .filter(keyword_filter("long_title", DIAGNOSIS_KEYWORDS))
+        .select(
+            F.lit(2).alias("__batch"),
+            F.lit("Diagnosis").alias("concept_type"),
+            F.col("long_title").alias("concept_name"),
+            F.col("icd_code").alias("code"),
+            F.col("long_title").alias("description"),
+        )
+    )
+    spark = src["patients"].sparkSession
+    unknown = spark.createDataFrame(
+        [(3, "Unknown", "Unknown concept", "UNKNOWN", "No matching concept found")],
+        ["__batch", "concept_type", "concept_name", "code", "description"],
+    )
+    w_concept = Window.orderBy(F.col("__batch"), F.col("code").asc_nulls_first())
+    dim_concepts = (
+        labs.unionByName(diags)
+        .unionByName(unknown)
+        .withColumn("clinical_concept_id", F.row_number().over(w_concept))
+        .drop("__batch")
+        .select("clinical_concept_id", "concept_type", "concept_name", "code", "description")
+    )
+
+    # -- omr_filtered (133-147): keyword filter + regex-guarded parse
+    omr_filtered = src["omr"].filter(keyword_filter("result_name", OMR_KEYWORDS)).withColumn(
+        "result_value_numeric",
+        F.when(
+            F.col("result_value").rlike(NUMERIC_RE),
+            F.col("result_value").cast("decimal(10,2)").cast("float"),
+        ),
+    )
+
+    # -- fact build (153-222): three conformed branches unioned
+    concepts_lab = F.broadcast(
+        dim_concepts.filter(F.col("concept_type") == "Lab").select(
+            "clinical_concept_id", "code", "concept_name"
+        )
+    )
+    concepts_diag = F.broadcast(
+        dim_concepts.filter(F.col("concept_type") == "Diagnosis").select(
+            F.col("clinical_concept_id").alias("diag_concept_id"),
+            F.col("code").alias("diag_code"),
+        )
+    )
+
+    le = src["labevents"].filter(
+        F.col("subject_id").isNotNull()
+        & F.col("hadm_id").isNotNull()
+        & F.col("charttime").isNotNull()
+    )
+    lab_events = le.join(
+        concepts_lab, le["itemid"].cast("string") == concepts_lab["code"], "left"
+    ).select(
+        F.lit(1).alias("__batch"),
+        F.col("subject_id").alias("patient_id"),
+        F.col("hadm_id").alias("admission_id"),
+        F.col("charttime").alias("event_datetime"),
+        F.col("clinical_concept_id"),
+        F.col("valuenum").cast("string").alias("measurement_value"),
+        F.col("valueuom").alias("measurement_unit"),
+        F.lit("lab").alias("event_source_type"),
+        F.col("charttime").alias("event_date"),
+    )
+
+    d = src["diagnoses_icd"].filter(
+        F.col("subject_id").isNotNull() & F.col("hadm_id").isNotNull()
+    )
+    adm_lookup = dim_admissions.select(
+        F.col("admission_id").alias("a_admission_id"), F.col("admittime")
+    )
+    diag_events = (
+        d.join(adm_lookup, d["hadm_id"] == F.col("a_admission_id"), "left")
+        .join(concepts_diag, d["icd_code"] == F.col("diag_code"), "left")
+        .select(
+            F.lit(2).alias("__batch"),
+            F.col("subject_id").alias("patient_id"),
+            F.col("hadm_id").alias("admission_id"),
+            F.coalesce(
+                F.col("admittime"), F.lit("1900-01-01 00:00:00").cast("timestamp")
+            ).alias("event_datetime"),
+            F.col("diag_concept_id").alias("clinical_concept_id"),
+            F.lit(None).cast("string").alias("measurement_value"),
+            F.lit(None).cast("string").alias("measurement_unit"),
+            F.lit("diagnosis").alias("event_source_type"),
+            F.lit(None).cast("timestamp").alias("event_date"),
+        )
+    )
+
+    o = omr_filtered.filter(
+        F.col("subject_id").isNotNull() & F.col("chartdate").isNotNull()
+    )
+    concepts_lab_norm = F.broadcast(
+        dim_concepts.filter(F.col("concept_type") == "Lab").select(
+            F.col("clinical_concept_id").alias("omr_concept_id"),
+            normalized_key("concept_name").alias("norm_name"),
+        )
+    )
+    omr_events = o.join(
+        concepts_lab_norm, normalized_key(o["result_name"]) == F.col("norm_name"), "left"
+    ).select(
+        F.lit(3).alias("__batch"),
+        F.col("subject_id").alias("patient_id"),
+        F.lit(None).cast(o.schema["subject_id"].dataType).alias("admission_id"),
+        F.col("chartdate").alias("event_datetime"),
+        F.col("omr_concept_id").alias("clinical_concept_id"),
+        F.col("result_value_numeric").cast("string").alias("measurement_value"),
+        F.lit(None).cast("string").alias("measurement_unit"),
+        F.lit("omr").alias("event_source_type"),
+        F.col("chartdate").alias("event_date"),
+    )
+
+    # AUTO_INCREMENT id across batches (lab -> diagnosis -> omr): dense
+    # row_number at test scale; the order within a batch is explicit.
+    w_fact = Window.orderBy(
+        F.col("__batch"),
+        F.col("patient_id").asc_nulls_first(),
+        F.col("event_datetime").asc_nulls_first(),
+        F.col("clinical_concept_id").asc_nulls_first(),
+        F.col("measurement_value").asc_nulls_first(),
+    )
+    fact = (
+        lab_events.unionByName(diag_events)
+        .unionByName(omr_events)
+        .withColumn("disorder_event_id", F.row_number().over(w_fact))
+        .drop("__batch")
+    )
+
+    # -- UPDATE 1 (225-231): unknown-concept default via scalar lookup
+    unknown_id = (
+        dim_concepts.filter(F.col("concept_name") == "Unknown concept")
+        .select("clinical_concept_id")
+        .first()[0]
+    )
+    fact = fact.withColumn(
+        "clinical_concept_id",
+        F.coalesce(F.col("clinical_concept_id"), F.lit(unknown_id)),
+    )
+
+    # -- UPDATE 2 (237-245): careunit backfill via LEFT interval join,
+    #    deterministic pick-first (earliest intime, then careunit)
+    transfers = src["transfers"].select(
+        F.col("subject_id").alias("t_subject"),
+        F.col("hadm_id").alias("t_hadm"),
+        F.col("careunit").alias("t_careunit"),
+        sentinel_timestamp("intime", "1900-01-01 00:00:00").alias("t_intime"),
+        sentinel_timestamp("outtime", "2999-12-31 23:59:59").alias("t_outtime"),
+    )
+    fact = interval_join_pick_first(
+        fact,
+        transfers,
+        equi=(F.col("patient_id") == F.col("t_subject"))
+        & (F.col("admission_id") == F.col("t_hadm")),
+        ts_col=F.col("event_datetime"),
+        lo_col=F.col("t_intime"),
+        hi_col=F.col("t_outtime"),
+        left_key=["disorder_event_id"],
+        order=[
+            F.col("t_intime").asc_nulls_last(),
+            F.col("t_careunit").asc_nulls_last(),
+        ],
+    ).withColumn("careunit_id", F.col("t_careunit")).drop(
+        "t_subject", "t_hadm", "t_careunit", "t_intime", "t_outtime"
+    )
+
+    # -- UPDATE 3 (251-256): provider via INNER interval join; rows
+    #    without a match keep NULL provider_id (UPDATE+JOIN net effect)
+    prov = dim_provider.select(
+        F.col("provider_id").alias("p_provider_id"),
+        F.col("patient_id").alias("p_patient"),
+        F.col("admission_id").alias("p_hadm"),
+        F.col("intime").alias("p_intime"),
+        F.col("outtime").alias("p_outtime"),
+    )
+    fact = interval_join_pick_first(
+        fact,
+        prov,
+        equi=(F.col("patient_id") == F.col("p_patient"))
+        & (F.col("admission_id") == F.col("p_hadm")),
+        ts_col=F.col("event_datetime"),
+        lo_col=F.col("p_intime"),
+        hi_col=F.col("p_outtime"),
+        left_key=["disorder_event_id"],
+        order=[
+            F.col("p_intime").asc_nulls_last(),
+            F.col("p_provider_id").asc_nulls_last(),
+        ],
+    ).withColumn("provider_id", F.col("p_provider_id")).drop(
+        "p_provider_id", "p_patient", "p_hadm", "p_intime", "p_outtime"
+    )
+
+    # -- junk dim (262-283): DISTINCT combos + null-safe link-back
+    w_junk = Window.orderBy(
+        F.col("event_source_type").asc_nulls_first(),
+        F.col("measurement_unit").asc_nulls_first(),
+        F.col("careunit_id").asc_nulls_first(),
+    )
+    dim_junk = (
+        fact.select("event_source_type", "measurement_unit", "careunit_id")
+        .distinct()
+        .withColumn("junk_id", F.row_number().over(w_junk))
+        .select("junk_id", "event_source_type", "measurement_unit", "careunit_id")
+    )
+    junk_lookup = F.broadcast(
+        dim_junk.select(
+            F.col("junk_id").alias("j_id"),
+            F.col("event_source_type").alias("j_src"),
+            F.col("measurement_unit").alias("j_unit"),
+            F.col("careunit_id").alias("j_unit_cu"),
+        )
+    )
+    fact = (
+        fact.join(
+            junk_lookup,
+            (F.col("event_source_type") == F.col("j_src"))
+            & F.col("measurement_unit").eqNullSafe(F.col("j_unit"))
+            & F.col("careunit_id").eqNullSafe(F.col("j_unit_cu")),
+            "left",
+        )
+        .withColumn("junk_id", F.col("j_id"))
+        .drop("j_id", "j_src", "j_unit", "j_unit_cu")
+        .select(*FACT_COLS)
+    )
+
+    # -- dim_date (289-301): distinct fact timestamps + calendar attrs
+    dim_date = _calendar(
+        fact.filter(F.col("event_datetime").isNotNull()).select("event_datetime")
+    )
+
+    return {
+        "dim_patients": dim_patients,
+        "dim_admissions": dim_admissions,
+        "dim_provider": dim_provider,
+        "dim_concepts": dim_concepts,
+        "omr_filtered": omr_filtered,
+        "dim_date": dim_date,
+        "dim_junk_disorder_event": dim_junk,
+        "fact_disorder_events": fact,
+    }
+
+
+def build_dwh(stage: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """DWH.sql: DISTINCT-promote every table, top-up dim_date, keep
+    the 'Unknown concept' row, six orphan cleanups, pre-aggregate."""
+    dim_patients = stage["dim_patients"].distinct()
+    dim_admissions = stage["dim_admissions"].distinct()
+    dim_provider = stage["dim_provider"].distinct()
+    dim_concepts = stage["dim_concepts"].distinct()
+    dim_date = stage["dim_date"].distinct()
+    dim_junk = stage["dim_junk_disorder_event"].distinct()
+
+    # fact promote (DWH.sql:111-118): DISTINCT over all non-key
+    # columns (event_date is dropped in the DWH fact), fresh key
+    fact_cols = [c for c in FACT_COLS if c not in ("disorder_event_id", "event_date")]
+    w_fact = Window.orderBy(*[F.col(c).asc_nulls_first() for c in fact_cols])
+    fact = (
+        stage["fact_disorder_events"]
+        .select(*fact_cols)
+        .distinct()
+        .withColumn("disorder_event_id", F.row_number().over(w_fact))
+        .select("disorder_event_id", *fact_cols)
+    )
+
+    # dim_date top-up (124-135): anti-join insert of missing datetimes
+    missing = (
+        fact.filter(F.col("event_datetime").isNotNull())
+        .select("event_datetime")
+        .join(dim_date.select("event_datetime"), "event_datetime", "left_anti")
+    )
+    dim_date = dim_date.unionByName(_calendar(missing))
+
+    # 'Unknown concept' guard (138-144): NOT EXISTS re-insert
+    unknown_missing = (
+        stage["dim_concepts"]
+        .filter(F.col("concept_name") == "Unknown concept")
+        .join(
+            dim_concepts.filter(F.col("concept_name") == "Unknown concept"),
+            ["clinical_concept_id"],
+            "left_anti",
+        )
+    )
+    dim_concepts = dim_concepts.unionByName(unknown_missing)
+
+    # orphan cleanup x6 (150-177); patient_id is NOT NULL so the
+    # first probe degenerates to a semi join
+    fact = orphan_cleanup(fact, dim_patients, "patient_id", "patient_id")
+    fact = orphan_cleanup(fact, dim_admissions, "admission_id", "admission_id")
+    fact = orphan_cleanup(fact, dim_concepts, "clinical_concept_id", "clinical_concept_id")
+    fact = orphan_cleanup(fact, dim_date, "event_datetime", "event_datetime")
+    fact = orphan_cleanup(fact, dim_junk, "junk_id", "junk_id")
+    fact = orphan_cleanup(fact, dim_provider, "provider_id", "provider_id")
+
+    # pre-aggregation (203-210)
+    agg = fact.groupBy("admission_id").agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("clinical_concept_id").alias("unique_concepts"),
+        F.countDistinct("event_source_type").alias("different_sources"),
+    )
+
+    return {
+        "dim_patients": dim_patients,
+        "dim_admissions": dim_admissions,
+        "dim_provider": dim_provider,
+        "dim_concepts": dim_concepts,
+        "dim_date": dim_date,
+        "dim_junk_disorder_event": dim_junk,
+        "fact_disorder_events": fact,
+        "agg_disorders_per_admission": agg,
+    }
+
+
+def run_pipeline(
+    src: dict[str, DataFrame], out_dir: str | None = None
+) -> dict[str, dict[str, DataFrame]]:
+    """staging -> dwh (-> parquet layers when out_dir given — the
+    reference's database-per-layer materialization barriers)."""
+    stage = build_staging(src)
+    if out_dir:
+        from clinical_data_warehouse_bi_spark.io import write_layer
+
+        spark = next(iter(src.values())).sparkSession
+        for name, df in stage.items():
+            write_layer(df, f"{out_dir}/stage_area/{name}")
+            stage[name] = spark.read.parquet(f"{out_dir}/stage_area/{name}")
+    dwh = build_dwh(stage)
+    if out_dir:
+        from clinical_data_warehouse_bi_spark.io import write_layer
+
+        spark = next(iter(src.values())).sparkSession
+        for name, df in dwh.items():
+            write_layer(df, f"{out_dir}/dwh/{name}")
+            dwh[name] = spark.read.parquet(f"{out_dir}/dwh/{name}")
+    return {"stage": stage, "dwh": dwh}

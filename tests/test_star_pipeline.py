@@ -1,0 +1,134 @@
+"""End-to-end clinical pipeline test (SURVEY.md section 5.3): run the
+full staging -> DWH -> agg lifecycle on MIMIC-shaped fixtures, then
+assert the ported QA suite comes back clean (modulo the reference's
+own documented quirks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import qa, star
+from tests.clinical_fixtures import make_sources
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark):
+    src = make_sources(spark)
+    out = star.run_pipeline(src)
+    # cache the two facts: every QA probe re-reads them
+    out["stage"]["fact_disorder_events"].cache()
+    out["dwh"]["fact_disorder_events"].cache()
+    return src, out["stage"], out["dwh"]
+
+
+def test_stage_fact_shape(pipeline):
+    src, stage, dwh = pipeline
+    fact = stage["fact_disorder_events"]
+    assert fact.columns == star.FACT_COLS
+    n = fact.count()
+    assert n > 0
+    # surrogate keys are dense and unique
+    assert fact.select("disorder_event_id").distinct().count() == n
+    srcs = {r["event_source_type"] for r in fact.select("event_source_type").distinct().collect()}
+    assert srcs == {"lab", "diagnosis", "omr"}
+
+
+def test_sentinel_timestamps_applied(pipeline):
+    src, stage, dwh = pipeline
+    adm = stage["dim_admissions"]
+    lo = adm.filter(F.col("admittime") == F.lit("1900-01-01 00:00:00").cast("timestamp"))
+    hi = adm.filter(F.col("dischtime") == F.lit("2999-12-31 23:59:59").cast("timestamp"))
+    assert lo.count() > 0 and hi.count() > 0
+    assert adm.filter(F.col("admittime").isNull()).count() == 0
+
+
+def test_unknown_concept_backfill(pipeline):
+    src, stage, dwh = pipeline
+    fact = stage["fact_disorder_events"]
+    assert fact.filter(F.col("clinical_concept_id").isNull()).count() == 0
+    unknown_id = (
+        stage["dim_concepts"]
+        .filter(F.col("concept_name") == "Unknown concept")
+        .first()["clinical_concept_id"]
+    )
+    # unmatched lab items (non-keyword labels) must map to Unknown
+    assert fact.filter(F.col("clinical_concept_id") == unknown_id).count() > 0
+
+
+def test_interval_join_careunit_backfill(pipeline):
+    src, stage, dwh = pipeline
+    fact = stage["fact_disorder_events"]
+    # at least some lab events fall inside a transfer interval
+    assert fact.filter(F.col("careunit_id").isNotNull()).count() > 0
+    # determinism: the same pipeline run twice gives identical careunit
+    fact2 = star.build_staging(src)["fact_disorder_events"]
+    a = fact.select("disorder_event_id", "careunit_id", "provider_id")
+    b = fact2.select("disorder_event_id", "careunit_id", "provider_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_junk_dim_linkage(pipeline):
+    src, stage, dwh = pipeline
+    fact = stage["fact_disorder_events"]
+    junk = stage["dim_junk_disorder_event"]
+    # every fact row links to exactly one junk row (null-safe join)
+    assert fact.filter(F.col("junk_id").isNull()).count() == 0
+    n_combos = (
+        fact.select("event_source_type", "measurement_unit", "careunit_id")
+        .distinct()
+        .count()
+    )
+    assert junk.count() == n_combos
+
+
+def test_qa_duplicates_zero(pipeline):
+    src, stage, dwh = pipeline
+    dup = qa.duplicate_checks(dwh).collect()
+    assert all(r["num_dupes"] == 0 for r in dup), dup
+
+
+def test_qa_orphans(pipeline):
+    src, stage, dwh = pipeline
+    rows = {r["issue"]: r["num_records"] for r in qa.orphan_checks(dwh).collect()}
+    assert rows["Orphan patients"] == 0
+    assert rows["Orphan concepts"] == 0
+    assert rows["Orphan dates"] == 0
+    assert rows["Orphan junk_id"] == 0
+    # reference quirk (QA.sql:88-92): NULL admission_id (all OMR rows)
+    # counts as an orphan under LEFT JOIN USING semantics
+    null_adm = (
+        dwh["fact_disorder_events"].filter(F.col("admission_id").isNull()).count()
+    )
+    assert rows["Orphan admissions"] == null_adm
+
+
+def test_qa_fact_vs_agg_zero(pipeline):
+    src, stage, dwh = pipeline
+    row = qa.fact_vs_agg(dwh).collect()[0]
+    assert row["diff_events"] == 0
+
+
+def test_qa_rowcount_reconciliation(pipeline):
+    src, stage, dwh = pipeline
+    rows = {r["table_name"]: r for r in qa.rowcount_reconciliation(stage, dwh).collect()}
+    # dims with unique natural keys promote 1:1
+    assert rows["dim_patients"]["diff_rows"] == 0
+    assert rows["dim_concepts"]["diff_rows"] == 0
+    assert rows["dim_date"]["diff_rows"] == 0
+    # fact may shrink via DISTINCT + orphan cleanup but never grow
+    assert rows["fact_disorder_events"]["diff_rows"] >= 0
+    for r in rows.values():
+        assert r["dwh_rows"] > 0
+
+
+def test_agg_matches_manual(pipeline):
+    src, stage, dwh = pipeline
+    agg = dwh["agg_disorders_per_admission"]
+    manual = (
+        dwh["fact_disorder_events"]
+        .groupBy("admission_id")
+        .agg(F.count("*").alias("n"))
+    )
+    joined = agg.join(manual, "admission_id")
+    assert joined.filter(F.col("total_events") != F.col("n")).count() == 0
