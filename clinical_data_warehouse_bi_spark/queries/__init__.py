@@ -7,4 +7,5 @@ from clinical_data_warehouse_bi_spark.queries import (  # noqa: F401
     qa_report,
     similarity,
     text_ops,
+    windows,
 )

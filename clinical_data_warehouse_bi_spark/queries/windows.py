@@ -1,0 +1,124 @@
+"""Windowed / sessionization / multimodal queries. The tumbling
+window and sessionization are the BATCH duals of streaming.py's
+operators (Spark's unified API: same groupBy(window(...)) shape),
+so they get full DuckDB oracles; the multimodal feature extraction
+is mapInPandas-based and therefore rows-only checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.registry import register
+
+
+@register("q_window_tumbling", oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch dual of
+    streaming.windowed_counts — identical groupBy(window(...))).
+    Epoch-aligned tumbling window == date_trunc('hour'). Exact
+    decimal sum -> string -> double for cross-engine bit equality."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register("q_sessionize", oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), the lag +
+    gap-flag + running-sum construction — batch dual of
+    streaming.sessionized's session_window. One shuffle on user_id;
+    both windows and the final groupBy share that partitioning."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+@register("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary media column + typed
+    metadata -> Arrow-batched mapInPandas feature extraction (byte
+    stats + histogram). Rows-only check: the mapInPandas decode is
+    not SQL-expressible (per-driver-contract the weaker gate)."""
+    from clinical_data_warehouse_bi_spark.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return extract_features(attach_fake_media(docs))

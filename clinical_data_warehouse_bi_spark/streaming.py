@@ -1,0 +1,149 @@
+"""Structured Streaming surface (SURVEY.md section 2.10 notes the
+reference is pure batch; README.md:151 lists real-time decision
+support as future work — this module is that extension, Spark-first).
+
+Operators:
+- windowed_counts: watermarked tumbling-window aggregation
+- sessionized: session_window aggregation (gap-based)
+- enrich: stream-static broadcast dim join (the streaming version of
+  the star schema's concept lookup)
+- running_user_state: custom stateful operator via
+  applyInPandasWithState (per-user cumulative counters)
+
+All operators take/return DataFrames so they compose identically in
+batch mode (Spark's unified API): the batch oracle-checked
+equivalents live in queries/windows.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),  # kept string-agnostic for sinks
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-source stream: each new parquet file in `path` is a
+    micro-batch. At scale the same operators run off Kafka — only
+    this reader changes."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema or EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. Late rows
+    beyond the watermark are dropped; state is bounded — the only
+    correct shape for an unbounded 100TB/day stream."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization via session_window (stateful,
+    watermark-bounded)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: dim is broadcast per micro-batch (the
+    streaming analogue of the star schema's J1 concept lookup)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("batch_events", LongType()),
+        StructField("total_events", LongType()),
+    ]
+)
+
+
+def _update_user_state(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = sum(len(pdf) for pdf in pdfs)
+    total = (state.get[0] if state.exists else 0) + batch
+    state.update((total,))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "batch_events": [batch], "total_events": [total]}
+    )
+
+
+def running_user_state(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    lifetime event counters, emitted once per micro-batch. State is a
+    single long per user — O(users) memory, partitioned by the group
+    key across executors."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion against the memory
+    sink (test/drive helper): returns the started query; caller does
+    `q.processAllAvailable()` then reads `spark.sql(f"SELECT * FROM
+    {name}")`."""
+    return (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

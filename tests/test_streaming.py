@@ -1,0 +1,112 @@
+"""Structured Streaming operator tests: drive the streams with the
+driver's events table split into multiple parquet files (one
+micro-batch each) and compare against batch ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import streaming
+from clinical_data_warehouse_bi_spark.io import read_table
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 3 files -> 3 micro-batches (ts in micros,
+    value as string to match EVENT_SCHEMA)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", F.col("value").cast("string")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, stream_dir):
+    return spark.read.parquet(stream_dir).cache()
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_matches_batch(spark, stream_dir, batch_events):
+    stream = streaming.read_event_stream(spark, stream_dir)
+    # files are not chronologically ordered -> watermark must cover the
+    # whole data span or legitimately-late rows get dropped (that IS
+    # the operator's contract; here we test the aggregation itself)
+    q = streaming.run_to_memory(
+        streaming.windowed_counts(stream, watermark="60 days"),
+        "win_counts",
+        output_mode="complete",
+    )
+    _drain(q)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sessionized_runs_and_bounds(spark, stream_dir, batch_events):
+    stream = streaming.read_event_stream(spark, stream_dir)
+    q = streaming.run_to_memory(
+        streaming.sessionized(stream, watermark="60 days"),
+        "sessions",
+        output_mode="complete",
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) > 0
+    total = sum(r["n_events"] for r in rows)
+    assert total == batch_events.count()
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_stream_static_enrich(spark, stream_dir, batch_events):
+    dim = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "commerce"),
+         ("signup", "funnel"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+    stream = streaming.read_event_stream(spark, stream_dir)
+    q = streaming.run_to_memory(
+        streaming.enrich(stream, dim, "event_type"), "enriched", output_mode="append"
+    )
+    _drain(q)
+    out = spark.sql("SELECT * FROM enriched")
+    assert out.count() == batch_events.count()
+    assert out.filter(F.col("category").isNull()).count() == 0
+
+
+def test_running_user_state(spark, stream_dir, batch_events):
+    stream = streaming.read_event_stream(spark, stream_dir)
+    q = streaming.run_to_memory(
+        streaming.running_user_state(stream), "user_state", output_mode="update"
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM user_state").collect()
+    assert rows, "stateful operator emitted nothing"
+    # per user: sum of per-batch increments == final total == batch count
+    per_user_batches: dict[int, int] = {}
+    finals: dict[int, int] = {}
+    for r in rows:
+        per_user_batches[r["user_id"]] = per_user_batches.get(r["user_id"], 0) + r["batch_events"]
+        finals[r["user_id"]] = max(finals.get(r["user_id"], 0), r["total_events"])
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch_events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_user_batches == want
+    assert finals == want
