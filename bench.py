@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: per query, one warm-up execution (codegen + file-footer
+caches) then one timed execution to a noop sink (full computation, no
+driver-side result materialization skew). `value` is the sum of timed
+seconds across queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set: every operator family, weighted toward the ones that
+#: matter at scale (joins, aggs, dedup, similarity). The bounded
+#: all-pairs ground-truth query (q_ngram_jaccard) is excluded: its
+#: role is verification, not throughput.
+BENCH_QUERIES = [
+    "q_agg_per_order",
+    "q_pricing_summary",
+    "q_calendar_dim",
+    "q_multi_source_union",
+    "q_join_lookup_cast",
+    "q_join_left",
+    "q_asof_next_order",
+    "q_join_nullsafe_junk",
+    "q_anti_new_dates",
+    "q_semi_valid_fact",
+    "q_orphan_cleanup",
+    "q_qa_orphan_report",
+    "q_qa_rowcount_report",
+    "q_dup_probe",
+    "q_sessionize",
+    "q_window_tumbling",
+    "q_dedup_exact",
+    "q_minhash_lsh_pairs",
+    "q_lsh_near_dup",
+    "q_simhash",
+    "q_text_stats",
+    "q_lang_id",
+    "q_quality_score",
+    "q_doc_fingerprint",
+    "q_cosine_topk",
+    "q_ann_ivf",
+    "q_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from clinical_data_warehouse_bi_spark.registry import all_queries
+    from clinical_data_warehouse_bi_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

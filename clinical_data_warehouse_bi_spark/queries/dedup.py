@@ -82,7 +82,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs comparison ever happens; work is proportional to true
     collision clusters (Broder's shingling/LSH construction)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return T.lsh_candidate_pairs(T.lsh_band_signatures(T.minhash_signatures(docs)))
+    return T.lsh_candidate_pairs(T.lsh_band_signatures_wide(T.minhash_wide(docs)))
 
 
 @register("q_ngram_jaccard", oracle=f"""
@@ -162,10 +162,17 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the composition a 100 TB dedup job runs; all-pairs Jaccard
     (q_ngram_jaccard) exists only as its ground-truth check."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    cand = T.lsh_candidate_pairs(T.lsh_band_signatures(T.minhash_signatures(docs)))
-    sh = docs.select(
-        "doc_id", F.explode(T.word_shingles(T.tokens("text"), 3)).alias("sh")
-    ).distinct()
+    # the candidate generation and the verification both consume the
+    # shingle relation; cache it (and the tiny candidate set) so the
+    # DAG does not re-derive shingles three times
+    sh = T.shingled(docs).distinct().cache()
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(T.MINHASH_SEEDS)
+        ]
+    )
+    cand = T.lsh_candidate_pairs(T.lsh_band_signatures_wide(wide))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
@@ -215,21 +222,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     strpos-based nibble decode, identical in both engines). Near-dup
     = small Hamming distance between fingerprints."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-    bits = spark.range(32).select(F.col("id").cast("int").alias("j"))
-    contrib = tok.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "j",
-        F.expr(
-            "CASE WHEN ((locate(substr(md5(tok), CAST(floor(j / 4) AS INT) + 1, 1),"
-            " '0123456789abcdef') - 1) >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END"
-        ).alias("c"),
+    # md5 projected ONCE per token; the 32 bit-votes are 32 column
+    # expressions aggregated in a single groupBy — no 32x row blowup,
+    # no per-bit md5 recompute, one shuffle on doc_id
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
     )
-    bitsum = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
+    votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0)
+            F.expr(
+                f"CASE WHEN ((locate(substr(h, {j // 4 + 1}, 1),"
+                f" '0123456789abcdef') - 1) >> {j % 4}) & 1 = 1"
+                " THEN 1 ELSE -1 END"
             )
-        ).alias("simhash")
-    )
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    bitsums = tok.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bitsums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))

@@ -71,6 +71,36 @@ def word_shingles(tok_col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingled(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sh): exploded word shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
+    )
+
+
+def minhash_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_seeds: int = MINHASH_SEEDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): all k minhashes in ONE aggregation —
+    k min() columns over the exploded shingles, one shuffle total.
+    (The naive shape — explode x seeds then groupBy(doc, seed) —
+    multiplies the shuffle k-fold for no reason; this one holds at
+    100 TB: map-side partial min per column, tiny reduce.)"""
+    sh = shingled(docs, id_col, text_col, shingle_n)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(num_seeds)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -80,29 +110,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, seed, minhash): minhash = min over the doc's shingles
     of md5(seed || ':' || shingle). Lexicographic min over md5 hex is
-    a valid uniform MinHash family and is engine-portable."""
-    spark = docs.sparkSession
-    toks = tokens(text_col)
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(toks, shingle_n)).alias("sh"),
-    )
-    seeds = spark.range(num_seeds).select(F.col("id").cast("int").alias("seed"))
-    return (
-        shingled.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    a valid uniform MinHash family and is engine-portable. Computed
+    via minhash_wide + a shuffle-free stack() unpivot."""
+    wide = minhash_wide(docs, id_col, text_col, num_seeds, shingle_n)
+    stack_args = ", ".join(f"{i}, mh{i}" for i in range(num_seeds))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({num_seeds}, {stack_args}) AS (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("int"), "minhash")
+
+
+def lsh_band_signatures_wide(
+    wide: DataFrame, num_seeds: int = MINHASH_SEEDS, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """(doc_id, band_id, band_sig) from the wide signature matrix:
+    band_sig = md5 of the band's minhashes joined in seed order —
+    pure projection + unpivot, no shuffle."""
+    rows = num_seeds // bands
+    exprs = []
+    for b in range(bands):
+        cols = ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        exprs.append(f"{b}, md5(concat_ws('|', {cols}))")
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({bands}, {', '.join(exprs)}) AS (band_id, band_sig)"),
+    ).select("doc_id", F.col("band_id").cast("int"), "band_sig")
 
 
 def lsh_band_signatures(minhash: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
-    """(doc_id, band_id, band_sig): md5 of the band's minhashes
-    concatenated in seed order."""
+    """(doc_id, band_id, band_sig) from the UNPIVOTED signature
+    matrix (kept for API parity; prefer lsh_band_signatures_wide)."""
     banded = minhash.withColumn(
         "band_id", F.floor(F.col("seed") / F.lit(MINHASH_SEEDS // bands)).cast("int")
     )
@@ -115,7 +152,13 @@ def lsh_band_signatures(minhash: DataFrame, bands: int = MINHASH_BANDS) -> DataF
 
 
 def lsh_candidate_pairs(band_sigs: DataFrame) -> DataFrame:
-    """distinct (doc_a < doc_b) sharing at least one band signature."""
+    """distinct (doc_a < doc_b) sharing at least one band signature.
+
+    The input is cached first: a self-join otherwise re-derives the
+    entire upstream minhash DAG for BOTH sides. band_sigs is tiny
+    (docs x bands rows of hashes) — at 100 TB it is still ~GBs and
+    cache-able; if not, materialize it to parquet instead."""
+    band_sigs = band_sigs.cache()
     a = band_sigs.select(
         F.col("doc_id").alias("doc_a"), "band_id", F.col("band_sig").alias("sig_a")
     )
