@@ -55,6 +55,28 @@ def load_tables(
     return {name: read_table(spark, sf_dir, name) for name in names}
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance a scan whose split count is far below the cluster's
+    parallelism, so downstream compute-heavy stages (shingle explode +
+    per-shingle hashing, token explode, vector math) use every core.
+
+    Needed because parquet is only splittable at row-group granularity:
+    a file written as one giant row group yields ONE scan task no
+    matter how many executors exist, and everything pipelined onto the
+    scan (project, explode, hash, partial agg) runs single-threaded.
+
+    Adaptive, not unconditional: on a real cluster reading 100 TB the
+    scan already has thousands of splits and this is an exact no-op —
+    we never pay a full-data shuffle at scale. Locally (driver files =
+    one row group) it costs one small round-robin shuffle and buys
+    ~Ncores x on the pipelined compute.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = DRIVER_TABLES
 ) -> None:

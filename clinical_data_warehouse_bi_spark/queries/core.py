@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_data_warehouse_bi_spark import cleanse
-from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.io import fan_out, load_tables
 from clinical_data_warehouse_bi_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -42,18 +42,21 @@ def q_agg_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(*) + 2x COUNT(DISTINCT) grouped by admission, mapped to
     lineitem-per-order.
 
-    Scale: one hash-partial agg + one shuffle on the group key; Spark
-    plans count(*) and the two distincts with partial map-side
-    aggregation (expand + two-phase). At 100 TB swap the exact
-    distincts for approx_count_distinct (see q_agg_per_order_approx).
+    Scale: the distinct counts are computed as size(collect_set(..)),
+    NOT countDistinct — countDistinct x2 plans an Expand (3x row
+    blowup) plus two extra exchanges, while collect_set is one
+    map-side partial agg and ONE shuffle on the group key. The set
+    per group is bounded by events-per-admission (small by the data's
+    grain), so state stays tiny; for unbounded-cardinality groups use
+    countDistinct (Expand) or approx_count_distinct instead.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return (
         li.groupBy(F.col("l_orderkey").alias("admission_id"))
         .agg(
             F.count("*").alias("total_events"),
-            F.countDistinct("l_partkey").alias("distinct_concepts"),
-            F.countDistinct("l_returnflag").alias("distinct_sources"),
+            F.size(F.collect_set("l_partkey")).cast("bigint").alias("distinct_concepts"),
+            F.size(F.collect_set("l_returnflag")).cast("bigint").alias("distinct_sources"),
         )
     )
 
@@ -91,17 +94,32 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     def exact_double(c):
         return c.cast("string").cast("double")
 
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            exact_double(F.sum(F.col("l_quantity").cast("decimal(12,2)"))).alias("sum_qty"),
-            exact_double(F.sum(price)).alias("sum_base_price"),
-            exact_double(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
-            exact_double(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
-            F.count("*").alias("count_order"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
+    # countDistinct(l_orderkey) alongside the sums would plan an
+    # Expand (2x row blowup) + an extra exchange; instead aggregate in
+    # two explicit phases — partial sums per (flag, status, orderkey),
+    # then the distinct-order count is a plain count(*) of phase-1
+    # groups. Decimal addition is exact and associative, so the split
+    # is value-identical under any partitioning (100 TB safe).
+    p1 = (
+        fan_out(  # AFTER the filter, so the predicate still pushes to the scan
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         )
+        .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("pq"),
+            F.sum(price).alias("pb"),
+            F.sum(price * (F.lit(1) - disc)).alias("pd"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("pc"),
+            F.count("*").alias("pn"),
+        )
+    )
+    return p1.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_double(F.sum("pq")).alias("sum_qty"),
+        exact_double(F.sum("pb")).alias("sum_base_price"),
+        exact_double(F.sum("pd")).alias("sum_disc_price"),
+        exact_double(F.sum("pc")).alias("sum_charge"),
+        F.sum("pn").alias("count_order"),
+        F.count("*").alias("n_orders"),
     )
 
 

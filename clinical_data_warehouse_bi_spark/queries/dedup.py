@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_data_warehouse_bi_spark import text as T
-from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.io import fan_out, load_tables
 from clinical_data_warehouse_bi_spark.registry import register
 
 # shared SQL fragments for the DuckDB oracles ------------------------------
@@ -224,10 +224,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # md5 projected ONCE per token; the 32 bit-votes are 32 column
     # expressions aggregated in a single groupBy — no 32x row blowup,
-    # no per-bit md5 recompute, one shuffle on doc_id
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok")).select(
-        "doc_id", F.md5("tok").alias("h")
-    )
+    # no per-bit md5 recompute, one shuffle on doc_id. fan_out so the
+    # explode+hash hot loop isn't serialized on a one-row-group scan.
+    tok = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
     votes = [
         F.sum(
             F.expr(

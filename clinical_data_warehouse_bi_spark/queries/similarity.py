@@ -180,3 +180,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
     )
+
+
+#: demo near-dup threshold for the synthetic random embeddings (real
+#: pipelines use ~0.95; the driver's vectors are near-orthogonal so a
+#: production threshold would select nothing to compare)
+NEAR_DUP_COS = 0.3
+
+_SQL_SIGN_BUCKET = " + ".join(
+    f"(CASE WHEN e[{i + 1}] >= 0 THEN {1 << (7 - i)} ELSE 0 END)" for i in range(8)
+)
+
+
+@register("q_embed_near_dup", oracle=f"""
+    WITH n AS ({_SQL_VECS}),
+    b AS (SELECT vec_id, e, n2, {_SQL_SIGN_BUCKET} AS bucket FROM n),
+    p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                 list_dot_product(a.e, c.e) / (sqrt(a.n2) * sqrt(c.n2)) AS cos
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT vec_a, vec_b, round(cos, 4) AS cosine
+    FROM p WHERE round(cos, 6) >= {NEAR_DUP_COS}
+    """)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-bucketed: block
+    vectors by the sign pattern of their first 8 dimensions (random-
+    hyperplane LSH with axis-aligned hyperplanes — deterministic and
+    engine-portable), then verify cosine >= threshold ONLY within
+    blocks. The bucket equi-join is the scale path: one shuffle keyed
+    on an 8-bit bucket id, never an all-pairs product; recall is
+    tuned by band count exactly as in MinHash LSH (q_minhash_lsh_pairs).
+    Rounded before thresholding so a hypothetical 1-ulp divergence
+    cannot flip membership."""
+    n = _vectors(spark, sf_dir)
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.element_at("e", i + 1) >= 0, F.lit(1 << (7 - i))).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = n.withColumn("bucket", bucket)
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                 F.col("n2").alias("na"), "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                 F.col("n2").alias("nb"), F.col("bucket").alias("cb"))
+    return (
+        a.join(c, (F.col("bucket") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+            ).alias("cos"),
+        )
+        .filter(F.round("cos", 6) >= F.lit(NEAR_DUP_COS))
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_data_warehouse_bi_spark import text as T
-from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.io import fan_out, load_tables
 from clinical_data_warehouse_bi_spark.registry import register
 
 _SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -40,8 +40,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, a BPE-ish regex token count (letters runs | single digits |
     single punctuation — the GPT-2-style pre-tokenizer shape), average
     token length, punctuation ratio. Pure per-row expressions: no
-    shuffle at all; scales linearly."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    shuffle at all; scales linearly. fan_out so the regexp work is not
+    serialized on a one-row-group local scan (no-op on real splits)."""
+    docs = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"])
     toks = T.tokens("text")
     n_chars = F.length("text")
     alnum = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
@@ -80,7 +81,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lexicon is a broadcast dim; the token explode + group is one
     shuffle on doc_id. N-gram extension slot documented in text.py."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    tok = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
     lex = spark.createDataFrame(T.LANG_LEXICON, ["lang", "word"])
     hits = (
         tok.join(F.broadcast(lex), tok["tok"] == lex["word"])

@@ -73,8 +73,15 @@ def word_shingles(tok_col: Column, n: int = 3) -> Column:
 
 def shingled(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              shingle_n: int = 3) -> DataFrame:
-    """(doc_id, sh): exploded word shingles."""
-    return docs.select(
+    """(doc_id, sh): exploded word shingles.
+
+    fan_out first: the explode and the k-per-shingle hashing pipelined
+    on top of it are the dedup pipeline's hot loop — they must run on
+    every core, not on however few splits the input file happens to
+    have (no-op on a well-split cluster read)."""
+    from clinical_data_warehouse_bi_spark.io import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
     )

@@ -1,0 +1,64 @@
+"""Per-query Spark-vs-DuckDB wall-clock comparison (the BASELINE.md
+performance table).
+
+For every query in the bench headline set: run the Spark plan to a
+noop sink (warm-up + timed) and the DuckDB oracle to a fetch-all
+(warm-up + timed), print a ratio table, and emit one JSON line for
+tooling.
+
+Usage: python scripts/bench_compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clinical_data_warehouse_bi_spark.registry import all_oracles, all_queries
+from clinical_data_warehouse_bi_spark.session import get_spark
+from scripts.check_parity import duck_con
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from bench import BENCH_QUERIES
+
+    names = sys.argv[2:] or BENCH_QUERIES
+    spark = get_spark("bench-compare")
+    con = duck_con(sf_dir)
+    queries, oracles = all_queries(), all_oracles()
+    rows = []
+    for name in names:
+        fn = queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        s_sec = time.time() - t0
+        d_sec = None
+        if name in oracles:
+            con.execute(oracles[name]).fetchall()
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            d_sec = time.time() - t0
+        ratio = (s_sec / d_sec) if d_sec else None
+        rows.append((name, round(s_sec, 3), round(d_sec, 3) if d_sec else None,
+                     round(ratio, 2) if ratio else None))
+        print(f"{name:28s} spark={s_sec:7.3f}s duckdb="
+              f"{('%7.3f' % d_sec) if d_sec else '   n/a '}s "
+              f"ratio={('%6.2f' % ratio) if ratio else '  n/a'}", flush=True)
+    tot_s = sum(r[1] for r in rows)
+    tot_d = sum(r[2] for r in rows if r[2] is not None)
+    print(f"{'TOTAL':28s} spark={tot_s:7.3f}s duckdb={tot_d:7.3f}s "
+          f"ratio={tot_s / tot_d:6.2f}")
+    print(json.dumps({"sf_dir": sf_dir, "rows": rows,
+                      "total_spark": round(tot_s, 3),
+                      "total_duckdb": round(tot_d, 3)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
