@@ -66,6 +66,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = queries[name]
         try:
+            # drop cached relations from prior queries: each query
+            # caches fresh DataFrame instances, so leftovers only add
+            # memory pressure (they are never hit again)
+            spark.catalog.clearCache()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -55,7 +55,7 @@ def load_tables(
     return {name: read_table(spark, sf_dir, name) for name in names}
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """Rebalance a scan whose split count is far below the cluster's
     parallelism, so downstream compute-heavy stages (shingle explode +
     per-shingle hashing, token explode, vector math) use every core.
@@ -65,16 +65,24 @@ def fan_out(df: DataFrame) -> DataFrame:
     matter how many executors exist, and everything pipelined onto the
     scan (project, explode, hash, partial agg) runs single-threaded.
 
+    With ``keys``, partitions BY those columns instead of round-robin.
+    Use this when the next operator is a groupBy on ``keys`` whose
+    group cardinality is near the row count (no map-side reduction
+    possible): the aggregate then runs in place on the repartitioned
+    data and Catalyst elides its own exchange — one full-data shuffle
+    total instead of partial-agg + exchange + final (which shuffles
+    the same volume and pays a pointless pre-shuffle hash map).
+
     Adaptive, not unconditional: on a real cluster reading 100 TB the
     scan already has thousands of splits and this is an exact no-op —
     we never pay a full-data shuffle at scale. Locally (driver files =
-    one row group) it costs one small round-robin shuffle and buys
-    ~Ncores x on the pipelined compute.
+    one row group) it costs one small shuffle and buys ~Ncores x on
+    the pipelined compute.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
-    return df.repartition(target)
+    return df.repartition(target, *keys) if keys else df.repartition(target)
 
 
 def register_views(

@@ -44,15 +44,17 @@ def q_agg_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the distinct counts are computed as size(collect_set(..)),
     NOT countDistinct — countDistinct x2 plans an Expand (3x row
-    blowup) plus two extra exchanges, while collect_set is one
-    map-side partial agg and ONE shuffle on the group key. The set
-    per group is bounded by events-per-admission (small by the data's
+    blowup) plus two extra exchanges, while collect_set needs ONE
+    shuffle on the group key (keyed fan_out pre-partitions, so the
+    agg runs in place with no separate partial phase). The set per
+    group is bounded by events-per-admission (small by the data's
     grain), so state stays tiny; for unbounded-cardinality groups use
     countDistinct (Expand) or approx_count_distinct instead.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return (
-        li.groupBy(F.col("l_orderkey").alias("admission_id"))
+        fan_out(li, "l_orderkey")
+        .groupBy(F.col("l_orderkey").alias("admission_id"))
         .agg(
             F.count("*").alias("total_events"),
             F.size(F.collect_set("l_partkey")).cast("bigint").alias("distinct_concepts"),
@@ -101,8 +103,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groups. Decimal addition is exact and associative, so the split
     # is value-identical under any partitioning (100 TB safe).
     p1 = (
-        fan_out(  # AFTER the filter, so the predicate still pushes to the scan
-            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        fan_out(  # AFTER the filter (predicate still pushes to the scan);
+            # keyed on the phase-1 group key: its cardinality ~= row
+            # count, so map-side partial agg cannot reduce anything and
+            # pre-partitioning lets the agg run in place — one big
+            # exchange total instead of two
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+            "l_returnflag", "l_linestatus", "l_orderkey",
         )
         .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
         .agg(

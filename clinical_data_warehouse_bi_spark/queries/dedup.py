@@ -224,9 +224,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # md5 projected ONCE per token; the 32 bit-votes are 32 column
     # expressions aggregated in a single groupBy — no 32x row blowup,
-    # no per-bit md5 recompute, one shuffle on doc_id. fan_out so the
-    # explode+hash hot loop isn't serialized on a one-row-group scan.
-    tok = fan_out(docs.select("doc_id", "text")).select(
+    # no per-bit md5 recompute. fan_out keyed on doc_id so the
+    # explode+hash hot loop isn't serialized on a one-row-group scan
+    # AND the groupBy(doc_id) aggregates in place with no exchange.
+    tok = fan_out(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(T.tokens("text")).alias("tok")
     ).select("doc_id", F.md5("tok").alias("h"))
     votes = [

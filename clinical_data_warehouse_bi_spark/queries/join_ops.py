@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clinical_data_warehouse_bi_spark import joins
-from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.io import fan_out, load_tables
 from clinical_data_warehouse_bi_spark.registry import register
 
 
@@ -93,10 +93,17 @@ def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     BETWEEN as post-filter; the dedup window re-uses the same
     partitioning key family."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    a = o.select(
-        F.col("o_orderkey").alias("order_id"),
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderdate").alias("order_date"),
+    # keyed fan_out: the broadcast-join output inherits the left
+    # side's partitioning, so the pick-first window (partitioned by
+    # order_id) sorts in place — no post-join exchange of the blown-up
+    # pair relation
+    a = fan_out(
+        o.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("order_date"),
+        ),
+        "order_id",
     )
     b = o.select(
         F.col("o_orderkey").alias("next_order_id"),

@@ -81,7 +81,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lexicon is a broadcast dim; the token explode + group is one
     shuffle on doc_id. N-gram extension slot documented in text.py."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = fan_out(docs.select("doc_id", "text")).select(
+    tok = fan_out(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(T.tokens("text")).alias("tok")
     )
     lex = spark.createDataFrame(T.LANG_LEXICON, ["lang", "word"])

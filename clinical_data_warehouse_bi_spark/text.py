@@ -78,10 +78,12 @@ def shingled(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     fan_out first: the explode and the k-per-shingle hashing pipelined
     on top of it are the dedup pipeline's hot loop — they must run on
     every core, not on however few splits the input file happens to
-    have (no-op on a well-split cluster read)."""
+    have (no-op on a well-split cluster read). Keyed on doc_id so the
+    downstream per-doc aggregations (minhash min(), shingle-set
+    distinct) inherit the partitioning and need no further exchange."""
     from clinical_data_warehouse_bi_spark.io import fan_out
 
-    return fan_out(docs.select(id_col, text_col)).select(
+    return fan_out(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
     )

@@ -34,6 +34,7 @@ def main() -> None:
     rows = []
     for name in names:
         fn = queries[name]
+        spark.catalog.clearCache()  # prior queries' caches are never hit again
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
