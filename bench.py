@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: role is verification, not throughput.
 BENCH_QUERIES = [
     "q_agg_per_order",
+    "q_agg_per_order_approx",
     "q_pricing_summary",
+    "q_json_extract",
     "q_calendar_dim",
     "q_multi_source_union",
     "q_join_lookup_cast",

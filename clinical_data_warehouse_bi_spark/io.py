@@ -94,6 +94,52 @@ def register_views(
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """S1 generalized beyond parquet: csv / json / orc / text sources
+    (the reference's MariaDB tables are opaque storage — any columnar
+    or row format the lake holds maps to the same DataFrame surface).
+
+    CSV/JSON default to an explicit ``schema`` when given — at 100 TB
+    schema inference is a full extra pass over the data; never rely on
+    it in production paths.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """S2/S3 generalized sink: parquet (default) / csv / json / orc."""
+    w = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 def write_layer(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """S2/S3 sink: materialize a pipeline layer (the reference's CTAS /
     INSERT...SELECT barrier, Stage_area.sql:25-30 etc.).

@@ -386,3 +386,56 @@ def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return a.unionByName(b).unionByName(c)
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction / approximate-distinct scale variants
+# ---------------------------------------------------------------------------
+
+
+@register("q_json_extract", oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction over `events.props` (the JSON-ish
+    string column): get_json_object pulls `$.k`, then a plain grouped
+    agg. The extraction is a JVM-side codegen expression evaluated in
+    the scan stage — per-row, no shuffle; only the 5-group agg
+    shuffles. For a fixed known schema at scale, from_json with an
+    explicit StructType (one parse, many fields) beats repeated
+    get_json_object calls."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register("q_agg_per_order_approx", oracle=None)
+def q_agg_per_order_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of q_agg_per_order: approx_count_distinct
+    (HyperLogLog++, mergeable sketch -> pure map-side partial agg, one
+    tiny shuffle, no per-group set state at all). No oracle: HLL
+    estimates are engine-specific (driver records the rows-only
+    check); q_agg_per_order is the exact twin that IS value-checked."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy(F.col("l_orderkey").alias("admission_id"))
+        .agg(
+            F.count("*").alias("total_events"),
+            F.approx_count_distinct("l_partkey").alias("approx_distinct_concepts"),
+            F.approx_count_distinct("l_returnflag").alias("approx_distinct_sources"),
+        )
+    )
