@@ -133,3 +133,44 @@ def scalar_lookup_default(
     row = scalar_df.first()
     default = None if row is None else row[0]
     return fact.withColumn(out or col, F.coalesce(F.col(col), F.lit(default)))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for when one join key dominates
+    (clinical data: a handful of admissions hold most events) and the
+    small side is too big to broadcast.
+
+    The heavy (left) side is sharded into ``buckets`` sub-keys by a
+    deterministic hash of its remaining columns — every hot key's rows
+    spread over ``buckets`` tasks instead of one straggler. The right
+    side is replicated once per bucket (cost: buckets x |right|, which
+    is why broadcast is still preferred when it fits), so every left
+    shard finds its matches.
+
+    AQE's skew-join splitting (enabled in session.py) handles most of
+    this automatically at runtime; use salted_join when a single key
+    is so hot that even one post-split partition exceeds executor
+    memory, or when AQE is unavailable (streaming joins).
+    """
+    salt = F.pmod(
+        F.xxhash64(*[c for c in left.columns if c != left_key]), F.lit(buckets)
+    ).cast("int")
+    l_ = left.withColumn("__salt", salt)
+    r_ = right.crossJoin(
+        F.broadcast(
+            right.sparkSession.range(buckets).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = l_.join(
+        r_,
+        (l_[left_key] == r_[right_key]) & (l_["__salt"] == r_["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

@@ -1,0 +1,123 @@
+"""Physical-plan property tests: lock in the plan SHAPES that make
+the operators scale, so a regression that silently reintroduces a
+bad plan (lost pushdown, lost broadcast, Expand blowup, extra
+exchange) fails CI even though results stay correct.
+
+These assert on `.explain`-level artifacts — the same things a human
+would check by eye before shipping a plan to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark.io import fan_out, read_table
+from clinical_data_warehouse_bi_spark.registry import all_queries
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+QUERIES = all_queries()
+
+
+def test_keyword_filter_pushdown(spark, sf_dir):
+    """P3: the OR-LIKE predicate must reach the parquet scan."""
+    plan = physical_plan(QUERIES["q_keyword_filter"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    # column pruning: only the 3 selected columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_name" in read_schema and "p_retailprice" not in read_schema
+
+
+def test_lookup_join_broadcasts(spark, sf_dir):
+    """J1: small filtered dim side must be broadcast — a shuffle of
+    the fact side for a dim lookup is the classic star-schema
+    anti-pattern."""
+    plan = physical_plan(QUERIES["q_join_lookup_cast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_orphan_probe_uses_anti_join_broadcast(spark, sf_dir):
+    plan = physical_plan(QUERIES["q_qa_orphan_report"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_agg_per_order_has_no_expand(spark, sf_dir):
+    """A2 via collect_set: the multi-countDistinct Expand (3x row
+    blowup + 2 extra exchanges) must not come back."""
+    plan = physical_plan(QUERIES["q_agg_per_order"](spark, sf_dir))
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 2  # the keyed fan_out repartition
+
+
+def test_pricing_summary_single_wide_exchange(spark, sf_dir):
+    """Two-phase pricing agg: exactly one full-data exchange (the
+    keyed fan_out); phase-2's exchange moves only pre-aggregated
+    partials."""
+    plan = physical_plan(QUERIES["q_pricing_summary"](spark, sf_dir))
+    assert "Expand" not in plan
+
+
+def test_fan_out_noop_when_well_split(spark, sf_dir):
+    """fan_out must be an exact no-op when the scan already has
+    enough splits — at 100 TB it must never add a shuffle."""
+    df = read_table(spark, sf_dir, "lineitem").repartition(64)
+    assert fan_out(df) is df
+
+
+def test_doc_pipeline_aggregates_in_place(spark, sf_dir):
+    """Keyed fan_out on doc_id: the simhash groupBy must reuse the
+    repartition exchange (exactly one exchange in the whole plan)."""
+    plan = physical_plan(QUERIES["q_simhash"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_is_not_nested_loop(spark, sf_dir):
+    """J5/J6: the BETWEEN must ride on an equi join (hash/broadcast),
+    never a cartesian / broadcast-nested-loop join."""
+    plan = physical_plan(QUERIES["q_asof_next_order"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """S1: a 2-column projection must not read all 16 lineitem
+    columns."""
+    df = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_tax")
+    plan = physical_plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_semi_join_for_integrity_cleanup(spark, sf_dir):
+    """J10: orphan cleanup must plan a semi join (never materialize
+    dim columns onto the fact)."""
+    plan = physical_plan(QUERIES["q_semi_valid_fact"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must be a pure physical rewrite: byte-identical result
+    multiset to the plain equi-join."""
+    from clinical_data_warehouse_bi_spark.joins import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    salted = salted_join(orders, cust, "o_custkey", "c_custkey", buckets=8).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
