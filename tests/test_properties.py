@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the operator semantics that
+are easiest to get subtly wrong: interval-join pick-first determinism,
+orphan-cleanup null handling, salted-join equivalence, normalization
+idempotence. Each property runs a handful of randomized examples
+against a brute-force in-Python model (small data: the point is the
+SEMANTICS under nulls/dupes/ties, not scale — plan shape is covered
+by test_plans.py)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import joins
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+opt_keys = st.one_of(st.none(), keys)
+
+
+@settings(**SETTINGS)
+@given(
+    fact=st.lists(opt_keys, min_size=0, max_size=12),
+    dim=st.lists(keys, min_size=0, max_size=6),
+)
+def test_orphan_cleanup_keeps_nulls_and_matches(spark, fact, dim):
+    """DWH.sql:150-177 semantics: keep fact rows whose FK is NULL or
+    present in dim; drop dangling non-null FKs."""
+    fact_df = spark.createDataFrame(
+        [Row(i=i, fk=v) for i, v in enumerate(fact)], "i int, fk int"
+    )
+    dim_df = spark.createDataFrame([Row(k=k) for k in set(dim)] or [], "k int")
+    got = sorted(r.i for r in joins.orphan_cleanup(fact_df, dim_df, "fk", "k").collect())
+    want = sorted(i for i, v in enumerate(fact) if v is None or v in set(dim))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=15),
+    right=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=15),
+)
+def test_salted_join_equals_plain_join(spark, left, right):
+    """Salting is a pure physical rewrite: same multiset as the plain
+    inner equi-join for any inputs, including duplicate keys."""
+    l_df = spark.createDataFrame([Row(k=k, a=a) for k, a in left] or [], "k int, a int")
+    r_df = spark.createDataFrame([Row(rk=k, b=b) for k, b in right] or [], "rk int, b int")
+    got = sorted(
+        (r.k, r.a, r.b)
+        for r in joins.salted_join(l_df, r_df, "k", "rk", buckets=4).collect()
+    )
+    want = sorted(
+        (lk, a, b) for lk, a in left for rk, b in right if lk == rk
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(0, 20), st.integers(0, 20)), min_size=0, max_size=15
+    )
+)
+def test_interval_pick_first_is_deterministic_min(spark, rows):
+    """J5/J6: for each left row, the surviving match is exactly the
+    ORDER-minimal right row within the interval — never an arbitrary
+    one (the MariaDB-UPDATE behavior we deliberately replace)."""
+    left = spark.createDataFrame(
+        [Row(lid=i, k=k, lo=lo, hi=lo + 5) for i, (k, lo, _) in enumerate(rows)] or [],
+        "lid int, k int, lo int, hi int",
+    )
+    right = spark.createDataFrame(
+        [Row(k2=k, ts=ts, rid=i) for i, (k, _, ts) in enumerate(rows)] or [],
+        "k2 int, ts int, rid int",
+    )
+    out = joins.interval_join_pick_first(
+        left,
+        right,
+        equi=left["k"] == right["k2"],
+        ts_col=right["ts"],
+        lo_col=left["lo"],
+        hi_col=left["hi"],
+        left_key=["lid"],
+        order=[F.col("ts").asc_nulls_first(), F.col("rid").asc_nulls_first()],
+    )
+    got = {r.lid: (r.ts, r.rid) for r in out.collect() if r.rid is not None}
+    want = {}
+    for i, (k, lo, _) in enumerate(rows):
+        matches = sorted(
+            (ts, j)
+            for j, (k2, _, ts) in enumerate(rows)
+            if k2 == k and lo <= ts <= lo + 5
+        )
+        if matches:
+            want[i] = matches[0]
+    assert got == want
+    # exactly one output row per left row (left join + pick-first)
+    assert out.count() == len(rows)
+
+
+@settings(**SETTINGS)
+@given(s=st.text(alphabet=" aAbB\t.", max_size=12))
+def test_normalized_key_idempotent(spark, s):
+    """J4: TRIM(LOWER(x)) must be a projection fixpoint."""
+    from clinical_data_warehouse_bi_spark.cleanse import normalized_key
+
+    df = spark.createDataFrame([Row(x=s)])
+    once, twice = df.select(
+        normalized_key(F.col("x")).alias("a"),
+        normalized_key(normalized_key(F.col("x"))).alias("b"),
+    ).first()
+    assert once == twice
