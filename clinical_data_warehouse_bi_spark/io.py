@@ -157,3 +157,32 @@ def write_layer(df: DataFrame, path: str, partition_by: list[str] | None = None)
 def show_tables(spark: SparkSession) -> DataFrame:
     """S7 catalog listing (DWH.sql:215 `SHOW TABLES`)."""
     return spark.sql("SHOW TABLES")
+
+
+def reset_database(spark: SparkSession, name: str) -> None:
+    """S5 DDL lifecycle (Stage_area.sql:4-19 / DWH.sql:4-16):
+    `DROP DATABASE IF EXISTS ... ; CREATE DATABASE ... ; USE ...` —
+    the reference resets each layer's schema before rebuilding it."""
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+    spark.sql(f"CREATE DATABASE {name}")
+    spark.sql(f"USE {name}")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> None:
+    """M8 replacement for the reference's six fact B-tree indexes
+    (DWH.sql:193-198), Spark-style: bucketed (and optionally
+    sorted) table layout. Two tables bucketed on the same join key
+    with the same bucket count join WITHOUT any exchange — the
+    shuffle is paid once at write time, then every downstream join /
+    aggregation on that key is co-located (the 100 TB answer to 'we
+    join fact to admissions constantly')."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(name)

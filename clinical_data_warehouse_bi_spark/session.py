@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which Spark 4 rejects unless read as raw long (io.read_table

@@ -121,3 +121,25 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """M8: two tables bucketed on the join key must sort-merge join
+    with ZERO exchanges — the write-time shuffle replaces the
+    reference's B-tree indexes for join locality."""
+    from clinical_data_warehouse_bi_spark.io import reset_database, write_bucketed_table
+
+    reset_database(spark, "bucket_test")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "orders_b", ["o_orderkey"], 8)
+    write_bucketed_table(lineitem, "lineitem_b", ["l_orderkey"], 8)
+    joined = spark.table("lineitem_b").join(
+        spark.table("orders_b").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = physical_plan(joined)
+    assert "Exchange" not in plan
+    assert joined.count() > 0
+    spark.sql("DROP DATABASE bucket_test CASCADE")
+    spark.sql("USE default")
