@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "q_agg_per_order_approx",
     "q_pricing_summary",
     "q_json_extract",
+    "q_percentiles",
+    "q_rollup",
     "q_calendar_dim",
     "q_multi_source_union",
     "q_join_lookup_cast",

@@ -439,3 +439,55 @@ def q_agg_per_order_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_returnflag").alias("approx_distinct_sources"),
         )
     )
+
+
+@register("q_percentiles", oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.95) AS p95_qty,
+           quantile_cont(l_extendedprice, 0.5) AS median_price
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`: same linear-interpolation definition,
+    bit-identical on the same data). Exact percentile is a sort-based
+    aggregate; the 100 TB variant is approx_percentile (t-digest
+    sketch, mergeable map-side) — same API shape, bounded error."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+    )
+
+
+@register("q_rollup", oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n_rows,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level pre-aggregation in one pass: ROLLUP emits
+    (flag, status), (flag), and grand-total grains — the hypertable-
+    rollup / BI-summary-table pattern (the reference materializes one
+    grain, DWH.sql:203-210; rollup gives the full lattice for the
+    same single shuffle). grouping_id disambiguates rollup-NULL from
+    data-NULL; decimal sum keeps values partition-order-exact."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+    )
