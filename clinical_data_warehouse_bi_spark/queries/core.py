@@ -432,7 +432,8 @@ def q_agg_per_order_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     check); q_agg_per_order is the exact twin that IS value-checked."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return (
-        li.groupBy(F.col("l_orderkey").alias("admission_id"))
+        fan_out(li.select("l_orderkey", "l_partkey", "l_returnflag"), "l_orderkey")
+        .groupBy(F.col("l_orderkey").alias("admission_id"))
         .agg(
             F.count("*").alias("total_events"),
             F.approx_count_distinct("l_partkey").alias("approx_distinct_concepts"),
@@ -455,7 +456,13 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the 100 TB variant is approx_percentile (t-digest
     sketch, mergeable map-side) — same API shape, bounded error."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    # keyed fan_out: percentile buffers every group value before the
+    # final sort — partial-agg on an under-split scan would buffer the
+    # whole table in ONE task; pre-partitioned, each of the few groups
+    # buffers on its own reducer
+    return fan_out(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"), "l_returnflag"
+    ).groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
