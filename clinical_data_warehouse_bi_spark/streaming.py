@@ -54,6 +54,22 @@ def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
     )
 
 
+def dedup_events(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated ``keys`` within the
+    watermark horizon (dropDuplicatesWithinWatermark — state is
+    bounded by the watermark, unlike plain dropDuplicates whose state
+    grows forever on an unbounded stream). The streaming face of
+    q_dedup_exact: at-least-once sources (Kafka redeliveries, replayed
+    files) become effectively-once event feeds."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def windowed_counts(
     stream: DataFrame,
     window: str = "1 hour",

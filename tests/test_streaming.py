@@ -110,3 +110,22 @@ def test_running_user_state(spark, stream_dir, batch_events):
     }
     assert per_user_batches == want
     assert finals == want
+
+
+def test_dedup_events_drops_redelivered_rows(spark, stream_dir, tmp_path, batch_events):
+    """Simulate an at-least-once source: write the same events twice
+    (two files), stream with dedup -> each event_id survives once."""
+    dup_dir = str(tmp_path / "dup_events")
+    ev = spark.read.parquet(stream_dir)
+    ev.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    ev.coalesce(1).write.mode("append").parquet(dup_dir)
+
+    stream = streaming.read_event_stream(spark, dup_dir)
+    q = streaming.run_to_memory(
+        streaming.dedup_events(stream, watermark="60 days"), "dedup_out"
+    )
+    _drain(q)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    want = batch_events.count()
+    assert got.n == want  # every duplicate dropped
+    assert got.d == want  # every original kept
