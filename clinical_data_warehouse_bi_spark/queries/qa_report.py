@@ -11,7 +11,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.io import fan_out, load_tables
 from clinical_data_warehouse_bi_spark.registry import register
 
 
@@ -105,9 +105,16 @@ def q_qa_rowcount_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     reports = []
     for name, df, keys in specs:
-        agg = df.agg(
-            F.count("*").alias("total_rows"),
-            F.countDistinct(*keys).alias("distinct_keys"),
+        # two-phase distinct: per-key counts aggregate in place on the
+        # keyed fan_out partitioning, then distinct_keys is a plain
+        # count of phase-1 groups — replaces the global countDistinct's
+        # single-task partial-distinct over the whole table
+        per_key = (
+            fan_out(df.select(*keys), *keys).groupBy(*keys).agg(F.count("*").alias("c"))
+        )
+        agg = per_key.agg(
+            F.sum("c").cast("bigint").alias("total_rows"),
+            F.count("*").alias("distinct_keys"),
         ).select(
             F.lit(name).alias("table_name"),
             "total_rows",
