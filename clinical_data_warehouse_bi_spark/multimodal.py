@@ -113,3 +113,46 @@ def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
     ).select(
         "doc_id", "frame_idx", (F.col("frame_idx") / fps).alias("frame_offset_s")
     )
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize pass over the binary column: nearest-neighbor resample
+    of the decoded array to width x height bytes, re-encoded as a new
+    blob with updated metadata. Same Arrow-batched partition-parallel
+    shape as extract_features — a real deployment swaps the resample
+    line for PIL/The codec in decode_media and nothing else moves."""
+
+    target = int(width) * int(height)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(
+                pdf["doc_id"], pdf["content"], pdf["media_meta"]
+            ):
+                arr = decode_media(bytes(blob), meta["media_type"])
+                if arr.size == 0:
+                    out = np.zeros(target, dtype=np.uint8)
+                else:
+                    idx = np.linspace(0, arr.size - 1, target).round().astype(np.int64)
+                    out = arr[idx]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "content": out.tobytes(),
+                        "media_meta": {
+                            "media_type": meta["media_type"],
+                            "width": int(width),
+                            "height": int(height),
+                            "sample_rate": int(meta["sample_rate"]),
+                            "duration_s": float(meta["duration_s"]),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "media_meta"])
+
+    schema = (
+        "doc_id bigint, content binary, media_meta struct<media_type: string, "
+        "width: int, height: int, sample_rate: int, duration_s: double>"
+    )
+    return media.mapInPandas(op, schema=schema)

@@ -62,3 +62,20 @@ def test_frame_sample_plan(media):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"xx", "image/png", real_decode=True)
+
+
+def test_resize_media_shapes_and_determinism(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.multimodal import attach_fake_media, resize_media
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    media = attach_fake_media(docs)
+    resized = resize_media(media, width=8, height=4)
+    rows = resized.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(bytes(r.content)) == 8 * 4
+        assert r.media_meta.width == 8 and r.media_meta.height == 4
+    # deterministic (fake decode is pure)
+    again = {r.doc_id: bytes(r.content) for r in resize_media(media, 8, 4).collect()}
+    assert {r.doc_id: bytes(r.content) for r in rows} == again
