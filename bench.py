@@ -75,9 +75,13 @@ def main() -> None:
             # memory pressure (they are never hit again)
             spark.catalog.clearCache()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 4)
+            best = None
+            for _ in range(2):  # best-of-2: the host is noisy
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 4)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)

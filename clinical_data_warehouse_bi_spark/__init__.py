@@ -7,18 +7,20 @@ plumbing).
 
 Layout:
   session.py   SparkSession factory (AQE, UTC, sane shuffle partitions)
-  io.py        parquet sources/sinks + catalog helpers
+  io.py        parquet/csv/json sources+sinks, catalog DDL, bucketed
+               tables, fan_out (adaptive scan rebalance)
   cleanse.py   cleansing expressions (sentinel timestamps, keyword
                filters, regex-guarded numeric parse, calendar attrs)
   keys.py      surrogate-key strategies (test-scale + 100TB-scale)
   joins.py     lookup / normalized-string / interval (as-of) /
-               null-safe / semi / anti join operators
-  agg.py       aggregation operators (count-distinct exact+approx,
-               dup probes, reconciliation)
+               null-safe / semi / anti / salted-skew join operators
   qa.py        the reference's QA suite as reusable DataFrame checks
   star.py      the 3-stage clinical pipeline (staging -> dwh -> agg)
+  text.py      tokenize / shingle / MinHash / LSH / SimHash blocks
+  similarity.py Arrow-batched numpy top-k + MLlib KMeans IVF buckets
   queries/     registered (query, oracle-SQL) pairs for the driver
-  streaming.py Structured Streaming surface
+  streaming.py Structured Streaming surface (watermark windows,
+               session windows, stateful ops, streaming dedup)
   multimodal.py binary-column (image/audio) plumbing via mapInPandas
 """
 
