@@ -454,6 +454,14 @@ def run_pipeline(
 
         spark = next(iter(src.values())).sparkSession
         for name, df in dwh.items():
-            write_layer(df, f"{out_dir}/dwh/{name}")
+            # the fact layer is partitioned by source type — the Spark
+            # replacement for the reference's fact indexes
+            # (DWH.sql:193-198): partition pruning serves the
+            # per-source BI slices, parquet min/max stats serve the
+            # key/range probes
+            partition_by = (
+                ["event_source_type"] if name == "fact_disorder_events" else None
+            )
+            write_layer(df, f"{out_dir}/dwh/{name}", partition_by=partition_by)
             dwh[name] = spark.read.parquet(f"{out_dir}/dwh/{name}")
     return {"stage": stage, "dwh": dwh}

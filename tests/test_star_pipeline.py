@@ -132,3 +132,29 @@ def test_agg_matches_manual(pipeline):
     )
     joined = agg.join(manual, "admission_id")
     assert joined.filter(F.col("total_events") != F.col("n")).count() == 0
+
+
+def test_materialized_layers_partition_fact(spark, tmp_path_factory):
+    """out_dir writes each layer to parquet; the DWH fact is
+    partitioned by event_source_type (the reference's fact-index
+    replacement) and reads back identically."""
+    import os
+
+    out_dir = str(tmp_path_factory.mktemp("dwh_layers"))
+    src = make_sources(spark)
+    out = star.run_pipeline(src, out_dir=out_dir)
+    fact_dir = os.path.join(out_dir, "dwh", "fact_disorder_events")
+    parts = [d for d in os.listdir(fact_dir) if d.startswith("event_source_type=")]
+    assert len(parts) >= 2
+    # partition pruning reaches the scan for a per-source slice
+    sliced = out["dwh"]["fact_disorder_events"].filter(
+        F.col("event_source_type") == "Lab"
+    )
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "event_source_type" in plan
+    # in-memory rebuild agrees with the materialized round-trip
+    rebuilt = star.run_pipeline(make_sources(spark))
+    assert (
+        out["dwh"]["fact_disorder_events"].count()
+        == rebuilt["dwh"]["fact_disorder_events"].count()
+    )
