@@ -174,3 +174,45 @@ def salted_join(
         how,
     )
     return out.drop("__salt")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join WITHOUT equi keys: left points `point_col` matched
+    to right intervals [lo_col, hi_col] (numeric/epoch columns).
+
+    Naive Spark plans this as BroadcastNestedLoopJoin — O(|L| x |R|),
+    unusable at scale. Binning makes it an equi-join: each interval
+    is exploded to the bins it overlaps, each point lands in exactly
+    one bin, the join key is the bin id, and the BETWEEN rides as a
+    post-filter. Every true match appears exactly once (the point's
+    single bin), so no dedup is needed.
+
+    Cost: |R| inflates by ~(interval_len / bin_width + 1); the join
+    shuffles on uniformly-distributed bin ids. Pick bin_width near
+    the median interval length so inflation stays ~2x. This is the
+    standard bucketized range-join (same construction as Databricks'
+    range-join hint, built here from public primitives).
+    """
+    bins = F.sequence(
+        F.floor(F.col(lo_col) / bin_width).cast("long"),
+        F.floor(F.col(hi_col) / bin_width).cast("long"),
+    )
+    r_binned = right.withColumn("__bin", F.explode(bins))
+    l_binned = left.withColumn(
+        "__bin", F.floor(F.col(point_col) / bin_width).cast("long")
+    )
+    out = l_binned.join(
+        r_binned,
+        (l_binned["__bin"] == r_binned["__bin"])
+        & l_binned[point_col].between(r_binned[lo_col], r_binned[hi_col]),
+        how,
+    )
+    return out.drop("__bin")

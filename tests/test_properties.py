@@ -117,3 +117,34 @@ def test_normalized_key_idempotent(spark, s):
         normalized_key(normalized_key(F.col("x"))).alias("b"),
     ).first()
     assert once == twice
+
+
+@settings(**SETTINGS)
+@given(
+    points=st.lists(st.integers(0, 50), min_size=0, max_size=12),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 15)), min_size=0, max_size=8
+    ),
+    width=st.sampled_from([1, 3, 7, 16]),
+)
+def test_range_join_binned_equals_brute_force(spark, points, intervals, width):
+    """Binned range join must equal the brute-force theta join for any
+    bin width, with every true match appearing exactly once."""
+    l_df = spark.createDataFrame(
+        [Row(pid=i, p=p) for i, p in enumerate(points)] or [], "pid int, p int"
+    )
+    r_df = spark.createDataFrame(
+        [Row(rid=i, lo=lo, hi=lo + ln) for i, (lo, ln) in enumerate(intervals)] or [],
+        "rid int, lo int, hi int",
+    )
+    got = sorted(
+        (r.pid, r.rid)
+        for r in joins.range_join_binned(l_df, r_df, "p", "lo", "hi", width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, ln) in enumerate(intervals)
+        if lo <= p <= lo + ln
+    )
+    assert got == want
