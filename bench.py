@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q_join_lookup_cast",
     "q_join_left",
     "q_asof_next_order",
+    "q_range_join",
     "q_join_nullsafe_junk",
     "q_anti_new_dates",
     "q_semi_valid_fact",

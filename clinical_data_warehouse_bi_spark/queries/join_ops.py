@@ -294,3 +294,32 @@ def q_scalar_lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="concept_key",
     )
     return out.select("l_orderkey", "l_linenumber", "concept_key")
+
+
+@register("q_range_join", oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey AS window_order
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey < 100) o
+      ON l.l_shipdate BETWEEN o.o_orderdate
+                          AND o.o_orderdate + INTERVAL 7 DAY
+    """)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key): every lineitem shipped within a
+    week of each probe order's date. Naive Spark plans this as a
+    nested-loop; joins.range_join_binned makes it a hash join on bin
+    ids (bin width = the 7-day interval length, in seconds)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    left = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", F.unix_timestamp("l_shipdate").alias("ship_s")
+    )
+    right = (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            F.col("o_orderkey").alias("window_order"),
+            F.unix_timestamp("o_orderdate").alias("lo_s"),
+            (F.unix_timestamp("o_orderdate") + 7 * 86400).alias("hi_s"),
+        )
+    )
+    out = joins.range_join_binned(left, right, "ship_s", "lo_s", "hi_s", 7 * 86400)
+    return out.select("l_orderkey", "l_linenumber", "window_order")
