@@ -36,15 +36,20 @@ def main() -> None:
         fn = queries[name]
         spark.catalog.clearCache()  # prior queries' caches are never hit again
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        s_sec = time.time() - t0
+        s_sec = None
+        for _ in range(2):  # best-of-2 on both engines: noisy shared host
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            s_sec = dt if s_sec is None or dt < s_sec else s_sec
         d_sec = None
         if name in oracles:
             con.execute(oracles[name]).fetchall()
-            t0 = time.time()
-            con.execute(oracles[name]).fetchall()
-            d_sec = time.time() - t0
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(oracles[name]).fetchall()
+                dt = time.time() - t0
+                d_sec = dt if d_sec is None or dt < d_sec else d_sec
         ratio = (s_sec / d_sec) if d_sec else None
         rows.append((name, round(s_sec, 3), round(d_sec, 3) if d_sec else None,
                      round(ratio, 2) if ratio else None))
