@@ -114,11 +114,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary media column + typed
     metadata -> Arrow-batched mapInPandas feature extraction (byte
     stats + histogram). Rows-only check: the mapInPandas decode is
-    not SQL-expressible (per-driver-contract the weaker gate)."""
+    not SQL-expressible (per-driver-contract the weaker gate).
+
+    The histogram array<bigint> is serialized to a '|'-joined string
+    for the registered query: the driver canonicalizes results with
+    pandas sort_values, which cannot hash python lists. The array
+    form stays available via multimodal.extract_features."""
     from clinical_data_warehouse_bi_spark.multimodal import (
         attach_fake_media,
         extract_features,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return extract_features(attach_fake_media(docs))
+    feats = extract_features(attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "mean_byte",
+        "byte_entropy",
+        F.array_join("histogram", "|").alias("histogram"),
+    )
