@@ -32,24 +32,44 @@ def distributed_key() -> Column:
 
 
 def zip_index_key(df: DataFrame, name: str = "surrogate_id") -> DataFrame:
-    """Dense 1..N key without a global sort: spark_partition_id ->
-    per-partition row_number + precomputed partition offsets (small
-    driver-side map, broadcast automatically)."""
-    part = F.spark_partition_id()
-    with_part = df.withColumn("__pid", part)
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in with_part.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__pid")
+    """Dense 1..N key without a global sort OR a full-data shuffle.
+
+    Construction: `monotonically_increasing_id()` is consecutive
+    within a partition, so the in-partition row index is
+    `miid - min(miid)` of that partition. One tiny aggregation job
+    collects per-partition (count, min(miid)); a cumulative offset per
+    partition is then broadcast-joined back and the dense key is pure
+    per-row arithmetic — no window, no exchange of the data itself.
+
+    The input is materialized first (localCheckpoint) so the stats job
+    and the key job see identical partition contents: recomputed
+    lineage (e.g. downstream of a round-robin repartition, or a task
+    retry) is not guaranteed to replay the same rows into the same
+    partitions. This is the same determinism barrier RDD.zipWithIndex
+    needs, and it doubles as the staging-layer materialization the
+    reference's CTAS boundaries imply."""
+    spark = df.sparkSession
+    with_idx = (
+        df.withColumn("__miid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    stats = sorted(
+        (r["__pid"], r["cnt"], r["lo"])
+        for r in with_idx.groupBy("__pid")
+        .agg(F.count("*").alias("cnt"), F.min("__miid").alias("lo"))
+        .collect()
+    )
+    rows, acc = [], 0
+    for pid, cnt, lo in stats:
+        rows.append((pid, lo, acc))
+        acc += cnt
+    off = spark.createDataFrame(rows, "__pid int, __lo long, __offset long")
     return (
-        with_part.withColumn(name, F.row_number().over(w) + offset_col)
-        .drop("__pid")
+        with_idx.join(F.broadcast(off), "__pid", "left")
+        .withColumn(
+            name,
+            (F.col("__miid") - F.col("__lo") + F.col("__offset") + F.lit(1)).cast("long"),
+        )
+        .drop("__pid", "__miid", "__lo", "__offset")
     )

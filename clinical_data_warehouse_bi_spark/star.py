@@ -38,6 +38,7 @@ from clinical_data_warehouse_bi_spark.joins import (
     interval_join_pick_first,
     orphan_cleanup,
 )
+from clinical_data_warehouse_bi_spark.keys import zip_index_key
 
 LAB_KEYWORDS = [
     "sodium", "potassium", "bicarbonate", "chloride", "ph", "base excess", "anion gap",
@@ -72,10 +73,21 @@ def _calendar(src: DataFrame, ts: str = "event_datetime") -> DataFrame:
     ).distinct()
 
 
-def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def build_staging(
+    src: dict[str, DataFrame], parity_keys: bool = False
+) -> dict[str, DataFrame]:
     """Stage_area.sql as one lazy dataflow. ``src`` holds the 8
     MIMIC-IV-shaped tables: patients, admissions, transfers,
-    d_labitems, d_icd_diagnoses, labevents, diagnoses_icd, omr."""
+    d_labitems, d_icd_diagnoses, labevents, diagnoses_icd, omr.
+
+    ``parity_keys``: surrogate keys for the event-scale relations
+    (fact, dim_provider) come from a global ``ROW_NUMBER() OVER ()``
+    — byte-for-byte the reference's AUTO_INCREMENT semantics, but a
+    single-partition funnel. The default (False) is the scale path:
+    ``keys.zip_index_key`` — dense 1..N, fully parallel, no global
+    sort. Keys only need to be consistent, not identical to MariaDB's
+    (oracle parity joins on natural keys; SURVEY.md section 7c).
+    Truly small dims (concepts, junk) keep row_number either way."""
     # -- dim_patients (Stage_area.sql:25-30): project + rename
     dim_patients = src["patients"].select(
         F.col("subject_id").alias("patient_id"), "gender", "dod"
@@ -91,22 +103,32 @@ def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "insurance",
     )
 
-    # -- dim_provider (56-70): ROW_NUMBER() OVER () surrogate; we give
-    #    the window an explicit deterministic order (insertion order is
-    #    undefined in the reference's SELECT anyway)
-    w_prov = Window.orderBy(
-        F.col("subject_id").asc_nulls_first(),
-        F.col("hadm_id").asc_nulls_first(),
-        F.col("intime").asc_nulls_first(),
-        F.col("careunit").asc_nulls_first(),
-    )
-    dim_provider = src["transfers"].select(
-        F.row_number().over(w_prov).alias("provider_id"),
+    # -- dim_provider (56-70): ROW_NUMBER() OVER () surrogate.
+    #    transfers scales with events, so the parity-mode global window
+    #    (explicit deterministic order; insertion order is undefined in
+    #    the reference's SELECT anyway) is single-partition — the scale
+    #    default assigns the dense key with zip_index_key instead.
+    prov_base = src["transfers"].select(
         F.col("subject_id").alias("patient_id"),
         F.col("hadm_id").alias("admission_id"),
         F.col("careunit").alias("careunit_id"),
         sentinel_timestamp("intime", "1900-01-01 00:00:00").alias("intime"),
         sentinel_timestamp("outtime", "2999-12-31 23:59:59").alias("outtime"),
+    )
+    if parity_keys:
+        w_prov = Window.orderBy(
+            F.col("patient_id").asc_nulls_first(),
+            F.col("admission_id").asc_nulls_first(),
+            F.col("intime").asc_nulls_first(),
+            F.col("careunit_id").asc_nulls_first(),
+        )
+        dim_provider = prov_base.withColumn(
+            "provider_id", F.row_number().over(w_prov)
+        )
+    else:
+        dim_provider = zip_index_key(prov_base, name="provider_id")
+    dim_provider = dim_provider.select(
+        "provider_id", "patient_id", "admission_id", "careunit_id", "intime", "outtime"
     )
 
     # -- dim_concepts (76-113): keyword extracts + 'Unknown' fallback;
@@ -236,21 +258,24 @@ def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
         F.col("chartdate").alias("event_date"),
     )
 
-    # AUTO_INCREMENT id across batches (lab -> diagnosis -> omr): dense
-    # row_number at test scale; the order within a batch is explicit.
-    w_fact = Window.orderBy(
-        F.col("__batch"),
-        F.col("patient_id").asc_nulls_first(),
-        F.col("event_datetime").asc_nulls_first(),
-        F.col("clinical_concept_id").asc_nulls_first(),
-        F.col("measurement_value").asc_nulls_first(),
-    )
-    fact = (
-        lab_events.unionByName(diag_events)
-        .unionByName(omr_events)
-        .withColumn("disorder_event_id", F.row_number().over(w_fact))
-        .drop("__batch")
-    )
+    # AUTO_INCREMENT id across batches (lab -> diagnosis -> omr).
+    # Parity mode: dense global row_number with an explicit order —
+    # exact AUTO_INCREMENT semantics, single-partition funnel.
+    # Scale default: zip_index_key — dense 1..N, fully parallel.
+    union = lab_events.unionByName(diag_events).unionByName(omr_events)
+    if parity_keys:
+        w_fact = Window.orderBy(
+            F.col("__batch"),
+            F.col("patient_id").asc_nulls_first(),
+            F.col("event_datetime").asc_nulls_first(),
+            F.col("clinical_concept_id").asc_nulls_first(),
+            F.col("measurement_value").asc_nulls_first(),
+        )
+        fact = union.withColumn(
+            "disorder_event_id", F.row_number().over(w_fact)
+        ).drop("__batch")
+    else:
+        fact = zip_index_key(union.drop("__batch"), name="disorder_event_id")
 
     # -- UPDATE 1 (225-231): unknown-concept default via scalar lookup
     unknown_id = (
@@ -264,13 +289,20 @@ def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
     )
 
     # -- UPDATE 2 (237-245): careunit backfill via LEFT interval join,
-    #    deterministic pick-first (earliest intime, then careunit)
+    #    deterministic pick-first (earliest intime, then careunit).
+    #    The reference joins mimic4.transfers RAW — a NULL intime or
+    #    outtime never satisfies BETWEEN (common: open-ended last
+    #    transfer) — so no sentinel substitution here, unlike
+    #    dim_provider which the reference builds WITH sentinels.
+    #    The pick-first window partitions by the join's own equi keys
+    #    (+ the unique event id), so the second interval join and its
+    #    window below reuse this exchange instead of adding their own.
     transfers = src["transfers"].select(
         F.col("subject_id").alias("t_subject"),
         F.col("hadm_id").alias("t_hadm"),
         F.col("careunit").alias("t_careunit"),
-        sentinel_timestamp("intime", "1900-01-01 00:00:00").alias("t_intime"),
-        sentinel_timestamp("outtime", "2999-12-31 23:59:59").alias("t_outtime"),
+        F.col("intime").cast("timestamp").alias("t_intime"),
+        F.col("outtime").cast("timestamp").alias("t_outtime"),
     )
     fact = interval_join_pick_first(
         fact,
@@ -280,7 +312,7 @@ def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
         ts_col=F.col("event_datetime"),
         lo_col=F.col("t_intime"),
         hi_col=F.col("t_outtime"),
-        left_key=["disorder_event_id"],
+        left_key=["patient_id", "admission_id", "disorder_event_id"],
         order=[
             F.col("t_intime").asc_nulls_last(),
             F.col("t_careunit").asc_nulls_last(),
@@ -295,6 +327,7 @@ def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
         F.col("provider_id").alias("p_provider_id"),
         F.col("patient_id").alias("p_patient"),
         F.col("admission_id").alias("p_hadm"),
+        F.col("careunit_id").alias("p_careunit"),
         F.col("intime").alias("p_intime"),
         F.col("outtime").alias("p_outtime"),
     )
@@ -306,13 +339,17 @@ def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
         ts_col=F.col("event_datetime"),
         lo_col=F.col("p_intime"),
         hi_col=F.col("p_outtime"),
-        left_key=["disorder_event_id"],
+        left_key=["patient_id", "admission_id", "disorder_event_id"],
+        # natural-column order first so the pick does not depend on the
+        # surrogate-key strategy; p_provider_id only breaks exact ties
         order=[
             F.col("p_intime").asc_nulls_last(),
+            F.col("p_outtime").asc_nulls_last(),
+            F.col("p_careunit").asc_nulls_last(),
             F.col("p_provider_id").asc_nulls_last(),
         ],
     ).withColumn("provider_id", F.col("p_provider_id")).drop(
-        "p_provider_id", "p_patient", "p_hadm", "p_intime", "p_outtime"
+        "p_provider_id", "p_patient", "p_hadm", "p_careunit", "p_intime", "p_outtime"
     )
 
     # -- junk dim (262-283): DISTINCT combos + null-safe link-back
@@ -365,9 +402,12 @@ def build_staging(src: dict[str, DataFrame]) -> dict[str, DataFrame]:
     }
 
 
-def build_dwh(stage: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def build_dwh(
+    stage: dict[str, DataFrame], parity_keys: bool = False
+) -> dict[str, DataFrame]:
     """DWH.sql: DISTINCT-promote every table, top-up dim_date, keep
-    the 'Unknown concept' row, six orphan cleanups, pre-aggregate."""
+    the 'Unknown concept' row, six orphan cleanups, pre-aggregate.
+    ``parity_keys`` as in build_staging (fact surrogate strategy)."""
     dim_patients = stage["dim_patients"].distinct()
     dim_admissions = stage["dim_admissions"].distinct()
     dim_provider = stage["dim_provider"].distinct()
@@ -378,14 +418,13 @@ def build_dwh(stage: dict[str, DataFrame]) -> dict[str, DataFrame]:
     # fact promote (DWH.sql:111-118): DISTINCT over all non-key
     # columns (event_date is dropped in the DWH fact), fresh key
     fact_cols = [c for c in FACT_COLS if c not in ("disorder_event_id", "event_date")]
-    w_fact = Window.orderBy(*[F.col(c).asc_nulls_first() for c in fact_cols])
-    fact = (
-        stage["fact_disorder_events"]
-        .select(*fact_cols)
-        .distinct()
-        .withColumn("disorder_event_id", F.row_number().over(w_fact))
-        .select("disorder_event_id", *fact_cols)
-    )
+    deduped = stage["fact_disorder_events"].select(*fact_cols).distinct()
+    if parity_keys:
+        w_fact = Window.orderBy(*[F.col(c).asc_nulls_first() for c in fact_cols])
+        fact = deduped.withColumn("disorder_event_id", F.row_number().over(w_fact))
+    else:
+        fact = zip_index_key(deduped, name="disorder_event_id")
+    fact = fact.select("disorder_event_id", *fact_cols)
 
     # dim_date top-up (124-135): anti-join insert of missing datetimes
     missing = (
@@ -436,11 +475,13 @@ def build_dwh(stage: dict[str, DataFrame]) -> dict[str, DataFrame]:
 
 
 def run_pipeline(
-    src: dict[str, DataFrame], out_dir: str | None = None
+    src: dict[str, DataFrame],
+    out_dir: str | None = None,
+    parity_keys: bool = False,
 ) -> dict[str, dict[str, DataFrame]]:
     """staging -> dwh (-> parquet layers when out_dir given — the
     reference's database-per-layer materialization barriers)."""
-    stage = build_staging(src)
+    stage = build_staging(src, parity_keys=parity_keys)
     if out_dir:
         from clinical_data_warehouse_bi_spark.io import write_layer
 
@@ -448,7 +489,7 @@ def run_pipeline(
         for name, df in stage.items():
             write_layer(df, f"{out_dir}/stage_area/{name}")
             stage[name] = spark.read.parquet(f"{out_dir}/stage_area/{name}")
-    dwh = build_dwh(stage)
+    dwh = build_dwh(stage, parity_keys=parity_keys)
     if out_dir:
         from clinical_data_warehouse_bi_spark.io import write_layer
 

@@ -123,6 +123,46 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_star_fact_scale_keys_avoid_single_partition(spark):
+    """W2 at scale: the default (scale) surrogate-key path must not
+    funnel the fact or dim_provider through a single-partition window;
+    only the genuinely tiny dims (concepts/junk) may. Parity mode
+    (exact AUTO_INCREMENT emulation) is allowed to — that is why it is
+    behind a flag."""
+    from clinical_data_warehouse_bi_spark import star
+    from tests.clinical_fixtures import make_sources
+
+    src = make_sources(spark)
+    scale_plan = physical_plan(star.build_staging(src)["fact_disorder_events"])
+    assert scale_plan.count("Exchange SinglePartition") <= 1
+    parity_plan = physical_plan(
+        star.build_staging(src, parity_keys=True)["fact_disorder_events"]
+    )
+    assert parity_plan.count("Exchange SinglePartition") > scale_plan.count(
+        "Exchange SinglePartition"
+    )
+
+
+def test_interval_join_windows_reuse_join_exchange(spark):
+    """J5/J6 dedup: the pick-first windows partition by the interval
+    join's own equi keys (+ unique event id), so per fact traversal
+    there is exactly ONE fact-side exchange serving both interval
+    joins and both dedup windows — and Spark plans the rank<=1 filter
+    as a map-side WindowGroupLimit."""
+    import re
+
+    from clinical_data_warehouse_bi_spark import star
+    from tests.clinical_fixtures import make_sources
+
+    src = make_sources(spark)
+    plan = physical_plan(star.build_staging(src)["fact_disorder_events"])
+    n_fact_exchanges = len(re.findall(r"Exchange hashpartitioning\(patient_id", plan))
+    n_windows = plan.count("WindowGroupLimit [patient_id")
+    assert n_windows >= 2
+    # two pick-first windows share each fact-side exchange
+    assert n_fact_exchanges == n_windows // 2
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """M8: two tables bucketed on the join key must sort-merge join
     with ZERO exchanges — the write-time shuffle replaces the
