@@ -452,20 +452,35 @@ def q_agg_per_order_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile`
     == DuckDB `quantile_cont`: same linear-interpolation definition,
-    bit-identical on the same data). Exact percentile is a sort-based
-    aggregate; the 100 TB variant is approx_percentile (t-digest
-    sketch, mergeable map-side) — same API shape, bounded error."""
+    bit-identical on the same data).
+
+    Scale shape: NO pre-repartition by the 3-value group key (that
+    would collapse the scan + partial-agg to 3 tasks). percentile's
+    aggregation buffer is a value->count map, so the map side runs on
+    every core and the per-group merge state is bounded by DISTINCT
+    values, not rows. For genuinely continuous columns at 100 TB
+    (distinct ~ rows) that bound is no help — use the sketch twin
+    q_percentiles_approx, whose state is O(1/accuracy)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    # keyed fan_out: percentile buffers every group value before the
-    # final sort — partial-agg on an under-split scan would buffer the
-    # whole table in ONE task; pre-partitioned, each of the few groups
-    # buffers on its own reducer
-    return fan_out(
-        li.select("l_returnflag", "l_quantity", "l_extendedprice"), "l_returnflag"
-    ).groupBy("l_returnflag").agg(
+    return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+    )
+
+
+@register("q_percentiles_approx", oracle=None)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch twin of q_percentiles: approx_percentile
+    (KLL/Greenwald-Khanna style summary — mergeable, map-side partial
+    agg, O(accuracy) state per group instead of O(group size)). No
+    oracle: approximation error is engine-specific (rows-only check);
+    q_percentiles is the exact, value-checked twin."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("median_qty"),
+        F.expr("approx_percentile(l_quantity, 0.95, 10000)").alias("p95_qty"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_price"),
     )
 
 
