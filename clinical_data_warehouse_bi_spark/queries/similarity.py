@@ -30,6 +30,10 @@ _SQL_VECS = """
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, double[] embedding, squared norm. No pre-repartition:
+    shuffling the raw arrays costs more than the fold parallelism
+    buys (measured at sf0.1); on a real multi-split scan the fold is
+    already partition-parallel."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     e = F.transform("embedding", lambda x: x.cast("double"))
     return emb.select(
@@ -187,42 +191,107 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: production threshold would select nothing to compare)
 NEAR_DUP_COS = 0.3
 
-_SQL_SIGN_BUCKET = " + ".join(
-    f"(CASE WHEN e[{i + 1}] >= 0 THEN {1 << (7 - i)} ELSE 0 END)" for i in range(8)
+#: sign-LSH banding: 4 bands x 16 sign bits = all 64 dims. Multiple
+#: narrower bands (vs one wide bucket) keep per-bucket populations
+#: bounded AND raise recall — the same band/recall trade as MinHash.
+LSH_BANDS, LSH_BAND_BITS = 4, 16
+
+
+def _sql_band(j: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN e[{j * LSH_BAND_BITS + i + 1}] >= 0"
+        f" THEN {1 << (LSH_BAND_BITS - 1 - i)} ELSE 0 END)"
+        for i in range(LSH_BAND_BITS)
+    )
+
+
+_SQL_BAND_JOINS = "\n      UNION\n".join(
+    f"      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b"
+    f" FROM b a JOIN b c ON a.band{j} = c.band{j} AND a.vec_id < c.vec_id"
+    for j in range(LSH_BANDS)
 )
 
 
 @register("q_embed_near_dup", oracle=f"""
     WITH n AS ({_SQL_VECS}),
-    b AS (SELECT vec_id, e, n2, {_SQL_SIGN_BUCKET} AS bucket FROM n),
-    p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-                 list_dot_product(a.e, c.e) / (sqrt(a.n2) * sqrt(c.n2)) AS cos
-          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    b AS (SELECT vec_id, e, n2,
+                 {", ".join(f"{_sql_band(j)} AS band{j}" for j in range(LSH_BANDS))}
+          FROM n),
+    pairs AS (
+{_SQL_BAND_JOINS}
+    ),
+    p AS (SELECT pr.vec_a, pr.vec_b,
+                 list_dot_product(x.e, y.e) / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+          FROM pairs pr
+          JOIN b x ON x.vec_id = pr.vec_a
+          JOIN b y ON y.vec_id = pr.vec_b)
     SELECT vec_a, vec_b, round(cos, 4) AS cosine
     FROM p WHERE round(cos, 6) >= {NEAR_DUP_COS}
     """)
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection, LSH-bucketed: block
-    vectors by the sign pattern of their first 8 dimensions (random-
-    hyperplane LSH with axis-aligned hyperplanes — deterministic and
-    engine-portable), then verify cosine >= threshold ONLY within
-    blocks. The bucket equi-join is the scale path: one shuffle keyed
-    on an 8-bit bucket id, never an all-pairs product; recall is
-    tuned by band count exactly as in MinHash LSH (q_minhash_lsh_pairs).
-    Rounded before thresholding so a hypothetical 1-ulp divergence
-    cannot flip membership."""
-    n = _vectors(spark, sf_dir)
-    bucket = None
-    for i in range(8):
-        bit = F.when(F.element_at("e", i + 1) >= 0, F.lit(1 << (7 - i))).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    b = n.withColumn("bucket", bucket)
-    a = b.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-                 F.col("n2").alias("na"), "bucket")
-    c = b.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-                 F.col("n2").alias("nb"), F.col("bucket").alias("cb"))
+    """Embedding-cosine near-duplicate detection via multi-band
+    sign-LSH: 4 bands of 16 sign bits each (random-hyperplane LSH
+    with axis-aligned hyperplanes — deterministic and portable), a
+    candidate pair = equal signature in ANY band.
+
+    Scale shape: the normalized-vector relation is computed ONCE and
+    persisted (the n2 fold is the expensive part — round 1 evaluated
+    it on both self-join sides); candidates come from a (band, sig)
+    equi-self-join over the exploded band relation (bounded buckets,
+    never all-pairs), are distinct-ed, and ONLY candidate pairs pay
+    the exact-cosine verification via join-back to the persisted
+    vectors. Rounded before thresholding so a 1-ulp divergence cannot
+    flip membership.
+
+    Recall note (honest): 16-bit bands target production near-dup
+    thresholds (cos >= ~0.9, where per-dim sign agreement ~0.9 gives
+    ~0.56 recall over 4 bands; add bands for more). At this demo's
+    0.3 threshold on near-orthogonal synthetic data, band-match
+    probability is tiny, so few of the weakly-similar pairs surface —
+    the structural point (bounded buckets, candidates-only exact
+    verification) is what carries to 100 TB, and the oracle applies
+    the identical banding so the check stays exact."""
+    v = _vectors(spark, sf_dir).persist()
+
+    def band(j: int) -> Column:
+        bits = None
+        for i in range(LSH_BAND_BITS):
+            bit = F.when(
+                F.element_at("e", j * LSH_BAND_BITS + i + 1) >= 0,
+                F.lit(1 << (LSH_BAND_BITS - 1 - i)),
+            ).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits
+
+    bands = v.select(
+        "vec_id",
+        F.posexplode(F.array(*[band(j) for j in range(LSH_BANDS)])).alias(
+            "band", "sig"
+        ),
+    )
+    left = bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    right = bands.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("band").alias("band_r"),
+        F.col("sig").alias("sig_r"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("sig") == F.col("sig_r"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                  F.col("n2").alias("na"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                  F.col("n2").alias("nb"))
     return (
-        a.join(c, (F.col("bucket") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
