@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "q_pricing_summary",
     "q_json_extract",
     "q_percentiles",
+    "q_percentiles_approx",
     "q_rollup",
     "q_calendar_dim",
     "q_multi_source_union",
@@ -45,9 +46,11 @@ BENCH_QUERIES = [
     "q_sessionize",
     "q_window_tumbling",
     "q_dedup_exact",
+    "q_stream_dedup_dual",
     "q_minhash_lsh_pairs",
     "q_lsh_near_dup",
     "q_simhash",
+    "q_simhash_pairs",
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",

@@ -198,30 +198,28 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_simhash", oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
-    bits AS (SELECT unnest(generate_series(0, 31)) AS j),
-    contrib AS (
-      SELECT t.doc_id, b.j,
-             CASE WHEN (
-               (strpos('0123456789abcdef',
-                       substr(md5(t.tok), CAST(b.j // 4 AS INT) + 1, 1)) - 1)
-               >> (b.j % 4)) & 1 = 1
-             THEN 1 ELSE -1 END AS c
-      FROM tok t, bits b),
-    bitsum AS (SELECT doc_id, j, sum(c) AS s FROM contrib GROUP BY doc_id, j)
+_SQL_SIMHASH = f"""
     SELECT doc_id,
            CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
                 AS BIGINT) AS simhash
-    FROM bitsum GROUP BY doc_id
-    """)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (Charikar): each token votes +1/-1
-    on every bit of its hash; bit j of the fingerprint is the vote
-    sign. Token bit j is extracted from md5 hex nibble j//4 (portable:
-    strpos-based nibble decode, identical in both engines). Near-dup
-    = small Hamming distance between fingerprints."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    FROM (
+      SELECT doc_id, j, sum(c) AS s FROM (
+        SELECT t.doc_id, b.j,
+               CASE WHEN (
+                 (strpos('0123456789abcdef',
+                         substr(md5(t.tok), CAST(b.j // 4 AS INT) + 1, 1)) - 1)
+                 >> (b.j % 4)) & 1 = 1
+               THEN 1 ELSE -1 END AS c
+        FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents) t,
+             (SELECT unnest(generate_series(0, 31)) AS j) b) contrib
+      GROUP BY doc_id, j) bitsum
+    GROUP BY doc_id
+"""
+
+
+def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash fingerprint relation (doc_id, simhash) — shared
+    by q_simhash and q_simhash_pairs."""
     # md5 projected ONCE per token; the 32 bit-votes are 32 column
     # expressions aggregated in a single groupBy — no 32x row blowup,
     # no per-bit md5 recompute. fan_out keyed on doc_id so the
@@ -246,3 +244,89 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return bitsums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+@register("q_simhash", oracle=_SQL_SIMHASH)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (Charikar): each token votes +1/-1
+    on every bit of its hash; bit j of the fingerprint is the vote
+    sign. Token bit j is extracted from md5 hex nibble j//4 (portable:
+    strpos-based nibble decode, identical in both engines). Near-dup
+    = small Hamming distance between fingerprints (q_simhash_pairs)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return _simhash_fingerprints(docs)
+
+
+#: Hamming radius for SimHash near-dup pairs. With 4 bands of 8 bits
+#: over a 32-bit fingerprint, banding is EXACT for k <= 3 (pigeonhole:
+#: 3 differing bits can spoil at most 3 of the 4 bands).
+SIMHASH_HAMMING_K = 3
+SIMHASH_BANDS, SIMHASH_BAND_BITS = 4, 8
+
+
+@register("q_simhash_pairs", oracle=f"""
+    WITH fp AS ({_SQL_SIMHASH}),
+    bands AS (
+      SELECT doc_id, simhash, j.band, (simhash >> (j.band * 8)) & 255 AS sig
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) j),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_K}
+    """)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair extraction — the consumer that makes the
+    fingerprints a dedup tool (the exact-dup twin is the DISTINCT
+    promotion, DWH.sql:111-118; this is its near-dup analogue).
+
+    Band-of-bits LSH: split each 32-bit fingerprint into 4 x 8-bit
+    bands, equi-join on (band, band value) — candidates only, never
+    all-pairs — then verify Hamming <= {{k}} with bit_count(a ^ b).
+    For k <= 3 the banding loses nothing (pigeonhole), so this is an
+    EXACT Hamming-radius join expressed as bucketed equi-joins: the
+    same construction scales to 64/128-bit fingerprints by adding
+    bands. The fingerprint relation is persisted once; both self-join
+    sides and the verification read the materialized form."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = _simhash_fingerprints(docs).persist()
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("simhash", j * SIMHASH_BAND_BITS) % 256).cast("bigint")
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "sig"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.expr("cast(bit_count(ha ^ hb) as int)")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_K)
+    )

@@ -109,6 +109,30 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_stream_dedup_dual", oracle="""
+    SELECT DISTINCT event_id, ts, user_id, event_type, value
+    FROM (SELECT * FROM events
+          UNION ALL
+          SELECT * FROM events WHERE event_id % 10 = 0) replayed
+    """)
+def q_stream_dedup_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dual of streaming.dedup_events, value-checked: simulate
+    an at-least-once source by replaying every 10th event, then run
+    THE SAME operator (withWatermark + dropDuplicatesWithinWatermark,
+    Spark's unified API executes it as plain key-dedup in batch) and
+    keep one row per event_id. The replayed rows are exact copies, so
+    the arbitrary-representative semantics of streaming first-arrival
+    dedup are deterministic here and the DuckDB oracle is a full-row
+    DISTINCT. Streaming-mode state bounds are exercised by
+    tests/test_streaming.py on the same function."""
+    from clinical_data_warehouse_bi_spark.streaming import dedup_events
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    replayed = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return dedup_events(replayed, keys=["event_id"])
+
+
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary media column + typed

@@ -64,7 +64,14 @@ def dedup_events(
     bounded by the watermark, unlike plain dropDuplicates whose state
     grows forever on an unbounded stream). The streaming face of
     q_dedup_exact: at-least-once sources (Kafka redeliveries, replayed
-    files) become effectively-once event feeds."""
+    files) become effectively-once event feeds.
+
+    Unified: on a batch DataFrame the bounded-state machinery is
+    meaningless (Spark rejects dropDuplicatesWithinWatermark outside
+    streaming), so the same call degrades to plain key-dedup — the
+    value-checked batch dual is q_stream_dedup_dual."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys or ["event_id"])
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
