@@ -182,7 +182,7 @@ def range_join_binned(
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bin_width: int,
+    bin_width: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Range join WITHOUT equi keys: left points `point_col` matched
@@ -200,7 +200,23 @@ def range_join_binned(
     the median interval length so inflation stays ~2x. This is the
     standard bucketized range-join (same construction as Databricks'
     range-join hint, built here from public primitives).
+
+    ``bin_width=None`` (default) self-tunes: one tiny aggregate reads
+    the MEDIAN interval length (approx_percentile sketch — a scan of
+    two columns, no shuffle of the data) and uses it as the width.
+    Half the intervals then explode to <= 2 bins, and longer tails
+    inflate proportionally to their own length — total inflation ~2x
+    regardless of the caller's units. A caller constant remains only
+    a hint for when the right side is too expensive to pre-scan.
     """
+    if bin_width is None:
+        row = right.select(
+            F.percentile_approx(
+                (F.col(hi_col) - F.col(lo_col)).cast("double"), 0.5, 1000
+            ).alias("m")
+        ).first()
+        med = row["m"] if row is not None else None
+        bin_width = max(int(med), 1) if med else 1
     bins = F.sequence(
         F.floor(F.col(lo_col) / bin_width).cast("long"),
         F.floor(F.col(hi_col) / bin_width).cast("long"),

@@ -307,7 +307,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join (NO equi key): every lineitem shipped within a
     week of each probe order's date. Naive Spark plans this as a
     nested-loop; joins.range_join_binned makes it a hash join on bin
-    ids (bin width = the 7-day interval length, in seconds)."""
+    ids, self-tuning the bin width to the sampled median interval
+    length (here that lands on the 7-day window itself)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     left = t["lineitem"].select(
         "l_orderkey", "l_linenumber", F.unix_timestamp("l_shipdate").alias("ship_s")
@@ -321,5 +322,5 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("o_orderdate") + 7 * 86400).alias("hi_s"),
         )
     )
-    out = joins.range_join_binned(left, right, "ship_s", "lo_s", "hi_s", 7 * 86400)
+    out = joins.range_join_binned(left, right, "ship_s", "lo_s", "hi_s")
     return out.select("l_orderkey", "l_linenumber", "window_order")

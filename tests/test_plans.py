@@ -123,6 +123,42 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_range_join_auto_bin_no_nested_loop(spark, sf_dir):
+    """The no-equi-key range join must stay a hash join on bin ids
+    with the self-tuned (median-interval) bin width — a regression to
+    BroadcastNestedLoopJoin is the O(|L| x |R|) disaster."""
+    plan = physical_plan(QUERIES["q_range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_auto_bin_matches_explicit(spark, sf_dir):
+    """Bin width is a pure physical knob: auto-tuned and arbitrary
+    explicit widths must give the identical result multiset."""
+    from clinical_data_warehouse_bi_spark.joins import range_join_binned
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.unix_timestamp("l_shipdate").alias("p")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 50)
+        .select(
+            F.col("o_orderkey").alias("win"),
+            F.unix_timestamp("o_orderdate").alias("lo"),
+            (F.unix_timestamp("o_orderdate") + 3 * 86400).alias("hi"),
+        )
+    )
+    auto = range_join_binned(li, orders, "p", "lo", "hi").select(
+        "l_orderkey", "l_linenumber", "win"
+    )
+    explicit = range_join_binned(li, orders, "p", "lo", "hi", bin_width=99999).select(
+        "l_orderkey", "l_linenumber", "win"
+    )
+    assert auto.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(auto).count() == 0
+
+
 def test_star_fact_scale_keys_avoid_single_partition(spark):
     """W2 at scale: the default (scale) surrogate-key path must not
     funnel the fact or dim_provider through a single-partition window;
