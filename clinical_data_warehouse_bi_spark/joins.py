@@ -148,20 +148,21 @@ def salted_join(
     small side is too big to broadcast.
 
     The heavy (left) side is sharded into ``buckets`` sub-keys by a
-    deterministic hash of its remaining columns — every hot key's rows
-    spread over ``buckets`` tasks instead of one straggler. The right
-    side is replicated once per bucket (cost: buckets x |right|, which
-    is why broadcast is still preferred when it fits), so every left
-    shard finds its matches.
+    per-row salt INDEPENDENT of row content — a payload hash would
+    silently collapse to one bucket whenever a hot key's rows share
+    identical payloads (common: duplicated events), exactly the case
+    salting exists for. monotonically_increasing_id is unique per row,
+    so pmod spreads every hot key uniformly across ``buckets`` tasks.
+    The right side is replicated once per bucket (cost: buckets x
+    |right|, which is why broadcast is still preferred when it fits),
+    so every left shard finds its matches.
 
     AQE's skew-join splitting (enabled in session.py) handles most of
     this automatically at runtime; use salted_join when a single key
     is so hot that even one post-split partition exceeds executor
     memory, or when AQE is unavailable (streaming joins).
     """
-    salt = F.pmod(
-        F.xxhash64(*[c for c in left.columns if c != left_key]), F.lit(buckets)
-    ).cast("int")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
     l_ = left.withColumn("__salt", salt)
     r_ = right.crossJoin(
         F.broadcast(

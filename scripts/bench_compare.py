@@ -34,29 +34,39 @@ def main() -> None:
     rows = []
     for name in names:
         fn = queries[name]
-        spark.catalog.clearCache()  # prior queries' caches are never hit again
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # one failing query must not abort the whole comparison run:
+        # report -1 / n-a for its side, like bench.py does
         s_sec = None
-        for _ in range(2):  # best-of-2 on both engines: noisy shared host
-            t0 = time.time()
+        try:
+            spark.catalog.clearCache()  # prior caches are never hit again
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            s_sec = dt if s_sec is None or dt < s_sec else s_sec
+            for _ in range(2):  # best-of-2 on both engines: noisy host
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                s_sec = dt if s_sec is None or dt < s_sec else s_sec
+        except Exception as e:  # noqa: BLE001
+            print(f"spark error in {name}: {e}", file=sys.stderr)
+            s_sec = -1.0
         d_sec = None
         if name in oracles:
-            con.execute(oracles[name]).fetchall()
-            for _ in range(2):
-                t0 = time.time()
+            try:
                 con.execute(oracles[name]).fetchall()
-                dt = time.time() - t0
-                d_sec = dt if d_sec is None or dt < d_sec else d_sec
-        ratio = (s_sec / d_sec) if d_sec else None
+                for _ in range(2):
+                    t0 = time.time()
+                    con.execute(oracles[name]).fetchall()
+                    dt = time.time() - t0
+                    d_sec = dt if d_sec is None or dt < d_sec else d_sec
+            except Exception as e:  # noqa: BLE001
+                print(f"duckdb error in {name}: {e}", file=sys.stderr)
+                d_sec = None
+        ratio = (s_sec / d_sec) if (d_sec and s_sec and s_sec >= 0) else None
         rows.append((name, round(s_sec, 3), round(d_sec, 3) if d_sec else None,
                      round(ratio, 2) if ratio else None))
         print(f"{name:28s} spark={s_sec:7.3f}s duckdb="
               f"{('%7.3f' % d_sec) if d_sec else '   n/a '}s "
               f"ratio={('%6.2f' % ratio) if ratio else '  n/a'}", flush=True)
-    tot_s = sum(r[1] for r in rows)
+    tot_s = sum(r[1] for r in rows if r[1] is not None and r[1] >= 0)
     tot_d = sum(r[2] for r in rows if r[2] is not None)
     print(f"{'TOTAL':28s} spark={tot_s:7.3f}s duckdb={tot_d:7.3f}s "
           f"ratio={tot_s / tot_d:6.2f}")
