@@ -75,7 +75,11 @@ def test_fan_out_noop_when_well_split(spark, sf_dir):
 
 def test_doc_pipeline_aggregates_in_place(spark, sf_dir):
     """Keyed fan_out on doc_id: the simhash groupBy must reuse the
-    repartition exchange (exactly one exchange in the whole plan)."""
+    repartition exchange (exactly one exchange in the whole plan).
+    Cache cleared first: a prior q_simhash_pairs run persists the
+    fingerprint relation, which would collapse this plan to an
+    InMemoryTableScan and hide the shape under test."""
+    spark.catalog.clearCache()
     plan = physical_plan(QUERIES["q_simhash"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
 
