@@ -148,3 +148,22 @@ def test_range_join_binned_equals_brute_force(spark, points, intervals, width):
         if lo <= p <= lo + ln
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(st.integers(min_value=-100, max_value=100), min_size=0, max_size=40),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_zip_index_key_dense_unique(spark, rows, nparts):
+    """zip_index_key must assign exactly the keys 1..N (dense, unique)
+    for any input size and partitioning, and preserve the row
+    multiset."""
+    from clinical_data_warehouse_bi_spark.keys import zip_index_key
+
+    df = spark.createDataFrame(
+        [Row(v=v) for v in rows] or [], "v int"
+    ).repartition(nparts)
+    out = zip_index_key(df, "k").collect()
+    assert sorted(r.k for r in out) == list(range(1, len(rows) + 1))
+    assert sorted(r.v for r in out) == sorted(rows)
