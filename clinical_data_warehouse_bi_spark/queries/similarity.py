@@ -51,6 +51,15 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_expr(a: str, b: str) -> Column:
+    """Same sequential-fold dot product as _dot, built as ONE parsed
+    SQL string (a Column-object fold costs ~10 py4j round-trips per
+    use in plan-build time; a string is one)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 @register("q_cosine_topk", oracle=f"""
     WITH n AS ({_SQL_VECS}),
     q AS (SELECT vec_id AS qid, e AS qe, n2 AS qn2 FROM n
@@ -234,13 +243,13 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with axis-aligned hyperplanes — deterministic and portable), a
     candidate pair = equal signature in ANY band.
 
-    Scale shape: the normalized-vector relation is computed ONCE and
-    persisted (the n2 fold is the expensive part — round 1 evaluated
-    it on both self-join sides); candidates come from a (band, sig)
-    equi-self-join over the exploded band relation (bounded buckets,
-    never all-pairs), are distinct-ed, and ONLY candidate pairs pay
-    the exact-cosine verification via join-back to the persisted
-    vectors. Rounded before thresholding so a 1-ulp divergence cannot
+    Scale shape: the band relation (vec_id, band, sig — three scalars,
+    no arrays) is persisted and self-joined for candidates (bounded
+    buckets, never all-pairs); ONLY candidate pairs pay any vector
+    math — dot product AND both norms are per-pair folds, so no
+    full-table norm pass exists at all (measured: columnar-caching
+    array columns cost more than recomputing folds; scalars cache
+    free). Rounded before thresholding so a 1-ulp divergence cannot
     flip membership.
 
     Recall note (honest): 16-bit bands target production near-dup
@@ -251,24 +260,30 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the structural point (bounded buckets, candidates-only exact
     verification) is what carries to 100 TB, and the oracle applies
     the identical banding so the check stays exact."""
-    v = _vectors(spark, sf_dir).persist()
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", e.alias("e"))
 
+    # each band is ONE SQL-string expression: building 64 bit-tests as
+    # individual Column objects costs ~256 py4j round-trips (~1s of
+    # driver time per plan build — measured); one parsed string is one
     def band(j: int) -> Column:
-        bits = None
-        for i in range(LSH_BAND_BITS):
-            bit = F.when(
-                F.element_at("e", j * LSH_BAND_BITS + i + 1) >= 0,
-                F.lit(1 << (LSH_BAND_BITS - 1 - i)),
-            ).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        return bits
+        return F.expr(
+            "CAST("
+            + " + ".join(
+                f"IF(element_at(e, {j * LSH_BAND_BITS + i + 1}) >= 0,"
+                f" {1 << (LSH_BAND_BITS - 1 - i)}, 0)"
+                for i in range(LSH_BAND_BITS)
+            )
+            + " AS BIGINT)"
+        )
 
     bands = v.select(
         "vec_id",
         F.posexplode(F.array(*[band(j) for j in range(LSH_BANDS)])).alias(
             "band", "sig"
         ),
-    )
+    ).persist()
     left = bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
     right = bands.select(
         F.col("vec_id").alias("vec_b"),
@@ -285,10 +300,8 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-                  F.col("n2").alias("na"))
-    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-                  F.col("n2").alias("nb"))
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     return (
         pairs.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -296,8 +309,8 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             (
-                _dot(F.col("ea"), F.col("eb"))
-                / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+                _dot_expr("ea", "eb")
+                / (F.sqrt(_dot_expr("ea", "ea")) * F.sqrt(_dot_expr("eb", "eb")))
             ).alias("cos"),
         )
         .filter(F.round("cos", 6) >= F.lit(NEAR_DUP_COS))
