@@ -28,15 +28,29 @@ DRIVER_TABLES = (
 )
 
 
+#: memo of (session, sf_dir, table) -> DataFrame. A parquet read pays
+#: a file-listing + footer/schema pass (~0.1 s locally) on EVERY
+#: spark.read call; the returned DataFrame is an immutable lazy plan,
+#: so one per (session, path) serves every query. The stored session
+#: is identity-checked on lookup so a recycled id() from a stopped
+#: session can never leak a stale plan.
+_TABLE_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1 table scan: one parquet-backed table (lazy; Catalyst prunes
-    columns and pushes predicates into the scan).
+    columns and pushes predicates into the scan). Memoized per
+    (session, dir, table) — see _TABLE_MEMO.
 
     `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot map
     to its microsecond TimestampType; we read it as a raw nanosecond
     long and truncate to micros (exact: driver data has no sub-us
     precision, and DuckDB's view of the same file is also micros).
     """
+    memo_key = (id(spark), sf_dir, name)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     # must be set in case the caller's session (e.g. the driver's)
     # didn't come from our factory; it is a runtime SQL conf
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,6 +60,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         # integer div: ns epochs (~1.7e18) exceed double's exact range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_MEMO[memo_key] = (spark, df)
     return df
 
 

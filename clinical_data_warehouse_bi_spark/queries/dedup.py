@@ -239,11 +239,14 @@ def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
         for j in range(32)
     ]
     bitsums = tok.groupBy("doc_id").agg(*votes)
-    fingerprint = None
-    for j in range(32):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return bitsums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+    # single parsed expression (32 when-Columns would cost ~100 py4j
+    # round-trips of plan-build time)
+    fingerprint = F.expr(
+        "CAST("
+        + " + ".join(f"IF(s{j} > 0, {1 << j}L, 0L)" for j in range(32))
+        + " AS BIGINT)"
+    )
+    return bitsums.select("doc_id", fingerprint.alias("simhash"))
 
 
 @register("q_simhash", oracle=_SQL_SIMHASH)

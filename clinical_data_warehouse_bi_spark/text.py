@@ -102,9 +102,11 @@ def minhash_wide(
     multiplies the shuffle k-fold for no reason; this one holds at
     100 TB: map-side partial min per column, tiny reduce.)"""
     sh = shingled(docs, id_col, text_col, shingle_n)
+    # one parsed SQL string per column: k Column-object towers cost
+    # ~4 py4j round-trips each in plan-build time, a string costs one
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            F.expr(f"min(md5(concat('{i}:', sh)))").alias(f"mh{i}")
             for i in range(num_seeds)
         ]
     )
