@@ -44,58 +44,27 @@ def q_qa_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11/U1 — referential-integrity orphan probes (QA.sql:79-116):
     six LEFT JOIN ... IS NULL counts stacked with UNION ALL.
 
-    Implemented as ONE anti join for all six probes: each fact side
-    projects (probe tag, fk) and each dim side (probe tag, key), the
-    tagged unions anti-join on (tag, key) — never materializing
-    matched rows — and per-tag counts left-join back onto a literal
-    probe list so zero-orphan probes still report 0. One barrier
-    instead of six probe jobs; the dim-key union stays broadcast-size
-    because it is keys only (at PB scale swap the broadcast for a
-    shuffle join — the shape is unchanged)."""
+    Implemented as left_anti + count (same semantics, and the anti
+    join never materializes matched rows). Dim side broadcast."""
     t = load_tables(
         spark, sf_dir, ("lineitem", "orders", "part", "customer", "supplier", "nation", "region")
     )
-    specs = [
-        ("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
-        ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
-        ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
-        ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
-        ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
-        ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+
+    def probe(name: str, fact: DataFrame, fk: str, dim: DataFrame, key: str) -> DataFrame:
+        orphans = fact.join(
+            F.broadcast(dim), fact[fk] == dim[key], "left_anti"
+        ).agg(F.count("*").alias("orphan_rows"))
+        return orphans.select(F.lit(name).alias("check_name"), "orphan_rows")
+
+    reports = [
+        probe("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        probe("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        probe("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        probe("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        probe("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        probe("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
     ]
-    facts = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            fact.select(
-                F.lit(i).cast("int").alias("tag"), F.col(fk).cast("bigint").alias("k")
-            )
-            for i, (_, fact, fk, _, _) in enumerate(specs)
-        ],
-    )
-    dims = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            dim.select(
-                F.lit(i).cast("int").alias("tag"), F.col(key).cast("bigint").alias("k")
-            )
-            for i, (_, _, _, dim, key) in enumerate(specs)
-        ],
-    )
-    counts = (
-        facts.join(F.broadcast(dims), ["tag", "k"], "left_anti")
-        .groupBy("tag")
-        .agg(F.count("*").alias("n"))
-    )
-    probes = spark.createDataFrame(
-        [(i, name) for i, (name, *_) in enumerate(specs)], "tag int, check_name string"
-    )
-    return (
-        probes.join(counts, "tag", "left")
-        .select(
-            "check_name",
-            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("orphan_rows"),
-        )
-    )
+    return reduce(lambda a, b: a.unionByName(b), reports)
 
 
 @register("q_qa_rowcount_report", oracle="""
