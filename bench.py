@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
+    "q_corpus_clean",
+    "q_stratified_sample",
     "q_doc_fingerprint",
     "q_cosine_topk",
     "q_ann_ivf",

@@ -484,6 +484,51 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stratified-sampling rates per event_type (training-mix shaping:
+#: downsample the abundant strata, keep the rare ones whole)
+SAMPLE_RATES = {
+    "click": 0.05,
+    "view": 0.10,
+    "signup": 0.25,
+    "error": 0.50,
+    "purchase": 1.00,
+}
+_HASH_SPACE = 16 ** 7  # 7 md5 nibbles ~ uniform 28-bit hash
+
+_SQL_NIBBLE_HASH = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), {i}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(1, 8)
+)
+_SQL_RATE_CASE = "CASE " + " ".join(
+    f"WHEN event_type = '{t}' THEN {int(r * _HASH_SPACE)}"
+    for t, r in SAMPLE_RATES.items()
+) + " ELSE 0 END"
+
+
+@register("q_stratified_sample", oracle=f"""
+    SELECT event_id, event_type
+    FROM events
+    WHERE {_SQL_NIBBLE_HASH} < {_SQL_RATE_CASE}
+    """)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix shaping
+    op: keep each row iff uniform_hash(id) < rate(stratum), with
+    per-stratum rates (downsample abundant event types, keep rare
+    ones). Hash = first 7 md5 nibbles of the id (portable across
+    engines, uniform, reproducible run-to-run and engine-to-engine —
+    unlike rand() or TABLESAMPLE, the sample is STABLE, so downstream
+    incremental jobs see a consistent subset). Pure per-row filter:
+    no shuffle, scales linearly, and the predicate pushes to the
+    scan."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = F.expr(
+        "cast(conv(substr(md5(cast(event_id as string)), 1, 7), 16, 10) as bigint)"
+    )
+    threshold = F.expr(_SQL_RATE_CASE)  # same CASE text parses in Spark SQL
+    return ev.filter(u < threshold).select("event_id", "event_type")
+
+
 @register("q_rollup", oracle="""
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS gid,

@@ -144,6 +144,88 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corpus-clean thresholds: keep docs with at least MIN_TOKENS tokens
+#: and a quality score at or above the sf-wide median (~0.34)
+CLEAN_MIN_TOKENS = 30
+CLEAN_MIN_QUALITY = 0.33
+
+_SQL_QUALITY = f"""
+      SELECT doc_id, text,
+             len(toks) AS n_tokens,
+             0.4 * (CAST(len(list_intersect(toks, {_STOP_LIST_SQL})) AS DOUBLE)
+                    / greatest(len(list_distinct(toks)), 1))
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / greatest(len(toks), 1))
+           + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality_score
+      FROM (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents) raw
+"""
+
+
+@register("q_corpus_clean", oracle=f"""
+    WITH scored AS ({_SQL_QUALITY}),
+    kept AS (
+      SELECT doc_id, n_tokens, quality_score,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fingerprint
+      FROM scored
+      WHERE n_tokens >= {CLEAN_MIN_TOKENS}
+        AND quality_score >= {CLEAN_MIN_QUALITY}),
+    dedup AS (
+      SELECT fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      FROM kept GROUP BY fingerprint)
+    SELECT k.doc_id, k.fingerprint, k.n_tokens, k.quality_score, d.n_copies
+    FROM kept k JOIN dedup d
+      ON d.fingerprint = k.fingerprint AND d.keep_doc_id = k.doc_id
+    """)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pipeline in one plan:
+    quality filter (q_quality_score's exact blend) -> canonical
+    fingerprint (q_doc_fingerprint) -> exact dedup keeping the lowest
+    doc_id per fingerprint. This is the composition a 100 TB corpus
+    job runs before any near-dup machinery: per-row scoring and
+    hashing (no shuffle), one groupBy on the uniform fingerprint, one
+    semi-join-shaped match back. Quality expression structure is kept
+    identical to the oracle for bit-exact doubles."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = T.tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
+    n_tok = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.greatest(
+        n_types, F.lit(1)
+    )
+    ttr = n_types.cast("double") / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    quality = F.lit(0.4) * stop_ratio + F.lit(0.3) * ttr + F.lit(0.3) * len_score
+    kept = (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            quality.alias("quality_score"),
+            F.md5(T.normalized_text("text")).alias("fingerprint"),
+        )
+        .filter(
+            (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+            & (F.col("quality_score") >= CLEAN_MIN_QUALITY)
+        )
+    )
+    dedup = (
+        kept.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select(
+            F.col("fingerprint").alias("fp_d"), "keep_doc_id", "n_copies"
+        )
+    )
+    return (
+        kept.join(
+            dedup,
+            (F.col("fingerprint") == F.col("fp_d"))
+            & (F.col("doc_id") == F.col("keep_doc_id")),
+        )
+        .select("doc_id", "fingerprint", "n_tokens", "quality_score", "n_copies")
+    )
+
+
 @register("q_doc_fingerprint", oracle="""
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
