@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q_simhash_pairs",
     "q_text_stats",
     "q_lang_id",
+    "q_token_budget",
     "q_quality_score",
     "q_corpus_clean",
     "q_stratified_sample",

@@ -144,6 +144,60 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_token_budget", oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    lex(lang, word) AS (VALUES {_LEX_VALUES}),
+    hits AS (
+      SELECT t.doc_id, l.lang, count(*) AS hits
+      FROM tok t JOIN lex l ON t.tok = l.word
+      GROUP BY t.doc_id, l.lang),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang ASC) AS rn
+      FROM hits),
+    counts AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents)
+    SELECT coalesce(r.lang, 'unknown') AS pred_lang,
+           count(*) AS n_docs,
+           CAST(sum(c.n_tokens) AS BIGINT) AS total_tokens
+    FROM counts c LEFT JOIN ranked r ON r.doc_id = c.doc_id AND r.rn = 1
+    GROUP BY coalesce(r.lang, 'unknown')
+    """)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting: token budget per predicted language
+    (docs with no lexicon hit land in 'unknown'). Composition of the
+    language-ID argmax and the per-row token count — the question
+    every corpus build answers before fixing sampling rates. One
+    doc_id shuffle for the argmax, broadcast lexicon, then a 5-group
+    rollup of per-row counts."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = fan_out(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
+    lex = spark.createDataFrame(T.LANG_LEXICON, ["lang", "word"])
+    hits = (
+        tok.join(F.broadcast(lex), tok["tok"] == lex["word"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    lang = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("l_doc"), "lang")
+    )
+    counts = docs.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
+    return (
+        counts.join(lang, counts["doc_id"] == F.col("l_doc"), "left")
+        .groupBy(F.coalesce(F.col("lang"), F.lit("unknown")).alias("pred_lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 #: corpus-clean thresholds: keep docs with at least MIN_TOKENS tokens
 #: and a quality score at or above the sf-wide median (~0.34)
 CLEAN_MIN_TOKENS = 30

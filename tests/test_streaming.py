@@ -129,3 +129,28 @@ def test_dedup_events_drops_redelivered_rows(spark, stream_dir, tmp_path, batch_
     want = batch_events.count()
     assert got.n == want  # every duplicate dropped
     assert got.d == want  # every original kept
+
+
+def test_stratified_sample_filter_is_stream_compatible(spark, stream_dir, batch_events):
+    """The deterministic hash-threshold sample is a stateless per-row
+    filter, so the SAME expression runs unchanged on a stream and
+    selects exactly the batch-selected subset (unified API; and unlike
+    rand()-based sampling, re-processing a micro-batch after failure
+    re-selects the same rows — effectively-once semantics for free)."""
+    from clinical_data_warehouse_bi_spark.queries.core import _SQL_RATE_CASE
+
+    u = F.expr(
+        "cast(conv(substr(md5(cast(event_id as string)), 1, 7), 16, 10) as bigint)"
+    )
+    stream = streaming.read_event_stream(spark, stream_dir)
+    q = streaming.run_to_memory(
+        stream.filter(u < F.expr(_SQL_RATE_CASE)).select("event_id", "event_type"),
+        "sampled",
+    )
+    _drain(q)
+    got = {r["event_id"] for r in spark.sql("SELECT * FROM sampled").collect()}
+    want = {
+        r["event_id"]
+        for r in batch_events.filter(u < F.expr(_SQL_RATE_CASE)).collect()
+    }
+    assert got == want and len(got) > 0
