@@ -169,6 +169,27 @@ def write_layer(df: DataFrame, path: str, partition_by: list[str] | None = None)
     w.parquet(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    shard_key: str,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Training-shard sink: hash-partition rows into ``num_shards``
+    deterministic shards on ``shard_key`` (same key -> same shard,
+    so re-runs and incremental appends are stable), optionally
+    bounding rows per file via spark.sql.files.maxRecordsPerFile so
+    downstream loaders get uniformly-sized files. One shuffle, then
+    embarrassingly-parallel writes — the standard corpus-shard layout
+    for a 100 TB training run."""
+    w = df.repartition(num_shards, shard_key).write.mode("overwrite").format(fmt)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.save(path)
+
+
 def show_tables(spark: SparkSession) -> DataFrame:
     """S7 catalog listing (DWH.sql:215 `SHOW TABLES`)."""
     return spark.sql("SHOW TABLES")

@@ -195,6 +195,41 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_embed_quantize", oracle="""
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS m
+          FROM n)
+    SELECT vec_id,
+           CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale,
+           list_aggregate(
+             list_transform(e, x -> CAST(CAST(floor(x * (CASE WHEN m > 0
+                 THEN 127.0 / m ELSE 0.0 END) + 0.5) AS INT) AS VARCHAR)),
+             'string_agg', '|') AS q
+    FROM s
+    """)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    op a training pipeline applies to embedding shards (4x smaller,
+    dot products stay proportional). scale = 127 / max|x|; element ->
+    floor(x * scale + 0.5) (explicit half-up: floor is IEEE-exact and
+    engine-portable, unlike round()'s tie-breaking, which differs
+    between engines). Pure per-row expression work — no shuffle, no
+    Python; the quantized array is '|'-serialized in the registered
+    output because the driver's canonicalizer cannot hash lists."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = F.expr("transform(embedding, x -> cast(x as double))")
+    s = emb.select("vec_id", e.alias("e")).withColumn(
+        "m", F.expr("array_max(transform(e, x -> abs(x)))")
+    )
+    scale = F.expr("CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END")
+    q = F.expr(
+        "array_join(transform(e, x -> cast(cast(floor(x * (CASE WHEN m > 0"
+        " THEN 127.0 / m ELSE 0.0 END) + 0.5) as int) as string)), '|')"
+    )
+    return s.select("vec_id", scale.alias("scale"), q.alias("q"))
+
+
 #: demo near-dup threshold for the synthetic random embeddings (real
 #: pipelines use ~0.95; the driver's vectors are near-orthogonal so a
 #: production threshold would select nothing to compare)

@@ -35,3 +35,33 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "n_regionkey" in plan
     assert one.count() == src.filter(F.col("n_regionkey") == 0).count()
+
+
+def test_write_training_shards(spark, sf_dir, tmp_path):
+    """Sharded corpus sink: deterministic shard count, bounded file
+    sizes, lossless round-trip."""
+    import os
+
+    from clinical_data_warehouse_bi_spark.io import read_table, write_training_shards
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, num_shards=4, shard_key="doc_id",
+                          max_records_per_file=100)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    # 4 shards, each further split so no file exceeds 100 rows
+    assert len(files) >= 4
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    for f in files:
+        n = spark.read.parquet(os.path.join(out, f)).count()
+        assert n <= 100
+    # determinism: same key -> same shard across runs
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, num_shards=4, shard_key="doc_id",
+                          max_records_per_file=100)
+    a = {f: spark.read.parquet(os.path.join(out, f)).count() for f in sorted(files)}
+    files2 = sorted(f for f in os.listdir(out2) if f.endswith(".parquet"))
+    b = {f: spark.read.parquet(os.path.join(out2, f)).count() for f in files2}
+    assert sorted(a.values()) == sorted(b.values())
