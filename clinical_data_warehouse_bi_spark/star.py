@@ -352,7 +352,13 @@ def build_staging(
         "p_provider_id", "p_patient", "p_hadm", "p_careunit", "p_intime", "p_outtime"
     )
 
-    # -- junk dim (262-283): DISTINCT combos + null-safe link-back
+    # -- junk dim (262-283): DISTINCT combos + null-safe link-back.
+    #    The junk dim derives FROM the enriched fact and then joins
+    #    BACK to it — without a barrier every action recomputes both
+    #    interval joins twice (once per traversal). Materialize the
+    #    enriched fact once; this is also the point the reference's
+    #    own staging table would exist as real rows.
+    fact = fact.localCheckpoint(eager=False)
     w_junk = Window.orderBy(
         F.col("event_source_type").asc_nulls_first(),
         F.col("measurement_unit").asc_nulls_first(),

@@ -175,32 +175,68 @@ def test_star_fact_scale_keys_avoid_single_partition(spark):
     src = make_sources(spark)
     scale_plan = physical_plan(star.build_staging(src)["fact_disorder_events"])
     assert scale_plan.count("Exchange SinglePartition") <= 1
-    parity_plan = physical_plan(
-        star.build_staging(src, parity_keys=True)["fact_disorder_events"]
+    # dim_provider is the event-scale dim: parity mode funnels it
+    # through a global row_number window, the scale default must not
+    # (the fact plans are checkpoint-truncated, so assert here where
+    # the full lineage is visible)
+    scale_prov = physical_plan(star.build_staging(src)["dim_provider"])
+    parity_prov = physical_plan(
+        star.build_staging(src, parity_keys=True)["dim_provider"]
     )
-    assert parity_plan.count("Exchange SinglePartition") > scale_plan.count(
-        "Exchange SinglePartition"
-    )
+    assert scale_prov.count("Exchange SinglePartition") == 0
+    assert parity_prov.count("Exchange SinglePartition") >= 1
 
 
 def test_interval_join_windows_reuse_join_exchange(spark):
     """J5/J6 dedup: the pick-first windows partition by the interval
-    join's own equi keys (+ unique event id), so per fact traversal
-    there is exactly ONE fact-side exchange serving both interval
-    joins and both dedup windows — and Spark plans the rank<=1 filter
-    as a map-side WindowGroupLimit."""
+    join's own equi keys (+ a unique row id), so two CHAINED interval
+    joins (the star pipeline's careunit + provider enrichment shape)
+    share ONE fact-side exchange — and Spark plans the rank<=1 filter
+    as a map-side WindowGroupLimit. (Asserted on a standalone chain:
+    the staging fact plan itself is checkpoint-truncated.)"""
     import re
 
-    from clinical_data_warehouse_bi_spark import star
+    from clinical_data_warehouse_bi_spark.joins import interval_join_pick_first
     from tests.clinical_fixtures import make_sources
 
     src = make_sources(spark)
-    plan = physical_plan(star.build_staging(src)["fact_disorder_events"])
+    left = src["labevents"].select(
+        F.col("subject_id").alias("patient_id"),
+        F.col("hadm_id").alias("admission_id"),
+        F.col("charttime").alias("ts"),
+        F.monotonically_increasing_id().alias("rid"),
+    )
+    tr1 = src["transfers"].select(
+        F.col("subject_id").alias("t_subject"), F.col("hadm_id").alias("t_hadm"),
+        F.col("careunit").alias("t_careunit"),
+        F.col("intime").alias("t_intime"), F.col("outtime").alias("t_outtime"),
+    )
+    tr2 = src["transfers"].select(
+        F.col("subject_id").alias("p_subject"), F.col("hadm_id").alias("p_hadm"),
+        F.col("intime").alias("p_intime"), F.col("outtime").alias("p_outtime"),
+    )
+    step1 = interval_join_pick_first(
+        left, tr1,
+        equi=(F.col("patient_id") == F.col("t_subject"))
+        & (F.col("admission_id") == F.col("t_hadm")),
+        ts_col=F.col("ts"), lo_col=F.col("t_intime"), hi_col=F.col("t_outtime"),
+        left_key=["patient_id", "admission_id", "rid"],
+        order=[F.col("t_intime").asc_nulls_last()],
+    ).drop("t_subject", "t_hadm", "t_intime", "t_outtime")
+    step2 = interval_join_pick_first(
+        step1, tr2,
+        equi=(F.col("patient_id") == F.col("p_subject"))
+        & (F.col("admission_id") == F.col("p_hadm")),
+        ts_col=F.col("ts"), lo_col=F.col("p_intime"), hi_col=F.col("p_outtime"),
+        left_key=["patient_id", "admission_id", "rid"],
+        order=[F.col("p_intime").asc_nulls_last()],
+    )
+    plan = physical_plan(step2)
     n_fact_exchanges = len(re.findall(r"Exchange hashpartitioning\(patient_id", plan))
     n_windows = plan.count("WindowGroupLimit [patient_id")
-    assert n_windows >= 2
-    # two pick-first windows share each fact-side exchange
-    assert n_fact_exchanges == n_windows // 2
+    assert n_windows == 2
+    # both pick-first windows ride the single fact-side exchange
+    assert n_fact_exchanges == 1
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
