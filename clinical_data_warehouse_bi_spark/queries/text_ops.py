@@ -237,9 +237,12 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (q_doc_fingerprint) -> exact dedup keeping the lowest
     doc_id per fingerprint. This is the composition a 100 TB corpus
     job runs before any near-dup machinery: per-row scoring and
-    hashing (no shuffle), one groupBy on the uniform fingerprint, one
-    semi-join-shaped match back. Quality expression structure is kept
-    identical to the oracle for bit-exact doubles."""
+    hashing, then one window over the uniform fingerprint. No
+    pre-repartition: shuffling the raw text costs more than parallel
+    tokenization saves at this size (measured; a real multi-split
+    scan parallelizes the scoring anyway). Quality expression
+    structure is kept identical to the oracle for bit-exact
+    doubles."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = T.tokens("text")
     stop_arr = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
@@ -263,19 +266,16 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("quality_score") >= CLEAN_MIN_QUALITY)
         )
     )
-    dedup = (
-        kept.groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
-        .select(
-            F.col("fingerprint").alias("fp_d"), "keep_doc_id", "n_copies"
-        )
-    )
+    # single traversal: copies-count and keep-first in one window over
+    # the fingerprint (a groupBy + join-back would tokenize every row
+    # twice — once per traversal of `kept`)
+    w = Window.partitionBy("fingerprint")
     return (
-        kept.join(
-            dedup,
-            (F.col("fingerprint") == F.col("fp_d"))
-            & (F.col("doc_id") == F.col("keep_doc_id")),
+        kept.withColumn("n_copies", F.count("*").over(w))
+        .withColumn(
+            "rn", F.row_number().over(w.orderBy(F.col("doc_id").asc()))
         )
+        .filter(F.col("rn") == 1)
         .select("doc_id", "fingerprint", "n_tokens", "quality_score", "n_copies")
     )
 
