@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_embed_quantize",
     "q_embed_near_dup",
     "q_multimodal_features",
+    "q_frame_sample",
 ]
 
 

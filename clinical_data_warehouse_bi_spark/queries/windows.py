@@ -109,6 +109,33 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_frame_sample", oracle="""
+    SELECT doc_id, frame_idx,
+           frame_idx / 20.0 AS frame_offset_s
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               greatest(CAST(floor((length(text) / 1000.0) * 20.0) AS INT) - 1, 0)))
+               AS frame_idx
+      FROM documents) t
+    """)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video/audio frame-sampling plan at 20 fps over the fake media
+    column (duration_s = text length / 1000, attach_fake_media's
+    deterministic metadata) — the multimodal surface's value-checked
+    entry: offset computation is pure JVM-side sequence+explode (the
+    per-frame DECODE is the stubbed mapInPandas step, exercised by
+    q_multimodal_features and pytest). One row per (doc, frame), no
+    shuffle."""
+    from clinical_data_warehouse_bi_spark.multimodal import (
+        attach_fake_media,
+        frame_sample_plan,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return frame_sample_plan(attach_fake_media(docs), fps=20.0)
+
+
 @register("q_stream_dedup_dual", oracle="""
     SELECT DISTINCT event_id, ts, user_id, event_type, value
     FROM (SELECT * FROM events
