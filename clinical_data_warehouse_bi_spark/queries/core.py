@@ -539,22 +539,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """)
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-level pre-aggregation in one pass: ROLLUP emits
-    (flag, status), (flag), and grand-total grains — the hypertable-
-    rollup / BI-summary-table pattern (the reference materializes one
-    grain, DWH.sql:203-210; rollup gives the full lattice for the
-    same single shuffle). grouping_id disambiguates rollup-NULL from
-    data-NULL; decimal sum keeps values partition-order-exact."""
+    """Multi-level pre-aggregation: ROLLUP emits (flag, status),
+    (flag), and grand-total grains — the hypertable-rollup /
+    BI-summary-table pattern (the reference materializes one grain,
+    DWH.sql:203-210; rollup gives the full lattice).
+
+    Scale shape: rollup is computed over the PRE-AGGREGATED base
+    grain, not the raw rows — count and decimal-sum re-aggregate
+    exactly, so `ROLLUP` (physically an Expand = one duplicated row
+    per grouping set) multiplies the 6-row base instead of the full
+    table. Raw-row rollup Expands N x |grouping sets| rows through
+    the shuffle; this shape holds at 100 TB for any re-aggregable
+    measure (sums/counts/min/max — not medians). grouping_id
+    disambiguates rollup-NULL from data-NULL; decimal sums are
+    partition-order-exact."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.count("*").alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("string")
-            .cast("double")
-            .alias("sum_qty"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.sum("s").cast("string").cast("double").alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
     )
