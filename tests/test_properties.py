@@ -167,3 +167,91 @@ def test_zip_index_key_dense_unique(spark, rows, nparts):
     out = zip_index_key(df, "k").collect()
     assert sorted(r.k for r in out) == list(range(1, len(rows) + 1))
     assert sorted(r.v for r in out) == sorted(rows)
+
+
+@settings(**SETTINGS)
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=2, max_size=24
+    ),
+)
+def test_simhash_band_join_exact_for_k3(spark, fps):
+    """4x8-bit banding over a 32-bit fingerprint is EXACT for Hamming
+    radius <= 3 (pigeonhole): the banded candidate join must find
+    precisely the brute-force pairs."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, simhash=v) for i, v in enumerate(fps)],
+        "doc_id int, simhash long",
+    )
+    bands = df.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright("simhash", j * 8) % 256).cast("bigint")
+                for j in range(4)
+            ])
+        ).alias("band", "sig"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("ha"), "band", "sig"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("hb"),
+        F.col("band").alias("bb"), F.col("sig").alias("sb"),
+    )
+    got = sorted(
+        (r.da, r.db)
+        for r in (
+            a.join(b, (F.col("band") == F.col("bb")) & (F.col("sig") == F.col("sb"))
+                   & (F.col("da") < F.col("db")))
+            .select("da", "db", "ha", "hb")
+            .distinct()
+            .filter(F.expr("bit_count(ha ^ hb)") <= 3)
+            .collect()
+        )
+    )
+    want = sorted(
+        (i, j)
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if bin(fps[i] ^ fps[j]).count("1") <= 3
+    )
+    assert got == want
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Observed per-stratum rates track the configured rates (binomial
+    3-sigma), and the sample is bit-identical across runs (hash
+    threshold, not rand())."""
+    import math
+
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.queries.core import (
+        SAMPLE_RATES,
+        q_stratified_sample,
+    )
+
+    totals = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["event_type"]: r["n"]
+        for r in q_stratified_sample(spark, sf_dir)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for t, rate in SAMPLE_RATES.items():
+        n = totals[t]
+        expect = rate * n
+        sigma = math.sqrt(n * rate * (1 - rate))
+        assert abs(got.get(t, 0) - expect) <= 3 * sigma + 1, (t, got.get(t), expect)
+    again = {
+        r["event_type"]: r["n"]
+        for r in q_stratified_sample(spark, sf_dir)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == again
