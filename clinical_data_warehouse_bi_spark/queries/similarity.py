@@ -45,16 +45,11 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
 def _dot_expr(a: str, b: str) -> Column:
-    """Same sequential-fold dot product as _dot, built as ONE parsed
-    SQL string (a Column-object fold costs ~10 py4j round-trips per
-    use in plan-build time; a string is one)."""
+    """Sequential-fold dot product (same summation order as DuckDB's
+    list_dot_product), built as ONE parsed SQL string: a Column-object
+    fold costs ~10 py4j round-trips per use in plan-build time; a
+    string costs one."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
     )
@@ -93,7 +88,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("nid"),
             (
-                _dot(F.col("qe"), F.col("e"))
+                _dot_expr("qe", "e")
                 / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2")))
             ).alias("cos"),
         )
@@ -151,7 +146,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cid",
         F.round(
-            _dot(F.col("e"), F.col("ce")) / (F.sqrt(F.col("n2")) * F.sqrt(F.col("cn2"))),
+            _dot_expr("e", "ce") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("cn2"))),
             6,
         ).alias("ccos"),
     )
@@ -182,7 +177,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("cand_id").alias("nid"),
             (
-                _dot(F.col("qe"), F.col("e"))
+                _dot_expr("qe", "e")
                 / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2")))
             ).alias("cos"),
         )
