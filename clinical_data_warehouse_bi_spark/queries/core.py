@@ -442,6 +442,158 @@ def q_agg_per_order_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bucket count for the exact-percentile refinement pass
+_PCTL_BUCKETS = 4096
+
+
+def exact_percentiles_bucketed(
+    df: DataFrame, key: str, specs: dict[str, list[tuple[float, str]]]
+) -> list[dict]:
+    """Distributed EXACT interpolated percentiles with bounded memory
+    (DuckDB quantile_cont definition: value at continuous index
+    (n-1)*p of the sorted multiset, linear interpolation).
+
+    Spark's `percentile` aggregate holds a value->count map per group
+    — fine for low-cardinality columns, unbounded for continuous ones
+    at 100 TB. This is the classic two-level refinement instead:
+
+      pass 1: per-group (min, max, count) per column       — tiny agg
+      pass 2: fixed-width bucket counts (4096 per group)   — tiny agg
+      pass 3: value counts ONLY inside the buckets that
+              contain a target rank                        — tiny agg
+
+    Every executor-side state is O(buckets) or O(rows-in-one-bucket);
+    the driver merges a few thousand counters. Returns one dict per
+    group: {key: ..., name: value, ...}."""
+    from collections import defaultdict
+
+    cols = list(specs)
+    # pass 1: bounds + counts (one job for all columns)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+            F.count(F.col(c)).alias(f"n_{c}"),
+        ]
+    bounds = {r[key]: r.asDict() for r in df.groupBy(key).agg(*aggs).collect()}
+
+    def wb_expr(c: str, mn: float, mx: float) -> Column:
+        # identical expression reused in passes 2 and 3 so bucket
+        # membership is decided by the same IEEE arithmetic
+        w = (mx - mn) or 1.0
+        return F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(w) * _PCTL_BUCKETS
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(_PCTL_BUCKETS - 1),
+        )
+
+    # pass 2: per-key bucket histograms, all columns in one union job
+    hists: dict[tuple, dict[int, int]] = defaultdict(dict)
+    parts = []
+    for ci, c in enumerate(cols):
+        branch = None
+        for k, b in bounds.items():
+            e = wb_expr(c, b[f"mn_{c}"], b[f"mx_{c}"])
+            branch = F.when(F.col(key) == k, e) if branch is None else branch.when(
+                F.col(key) == k, e
+            )
+        parts.append(
+            df.select(
+                F.col(key).alias("k"), F.lit(ci).alias("ci"), branch.alias("wb")
+            )
+        )
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    for r in allb.groupBy("k", "ci", "wb").agg(F.count("*").alias("c")).collect():
+        hists[(r["k"], r["ci"])][r["wb"]] = r["c"]
+
+    # locate the buckets holding each target's floor/ceil ranks
+    import math
+
+    need: dict[tuple, set[int]] = defaultdict(set)  # (k, ci) -> buckets
+    targets: dict[tuple, list[tuple[str, int, int, float]]] = defaultdict(list)
+    for ci, c in enumerate(cols):
+        for k, b in bounds.items():
+            n = b[f"n_{c}"]
+            cum, cum_at = 0, {}
+            for wb in sorted(hists[(k, ci)]):
+                cum_at[wb] = cum
+                cum += hists[(k, ci)][wb]
+            for p, name in specs[c]:
+                t = (n - 1) * p
+                lo_i, hi_i = math.floor(t), math.ceil(t)
+                for i in (lo_i, hi_i):
+                    run = 0
+                    for wb in sorted(hists[(k, ci)]):
+                        if cum_at[wb] <= i < cum_at[wb] + hists[(k, ci)][wb]:
+                            need[(k, ci)].add(wb)
+                            run = wb
+                            break
+                targets[(k, ci)].append((name, lo_i, hi_i, t - math.floor(t)))
+
+    # pass 3: exact value counts inside needed buckets only
+    parts3 = []
+    for ci, c in enumerate(cols):
+        branch = None
+        for k, b in bounds.items():
+            e = wb_expr(c, b[f"mn_{c}"], b[f"mx_{c}"])
+            branch = F.when(F.col(key) == k, e) if branch is None else branch.when(
+                F.col(key) == k, e
+            )
+        flt = None
+        for (k, cci), wbs in need.items():
+            if cci != ci:
+                continue
+            cond = (F.col("k") == k) & F.col("wb").isin(*sorted(wbs))
+            flt = cond if flt is None else (flt | cond)
+        parts3.append(
+            df.select(
+                F.col(key).alias("k"),
+                F.lit(ci).alias("ci"),
+                branch.alias("wb"),
+                F.col(c).cast("double").alias("v"),
+            ).filter(flt)
+        )
+    all3 = parts3[0]
+    for p in parts3[1:]:
+        all3 = all3.unionByName(p)
+    invals: dict[tuple, list[tuple[float, int]]] = defaultdict(list)
+    for r in (
+        all3.groupBy("k", "ci", "wb", "v").agg(F.count("*").alias("c")).collect()
+    ):
+        invals[(r["k"], r["ci"], r["wb"])].append((r["v"], r["c"]))
+
+    def value_at(k, ci, i: int) -> float:
+        cum, cum_at = 0, {}
+        for wb in sorted(hists[(k, ci)]):
+            cum_at[wb] = cum
+            cum += hists[(k, ci)][wb]
+        for wb in sorted(hists[(k, ci)]):
+            if cum_at[wb] <= i < cum_at[wb] + hists[(k, ci)][wb]:
+                run = cum_at[wb]
+                for v, c in sorted(invals[(k, ci, wb)]):
+                    if run <= i < run + c:
+                        return v
+                    run += c
+        raise IndexError(i)
+
+    out = []
+    for k in bounds:
+        row = {key: k}
+        for ci, c in enumerate(cols):
+            for name, lo_i, hi_i, frac in targets[(k, ci)]:
+                lo_v, hi_v = value_at(k, ci, lo_i), value_at(k, ci, hi_i)
+                row[name] = lo_v + (hi_v - lo_v) * frac
+        out.append(row)
+    return out
+
+
 @register("q_percentiles", oracle="""
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -454,13 +606,16 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     == DuckDB `quantile_cont`: same linear-interpolation definition,
     bit-identical on the same data).
 
-    Scale shape: NO pre-repartition by the 3-value group key (that
-    would collapse the scan + partial-agg to 3 tasks). percentile's
-    aggregation buffer is a value->count map, so the map side runs on
-    every core and the per-group merge state is bounded by DISTINCT
-    values, not rows. For genuinely continuous columns at 100 TB
-    (distinct ~ rows) that bound is no help — use the sketch twin
-    q_percentiles_approx, whose state is O(1/accuracy)."""
+    Scale notes: no pre-repartition by the 3-value group key (that
+    would collapse the scan + partial-agg to 3 tasks); percentile's
+    map side runs on every core and its merge state is bounded by
+    DISTINCT values per group. For genuinely continuous columns at
+    100 TB that bound is no help — the engine then offers BOTH
+    escape hatches: q_percentiles_approx (one-pass sketch, bounded
+    error) and exact_percentiles_bucketed above (three aggregate
+    passes, EXACT, O(buckets) state — equivalence-tested against
+    this query; slower at bench scale because of its extra job
+    barriers, which is why it is not the registered default)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),

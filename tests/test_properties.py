@@ -255,3 +255,36 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
         .groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == again
+
+
+def test_bucketed_exact_percentiles_match_builtin(spark, sf_dir):
+    """The bounded-memory refinement algorithm must agree with
+    Spark's percentile (and hence the DuckDB oracle) exactly."""
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.queries.core import (
+        exact_percentiles_bucketed,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    got = {
+        r["l_returnflag"]: (r["median_qty"], r["p95_qty"], r["median_price"])
+        for r in exact_percentiles_bucketed(
+            li,
+            "l_returnflag",
+            {
+                "l_quantity": [(0.5, "median_qty"), (0.95, "p95_qty")],
+                "l_extendedprice": [(0.5, "median_price")],
+            },
+        )
+    }
+    want = {
+        r["l_returnflag"]: (r["m"], r["p"], r["mp"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("m"),
+            F.expr("percentile(l_quantity, 0.95)").alias("p"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("mp"),
+        )
+        .collect()
+    }
+    assert got == want  # bit-exact, not approx
