@@ -190,6 +190,98 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: probe the NPROBE nearest centroid buckets per query (the standard
+#: IVF recall knob; q_ann_ivf is the nprobe=1 form)
+NPROBE = 2
+
+
+@register("q_ann_ivf_nprobe", oracle=f"""
+    WITH n AS ({_SQL_VECS}),
+    cent AS (SELECT vec_id AS cid, e AS ce, n2 AS cn2 FROM n
+             WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_dot_product(v.e, c.ce)
+                             / (sqrt(v.n2) * sqrt(c.cn2)), 6) DESC,
+                        c.cid ASC) AS rn
+      FROM n v, cent c),
+    assign AS (SELECT vec_id, cid AS bucket FROM scored WHERE rn = 1),
+    probes AS (SELECT vec_id, cid AS bucket FROM scored
+               WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}),
+    q AS (SELECT v.vec_id AS qid, v.e AS qe, v.n2 AS qn2, pr.bucket
+          FROM n v JOIN probes pr ON pr.vec_id = v.vec_id),
+    p AS (SELECT q.qid, v.vec_id AS nid,
+                 list_dot_product(q.qe, v.e) / (sqrt(q.qn2) * sqrt(v.n2)) AS cos
+          FROM q
+          JOIN assign a ON a.bucket = q.bucket
+          JOIN n v ON v.vec_id = a.vec_id
+          WHERE v.vec_id <> q.qid)
+    SELECT qid, nid, rank, round(cos, 4) AS cosine
+    FROM (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY round(cos, 6) DESC, nid ASC) AS rank
+          FROM p)
+    WHERE rank <= 5
+    """)
+def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-bucket probing (nprobe={NPROBE}): each query
+    searches its {NPROBE} nearest centroid buckets instead of one —
+    the standard recall/cost knob (data vectors keep their single
+    argmax bucket; only the probe side fans out, so candidate volume
+    is nprobe x bucket size). A data vector lives in exactly one
+    bucket, so probing distinct buckets never duplicates a candidate
+    and no dedup is needed."""
+    n = _vectors(spark, sf_dir)
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n2").alias("cn2")
+    )
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            _dot_expr("e", "ce") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("cn2"))), 6
+        ).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("cid").alias("cb")
+    )
+    probes = ranked.filter(
+        (F.col("rn") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("p_vec"), F.col("cid").alias("bucket"))
+    q = n.join(probes, n["vec_id"] == F.col("p_vec")).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("n2").alias("qn2"),
+        "bucket",
+    )
+    p = (
+        q.join(assign, F.col("bucket") == F.col("cb"))
+        .join(n, F.col("cand_id") == n["vec_id"])
+        .filter(F.col("cand_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("cand_id").alias("nid"),
+            (
+                _dot_expr("qe", "e") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("nid").asc()
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
 @register("q_embed_quantize", oracle="""
     WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     s AS (SELECT vec_id, e,

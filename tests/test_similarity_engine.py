@@ -41,3 +41,38 @@ def test_kmeans_ivf_assign_covers_all_vectors(spark, sf_dir):
     # deterministic under the fixed seed
     again = similarity.kmeans_ivf_assign(emb, n_clusters=4)
     assert assign.subtract(again).count() == 0
+
+
+def test_nprobe_never_worse_than_single_probe(spark, sf_dir):
+    """Probing more buckets can only add candidates: at every rank the
+    nprobe=2 neighbor cosine must be >= the nprobe=1 cosine."""
+    from clinical_data_warehouse_bi_spark.queries.similarity import (
+        q_ann_ivf,
+        q_ann_ivf_nprobe,
+    )
+
+    one = {
+        (r.qid, r.rank): r.cosine for r in q_ann_ivf(spark, sf_dir).collect()
+    }
+    two = {
+        (r.qid, r.rank): r.cosine for r in q_ann_ivf_nprobe(spark, sf_dir).collect()
+    }
+    assert set(one) == set(two)
+    assert all(two[k] >= one[k] for k in one)
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values must be within half a quantization step of
+    the original: |x - q/scale| <= 0.5/scale (+1 ulp slack)."""
+    from clinical_data_warehouse_bi_spark.queries.similarity import q_embed_quantize
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in read_table(spark, sf_dir, "embeddings").limit(2000).collect()}
+    for r in q_embed_quantize(spark, sf_dir).collect():
+        if r.vec_id not in emb or r.scale == 0.0:
+            continue
+        qs = [int(s) for s in r.q.split("|")]
+        step = 1.0 / r.scale
+        for x, qv in zip(emb[r.vec_id], qs):
+            assert abs(x - qv * step) <= 0.5 * step * (1 + 1e-9) + 1e-12
