@@ -121,6 +121,37 @@ def enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = "left") -> Dat
     return stream.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by a time interval — the
+    streaming face of the star schema's interval joins (J5/J6,
+    Stage_area.sql:237-256): match right rows whose timestamp falls
+    within ``tolerance`` AFTER the left row's.
+
+    Both sides are watermarked and the join condition bounds
+    right_ts to [left_ts, left_ts + tolerance], which is what lets
+    Spark expire buffered state: without the time bound a
+    stream-stream join must hold EVERY past row forever. State per
+    key is O(rows within watermark+tolerance) — the only shape that
+    survives an unbounded 100 TB/day stream pair. Works identically
+    on batch frames (the unified-API dual; watermarks are no-ops)."""
+    l_ = left.withWatermark(left_ts, watermark)
+    r_ = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_[key] == r_[f"r_{key}"])
+        & (r_[right_ts] >= l_[left_ts])
+        & (r_[right_ts] <= l_[left_ts] + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return l_.join(r_, cond)
+
+
 _STATE_SCHEMA = StructType([StructField("total", LongType())])
 _OUT_SCHEMA = StructType(
     [

@@ -154,3 +154,48 @@ def test_stratified_sample_filter_is_stream_compatible(spark, stream_dir, batch_
         for r in batch_events.filter(u < F.expr(_SQL_RATE_CASE)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir, batch_events):
+    """Watermarked stream-stream interval join (clicks x purchases of
+    the same user within 1 hour) must produce exactly the batch join's
+    pairs."""
+    clicks = streaming.read_event_stream(spark, stream_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = (
+        streaming.read_event_stream(spark, stream_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user_id"),
+        )
+    )
+    joined = streaming.stream_stream_interval_join(
+        clicks, purchases, key="user_id", tolerance="1 hour", watermark="60 days"
+    ).select("event_id", "r_event_id")
+    q = streaming.run_to_memory(joined, "ssj")
+    _drain(q)
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    b_clicks = batch_events.filter(F.col("event_type") == "click")
+    b_pur = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user_id"),
+    )
+    want = {
+        (r["event_id"], r["r_event_id"])
+        for r in b_clicks.join(
+            b_pur,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("ts"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select("event_id", "r_event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
