@@ -148,11 +148,15 @@ def salted_join(
     small side is too big to broadcast.
 
     The heavy (left) side is sharded into ``buckets`` sub-keys by a
-    per-row salt INDEPENDENT of row content — a payload hash would
-    silently collapse to one bucket whenever a hot key's rows share
-    identical payloads (common: duplicated events), exactly the case
-    salting exists for. monotonically_increasing_id is unique per row,
-    so pmod spreads every hot key uniformly across ``buckets`` tasks.
+    per-row salt INDEPENDENT of row content where possible — a payload
+    hash silently collapses to one bucket whenever a hot key's rows
+    share identical payloads (common: duplicated events), exactly the
+    case salting exists for. Batch: monotonically_increasing_id is
+    unique per row, so pmod spreads every hot key uniformly. Streaming
+    (miid unsupported): fall back to a hash of ALL columns plus the
+    partition id, which still separates identical payloads that arrive
+    on different input partitions; add a uniquifier column upstream if
+    a single partition can carry a whole hot key of identical rows.
     The right side is replicated once per bucket (cost: buckets x
     |right|, which is why broadcast is still preferred when it fits),
     so every left shard finds its matches.
@@ -162,7 +166,12 @@ def salted_join(
     is so hot that even one post-split partition exceeds executor
     memory, or when AQE is unavailable (streaming joins).
     """
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
+    if left.isStreaming:
+        salt = F.pmod(
+            F.xxhash64(F.spark_partition_id(), *left.columns), F.lit(buckets)
+        ).cast("int")
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
     l_ = left.withColumn("__salt", salt)
     r_ = right.crossJoin(
         F.broadcast(

@@ -498,20 +498,31 @@ def exact_percentiles_bucketed(
     for ci, c in enumerate(cols):
         branch = None
         for k, b in bounds.items():
+            if b[f"mn_{c}"] is None:  # all-NULL group: no buckets
+                continue
             e = wb_expr(c, b[f"mn_{c}"], b[f"mx_{c}"])
             branch = F.when(F.col(key) == k, e) if branch is None else branch.when(
                 F.col(key) == k, e
             )
+        if branch is None:
+            continue
         parts.append(
-            df.select(
+            # NULLs are excluded here exactly as count(col) excluded
+            # them in pass 1 (percentile semantics ignore NULLs;
+            # without the filter they would bin into bucket 0 and
+            # shift every rank)
+            df.filter(F.col(c).isNotNull()).select(
                 F.col(key).alias("k"), F.lit(ci).alias("ci"), branch.alias("wb")
             )
         )
-    allb = parts[0]
-    for p in parts[1:]:
-        allb = allb.unionByName(p)
-    for r in allb.groupBy("k", "ci", "wb").agg(F.count("*").alias("c")).collect():
-        hists[(r["k"], r["ci"])][r["wb"]] = r["c"]
+    if parts:
+        allb = parts[0]
+        for p in parts[1:]:
+            allb = allb.unionByName(p)
+        for r in (
+            allb.groupBy("k", "ci", "wb").agg(F.count("*").alias("c")).collect()
+        ):
+            hists[(r["k"], r["ci"])][r["wb"]] = r["c"]
 
     # locate the buckets holding each target's floor/ceil ranks
     import math
@@ -526,14 +537,15 @@ def exact_percentiles_bucketed(
                 cum_at[wb] = cum
                 cum += hists[(k, ci)][wb]
             for p, name in specs[c]:
+                if n == 0:  # all-NULL group: percentile is NULL
+                    targets[(k, ci)].append((name, None, None, None))
+                    continue
                 t = (n - 1) * p
                 lo_i, hi_i = math.floor(t), math.ceil(t)
                 for i in (lo_i, hi_i):
-                    run = 0
                     for wb in sorted(hists[(k, ci)]):
                         if cum_at[wb] <= i < cum_at[wb] + hists[(k, ci)][wb]:
                             need[(k, ci)].add(wb)
-                            run = wb
                             break
                 targets[(k, ci)].append((name, lo_i, hi_i, t - math.floor(t)))
 
@@ -542,32 +554,39 @@ def exact_percentiles_bucketed(
     for ci, c in enumerate(cols):
         branch = None
         for k, b in bounds.items():
+            if b[f"mn_{c}"] is None:
+                continue
             e = wb_expr(c, b[f"mn_{c}"], b[f"mx_{c}"])
             branch = F.when(F.col(key) == k, e) if branch is None else branch.when(
                 F.col(key) == k, e
             )
+        if branch is None:
+            continue
         flt = None
         for (k, cci), wbs in need.items():
             if cci != ci:
                 continue
             cond = (F.col("k") == k) & F.col("wb").isin(*sorted(wbs))
             flt = cond if flt is None else (flt | cond)
+        if flt is None:  # no non-empty group needs this column
+            continue
         parts3.append(
-            df.select(
+            df.filter(F.col(c).isNotNull()).select(
                 F.col(key).alias("k"),
                 F.lit(ci).alias("ci"),
                 branch.alias("wb"),
                 F.col(c).cast("double").alias("v"),
             ).filter(flt)
         )
-    all3 = parts3[0]
-    for p in parts3[1:]:
-        all3 = all3.unionByName(p)
     invals: dict[tuple, list[tuple[float, int]]] = defaultdict(list)
-    for r in (
-        all3.groupBy("k", "ci", "wb", "v").agg(F.count("*").alias("c")).collect()
-    ):
-        invals[(r["k"], r["ci"], r["wb"])].append((r["v"], r["c"]))
+    if parts3:
+        all3 = parts3[0]
+        for p in parts3[1:]:
+            all3 = all3.unionByName(p)
+        for r in (
+            all3.groupBy("k", "ci", "wb", "v").agg(F.count("*").alias("c")).collect()
+        ):
+            invals[(r["k"], r["ci"], r["wb"])].append((r["v"], r["c"]))
 
     def value_at(k, ci, i: int) -> float:
         cum, cum_at = 0, {}
@@ -588,6 +607,9 @@ def exact_percentiles_bucketed(
         row = {key: k}
         for ci, c in enumerate(cols):
             for name, lo_i, hi_i, frac in targets[(k, ci)]:
+                if lo_i is None:
+                    row[name] = None
+                    continue
                 lo_v, hi_v = value_at(k, ci, lo_i), value_at(k, ci, hi_i)
                 row[name] = lo_v + (hi_v - lo_v) * frac
         out.append(row)

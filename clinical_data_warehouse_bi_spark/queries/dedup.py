@@ -293,10 +293,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     For k <= 3 the banding loses nothing (pigeonhole), so this is an
     EXACT Hamming-radius join expressed as bucketed equi-joins: the
     same construction scales to 64/128-bit fingerprints by adding
-    bands. The fingerprint relation is persisted once; both self-join
-    sides and the verification read the materialized form."""
+    bands. The fingerprint relation is materialized once via
+    localCheckpoint — unlike cache() it leaves nothing in the session
+    cache manager, so it cannot leak into other queries' plans and
+    needs no cross-query clearCache housekeeping."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    fp = _simhash_fingerprints(docs).persist()
+    fp = _simhash_fingerprints(docs).localCheckpoint(eager=False)
     bands = fp.select(
         "doc_id",
         "simhash",

@@ -61,6 +61,27 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _predicted_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, hits): lexicon-hit argmax per document — shared
+    by q_lang_id and q_token_budget so the language assignment cannot
+    silently diverge between them."""
+    tok = fan_out(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
+    lex = spark.createDataFrame(T.LANG_LEXICON, ["lang", "word"])
+    hits = (
+        tok.join(F.broadcast(lex), tok["tok"] == lex["word"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "hits")
+    )
+
+
 @register("q_lang_id", oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
     lex(lang, word) AS (VALUES {_LEX_VALUES}),
@@ -81,20 +102,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lexicon is a broadcast dim; the token explode + group is one
     shuffle on doc_id. N-gram extension slot documented in text.py."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = fan_out(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id", F.explode(T.tokens("text")).alias("tok")
-    )
-    lex = spark.createDataFrame(T.LANG_LEXICON, ["lang", "word"])
-    hits = (
-        tok.join(F.broadcast(lex), tok["tok"] == lex["word"])
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
-    return (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    return _predicted_lang(spark, docs).select(
+        "doc_id", F.col("lang").alias("pred_lang"), "hits"
     )
 
 
@@ -169,23 +178,11 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs with no lexicon hit land in 'unknown'). Composition of the
     language-ID argmax and the per-row token count — the question
     every corpus build answers before fixing sampling rates. One
-    doc_id shuffle for the argmax, broadcast lexicon, then a 5-group
-    rollup of per-row counts."""
+    doc_id shuffle for the argmax (shared _predicted_lang helper),
+    broadcast lexicon, then a 5-group rollup of per-row counts."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = fan_out(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id", F.explode(T.tokens("text")).alias("tok")
-    )
-    lex = spark.createDataFrame(T.LANG_LEXICON, ["lang", "word"])
-    hits = (
-        tok.join(F.broadcast(lex), tok["tok"] == lex["word"])
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
-    lang = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("doc_id").alias("l_doc"), "lang")
+    lang = _predicted_lang(spark, docs).select(
+        F.col("doc_id").alias("l_doc"), "lang"
     )
     counts = docs.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
     return (

@@ -68,8 +68,9 @@ def main() -> None:
               f"ratio={('%6.2f' % ratio) if ratio else '  n/a'}", flush=True)
     tot_s = sum(r[1] for r in rows if r[1] is not None and r[1] >= 0)
     tot_d = sum(r[2] for r in rows if r[2] is not None)
+    ratio_s = f"{tot_s / tot_d:6.2f}" if tot_d else "  n/a"
     print(f"{'TOTAL':28s} spark={tot_s:7.3f}s duckdb={tot_d:7.3f}s "
-          f"ratio={tot_s / tot_d:6.2f}")
+          f"ratio={ratio_s}")
     print(json.dumps({"sf_dir": sf_dir, "rows": rows,
                       "total_spark": round(tot_s, 3),
                       "total_duckdb": round(tot_d, 3)}))

@@ -288,3 +288,21 @@ def test_bucketed_exact_percentiles_match_builtin(spark, sf_dir):
         .collect()
     }
     assert got == want  # bit-exact, not approx
+
+
+def test_bucketed_percentiles_ignore_nulls(spark):
+    """NULL values must be excluded (percentile semantics), not binned
+    into bucket 0."""
+    from clinical_data_warehouse_bi_spark.queries.core import (
+        exact_percentiles_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("a", 3.0), ("b", None)],
+        "k string, v double",
+    )
+    rows = {r["k"]: r for r in exact_percentiles_bucketed(
+        df, "k", {"v": [(0.5, "med")]}
+    )}
+    assert rows["a"]["med"] == 2.0  # median of {1,2,3}, NULL ignored
+    assert rows["b"]["med"] is None  # all-NULL group
