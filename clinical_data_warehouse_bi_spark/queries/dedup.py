@@ -163,9 +163,10 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_ngram_jaccard) exists only as its ground-truth check."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # the candidate generation and the verification both consume the
-    # shingle relation; cache it (and the tiny candidate set) so the
-    # DAG does not re-derive shingles three times
-    sh = T.shingled(docs).distinct().cache()
+    # shingle relation; materialize it once (localCheckpoint — no
+    # session-cache entry) so the DAG does not re-derive shingles
+    # three times
+    sh = T.shingled(docs).distinct().localCheckpoint(eager=False)
     wide = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
