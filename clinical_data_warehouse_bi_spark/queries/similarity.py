@@ -366,9 +366,8 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair = equal signature in ANY band.
 
     Scale shape: the band relation (vec_id, band, sig — three scalars,
-    no arrays) is materialized once (localCheckpoint — no session
-    cache-manager entry to leak across queries) and self-joined for
-    candidates (bounded
+    no arrays) is persisted once and self-joined for candidates
+    (bounded
     buckets, never all-pairs); ONLY candidate pairs pay any vector
     math — dot product AND both norms are per-pair folds, so no
     full-table norm pass exists at all (measured: columnar-caching
@@ -407,7 +406,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[band(j) for j in range(LSH_BANDS)])).alias(
             "band", "sig"
         ),
-    ).localCheckpoint(eager=False)
+    ).persist()
     left = bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
     right = bands.select(
         F.col("vec_id").alias("vec_b"),

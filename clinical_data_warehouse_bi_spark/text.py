@@ -165,13 +165,15 @@ def lsh_band_signatures(minhash: DataFrame, bands: int = MINHASH_BANDS) -> DataF
 def lsh_candidate_pairs(band_sigs: DataFrame) -> DataFrame:
     """distinct (doc_a < doc_b) sharing at least one band signature.
 
-    The input is materialized first (localCheckpoint): a self-join
-    otherwise re-derives the entire upstream minhash DAG for BOTH
-    sides. band_sigs is tiny (docs x bands rows of hashes) — at
-    100 TB it is still ~GBs; checkpoint (not cache) so nothing lands
-    in the session cache manager to leak into other queries' plans.
-    If even that is too large, materialize to parquet instead."""
-    band_sigs = band_sigs.localCheckpoint(eager=False)
+    The input is cached first: a self-join otherwise re-derives the
+    entire upstream minhash DAG for BOTH sides. band_sigs is tiny
+    (docs x bands rows of hashes) — at 100 TB it is still ~GBs and
+    cache-able; if not, materialize it to parquet instead. cache (not
+    localCheckpoint) deliberately: plan-matching lets repeated
+    invocations in one session reuse the materialization; sessions
+    running many unrelated queries should clearCache between them
+    (bench.py does)."""
+    band_sigs = band_sigs.cache()
     a = band_sigs.select(
         F.col("doc_id").alias("doc_a"), "band_id", F.col("band_sig").alias("sig_a")
     )
