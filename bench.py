@@ -24,16 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: role is verification, not throughput.
 BENCH_QUERIES = [
     "q_agg_per_order",
-    "q_agg_per_order_approx",
+    "q_approx_stats",
     "q_pricing_summary",
     "q_json_extract",
     "q_percentiles",
-    "q_percentiles_approx",
     "q_rollup",
     "q_calendar_dim",
     "q_multi_source_union",
     "q_join_lookup_cast",
-    "q_join_left",
     "q_asof_next_order",
     "q_range_join",
     "q_join_nullsafe_junk",
@@ -59,7 +57,6 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_doc_fingerprint",
     "q_cosine_topk",
-    "q_ann_ivf",
     "q_ann_ivf_nprobe",
     "q_embed_quantize",
     "q_embed_near_dup",

@@ -135,24 +135,6 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_project_rename", oracle="""
-    SELECT c_custkey AS patient_id, c_name AS patient_name,
-           c_mktsegment AS segment, c_acctbal AS balance
-    FROM customer
-    """)
-def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 — project + rename (Stage_area.sql:27-29 `subject_id AS
-    patient_id`). Column pruning reaches the parquet scan (ReadSchema
-    lists only 4 of 5 columns)."""
-    c = load_tables(spark, sf_dir, ("customer",))["customer"]
-    return c.select(
-        F.col("c_custkey").alias("patient_id"),
-        F.col("c_name").alias("patient_name"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_acctbal").alias("balance"),
-    )
-
-
 @register("q_keyword_filter", oracle="""
     SELECT p_partkey, p_name, p_type FROM part
     WHERE lower(p_type) LIKE '%promo%'
@@ -170,17 +152,27 @@ def q_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q_null_reject", oracle="""
-    SELECT event_id, user_id, ts FROM events
+    SELECT event_id AS evt_id, user_id AS patient_id, ts AS event_ts
+    FROM events
     WHERE user_id IS NOT NULL AND ts IS NOT NULL AND props IS NOT NULL
     """)
 def q_null_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 — NULL-rejection predicates (Stage_area.sql:183-185)."""
+    """P1/P2/P4 — project + rename + NULL-rejection in one pass
+    (Stage_area.sql:27-29 `subject_id AS patient_id`, 183-185). One
+    query carries all three trivial projection operators (registry cap
+    consolidation: the former q_project_rename was this same
+    select/alias shape on `customer`); column pruning + the NOT NULL
+    predicates both reach the parquet scan."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return ev.filter(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("props").isNotNull()
-    ).select("event_id", "user_id", "ts")
+    ).select(
+        F.col("event_id").alias("evt_id"),
+        F.col("user_id").alias("patient_id"),
+        F.col("ts").alias("event_ts"),
+    )
 
 
 @register("q_regex_numeric_parse", oracle="""
@@ -266,17 +258,6 @@ def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Distinct / duplicates / windows / top-k
 # ---------------------------------------------------------------------------
-
-
-@register("q_distinct_combos", oracle="""
-    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-    """)
-def q_distinct_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 — SELECT DISTINCT (the junk-dim population,
-    Stage_area.sql:270-275). Partial (map-side) distinct then a tiny
-    shuffle — cardinality-bounded output, scale-safe."""
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.select("l_returnflag", "l_linestatus").distinct()
 
 
 @register("q_dup_probe", oracle="""
@@ -423,22 +404,26 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_per_order_approx", oracle=None)
-def q_agg_per_order_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of q_agg_per_order: approx_count_distinct
-    (HyperLogLog++, mergeable sketch -> pure map-side partial agg, one
-    tiny shuffle, no per-group set state at all). No oracle: HLL
-    estimates are engine-specific (driver records the rows-only
-    check); q_agg_per_order is the exact twin that IS value-checked."""
+@register("q_approx_stats", oracle=None)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sketch surface in one query (registry cap
+    consolidation of the former q_agg_per_order_approx +
+    q_percentiles_approx twins): per admission-group,
+    approx_count_distinct (HyperLogLog++ — mergeable sketch, pure
+    map-side partial agg, one tiny shuffle, no per-group set state)
+    and approx_percentile (KLL/Greenwald-Khanna-style summary —
+    mergeable, O(accuracy) state per group instead of O(group
+    size)). No oracle: sketch estimates are engine-specific (driver
+    records the rows-only check); q_agg_per_order and q_percentiles
+    are the exact twins that ARE value-checked."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return (
-        fan_out(li.select("l_orderkey", "l_partkey", "l_returnflag"), "l_orderkey")
-        .groupBy(F.col("l_orderkey").alias("admission_id"))
-        .agg(
-            F.count("*").alias("total_events"),
-            F.approx_count_distinct("l_partkey").alias("approx_distinct_concepts"),
-            F.approx_count_distinct("l_returnflag").alias("approx_distinct_sources"),
-        )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("total_events"),
+        F.approx_count_distinct("l_orderkey").alias("approx_distinct_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_distinct_concepts"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("median_qty"),
+        F.expr("approx_percentile(l_quantity, 0.95, 10000)").alias("p95_qty"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_price"),
     )
 
 
@@ -643,21 +628,6 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
-    )
-
-
-@register("q_percentiles_approx", oracle=None)
-def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch twin of q_percentiles: approx_percentile
-    (KLL/Greenwald-Khanna style summary — mergeable, map-side partial
-    agg, O(accuracy) state per group instead of O(group size)). No
-    oracle: approximation error is engine-specific (rows-only check);
-    q_percentiles is the exact, value-checked twin."""
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("median_qty"),
-        F.expr("approx_percentile(l_quantity, 0.95, 10000)").alias("p95_qty"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_price"),
     )
 
 

@@ -63,24 +63,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_minhash_signatures", oracle=_SQL_MINHASH)
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix (doc_id, seed, minhash): 16 hash
-    functions h_i(sh) = md5(i || ':' || sh), signature = min per doc.
-    Lexicographic min over md5 hex is a valid uniform MinHash family
-    and engine-portable (Spark/DuckDB md5 agree; their native hash()
-    functions do not)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return T.minhash_signatures(docs)
-
-
 @register("q_minhash_lsh_pairs", oracle=_SQL_LSH_PAIRS)
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs: band the 16-hash signature into
     4 bands x 4 rows, bucket-join on (band_id, band-signature md5),
     emit distinct doc_a < doc_b. The band join is the scale path: no
     all-pairs comparison ever happens; work is proportional to true
-    collision clusters (Broder's shingling/LSH construction)."""
+    collision clusters (Broder's shingling/LSH construction).
+
+    The signature matrix itself (16 hash functions h_i(sh) =
+    md5(i || ':' || sh), signature = min per doc — lexicographic min
+    over md5 hex is a valid uniform MinHash family and
+    engine-portable) is this query's first stage; the former
+    standalone q_minhash_signatures entry was retired as subsumed
+    (registry cap consolidation) — text.minhash_signatures remains
+    the narrow API."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return T.lsh_candidate_pairs(T.lsh_band_signatures_wide(T.minhash_wide(docs)))
 

@@ -22,7 +22,13 @@ def q_join_lookup_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Stage_area.sql:181-182: `labevents LEFT JOIN dim_concepts ON
     CAST(itemid AS CHAR)=code AND concept_type='Lab'`). The dim-side
     constant predicate becomes a dim pre-filter; the small side is
-    broadcast — zero fact shuffle."""
+    broadcast — zero fact shuffle.
+
+    Also the registered witness for J2 (plain left equi-join,
+    Stage_area.sql:200): the former q_join_left was this exact shape
+    minus the cast/filter, strictly subsumed here (registry cap
+    consolidation); the star pipeline's dim lookups exercise the
+    plain form end-to-end in tests/test_star_pipeline.py."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     dim = t["part"].filter(F.col("p_size") > 25)
     out = joins.lookup_join(
@@ -31,20 +37,6 @@ def q_join_lookup_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]["l_partkey"].cast("string") == dim["p_partkey"].cast("string"),
     )
     return out.select("l_orderkey", "l_linenumber", "p_name")
-
-
-@register("q_join_left", oracle="""
-    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
-    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    """)
-def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 — plain left equi-join keeping unmatched fact rows
-    (Stage_area.sql:200)."""
-    t = load_tables(spark, sf_dir, ("orders", "customer"))
-    out = joins.lookup_join(
-        t["orders"], t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
-    )
-    return out.select("o_orderkey", "c_name", "c_mktsegment")
 
 
 @register("q_join_normalized", oracle="""

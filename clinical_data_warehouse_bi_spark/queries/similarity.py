@@ -101,7 +101,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ann_ivf", oracle=f"""
+_SQL_ANN_IVF = f"""
     WITH n AS ({_SQL_VECS}),
     cent AS (SELECT vec_id AS cid, e AS ce, n2 AS cn2 FROM n
              WHERE vec_id < {N_CENTROIDS}),
@@ -130,14 +130,22 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY round(cos, 6) DESC, nid ASC) AS rank
           FROM p)
     WHERE rank <= 5
-    """)
+    """
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style bucketed ANN (the scale path): assign every vector to
     its nearest of {N_CENTROIDS} deterministic centroids (here: the
     first vectors; k-means at scale), then search only the query's
     bucket. Turns O(N*Q) brute force into O(N/buckets * Q) with a
     shuffle keyed on bucket id. Same portable-cosine machinery as
-    q_cosine_topk."""
+    q_cosine_topk.
+
+    Not registered: exactly the NPROBE=1 special case of
+    q_ann_ivf_nprobe (registry cap consolidation). Kept as the
+    narrow-API form; tests/test_similarity_engine.py checks it
+    against the nprobe query, and _SQL_ANN_IVF stays its runnable
+    DuckDB oracle."""
     n = _vectors(spark, sf_dir)
     cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n2").alias("cn2")

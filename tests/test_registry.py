@@ -1,0 +1,58 @@
+"""Locks the registry to the driver's correctness-gate contract:
+round 2 proved the driver records at most the first 50 registry
+entries, so (a) the registry must not outgrow 50 without a
+deliberate retirement, and (b) any query NOT yet triaged into
+_CHECK_ORDER must be emitted first so new work is always checked."""
+
+from __future__ import annotations
+
+from clinical_data_warehouse_bi_spark.registry import (
+    _CHECK_ORDER,
+    all_oracles,
+    all_queries,
+)
+
+DRIVER_CORRECTNESS_CAP = 50
+
+#: the six entries the round-2 gate silently skipped (VERDICT r2
+#: finding #1) — they must lead so they can never fall off again
+ROUND2_SKIPPED = [
+    "q_multimodal_features",
+    "q_stream_dedup_dual",
+    "q_window_tumbling",
+    "q_sessionize",
+    "q_frame_sample",
+    "q_doc_fingerprint",
+]
+
+
+def test_registry_fits_driver_cap():
+    assert len(all_queries()) <= DRIVER_CORRECTNESS_CAP
+
+
+def test_check_order_has_no_dangling_names():
+    registered = set(all_queries())
+    dangling = [n for n in _CHECK_ORDER if n not in registered]
+    assert not dangling, f"_CHECK_ORDER names unregistered queries: {dangling}"
+
+
+def test_new_queries_would_lead():
+    """Unlisted (future) queries are emitted before listed ones."""
+    names = list(all_queries())
+    listed_positions = [names.index(n) for n in _CHECK_ORDER if n in names]
+    unlisted_positions = [
+        i for i, n in enumerate(names) if n not in _CHECK_ORDER
+    ]
+    if unlisted_positions and listed_positions:
+        assert max(unlisted_positions) < min(listed_positions)
+
+
+def test_round2_skipped_entries_lead():
+    names = list(all_queries())
+    n_unlisted = sum(1 for n in names if n not in _CHECK_ORDER)
+    head = names[n_unlisted : n_unlisted + len(ROUND2_SKIPPED)]
+    assert head == ROUND2_SKIPPED
+
+
+def test_oracles_subset_of_queries():
+    assert set(all_oracles()) <= set(all_queries())
