@@ -266,15 +266,18 @@ def test_bucketed_exact_percentiles_match_builtin(spark, sf_dir):
     )
 
     li = read_table(spark, sf_dir, "lineitem")
+    specs = {
+        "l_quantity": [(0.5, "median_qty"), (0.95, "p95_qty")],
+        "l_extendedprice": [(0.5, "median_price")],
+    }
+    # native_distinct_max=0 forces the bucketed refinement for EVERY
+    # column (the default hybrid would route low-cardinality
+    # l_quantity through the native aggregate, leaving the refinement
+    # untested on it)
     got = {
         r["l_returnflag"]: (r["median_qty"], r["p95_qty"], r["median_price"])
         for r in exact_percentiles_bucketed(
-            li,
-            "l_returnflag",
-            {
-                "l_quantity": [(0.5, "median_qty"), (0.95, "p95_qty")],
-                "l_extendedprice": [(0.5, "median_price")],
-            },
+            li, "l_returnflag", specs, native_distinct_max=0
         )
     }
     want = {
@@ -288,6 +291,12 @@ def test_bucketed_exact_percentiles_match_builtin(spark, sf_dir):
         .collect()
     }
     assert got == want  # bit-exact, not approx
+    # the hybrid default (distinct-count auto-routing) must agree too
+    hybrid = {
+        r["l_returnflag"]: (r["median_qty"], r["p95_qty"], r["median_price"])
+        for r in exact_percentiles_bucketed(li, "l_returnflag", specs)
+    }
+    assert hybrid == want
 
 
 def test_bucketed_percentiles_ignore_nulls(spark):
@@ -301,8 +310,29 @@ def test_bucketed_percentiles_ignore_nulls(spark):
         [("a", 1.0), ("a", 2.0), ("a", None), ("a", 3.0), ("b", None)],
         "k string, v double",
     )
-    rows = {r["k"]: r for r in exact_percentiles_bucketed(
-        df, "k", {"v": [(0.5, "med")]}
-    )}
-    assert rows["a"]["med"] == 2.0  # median of {1,2,3}, NULL ignored
-    assert rows["b"]["med"] is None  # all-NULL group
+    for ndm in (0, 65536):  # both the bucketed and native routes
+        rows = {r["k"]: r for r in exact_percentiles_bucketed(
+            df, "k", {"v": [(0.5, "med")]}, native_distinct_max=ndm
+        )}
+        assert rows["a"]["med"] == 2.0  # median of {1,2,3}, NULL ignored
+        assert rows["b"]["med"] is None  # all-NULL group
+
+
+def test_bucketed_percentiles_null_group_key(spark):
+    """A NULL group key must be handled null-safely end-to-end (the
+    broadcast bounds join uses <=>); percentile of the NULL-key group
+    is computed, not dropped or crashed."""
+    from clinical_data_warehouse_bi_spark.queries.core import (
+        exact_percentiles_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 5.0), ("a", 7.0), ("a", 9.0)],
+        "k string, v double",
+    )
+    for ndm in (0, 65536):
+        rows = {r["k"]: r for r in exact_percentiles_bucketed(
+            df, "k", {"v": [(0.5, "med")]}, native_distinct_max=ndm
+        )}
+        assert rows[None]["med"] == 2.0
+        assert rows["a"]["med"] == 7.0
