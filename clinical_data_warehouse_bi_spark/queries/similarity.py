@@ -71,34 +71,24 @@ def _dot_expr(a: str, b: str) -> Column:
     """)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: each of the first
-    {N_QUERIES} vectors against the whole table. The query side is a
-    broadcast; the scan side never shuffles; per-partition top-k then
-    a k-row merge (TakeOrdered pattern via row_number window on qid —
-    qid has only N_QUERIES values, fine here; at billions of
-    candidates switch the window to a repartition-by-qid + partial
-    top-k, or the numpy mapInPandas path in similarity-module docs)."""
-    n = _vectors(spark, sf_dir)
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("n2").alias("qn2")
-    )
-    p = (
-        n.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            (
-                _dot_expr("qe", "e")
-                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2")))
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.round(F.col("cos"), 6).desc(), F.col("nid").asc())
-    return (
-        p.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
-    )
+    {N_QUERIES} vectors against the whole table, scored by the
+    Arrow/GEMM path (similarity.cosine_topk_numpy): the tiny query
+    matrix is closure-broadcast into every task, each scan partition
+    does ONE numpy matrix multiply + partial top-k under the final
+    total order, and only |partitions| x |queries| x k rows are ever
+    exchanged — the vector table itself never shuffles. Replaces the
+    round-2 scalar codegen fold (~64 lambda steps per pair, the 37.6x
+    worst bench ratio) with per-batch BLAS; the DuckDB oracle is
+    unchanged, so the hash gate proves GEMM == fold numerics after
+    round(6)/round(4)."""
+    from clinical_data_warehouse_bi_spark.similarity import cosine_topk_numpy
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    return cosine_topk_numpy(emb, queries, k=TOP_K)
 
 
 _SQL_ANN_IVF = f"""
@@ -238,48 +228,54 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     searches its {NPROBE} nearest centroid buckets instead of one —
     the standard recall/cost knob (data vectors keep their single
     argmax bucket; only the probe side fans out, so candidate volume
-    is nprobe x bucket size). A data vector lives in exactly one
-    bucket, so probing distinct buckets never duplicates a candidate
-    and no dedup is needed."""
-    n = _vectors(spark, sf_dir)
-    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n2").alias("cn2")
+    is nprobe x bucket size; a data vector lives in exactly one
+    bucket, so probing distinct buckets never duplicates a candidate).
+
+    Both vector-math stages run on the Arrow/GEMM path
+    (similarity.centroid_rank / pairwise_cosine): centroid assignment
+    is one matrix multiply per scan batch against the broadcast
+    centroid matrix — replacing a crossJoin + 64-step scalar fold +
+    row_number window (whose per-vector shuffle disappears: ranking
+    happens inside the batch) — and candidate scoring is a row-wise
+    einsum over the joined pairs. The SQL-fold construction remains
+    as unregistered q_ann_ivf (nprobe=1), equivalence-tested against
+    this query, and the unchanged DuckDB oracle hash-checks the GEMM
+    numerics end-to-end."""
+    from clinical_data_warehouse_bi_spark.similarity import (
+        centroid_rank,
+        pairwise_cosine,
     )
-    scored = n.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        F.round(
-            _dot_expr("e", "ce") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("cn2"))), 6
-        ).alias("ccos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
-    )
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS).collect()
+    ]
+    # both the assignment and the probe set read the ranked relation:
+    # persist the tiny (vec_id, cid, rn) output so the GEMM stage runs
+    # once, not once per consumer (scalars cache nearly free)
+    ranked = centroid_rank(emb, centroids, max_rank=NPROBE).persist()
     assign = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cand_id"), F.col("cid").alias("cb")
     )
     probes = ranked.filter(
         (F.col("rn") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
     ).select(F.col("vec_id").alias("p_vec"), F.col("cid").alias("bucket"))
-    q = n.join(probes, n["vec_id"] == F.col("p_vec")).select(
-        F.col("vec_id").alias("qid"),
-        F.col("e").alias("qe"),
-        F.col("n2").alias("qn2"),
-        "bucket",
+    q = emb.join(probes, emb["vec_id"] == F.col("p_vec")).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
     )
-    p = (
+    pairs = (
         q.join(assign, F.col("bucket") == F.col("cb"))
-        .join(n, F.col("cand_id") == n["vec_id"])
+        .join(emb, F.col("cand_id") == emb["vec_id"])
         .filter(F.col("cand_id") != F.col("qid"))
         .select(
             "qid",
             F.col("cand_id").alias("nid"),
-            (
-                _dot_expr("qe", "e") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2")))
-            ).alias("cos"),
+            "qe",
+            F.col("embedding").alias("e"),
         )
     )
+    p = pairwise_cosine(pairs, ("qid", "nid"), ("qe", "e"))
     w = Window.partitionBy("qid").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("nid").asc()
     )
@@ -431,19 +427,16 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
+    from clinical_data_warehouse_bi_spark.similarity import pairwise_cosine
+
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    scored = pairwise_cosine(
+        pairs.join(va, "vec_a").join(vb, "vec_b"),
+        ("vec_a", "vec_b"),
+        ("ea", "eb"),
+    )
     return (
-        pairs.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                _dot_expr("ea", "eb")
-                / (F.sqrt(_dot_expr("ea", "ea")) * F.sqrt(_dot_expr("eb", "eb")))
-            ).alias("cos"),
-        )
-        .filter(F.round("cos", 6) >= F.lit(NEAR_DUP_COS))
+        scored.filter(F.round("cos", 6) >= F.lit(NEAR_DUP_COS))
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
