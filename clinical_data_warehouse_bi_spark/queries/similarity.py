@@ -326,18 +326,40 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: production threshold would select nothing to compare)
 NEAR_DUP_COS = 0.3
 
-#: sign-LSH banding: 4 bands x 16 sign bits = all 64 dims. Multiple
-#: narrower bands (vs one wide bucket) keep per-bucket populations
-#: bounded AND raise recall — the same band/recall trade as MinHash.
+#: sign-LSH banding: 4 bands x 16 sign bits = 64 seeded random
+#: hyperplanes. Multiple narrower bands (vs one wide bucket) keep
+#: per-bucket populations bounded AND raise recall — the same
+#: band/recall trade as MinHash.
 LSH_BANDS, LSH_BAND_BITS = 4, 16
+#: embedding dimensionality of the driver's `embeddings` table
+EMB_DIMS = 64
+#: seed of the Rademacher projection — both engines regenerate the
+#: identical matrix from this integer (md5-derived, RNG-free)
+LSH_SEED = 1803
+
+
+def _lsh_matrix() -> list[list[int]]:
+    from clinical_data_warehouse_bi_spark.similarity import rademacher_matrix
+
+    return rademacher_matrix(LSH_SEED, LSH_BANDS * LSH_BAND_BITS, EMB_DIMS)
 
 
 def _sql_band(j: int) -> str:
-    return " + ".join(
-        f"(CASE WHEN e[{j * LSH_BAND_BITS + i + 1}] >= 0"
-        f" THEN {1 << (LSH_BAND_BITS - 1 - i)} ELSE 0 END)"
-        for i in range(LSH_BAND_BITS)
-    )
+    """Band j's signature in DuckDB SQL: each bit is the sign of the
+    SAME +-1-weighted element sum the GEMM path computes (signed
+    literal multiplication is IEEE-exact, so only a dot product
+    within ~1e-15 of zero could diverge between summation orders —
+    impossible on continuous data)."""
+    matrix = _lsh_matrix()
+    bits = []
+    for i in range(LSH_BAND_BITS):
+        row = matrix[j * LSH_BAND_BITS + i]
+        dot = " + ".join(f"({s})*e[{k + 1}]" for k, s in enumerate(row) if s)
+        bits.append(
+            f"(CASE WHEN {dot} >= 0"
+            f" THEN {1 << (LSH_BAND_BITS - 1 - i)} ELSE 0 END)"
+        )
+    return " + ".join(bits)
 
 
 _SQL_BAND_JOINS = "\n      UNION\n".join(
@@ -365,51 +387,37 @@ _SQL_BAND_JOINS = "\n      UNION\n".join(
     """)
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection via multi-band
-    sign-LSH: 4 bands of 16 sign bits each (random-hyperplane LSH
-    with axis-aligned hyperplanes — deterministic and portable), a
-    candidate pair = equal signature in ANY band.
+    sign-LSH over SEEDED RANDOM HYPERPLANES: 4 bands of 16 sign bits,
+    each bit the sign of a Rademacher (+-1) projection regenerated
+    from LSH_SEED — a candidate pair = equal signature in ANY band.
+    Random hyperplanes mix every dimension, so recall survives the
+    correlated/anisotropic dims of real embeddings where round 2's
+    axis-aligned planes collapse (variance concentrates in a few
+    principal components -> minor-dim sign bits are noise); the
+    recall ordering is property-tested on a correlated synthetic set.
 
-    Scale shape: the band relation (vec_id, band, sig — three scalars,
-    no arrays) is persisted once and self-joined for candidates
-    (bounded
-    buckets, never all-pairs); ONLY candidate pairs pay any vector
-    math — dot product AND both norms are per-pair folds, so no
-    full-table norm pass exists at all (measured: columnar-caching
-    array columns cost more than recomputing folds; scalars cache
-    free). Rounded before thresholding so a 1-ulp divergence cannot
-    flip membership.
+    Scale shape: band signatures come from ONE GEMM per Arrow batch
+    (similarity.sign_lsh_bands); the band relation (vec_id, band,
+    sig — three scalars, no arrays) is persisted once and self-joined
+    for candidates (bounded buckets, never all-pairs); ONLY candidate
+    pairs pay exact vector math, as a row-wise einsum
+    (similarity.pairwise_cosine). Rounded before thresholding so a
+    1-ulp divergence cannot flip membership. The DuckDB oracle
+    regenerates the identical matrix as signed element sums, keeping
+    the whole bucket structure hash-checked.
 
-    Recall note (honest): 16-bit bands target production near-dup
-    thresholds (cos >= ~0.9, where per-dim sign agreement ~0.9 gives
-    ~0.56 recall over 4 bands; add bands for more). At this demo's
-    0.3 threshold on near-orthogonal synthetic data, band-match
-    probability is tiny, so few of the weakly-similar pairs surface —
-    the structural point (bounded buckets, candidates-only exact
-    verification) is what carries to 100 TB, and the oracle applies
-    the identical banding so the check stays exact."""
+    Demo threshold note: 0.3 (production uses ~0.9) because the
+    driver's synthetic vectors are near-orthogonal; the structural
+    point (bounded buckets, candidates-only verification) is what
+    carries to 100 TB."""
+    from clinical_data_warehouse_bi_spark.similarity import sign_lsh_bands
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     e = F.transform("embedding", lambda x: x.cast("double"))
     v = emb.select("vec_id", e.alias("e"))
 
-    # each band is ONE SQL-string expression: building 64 bit-tests as
-    # individual Column objects costs ~256 py4j round-trips (~1s of
-    # driver time per plan build — measured); one parsed string is one
-    def band(j: int) -> Column:
-        return F.expr(
-            "CAST("
-            + " + ".join(
-                f"IF(element_at(e, {j * LSH_BAND_BITS + i + 1}) >= 0,"
-                f" {1 << (LSH_BAND_BITS - 1 - i)}, 0)"
-                for i in range(LSH_BAND_BITS)
-            )
-            + " AS BIGINT)"
-        )
-
-    bands = v.select(
-        "vec_id",
-        F.posexplode(F.array(*[band(j) for j in range(LSH_BANDS)])).alias(
-            "band", "sig"
-        ),
+    bands = sign_lsh_bands(
+        emb, _lsh_matrix(), LSH_BANDS, LSH_BAND_BITS
     ).persist()
     left = bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
     right = bands.select(

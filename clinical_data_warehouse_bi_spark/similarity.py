@@ -125,6 +125,75 @@ def pairwise_cosine(
     )
 
 
+def rademacher_matrix(seed: int, planes: int, dims: int) -> list[list[int]]:
+    """Seeded +-1 random-hyperplane matrix, reproducible from an
+    integer seed via md5 (no RNG state: any engine/language can
+    regenerate the identical matrix, which is how the DuckDB oracle
+    applies the same projection). Rademacher entries are the standard
+    sign-LSH choice (Charikar-style random hyperplanes); unlike
+    axis-aligned planes they mix every dimension, so recall survives
+    correlated/anisotropic real-world embedding dims (see
+    tests/test_properties.py recall property)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def axis_matrix(planes: int, dims: int) -> list[list[int]]:
+    """Axis-aligned plane matrix (plane p tests sign(x[p % dims])) —
+    the round-2 banding, kept as the recall-comparison baseline."""
+    return [[1 if d == p % dims else 0 for d in range(dims)] for p in range(planes)]
+
+
+def sign_lsh_bands(
+    vectors: DataFrame,
+    matrix: list[list[int]],
+    n_bands: int,
+    band_bits: int,
+) -> DataFrame:
+    """(vec_id, band, sig): multi-band sign-LSH signatures via one
+    GEMM per Arrow batch — bits = (X @ R^T >= 0), band j's signature
+    packs its ``band_bits`` bits big-endian. The projection is the
+    broadcast literal ``matrix`` (planes x dims, +-1 entries), so the
+    identical banding is expressible in SQL as signed element sums —
+    the DuckDB oracle runs exactly that, keeping the bucket structure
+    hash-checkable."""
+    rmat = np.array(matrix, dtype=np.float64)  # planes x dims
+    weights = [
+        np.array([1 << (band_bits - 1 - i) for i in range(band_bits)], dtype=np.int64)
+        for _ in range(n_bands)
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (mat @ rmat.T) >= 0  # N x planes
+            out = []
+            for j in range(n_bands):
+                sig = bits[:, j * band_bits : (j + 1) * band_bits].astype(
+                    np.int64
+                ) @ weights[j]
+                out.append(
+                    pd.DataFrame({"vec_id": ids, "band": j, "sig": sig})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return vectors.select("vec_id", "embedding").mapInPandas(
+        op, "vec_id long, band int, sig long"
+    )
+
+
 def centroid_rank(
     vectors: DataFrame,
     centroids: list[tuple[int, list[float]]],
