@@ -47,10 +47,6 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long and truncate to micros (exact: driver data has no sub-us
     precision, and DuckDB's view of the same file is also micros).
     """
-    # evict entries of stopped sessions so a long-lived process that
-    # cycles get_spark()/stop() does not pin dead sessions forever
-    for k in [k for k, (s, _) in _TABLE_MEMO.items() if s._jsc.sc().isStopped()]:
-        _TABLE_MEMO.pop(k, None)
     memo_key = (id(spark), sf_dir, name)
     cached = _TABLE_MEMO.get(memo_key)
     if cached is not None and cached[0] is spark:
@@ -59,6 +55,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the directory in-session it must pop the entry (or use a new
         # session) to see the new files
         return cached[1]
+    # miss path only: evict entries of stopped sessions so a process
+    # that cycles get_spark()/stop() does not pin dead sessions
+    # forever. The liveness probe touches private py4j internals, so
+    # a failing probe (API drift, half-torn-down session) counts as
+    # dead rather than raising into the read path.
+    for k, (s, _) in list(_TABLE_MEMO.items()):
+        try:
+            dead = s._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001
+            dead = True
+        if dead:
+            _TABLE_MEMO.pop(k, None)
     # must be set in case the caller's session (e.g. the driver's)
     # didn't come from our factory; it is a runtime SQL conf
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

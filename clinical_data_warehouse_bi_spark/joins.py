@@ -135,13 +135,60 @@ def scalar_lookup_default(
     return fact.withColumn(out or col, F.coalesce(F.col(col), F.lit(default)))
 
 
+def estimate_salt_buckets(
+    left: DataFrame,
+    left_key: str,
+    target_rows_per_task: int = 2_000_000,
+    sample_fraction: float = 1.0,
+    max_buckets: int = 1024,
+) -> int:
+    """Derive the salt bucket count from the left side's key-frequency
+    sketch: buckets ~= hottest-key row count / ``target_rows_per_task``
+    (clamped to [1, max_buckets]) — so the caller never has to guess
+    the skew. The probe is one aggregate over the key column only
+    (map-side combine shrinks it to distinct keys per partition, the
+    standard skew-detection pass; AQE derives the same signal from
+    shuffle stats at runtime). ``sample_fraction < 1`` scans a sample
+    and scales the estimate — the cheap knob when even one key-column
+    pass is too expensive. Batch-only (sampling a stream is
+    undefined); salted_join requires explicit buckets on streams."""
+    import math
+
+    probe = (
+        left
+        if sample_fraction >= 1.0
+        else left.sample(fraction=sample_fraction, seed=7)
+    )
+    row = (
+        probe.groupBy(left_key)
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .first()
+    )
+    top = int((row["mx"] or 0) / sample_fraction)
+    return max(1, min(max_buckets, math.ceil(top / target_rows_per_task) or 1))
+
+
+def _salted_left(left: DataFrame, buckets: int) -> DataFrame:
+    """Attach the per-row __salt shard id (content-independent where
+    possible — see salted_join docstring)."""
+    if left.isStreaming:
+        salt = F.pmod(
+            F.xxhash64(F.spark_partition_id(), *left.columns), F.lit(buckets)
+        ).cast("int")
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
+    return left.withColumn("__salt", salt)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
     left_key: str,
     right_key: str,
-    buckets: int = 16,
+    buckets: int | None = None,
     how: str = "inner",
+    target_rows_per_task: int = 2_000_000,
 ) -> DataFrame:
     """Skew-mitigating equi-join for when one join key dominates
     (clinical data: a handful of admissions hold most events) and the
@@ -165,14 +212,22 @@ def salted_join(
     this automatically at runtime; use salted_join when a single key
     is so hot that even one post-split partition exceeds executor
     memory, or when AQE is unavailable (streaming joins).
+
+    ``buckets=None`` (default) self-tunes on batch inputs: one
+    key-frequency probe sizes the shard count so the hottest key's
+    rows land under ``target_rows_per_task`` per task (see
+    estimate_salt_buckets). Streams must pass explicit buckets — the
+    probe would need an eager scan of the stream.
     """
-    if left.isStreaming:
-        salt = F.pmod(
-            F.xxhash64(F.spark_partition_id(), *left.columns), F.lit(buckets)
-        ).cast("int")
-    else:
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
-    l_ = left.withColumn("__salt", salt)
+    if buckets is None:
+        if left.isStreaming:
+            raise ValueError(
+                "salted_join(buckets=None) sizes the salt from a key-frequency"
+                " probe of `left`, which cannot run on a streaming DataFrame —"
+                " pass an explicit buckets count"
+            )
+        buckets = estimate_salt_buckets(left, left_key, target_rows_per_task)
+    l_ = _salted_left(left, buckets)
     r_ = right.crossJoin(
         F.broadcast(
             right.sparkSession.range(buckets).select(F.col("id").cast("int").alias("__salt"))
@@ -220,6 +275,13 @@ def range_join_binned(
     a hint for when the right side is too expensive to pre-scan.
     """
     if bin_width is None:
+        if right.isStreaming:
+            raise ValueError(
+                "range_join_binned(bin_width=None) self-tunes by eagerly"
+                " scanning `right` for its median interval length, which"
+                " cannot run on a streaming DataFrame — pass an explicit"
+                " bin_width"
+            )
         row = right.select(
             F.percentile_approx(
                 (F.col(hi_col) - F.col(lo_col)).cast("double"), 0.5, 1000

@@ -53,6 +53,22 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def repartition_by_size_bucket(
+    media: DataFrame, blob_col: str = "content", partitions: int | None = None
+) -> DataFrame:
+    """Co-locate similar-sized blobs (power-of-two size buckets as the
+    partition key) so `spark.sql.execution.arrow.maxRecordsPerBatch`
+    — a ROW cap — becomes a usable BYTE bound per Arrow batch: within
+    a partition all blobs share a size bucket (max/min < 2x), so
+    batch memory <= maxRecordsPerBatch x bucket ceiling, instead of
+    `rows x largest-blob-anywhere` when a batch mixes 10 MB videos
+    with 10-byte thumbnails. Measured (not just asserted) by
+    tests/test_multimodal.py::test_arrow_batches_bounded_under_skew."""
+    n = partitions or media.sparkSession.sparkContext.defaultParallelism
+    bucket = F.floor(F.log2(F.greatest(F.length(blob_col), F.lit(1))))
+    return media.repartition(n, bucket)
+
+
 def decode_media(blob: bytes, media_type: str, real_decode: bool = False) -> np.ndarray:
     """THE stub: a real deployment decodes image/audio here. The fake
     path returns the raw bytes as a uint8 array — deterministic, so

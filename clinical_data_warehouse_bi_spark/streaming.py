@@ -129,6 +129,7 @@ def stream_stream_interval_join(
     right_ts: str = "r_ts",
     tolerance: str = "1 hour",
     watermark: str = "2 hours",
+    right_key: str | None = None,
 ) -> DataFrame:
     """Stream-stream equi-join bounded by a time interval — the
     streaming face of the star schema's interval joins (J5/J6,
@@ -141,11 +142,25 @@ def stream_stream_interval_join(
     stream-stream join must hold EVERY past row forever. State per
     key is O(rows within watermark+tolerance) — the only shape that
     survives an unbounded 100 TB/day stream pair. Works identically
-    on batch frames (the unified-API dual; watermarks are no-ops)."""
+    on batch frames (the unified-API dual; watermarks are no-ops).
+
+    ``right_key`` names the right side's join-key column; it defaults
+    to the ``r_<key>`` prefix convention (the right frame must not
+    collide with the left's column names) and is validated up front
+    so a mismatched frame fails with the convention spelled out
+    rather than an unresolved-column error."""
+    right_key = right_key or f"r_{key}"
+    if right_key not in right.columns:
+        raise ValueError(
+            f"right side has no column {right_key!r} (columns:"
+            f" {right.columns}); pass right_key= explicitly or rename —"
+            f" the default expects the left key {key!r} prefixed as"
+            f" r_{key}"
+        )
     l_ = left.withWatermark(left_ts, watermark)
     r_ = right.withWatermark(right_ts, watermark)
     cond = (
-        (l_[key] == r_[f"r_{key}"])
+        (l_[key] == r_[right_key])
         & (r_[right_ts] >= l_[left_ts])
         & (r_[right_ts] <= l_[left_ts] + F.expr(f"INTERVAL {tolerance}"))
     )

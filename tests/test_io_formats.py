@@ -57,11 +57,26 @@ def test_write_training_shards(spark, sf_dir, tmp_path):
     for f in files:
         n = spark.read.parquet(os.path.join(out, f)).count()
         assert n <= 100
-    # determinism: same key -> same shard across runs
+    # determinism: same key -> same shard across runs. Compare the
+    # PER-SHARD KEY SETS, not row-count multisets — counts can match
+    # while keys landed in different shards. Files of one shard share
+    # a part number prefix (part-SSSSS-*); group by it.
+    def shard_key_sets(path: str) -> list[frozenset]:
+        by_shard: dict[str, set] = {}
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            shard = f.split("-")[1]
+            ids = {
+                r["doc_id"]
+                for r in spark.read.parquet(os.path.join(path, f)).collect()
+            }
+            by_shard.setdefault(shard, set()).update(ids)
+        return sorted(
+            (frozenset(s) for s in by_shard.values()), key=lambda s: min(s)
+        )
+
     out2 = str(tmp_path / "shards2")
     write_training_shards(docs, out2, num_shards=4, shard_key="doc_id",
                           max_records_per_file=100)
-    a = {f: spark.read.parquet(os.path.join(out, f)).count() for f in sorted(files)}
-    files2 = sorted(f for f in os.listdir(out2) if f.endswith(".parquet"))
-    b = {f: spark.read.parquet(os.path.join(out2, f)).count() for f in files2}
-    assert sorted(a.values()) == sorted(b.values())
+    assert shard_key_sets(out) == shard_key_sets(out2)

@@ -79,3 +79,61 @@ def test_resize_media_shapes_and_determinism(spark, sf_dir):
     # deterministic (fake decode is pure)
     again = {r.doc_id: bytes(r.content) for r in resize_media(media, 8, 4).collect()}
     assert {r.doc_id: bytes(r.content) for r in rows} == again
+
+
+def test_arrow_batches_bounded_under_skew(spark):
+    """The module docstring's scale claim, measured: with
+    maxRecordsPerBatch set and size-bucket repartitioning, every
+    Arrow batch delivered to Python is bounded in rows AND in bytes
+    (no batch mixes the 100 KB blobs with the 10 B ones, so the row
+    cap is a real memory cap)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from clinical_data_warehouse_bi_spark.multimodal import (
+        repartition_by_size_bucket,
+    )
+
+    rows = [(i, b"x" * 10) for i in range(500)]
+    rows += [(1000 + i, b"y" * 100_000) for i in range(8)]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sizes = pdf["content"].map(len)
+            yield pd.DataFrame(
+                {
+                    "n_rows": [len(pdf)],
+                    "total_bytes": [int(sizes.sum())],
+                    "min_blob": [int(sizes.min())],
+                    "max_blob": [int(sizes.max())],
+                }
+            )
+
+    cap = 4
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(cap))
+    try:
+        stats = repartition_by_size_bucket(media, partitions=8).mapInPandas(
+            probe, "n_rows long, total_bytes long, min_blob long, max_blob long"
+        ).collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert stats, "no batches observed"
+    for r in stats:
+        assert r["n_rows"] <= cap  # the row cap is honored per batch
+        # size-bucketing keeps batches homogeneous: power-of-two
+        # buckets mean max/min < 2 within any batch...
+        assert r["max_blob"] < 2 * max(r["min_blob"], 1)
+        # ...so the row cap IS a byte bound: rows x bucket ceiling
+        assert r["total_bytes"] <= cap * r["max_blob"]
+    # and the global worst batch is the big-blob bucket's cap, not
+    # cap x largest blob mixed into every batch
+    assert max(r["total_bytes"] for r in stats) <= cap * 100_000

@@ -393,3 +393,80 @@ def test_random_hyperplane_recall_beats_axis_aligned(spark):
     assert r_rot >= r_axis, (r_rot, r_axis)
     assert r_rot - r_axis > 0.3, (r_rot, r_axis)  # decisive, not a tie
     assert r_rot > 0.6, r_rot
+
+
+def test_salt_buckets_self_tune_on_hot_key(spark):
+    """VERDICT r2 #5: salted_join(buckets=None) must size its shards
+    from the observed key skew so the hottest key's rows plan under
+    target_rows_per_task per task, without caller hints."""
+    from clinical_data_warehouse_bi_spark.joins import (
+        _salted_left,
+        estimate_salt_buckets,
+        salted_join,
+    )
+
+    # one hot key (5000 rows) among cold keys (20 rows each)
+    rows = [(0, i) for i in range(5000)] + [
+        (k, i) for k in range(1, 11) for i in range(20)
+    ]
+    left = spark.createDataFrame(rows, "k long, a long").repartition(8)
+    right = spark.createDataFrame([(k, k * 10) for k in range(11)], "rk long, b long")
+
+    target = 1000
+    buckets = estimate_salt_buckets(left, "k", target_rows_per_task=target)
+    assert buckets >= 5  # 5000-row hot key / 1000-per-task
+
+    # the salted relation really does bound rows per (key, salt) task
+    per_task = (
+        _salted_left(left, buckets)
+        .groupBy("k", "__salt")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
+    )
+    assert per_task <= 2 * target  # miid salt is uniform up to ~2x
+
+    # and the auto-tuned join is still a plain equi-join semantically
+    got = sorted(
+        (r["k"], r["a"], r["b"])
+        for r in salted_join(left, right, "k", "rk", target_rows_per_task=target)
+        .collect()
+    )
+    want = sorted((k, a, k * 10) for k, a in rows)
+    assert got == want
+
+
+def test_salted_join_streaming_requires_explicit_buckets(spark, tmp_path):
+    """buckets=None needs an eager probe of `left` — must raise a
+    clear error on a streaming frame instead of AnalysisException."""
+    import pytest
+
+    from clinical_data_warehouse_bi_spark.joins import salted_join
+
+    spark.createDataFrame([(1, 1)], "k long, a long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "src"))
+    stream = spark.readStream.schema("k long, a long").parquet(
+        str(tmp_path / "src")
+    )
+    right = spark.createDataFrame([(1, 2)], "rk long, b long")
+    with pytest.raises(ValueError, match="explicit buckets"):
+        salted_join(stream, right, "k", "rk")
+
+
+def test_range_join_streaming_requires_explicit_bin_width(spark, tmp_path):
+    """bin_width=None self-tunes via an eager scan of `right` — must
+    raise a clear error on a streaming right side (ADVICE r2)."""
+    import pytest
+
+    from clinical_data_warehouse_bi_spark.joins import range_join_binned
+
+    spark.createDataFrame([(0, 5)], "lo long, hi long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "r"))
+    stream = spark.readStream.schema("lo long, hi long").parquet(
+        str(tmp_path / "r")
+    )
+    left = spark.createDataFrame([(1, 3)], "pid long, p long")
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join_binned(left, stream, "p", "lo", "hi")

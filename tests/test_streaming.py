@@ -221,3 +221,27 @@ def test_salted_join_works_on_streams(spark, stream_dir):
         .count()
     )
     assert got == want
+
+
+def test_stream_stream_join_right_key_validated(spark):
+    """A right frame missing the r_<key> convention column fails fast
+    with the convention spelled out (ADVICE r2), and right_key= names
+    an arbitrary column instead."""
+    import pytest
+
+    from clinical_data_warehouse_bi_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp"))
+    bad_right = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "uid long, r_ts string"
+    ).select("uid", F.col("r_ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="r_user_id"):
+        stream_stream_interval_join(left, bad_right, "user_id")
+    out = stream_stream_interval_join(
+        left, bad_right, "user_id", right_key="uid"
+    )
+    assert out.count() == 1
