@@ -65,6 +65,60 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_pipeline(spark, sf: float) -> float:
+    """Wall-clock of the reference's whole artifact: the 3-layer
+    clinical star pipeline (staging -> DWH -> pre-agg) on the
+    deterministic MIMIC-shaped fixtures, scaled by sf. Sources are
+    cached first so the timing isolates the pipeline's own plan-build
+    + compute (in production the sources are tables on disk, not
+    driver-generated rows). Sanity anchors: both fact layers
+    non-empty, the DWH fact no larger than staging (orphan cleanup
+    only removes), and the pre-agg has one row per admission."""
+    import time
+
+    from clinical_data_warehouse_bi_spark import star
+    from clinical_data_warehouse_bi_spark.fixtures import make_sources
+
+    n_patients = max(120, int(12000 * sf))
+    src = make_sources(spark, n_patients=n_patients)
+    for df in src.values():
+        df.cache().count()
+
+    def run():
+        out = star.run_pipeline(src)
+        out["dwh"]["fact_disorder_events"].write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["dwh"]["agg_disorders_per_admission"].write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return out
+
+    out = run()  # warm-up + anchor material
+    n_stage = out["stage"]["fact_disorder_events"].count()
+    n_dwh = out["dwh"]["fact_disorder_events"].count()
+    n_agg = out["dwh"]["agg_disorders_per_admission"].count()
+    n_adm = (
+        out["dwh"]["fact_disorder_events"].select("admission_id").distinct().count()
+    )
+    assert 0 < n_dwh <= n_stage, (n_stage, n_dwh)
+    assert n_agg == n_adm, (n_agg, n_adm)
+    print(
+        f"pipeline_star anchor: patients={n_patients} stage_fact={n_stage}"
+        f" dwh_fact={n_dwh} agg_rows={n_agg}",
+        file=sys.stderr,
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    for df in src.values():
+        df.unpersist()
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -92,6 +146,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+    try:
+        spark.catalog.clearCache()
+        timings["pipeline_star"] = bench_pipeline(
+            spark, float(sf) if sf.replace(".", "").isdigit() else 0.01
+        )
+    except Exception as e:  # noqa: BLE001
+        timings["pipeline_star"] = -1.0
+        print(f"bench error in pipeline_star: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
         json.dumps(
