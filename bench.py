@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q_sessionize",
     "q_window_tumbling",
     "q_dedup_exact",
+    "q_dedup_clusters",
     "q_stream_dedup_dual",
     "q_minhash_lsh_pairs",
     "q_lsh_near_dup",

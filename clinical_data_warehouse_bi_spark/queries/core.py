@@ -261,17 +261,33 @@ def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q_dup_probe", oracle="""
-    SELECT o_custkey, count(*) AS n_orders
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
+                AS DOUBLE) AS total_spend
     FROM orders GROUP BY o_custkey HAVING count(*) > 1
+    ORDER BY count(*) DESC, o_custkey LIMIT 10
     """)
 def q_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5/A6 — GROUP BY ... HAVING count(*)>1 duplicate detection
-    (QA.sql:124-176)."""
+    """A5/A6 + O1 — GROUP BY ... HAVING count(*)>1 duplicate detection
+    (QA.sql:124-176) ranked to the top-10 offenders (LIMIT,
+    Stage_area.sql:229; registry cap consolidation: the former
+    q_topk_orders' ORDER BY + LIMIT now rides here). Deterministic
+    total order (count desc, unique key tiebreak); Spark plans
+    TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    no global sort at scale."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     return (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_spend"),
+        )
         .filter(F.col("n_orders") > 1)
+        .orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+        .limit(10)
     )
 
 
@@ -292,22 +308,6 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_number_key([F.col("s_suppkey")]).alias("provider_id"),
         "s_name",
         "s_nationkey",
-    )
-
-
-@register("q_topk_orders", oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """)
-def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 — LIMIT (Stage_area.sql:229) made deterministic with a
-    total order (unique tiebreak). Spark plans TakeOrderedAndProject —
-    per-partition top-k then a k-row merge; no global sort at scale."""
-    o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
     )
 
 

@@ -334,3 +334,53 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_K)
     )
+
+
+@register("q_dedup_clusters", oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+    SELECT id AS doc_id,
+           min(r) AS cluster_id,
+           (min(r) = id) AS is_canonical
+    FROM reach GROUP BY id
+    """)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assembly — the step after pair detection that
+    a training-data dedup actually ships: connected components over
+    the MinHash-LSH candidate-pair graph, labeling every document
+    with its cluster's minimum doc_id and flagging the one canonical
+    representative to keep (the reference's DISTINCT promotion,
+    DWH.sql:111-118, is the exact-dup special case of this). Isolated
+    documents form singleton clusters, so the output is a total
+    keep/drop decision for the corpus: keep is_canonical, drop the
+    rest.
+
+    Plan: the banded LSH pair join (never all-pairs) feeds
+    graph.connected_components — iterative min-label propagation,
+    one shuffle pair per round, lineage truncated per round,
+    O(cluster diameter) rounds (shallow for duplicate clusters). The
+    DuckDB oracle computes the same fixpoint as a recursive CTE, so
+    the hash gate checks the iterative loop end-to-end."""
+    from clinical_data_warehouse_bi_spark.graph import connected_components
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = T.lsh_candidate_pairs(T.lsh_band_signatures_wide(T.minhash_wide(docs)))
+    labels = connected_components(
+        pairs,
+        vertices=docs.select("doc_id"),
+        src="doc_a",
+        dst="doc_b",
+        vertex_col="doc_id",
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )

@@ -62,6 +62,8 @@ _CHECK_ORDER = [
     "q_sessionize",
     "q_frame_sample",
     "q_doc_fingerprint",
+    # round-3 additions
+    "q_dedup_clusters",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -107,7 +109,6 @@ _CHECK_ORDER = [
     "q_null_reject",
     "q_keyword_filter",
     "q_dup_probe",
-    "q_topk_orders",
 ]
 
 

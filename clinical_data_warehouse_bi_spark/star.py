@@ -277,16 +277,23 @@ def build_staging(
     else:
         fact = zip_index_key(union.drop("__batch"), name="disorder_event_id")
 
-    # -- UPDATE 1 (225-231): unknown-concept default via scalar lookup
-    unknown_id = (
-        dim_concepts.filter(F.col("concept_name") == "Unknown concept")
-        .select("clinical_concept_id")
-        .first()[0]
+    # -- UPDATE 1 (225-231): unknown-concept default via scalar
+    #    lookup. LAZY form: the one-row filtered dim rides in as a
+    #    broadcast cross join + coalesce instead of an eager .first()
+    #    — same semantics (the filter yields exactly one row by
+    #    construction), but the pipeline build stays action-free here
+    #    (an eager scalar cost 0.4 s of build latency per run; the
+    #    registered J12 query keeps the driver-side idiom in
+    #    joins.scalar_lookup_default).
+    unknown_row = F.broadcast(
+        dim_concepts.filter(F.col("concept_name") == "Unknown concept").select(
+            F.col("clinical_concept_id").alias("__unknown_id")
+        )
     )
-    fact = fact.withColumn(
+    fact = fact.crossJoin(unknown_row).withColumn(
         "clinical_concept_id",
-        F.coalesce(F.col("clinical_concept_id"), F.lit(unknown_id)),
-    )
+        F.coalesce(F.col("clinical_concept_id"), F.col("__unknown_id")),
+    ).drop("__unknown_id")
 
     # -- UPDATE 2 (237-245): careunit backfill via LEFT interval join,
     #    deterministic pick-first (earliest intime, then careunit).

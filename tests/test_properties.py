@@ -470,3 +470,45 @@ def test_range_join_streaming_requires_explicit_bin_width(spark, tmp_path):
     left = spark.createDataFrame([(1, 3)], "pid long, p long")
     with pytest.raises(ValueError, match="bin_width"):
         range_join_binned(left, stream, "p", "lo", "hi")
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=20
+    ),
+    isolated=st.lists(st.integers(0, 15), min_size=0, max_size=5),
+)
+def test_connected_components_match_union_find(spark, edges, isolated):
+    """Min-label propagation must agree with a brute-force union-find
+    for any graph, including self-loops, duplicate edges, and
+    isolated vertices (singleton components)."""
+    from clinical_data_warehouse_bi_spark.graph import connected_components
+
+    e_df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges] or [], "src long, dst long"
+    )
+    v_ids = sorted({v for e in edges for v in e} | set(isolated))
+    v_df = spark.createDataFrame([Row(id=v) for v in v_ids] or [], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e_df, vertices=v_df).collect()
+    }
+
+    parent = {v: v for v in v_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for v in v_ids:
+        root = find(v)
+        want[v] = min(u for u in v_ids if find(u) == root)
+    assert got == want
