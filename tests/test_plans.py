@@ -259,3 +259,33 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert joined.count() > 0
     spark.sql("DROP DATABASE bucket_test CASCADE")
     spark.sql("USE default")
+
+
+def test_cosine_topk_never_joins_the_vector_table(spark, sf_dir):
+    """The GEMM top-k path must not plan a cross/nested-loop join of
+    the vector table — queries ride inside the mapInPandas closure,
+    so the only join-free exchange left is the tiny partial-top-k
+    window."""
+    plan = physical_plan(QUERIES["q_cosine_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # scoring happens in the Arrow stage
+
+
+def test_ann_ivf_nprobe_no_cartesian(spark, sf_dir):
+    """IVF assignment is a broadcast-matrix GEMM, not a centroid
+    crossJoin: no cartesian/nested-loop operator anywhere, candidate
+    scoring in an Arrow stage, bucket join as a hash join."""
+    plan = physical_plan(QUERIES["q_ann_ivf_nprobe"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_sign_lsh_band_join_is_hash_join(spark, sf_dir):
+    """q_embed_near_dup's candidate stage must stay a hash equi-join
+    on (band, sig) — a nested-loop there is the all-pairs collapse
+    the banding exists to avoid."""
+    plan = physical_plan(QUERIES["q_embed_near_dup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
