@@ -18,15 +18,20 @@ rounds in practice.
 - per iteration: ONE shuffle pair (edge join on dst + groupBy src),
   both keyed on vertex id, so AQE reuses/co-partitions the exchange;
   skewed hub vertices are AQE-split.
+- ONE action per iteration: the changed-row flag is computed inline
+  in the label update and aggregated by the same job that
+  materializes the lazy localCheckpoint — no separate convergence
+  join/count job (each extra action is a full job-submission barrier
+  on a cluster).
 - lineage is truncated every iteration (localCheckpoint) — without
   it the plan doubles per round and the driver, not the data,
-  becomes the bottleneck (the standard iterative-algorithm idiom,
-  same barrier RDD-based iterative jobs use).
-- for graphs with deep chains (not the dedup shape), the
-  alternating large-star/small-star algorithm (Kiveris et al.)
-  converges in O(log n) rounds with the same per-round plan; the
-  label-propagation loop here is the simple special case that is
-  optimal for shallow duplicate clusters.
+  becomes the bottleneck (the standard iterative-algorithm idiom).
+- graphs with deep chains (not the dedup shape) automatically fall
+  back to the alternating large-star/small-star algorithm (Kiveris
+  et al., "Connected Components in MapReduce and Beyond"), which
+  contracts star edges toward each component's minimum and converges
+  in O(log^2 n) rounds regardless of diameter, with the same
+  bounded per-round dataflow (two keyed shuffles, no all-pairs).
 """
 
 from __future__ import annotations
@@ -42,16 +47,26 @@ def connected_components(
     dst: str = "dst",
     vertex_col: str = "id",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(id, component): each vertex labeled with the smallest vertex
     id reachable from it over the undirected ``edges``.
 
     ``vertices`` (optional) adds isolated vertices — every id there
     appears in the output even with no incident edge (its own
-    singleton component). Raises after ``max_iter`` rounds without a
-    fixpoint (a diameter that large means the input is not the
-    shallow dedup-cluster shape this loop is tuned for — use a
-    large-star/small-star variant instead)."""
+    singleton component).
+
+    ``algorithm``:
+      - ``"auto"`` (default): min-label propagation — optimal for the
+        shallow dedup-cluster shape (O(diameter) rounds, one shuffle
+        pair and ONE action per round) — falling back to alternating
+        large-star/small-star if ``max_iter`` rounds pass without a
+        fixpoint (deep chains converge there in O(log^2 n) rounds).
+      - ``"label_prop"``: propagation only; raises past ``max_iter``.
+      - ``"star"``: large-star/small-star from the start.
+    """
+    if algorithm not in ("auto", "label_prop", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -60,7 +75,11 @@ def connected_components(
     base = sym.select(F.col("s").alias("id"))
     if vertices is not None:
         base = base.unionByName(vertices.select(F.col(vertex_col).alias("id")))
-    labels = base.distinct().select("id", F.col("id").alias("component"))
+    base = base.distinct()
+    if algorithm == "star":
+        return _star_components(edges, base, src, dst)
+
+    labels = base.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
@@ -69,27 +88,110 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # Inline changed-flag: min-label only ever decreases, so a row
+        # changed iff a neighbor offered a strictly smaller label. The
+        # lazy localCheckpoint is materialized by the count_if job
+        # below — one action, one full scan, per round.
+        flagged = (
             labels.join(neigh, labels["id"] == neigh["s"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")).alias(
+                    "chg"
+                ),
             )
-            .localCheckpoint(eager=True)  # truncate per-iteration lineage
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.agg(F.count_if(F.col("chg")).alias("n")).first()["n"]
+        labels = flagged.drop("chg")
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge within {max_iter} iterations —"
-        " component diameter exceeds the shallow dedup-cluster shape; use an"
-        " alternating large-star/small-star pass instead"
+    if algorithm == "label_prop":
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} iterations —"
+            " component diameter exceeds the shallow dedup-cluster shape; use"
+            " algorithm='star' (alternating large-star/small-star) instead"
+        )
+    return _star_components(edges, base, src, dst)
+
+
+def _star_components(
+    edges: DataFrame, base: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al.): edges are repeatedly rewired toward each
+    neighborhood's minimum until the graph is a forest of stars
+    rooted at component minima. Diameter-independent: O(log^2 n)
+    rounds on any graph, each round two keyed shuffles over the
+    (always shrinking-height) edge set.
+
+    Edges are kept canonical as (hi > lo) pairs; at the fixpoint
+    every edge is (vertex, component-min)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+
+    # A star forest is at most binary-log contractions away; the bound
+    # below is generous and only guards against a logic bug looping.
+    for _ in range(64):
+        # large-star: for each u, m = min over Γ(u) ∪ {u}; rewire every
+        # strictly larger neighbor v > u to m.
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: per larger endpoint u with smaller neighbors N,
+        # m = min(N); rewire u and every v in N \ {m} to m.
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(smins, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .unionByName(smins.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # One symmetric-difference action both materializes the
+        # checkpoint and decides convergence.
+        diff = (
+            e.withColumn("w", F.lit(-1))
+            .unionByName(ss.withColumn("w", F.lit(1)))
+            .groupBy("hi", "lo")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") != 0)
+            .count()
+        )
+        e = ss
+        if diff == 0:
+            break
+    else:  # pragma: no cover - 64 rounds cover graphs beyond any real corpus
+        raise RuntimeError("large-star/small-star did not converge in 64 rounds")
+
+    member = e.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    roots = e.select(F.col("lo").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    labeled = member.unionByName(roots)
+    singles = base.join(labeled, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return labeled.unionByName(singles)

@@ -512,3 +512,71 @@ def test_connected_components_match_union_find(spark, edges, isolated):
         root = find(v)
         want[v] = min(u for u in v_ids if find(u) == root)
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=20
+    ),
+    isolated=st.lists(st.integers(0, 15), min_size=0, max_size=5),
+)
+def test_star_components_match_union_find(spark, edges, isolated):
+    """The large-star/small-star path must agree with brute-force
+    union-find on arbitrary graphs — same contract as label
+    propagation, reachable both explicitly and via auto-fallback."""
+    from clinical_data_warehouse_bi_spark.graph import connected_components
+
+    e_df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges] or [], "src long, dst long"
+    )
+    v_ids = sorted({v for e in edges for v in e} | set(isolated))
+    v_df = spark.createDataFrame([Row(id=v) for v in v_ids] or [], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e_df, vertices=v_df, algorithm="star").collect()
+    }
+
+    parent = {v: v for v in v_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for v in v_ids:
+        root = find(v)
+        want[v] = min(u for u in v_ids if find(u) == root)
+    assert got == want
+
+
+def test_deep_chain_converges_via_star_fallback(spark):
+    """A path graph far deeper than max_iter must still return correct
+    components: auto falls back to large-star/small-star instead of
+    raising, and star converges in O(log^2 n) rounds regardless of the
+    80-hop diameter. label_prop alone must refuse with a clear error."""
+    import pytest
+
+    from clinical_data_warehouse_bi_spark.graph import connected_components
+
+    n = 80  # diameter 79 >> max_iter=5
+    e_df = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e_df, max_iter=5).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.raises(RuntimeError, match="large-star/small-star"):
+        connected_components(e_df, max_iter=5, algorithm="label_prop")
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(e_df, algorithm="bogus")
