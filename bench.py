@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_doc_fingerprint",
     "q_cosine_topk",
     "q_ann_ivf_nprobe",
+    "q_ann_ivf_learned",
     "q_embed_quantize",
     "q_embed_near_dup",
     "q_multimodal_features",

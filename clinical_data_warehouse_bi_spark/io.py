@@ -86,6 +86,49 @@ def load_tables(
     return {name: read_table(spark, sf_dir, name) for name in names}
 
 
+def parquet_numeric_bounds(
+    path: str, columns: list[str]
+) -> dict[str, tuple[float, float]] | None:
+    """Exact global (min, max) per numeric column from parquet FOOTER
+    statistics — a driver-side metadata read, no Spark job. This is
+    the same per-row-group min/max every engine's predicate pushdown
+    trusts; aggregating it across row groups gives the exact column
+    bounds (numeric stats are never truncated, unlike strings).
+
+    Returns None unless EVERY requested column has trustworthy
+    min/max in EVERY row group (missing stats, all-NULL columns,
+    non-numeric types, zero row groups) — callers fall back to a probe
+    job. At 100 TB this replaces a full-scan aggregate with footer
+    reads the planner already does."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 — unreadable/absent file: probe instead
+        return None
+    if md.num_row_groups == 0:
+        return None
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, tuple[float, float]] = {}
+    for c in columns:
+        i = names.get(c)
+        if i is None:
+            return None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                return None
+            try:
+                mn, mx = float(st.min), float(st.max)
+            except (TypeError, ValueError):
+                return None  # non-numeric column
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        out[c] = (lo, hi)
+    return out
+
+
 def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """Rebalance a scan whose split count is far below the cluster's
     parallelism, so downstream compute-heavy stages (shingle explode +

@@ -151,18 +151,20 @@ def q_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_null_reject", oracle="""
-    SELECT event_id AS evt_id, user_id AS patient_id, ts AS event_ts
-    FROM events
-    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND props IS NOT NULL
-    """)
 def q_null_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2/P4 — project + rename + NULL-rejection in one pass
     (Stage_area.sql:27-29 `subject_id AS patient_id`, 183-185). One
     query carries all three trivial projection operators (registry cap
     consolidation: the former q_project_rename was this same
     select/alias shape on `customer`); column pruning + the NOT NULL
-    predicates both reach the parquet scan."""
+    predicates both reach the parquet scan.
+
+    Round-5 registry retirement (cap is 50; the slot went to
+    q_ann_ivf_learned): every operator here is strictly subsumed by
+    q_multi_source_union's branches — each branch projects, renames
+    (`l_orderkey AS source_id`), and NULL-rejects with the same
+    pushdown-checked shapes, hash-verified against its oracle. Kept
+    unregistered for the narrow-API form."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return ev.filter(
         F.col("user_id").isNotNull()
@@ -441,9 +443,15 @@ def exact_percentiles_bucketed(
     specs: dict[str, list[tuple[float, str]]],
     native_distinct_max: int = 65536,
 ) -> list[dict]:
-    """Distributed EXACT interpolated percentiles with bounded memory
-    (DuckDB quantile_cont definition: value at continuous index
-    (n-1)*p of the sorted multiset, linear interpolation).
+    """Driver-merged EXACT interpolated percentiles with bounded
+    EXECUTOR memory (DuckDB quantile_cont definition: value at
+    continuous index (n-1)*p of the sorted multiset, linear
+    interpolation). Round-5 note: superseded as the registered default
+    by percentiles.exact_percentiles_distributed, which additionally
+    bounds the DRIVER side (this form merges per-group histograms on
+    the driver — fine at report grain, the bottleneck at millions of
+    groups); kept as the list-of-dicts API and the independent
+    implementation the equivalence tests cross-check.
 
     Spark's `percentile` aggregate holds a value->count map per group
     — fine for low-cardinality columns, unbounded for continuous ones
@@ -755,35 +763,45 @@ def percentiles_native_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """)
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT interpolated percentiles per group with BOUNDED executor
-    state — the registered default is exact_percentiles_bucketed
-    (min/max pass -> 4096-bucket histogram -> value counts only inside
-    rank-holding buckets; every executor-side aggregation state is
-    O(buckets), never O(distinct values)). Spark's native `percentile`
-    buffers a value->count map per group, which on a continuous column
-    like l_extendedprice grows with the data — an executor-memory risk
-    at 100 TB (the round-2 review's last structural scale defect).
-    Bit-equal to the native aggregate AND the DuckDB quantile_cont
-    oracle (equivalence property test); the native form stays
-    available as percentiles_native_lowcard for discrete columns, and
+    """EXACT interpolated percentiles per group with BOUNDED state on
+    BOTH sides of the driver/executor split — the registered default
+    is percentiles.exact_percentiles_distributed (min/max probe ->
+    4096-bucket histogram -> rank location via cumulative windows ->
+    value counts only inside rank-holding buckets, ALL as DataFrame
+    ops). Spark's native `percentile` buffers a value->count map per
+    group — an executor-memory risk on continuous columns at 100 TB —
+    and the round-3 bucketed form fixed that but merged per-group
+    histograms on the driver, which breaks at high group cardinality;
+    the distributed form's driver traffic is O(1) scalars, so the same
+    plan serves 3 groups or 10 million (high-cardinality property
+    test). Bit-equal to the native aggregate AND the DuckDB
+    quantile_cont oracle; the native form stays available as
+    percentiles_native_lowcard for discrete columns, and
     q_approx_stats carries the one-pass sketch twin.
 
     Reference analogue: the BI summary surface (DWH.sql:203-210)."""
+    import os
+
+    from clinical_data_warehouse_bi_spark.io import parquet_numeric_bounds
+    from clinical_data_warehouse_bi_spark.percentiles import (
+        exact_percentiles_distributed,
+    )
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    rows = exact_percentiles_bucketed(
+    # global min/max from the parquet footers — a driver metadata
+    # read, replacing the probe job's full scan (None -> probe runs)
+    bounds = parquet_numeric_bounds(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_quantity", "l_extendedprice"],
+    )
+    return exact_percentiles_distributed(
         li,
         "l_returnflag",
         {
             "l_quantity": [(0.5, "median_qty"), (0.95, "p95_qty")],
             "l_extendedprice": [(0.5, "median_price")],
         },
-    )
-    return spark.createDataFrame(
-        [
-            (r["l_returnflag"], r["median_qty"], r["p95_qty"], r["median_price"])
-            for r in rows
-        ],
-        "l_returnflag string, median_qty double, p95_qty double, median_price double",
+        bounds=bounds,
     )
 
 

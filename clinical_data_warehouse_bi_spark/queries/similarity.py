@@ -286,6 +286,83 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: learned-IVF bucket count — kept equal to the deterministic demo's
+#: N_CENTROIDS so the recall property test compares equal probe
+#: budgets (nprobe/k fraction of the data); raising k narrows buckets
+#: and trades recall for candidate volume, the standard IVF knob
+LEARNED_K = N_CENTROIDS
+#: KMeans seed — fixed so the index (and the rows-only check's row
+#: count) is reproducible run-to-run
+LEARNED_SEED = 7
+
+
+@register("q_ann_ivf_learned", oracle=None)
+def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a LEARNED index, end-to-end: KMeans centroids
+    (similarity.kmeans_ivf_index) bucket every vector, each query
+    probes its {NPROBE} nearest learned centroids by EUCLIDEAN
+    distance — the same metric KMeans assigns with, so the probe set
+    and the index agree — and only candidates from those buckets pay
+    exact cosine scoring (similarity.pairwise_cosine), top-5 per
+    query. Completes the learned path the round-3 review flagged as
+    assignment-only: q_ann_ivf_nprobe keeps deterministic first-N
+    centroids for oracle-ability; this is the same search shape
+    against centroids the data actually chose.
+
+    No oracle BY DESIGN: KMeans is iterative/seeded, so no portable
+    SQL reproduces its centroids; the driver records the rows-only
+    check, and tests/test_similarity_engine.py proves recall@5 vs
+    brute force >= the deterministic-centroid query's on the same
+    data.
+
+    Scale shape: fit on a sample at real scale; transform + probe
+    ranking are one broadcast-GEMM Arrow pass each (no crossJoin, no
+    per-vector window shuffle); candidate volume is nprobe x bucket
+    size with buckets sized by k."""
+    from clinical_data_warehouse_bi_spark.similarity import (
+        centroid_rank,
+        kmeans_ivf_index,
+        pairwise_cosine,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    assign, centroids = kmeans_ivf_index(
+        emb, n_clusters=LEARNED_K, seed=LEARNED_SEED
+    )
+    probes = centroid_rank(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        centroids,
+        max_rank=NPROBE,
+        metric="euclidean",
+    ).select(F.col("vec_id").alias("p_vec"), F.col("cid").alias("bucket"))
+    cand = assign.select(
+        F.col("vec_id").alias("cand_id"), F.col("bucket").alias("cb")
+    )
+    q = emb.join(probes, emb["vec_id"] == F.col("p_vec")).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    pairs = (
+        q.join(cand, F.col("bucket") == F.col("cb"))
+        .join(emb, F.col("cand_id") == emb["vec_id"])
+        .filter(F.col("cand_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("cand_id").alias("nid"),
+            "qe",
+            F.col("embedding").alias("e"),
+        )
+    )
+    p = pairwise_cosine(pairs, ("qid", "nid"), ("qe", "e"))
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("nid").asc()
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
 @register("q_embed_quantize", oracle="""
     WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     s AS (SELECT vec_id, e,

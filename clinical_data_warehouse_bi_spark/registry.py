@@ -64,6 +64,8 @@ _CHECK_ORDER = [
     "q_doc_fingerprint",
     # round-3 additions
     "q_dedup_clusters",
+    # round-5 additions
+    "q_ann_ivf_learned",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -105,8 +107,8 @@ _CHECK_ORDER = [
     "q_sentinel_timestamps",
     "q_calendar_dim",
     "q_surrogate_key",
-    # trivial tail (single-operator demos, most subsumable)
-    "q_null_reject",
+    # trivial tail (single-operator demos, most subsumable; round 5
+    # retired q_null_reject from here — witness: q_multi_source_union)
     "q_keyword_filter",
     "q_dup_probe",
 ]

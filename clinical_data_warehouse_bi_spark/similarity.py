@@ -198,17 +198,26 @@ def centroid_rank(
     vectors: DataFrame,
     centroids: list[tuple[int, list[float]]],
     max_rank: int,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """(vec_id, cid, rn): each vector's centroids ranked by cosine —
-    rn=1 is the IVF bucket assignment, rn<=nprobe the probe set. One
-    GEMM against the broadcast centroid matrix per Arrow batch
-    replaces a crossJoin + scalar-fold + window (the window's shuffle
-    disappears: ranking happens inside the batch). Deterministic
-    order: (round(cos, 6) desc, cid asc), the same total order the
-    SQL form uses."""
+    """(vec_id, cid, rn): each vector's centroids ranked by the given
+    metric — rn=1 is the IVF bucket assignment, rn<=nprobe the probe
+    set. One GEMM against the broadcast centroid matrix per Arrow
+    batch replaces a crossJoin + scalar-fold + window (the window's
+    shuffle disappears: ranking happens inside the batch).
+    Deterministic order: (round(score, 6) best-first, cid asc), the
+    same total order the SQL form uses.
+
+    ``metric``: "cosine" (descending, the oracle-checked form) or
+    "euclidean" (ascending distance — matching MLlib KMeans's own
+    assignment rule, so probing learned centroids agrees with the
+    index's bucketing)."""
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError(f"unknown metric: {metric!r}")
     cids = np.array([c[0] for c in centroids], dtype=np.int64)
     cmat = np.array([c[1] for c in centroids], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
+    csq = np.einsum("ij,ij->i", cmat, cmat)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,11 +225,19 @@ def centroid_rank(
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            sims = (mat @ cmat.T) / np.outer(np.linalg.norm(mat, axis=1), cnorm)
-            r6 = np.round(sims, 6)
+            dots = mat @ cmat.T  # N x C — the one GEMM either way
+            if metric == "cosine":
+                # descending cosine -> negate for the ascending sort
+                score = -np.round(
+                    dots / np.outer(np.linalg.norm(mat, axis=1), cnorm), 6
+                )
+            else:
+                # |x - c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 is constant
+                # per row so the ranking needs only |c|^2 - 2 x.c
+                score = np.round(csq[None, :] - 2.0 * dots, 6)
             out = []
             for i in range(len(ids)):
-                order = np.lexsort((cids, -r6[i]))[:max_rank]
+                order = np.lexsort((cids, score[i]))[:max_rank]
                 out.append(
                     pd.DataFrame(
                         {
@@ -237,15 +254,18 @@ def centroid_rank(
     )
 
 
-def kmeans_ivf_assign(vectors: DataFrame, n_clusters: int = 16,
-                      seed: int = 7) -> DataFrame:
-    """Learned IVF partitioning: KMeans centroids over the embedding
-    column (MLlib, trained on a sample), returning (vec_id, bucket).
-    The bucket column is the shuffle/bucketing key for an IVF index
-    table; searches probe only the query's nearest bucket(s) —
-    queries/similarity.py::q_ann_ivf demonstrates the search side with
-    deterministic centroids (oracle-checkable), this is the learned
-    variant (not oracle-checkable: KMeans is iterative/seeded)."""
+def kmeans_ivf_index(
+    vectors: DataFrame, n_clusters: int = 16, seed: int = 7
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Learned IVF index: KMeans over the embedding column (MLlib),
+    returning BOTH the assignment relation (vec_id, bucket) and the
+    learned centroids [(cid, vector)] — the piece that lets a search
+    probe the same buckets the index was built with
+    (queries/similarity.py::q_ann_ivf_learned). The bucket column is
+    the shuffle/bucketing key for the index table; at scale the model
+    is fit on a sample and `transform` is one broadcast-GEMM pass.
+    Not oracle-checkable (KMeans is iterative/seeded); the learned
+    search is recall-property-tested against brute force instead."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -253,6 +273,18 @@ def kmeans_ivf_assign(vectors: DataFrame, n_clusters: int = 16,
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
-    return model.transform(feat).select(
+    assign = model.transform(feat).select(
         "vec_id", F.col("prediction").cast("int").alias("bucket")
     )
+    centroids = [
+        (cid, [float(x) for x in center])
+        for cid, center in enumerate(model.clusterCenters())
+    ]
+    return assign, centroids
+
+
+def kmeans_ivf_assign(vectors: DataFrame, n_clusters: int = 16,
+                      seed: int = 7) -> DataFrame:
+    """Assignment-only view of kmeans_ivf_index (kept as the narrow
+    API used by the bucketed-index write path)."""
+    return kmeans_ivf_index(vectors, n_clusters, seed)[0]
