@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "q_dup_probe",
     "q_sessionize",
     "q_window_tumbling",
-    "q_dedup_exact",
+    "q_pack_sequences",
     "q_dedup_clusters",
     "q_stream_dedup_dual",
     "q_minhash_lsh_pairs",
@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "q_quality_score",
     "q_corpus_clean",
     "q_stratified_sample",
-    "q_doc_fingerprint",
+    "q_scd2_dim",
     "q_cosine_topk",
     "q_ann_ivf_nprobe",
     "q_ann_ivf_learned",

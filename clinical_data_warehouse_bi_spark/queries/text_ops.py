@@ -277,17 +277,86 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_doc_fingerprint", oracle="""
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-             AS fingerprint
-    FROM documents
-    """)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint over whitespace/punctuation-normalized
     text: robust to formatting-only differences, the key for exact
-    near-canonical dedup (md5 — portable across engines)."""
+    near-canonical dedup (md5 — portable across engines).
+
+    Round-5 registry retirement (cap is 50; slot went to
+    q_pack_sequences): the identical fingerprint expression is a
+    hash-checked output column of q_corpus_clean (its `fingerprint`),
+    which also exercises it as a join/window key. Kept unregistered
+    as the narrow-API form."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return docs.select(
         "doc_id", F.md5(T.normalized_text("text")).alias("fingerprint")
+    )
+
+
+#: sequence-packing shape: contexts of CTX tokens, documents packed
+#: per shard (shards are the unit a training job writes/reads
+#: independently — and the reason the packing window never needs a
+#: global single-partition sort)
+PACK_CTX = 512
+PACK_SHARDS = 8
+
+
+@register("q_pack_sequences", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len({_SQL_TOKENS}) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             -- window sum of BIGINT is HUGEINT in DuckDB (-> float in
+             -- pandas); cast back so both engines emit int64
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS BIGINT) AS tok_offset
+      FROM t WHERE n_tokens > 0)
+    SELECT doc_id, shard, n_tokens, tok_offset,
+           tok_offset // {PACK_CTX} AS first_chunk,
+           (tok_offset + n_tokens - 1) // {PACK_CTX} AS last_chunk,
+           (tok_offset + n_tokens - 1) // {PACK_CTX}
+             - tok_offset // {PACK_CTX} + 1 AS n_chunks
+    FROM packed
+    """)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk batching op every LLM
+    pretraining pipeline runs: documents are tokenized, concatenated
+    in a deterministic order, and split into fixed-{PACK_CTX}-token
+    training contexts. The output maps each document to its byte...
+    token offset and the [first_chunk, last_chunk] context range it
+    lands in (a doc spanning a boundary straddles two contexts — the
+    standard packing trade vs padding waste).
+
+    Scale shape: packing is PER SHARD (doc_id % {PACK_SHARDS}) —
+    shards are what a training job writes and reads independently, so
+    the running-offset window partitions by shard and never needs a
+    global single-partition sort; one shuffle on shard total, and the
+    cumulative sum is the only stateful op (O(1) per row). Empty
+    documents are dropped before packing (they occupy no tokens) so
+    offsets stay contiguous in both engines."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = t.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    first = F.expr(f"tok_offset div {PACK_CTX}")
+    last = F.expr(f"(tok_offset + n_tokens - 1) div {PACK_CTX}")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + F.lit(1)).alias("n_chunks"),
     )

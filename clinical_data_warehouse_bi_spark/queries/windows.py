@@ -185,3 +185,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_entropy",
         F.array_join("histogram", "|").alias("histogram"),
     )
+
+
+@register("q_scd2_dim", oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_state
+      FROM orders),
+    chg AS (
+      SELECT * FROM h
+      WHERE prev_state IS NULL OR prev_state <> o_orderpriority),
+    scd AS (
+      SELECT o_custkey AS customer_id, o_orderpriority AS state,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM chg)
+    SELECT customer_id, state, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM scd
+    """)
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build — the warehouse op the
+    reference's BI audience reaches for next: turn an event history
+    (each customer's orders, state = o_orderpriority) into
+    effective-dated dimension rows. Change compression first (keep
+    only rows whose state differs from the previous observation —
+    lag), then half-open validity intervals (valid_from = change
+    time, valid_to = next change's valid_from via lead, NULL = the
+    current version; NULL instead of a 2999 sentinel also keeps the
+    output engine-portable — pandas ns timestamps overflow at 2999).
+
+    Scale shape: ONE shuffle on the dimension's natural key
+    (o_custkey); both windows and the intervening filter share that
+    partitioning and sort order, so the lag pass, the compression
+    filter, and the lead pass plan into a single exchange — verified
+    by the one-exchange plan test. This is M-class mutation idiom
+    territory (SURVEY.md section 2.9) expressed as a pure recompute:
+    the reference UPDATEs rows in place and loses history; SCD2 keeps
+    every version queryable AS OF any date (join on valid_from <= ts
+    < coalesce(valid_to, 'infinity'))."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn("prev_state", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("o_orderpriority"))
+        )
+    )
+    return chg.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderpriority").alias("state"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

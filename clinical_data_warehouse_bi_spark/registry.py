@@ -56,16 +56,20 @@ def register(name: str, oracle: str | None = None):
 #:      load-bearing rows are the ones that fall off.
 _CHECK_ORDER = [
     # round-2 silently-skipped six (VERDICT r2 finding #1) lead
+    # (round 5 retired two of them: q_doc_fingerprint and
+    # q_dedup_exact — both witnessed by q_corpus_clean's hash-checked
+    # fingerprint + keep-min-doc_id dedup stage)
     "q_multimodal_features",
     "q_stream_dedup_dual",
     "q_window_tumbling",
     "q_sessionize",
     "q_frame_sample",
-    "q_doc_fingerprint",
     # round-3 additions
     "q_dedup_clusters",
     # round-5 additions
     "q_ann_ivf_learned",
+    "q_pack_sequences",
+    "q_scd2_dim",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -75,7 +79,6 @@ _CHECK_ORDER = [
     "q_stratified_sample",
     "q_json_extract",
     "q_multi_source_union",
-    "q_dedup_exact",
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard",
     "q_lsh_near_dup",

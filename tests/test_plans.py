@@ -289,3 +289,20 @@ def test_sign_lsh_band_join_is_hash_join(spark, sf_dir):
     plan = physical_plan(QUERIES["q_embed_near_dup"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """q_scd2_dim's lag pass, change filter, and lead pass must share
+    ONE shuffle on the dimension key — a second exchange would mean
+    the windows lost their common partitioning."""
+    plan = physical_plan(QUERIES["q_scd2_dim"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """q_pack_sequences packs PER SHARD: the running-offset window
+    must be hash-partitioned, never the single-partition global
+    window a naive global pack would plan."""
+    plan = physical_plan(QUERIES["q_pack_sequences"](spark, sf_dir))
+    assert "Exchange hashpartitioning(shard" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan

@@ -580,3 +580,53 @@ def test_deep_chain_converges_via_star_fallback(spark):
 
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(e_df, algorithm="bogus")
+
+
+def test_pack_sequences_offsets_contiguous(spark, sf_dir):
+    """Packing invariants per shard: offsets start at 0, each doc
+    begins exactly where the previous ended (no token gaps or
+    overlaps — the property that makes concat-and-chunk training
+    batches valid), and chunk spans match the offset arithmetic."""
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        PACK_CTX,
+        q_pack_sequences,
+    )
+
+    rows = q_pack_sequences(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert by_shard
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            assert r.tok_offset == expect, (shard, r)
+            assert r.n_tokens > 0
+            assert r.first_chunk == r.tok_offset // PACK_CTX
+            assert r.last_chunk == (r.tok_offset + r.n_tokens - 1) // PACK_CTX
+            assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+            expect += r.n_tokens
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """SCD2 invariants per customer: versions are ordered, half-open
+    validity intervals chain exactly (valid_to == next valid_from),
+    exactly one current version (NULL valid_to), and consecutive
+    versions always differ in state (change compression)."""
+    from clinical_data_warehouse_bi_spark.queries.windows import q_scd2_dim
+
+    rows = q_scd2_dim(spark, sf_dir).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.customer_id, []).append(r)
+    assert by_cust
+    for cust, vers in by_cust.items():
+        vers.sort(key=lambda r: r.valid_from)
+        currents = [r for r in vers if r.valid_to is None]
+        assert len(currents) == 1, cust
+        assert vers[-1].valid_to is None
+        for a, b in zip(vers, vers[1:]):
+            assert a.valid_to == b.valid_from, (cust, a, b)
+            assert a.state != b.state, (cust, a, b)
+            assert a.is_current is False

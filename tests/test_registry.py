@@ -14,15 +14,17 @@ from clinical_data_warehouse_bi_spark.registry import (
 
 DRIVER_CORRECTNESS_CAP = 50
 
-#: the six entries the round-2 gate silently skipped (VERDICT r2
-#: finding #1) — they must lead so they can never fall off again
+#: the entries the round-2 gate silently skipped (VERDICT r2 finding
+#: #1) — still registered, they must lead so they can never fall off
+#: again. Round 5 retired q_doc_fingerprint and q_dedup_exact from
+#: the registry entirely (witness: q_corpus_clean), so only the five
+#: surviving ones are pinned here.
 ROUND2_SKIPPED = [
     "q_multimodal_features",
     "q_stream_dedup_dual",
     "q_window_tumbling",
     "q_sessionize",
     "q_frame_sample",
-    "q_doc_fingerprint",
 ]
 
 
