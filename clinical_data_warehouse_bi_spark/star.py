@@ -468,6 +468,15 @@ def build_dwh(
     fact = orphan_cleanup(fact, dim_junk, "junk_id", "junk_id")
     fact = orphan_cleanup(fact, dim_provider, "provider_id", "provider_id")
 
+    # the cleaned fact is consumed twice (the fact table itself AND
+    # the pre-agg) — without a barrier each consumer recomputes the
+    # whole promote + 6-cleanup chain. Lazy checkpoint: materialized
+    # by whichever consumer acts first, reused by the other — the
+    # same role the reference's physical DWH fact table plays
+    # (DWH.sql:111-118). When run_pipeline writes parquet layers the
+    # write itself is the barrier and this is a no-op cost.
+    fact = fact.localCheckpoint(eager=False)
+
     # pre-aggregation (203-210)
     agg = fact.groupBy("admission_id").agg(
         F.count("*").alias("total_events"),
