@@ -169,29 +169,34 @@ def exact_percentiles_distributed(
     # are ints: membership at level L == equality on (b0..bL). Lazy —
     # derived twice (locate pass, resolve pass); two scans beat
     # caching the widened relation.
+    # each branch's three bucket-path expressions are built as ONE
+    # parsed SQL select (lateral column aliases) — a Column-object
+    # tower here costs ~40 py4j round-trips per level per branch of
+    # pure plan-build latency (SURVEY.md §9 item 7)
+    def idx_sql(lo_sql: str, w: float) -> str:
+        return (
+            f"least(greatest(cast(floor((__pv - {lo_sql}) / {w!r}D * "
+            f"{float(BUCKETS)!r}D) as int), 0), {BUCKETS - 1})"
+        )
+
     parts = []
     for ci in live:
         lo0, w0 = lows[ci], widths[ci]
-        base = df.select(
-            F.col(key).alias("__vk"),
-            F.lit(ci).cast("int").alias("__vci"),
-            F.col(cols[ci]).cast("double").alias("__pv"),
-        )
-        v0 = F.col("__pv")
-        b0 = _idx(v0, F.lit(lo0), F.lit(w0))
-        lo1 = F.lit(lo0) + b0.cast("double") * F.lit(w0 / BUCKETS)
-        b1 = _idx(v0, lo1, F.lit(w0 / BUCKETS))
-        lo2 = lo1 + b1.cast("double") * F.lit(w0 / BUCKETS / BUCKETS)
-        b2 = _idx(v0, lo2, F.lit(w0 / BUCKETS / BUCKETS))
-        null_i = F.lit(-1).cast("int")
+        w1, w2 = w0 / BUCKETS, w0 / BUCKETS / BUCKETS
+        lo1 = f"({lo0!r}D + cast(b0 as double) * {w1!r}D)"
+        lo2 = f"({lo1} + cast(b1 as double) * {w2!r}D)"
         parts.append(
-            base.select(
+            df.select(
+                F.col(key).alias("__vk"),
+                F.lit(ci).cast("int").alias("__vci"),
+                F.col(cols[ci]).cast("double").alias("__pv"),
+            ).selectExpr(
                 "__vk",
                 "__vci",
                 "__pv",
-                F.when(v0.isNull(), null_i).otherwise(b0).alias("b0"),
-                F.when(v0.isNull(), null_i).otherwise(b1).alias("b1"),
-                F.when(v0.isNull(), null_i).otherwise(b2).alias("b2"),
+                f"IF(__pv IS NULL, -1, {idx_sql(repr(lo0) + 'D', w0)}) AS b0",
+                f"IF(__pv IS NULL, -1, {idx_sql(lo1, w1)}) AS b1",
+                f"IF(__pv IS NULL, -1, {idx_sql(lo2, w2)}) AS b2",
             )
         )
     v = parts[0]
