@@ -191,3 +191,41 @@ def lsh_candidate_pairs(band_sigs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def chunk_manifest(packed: DataFrame, ctx: int) -> DataFrame:
+    """Explode a sequence-packing relation (the shape
+    queries/text_ops.py::q_pack_sequences emits: doc_id, shard,
+    n_tokens, tok_offset, first_chunk, last_chunk) into the per-chunk
+    manifest a training data-loader actually consumes: one row per
+    (shard, chunk_id, doc_id) with the token slice [tok_start,
+    tok_end) of the document that lands in that chunk. Every chunk is
+    exactly ``ctx`` tokens except each shard's tail chunk
+    (property-tested).
+
+    Scale shape: sequence() + explode fans each document out to its
+    n_chunks rows — bounded by ceil(n_tokens/ctx), so the explode is
+    proportional to corpus token count / ctx, never quadratic; no
+    shuffle is introduced (chunk ids are already shard-local)."""
+    c = F.lit(ctx)
+    chunk = F.col("chunk_id")
+    lo = F.greatest(chunk * c, F.col("tok_offset"))
+    hi = F.least((chunk + 1) * c, F.col("tok_offset") + F.col("n_tokens"))
+    return (
+        packed.select(
+            "shard",
+            "doc_id",
+            "tok_offset",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.col("first_chunk"), F.col("last_chunk"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "shard",
+            "chunk_id",
+            "doc_id",
+            (lo - F.col("tok_offset")).alias("tok_start"),
+            (hi - F.col("tok_offset")).alias("tok_end"),
+        )
+    )

@@ -630,3 +630,34 @@ def test_scd2_intervals_partition_history(spark, sf_dir):
             assert a.valid_to == b.valid_from, (cust, a, b)
             assert a.state != b.state, (cust, a, b)
             assert a.is_current is False
+
+
+def test_chunk_manifest_covers_every_context(spark, sf_dir):
+    """The exploded chunk manifest must tile each shard's token
+    stream exactly: every chunk holds ctx tokens (tail chunk <= ctx),
+    slices are in-bounds, non-empty, and sum back to each document's
+    token count."""
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        PACK_CTX,
+        q_pack_sequences,
+    )
+    from clinical_data_warehouse_bi_spark.text import chunk_manifest
+
+    packed = q_pack_sequences(spark, sf_dir)
+    rows = chunk_manifest(packed, PACK_CTX).collect()
+    per_chunk: dict[tuple, int] = {}
+    per_doc: dict[int, int] = {}
+    max_chunk: dict[int, int] = {}
+    for r in rows:
+        n = r.tok_end - r.tok_start
+        assert 0 < n <= PACK_CTX
+        per_chunk[(r.shard, r.chunk_id)] = per_chunk.get((r.shard, r.chunk_id), 0) + n
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + n
+        max_chunk[r.shard] = max(max_chunk.get(r.shard, -1), r.chunk_id)
+    for (shard, chunk), n in per_chunk.items():
+        if chunk < max_chunk[shard]:
+            assert n == PACK_CTX, (shard, chunk, n)
+        else:
+            assert 0 < n <= PACK_CTX
+    want = {r.doc_id: r.n_tokens for r in packed.collect()}
+    assert per_doc == want
