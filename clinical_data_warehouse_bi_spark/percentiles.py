@@ -1,12 +1,14 @@
 """Distributed EXACT interpolated percentiles with bounded state on
 BOTH sides of the driver/executor split.
 
-``queries.core.exact_percentiles_bucketed`` (round 3) bounded the
-executor aggregation state at O(4096) but still merged per-group
-histograms on the driver — O(groups x columns x occupied buckets)
-counters plus a Python loop per rank item, which becomes the
+The round-3 form of ``queries.core.exact_percentiles_bucketed``
+bounded the executor aggregation state at O(4096) but still merged
+per-group histograms on the driver — O(groups x columns x occupied
+buckets) counters plus a Python loop per rank item, which becomes the
 bottleneck exactly when the group key is high-cardinality (percentiles
-per admission: millions of groups). This module is the round-5 fix:
+per admission: millions of groups). This module is the round-5 fix
+(and since round 6 the ONLY implementation — the driver-merge path is
+deleted; the core helper is a thin list-of-dicts adapter over this):
 rank resolution itself is a DataFrame plan — cumulative windows over
 the histogram relation, rank-target location as a broadcast join, and
 value lookup only inside rank-holding buckets — so the driver never
@@ -24,8 +26,8 @@ is 1 ulp off on some inputs).
 
 Reference analogue: the BI summary surface (DWH.sql:203-210).
 
-Pass/job structure (bucketed path) — two passes over the data, three
-Spark jobs in the common no-refinement case:
+Pass/job structure (bucketed path) — two passes over the data, TWO
+Spark jobs in the common no-refinement case with footer bounds:
 
   bounds   global (min, max) per column from parquet FOOTER stats
            when the caller has them (io.parquet_numeric_bounds — a
@@ -41,18 +43,32 @@ Spark jobs in the common no-refinement case:
            t=(n-1)*p (floor/ceil) fall out of a broadcast join with
            the tiny spec relation filtered to the rank-holding
            bucket. The group universe (for all-NULL groups) rides
-           the SAME job via exchange reuse. Output localCheckpoints:
-           O(groups x specs) rows on executors, lineage truncated.
-  refine   only if a tiny stat read over that checkpoint shows a
-           rank-holding bucket above ``refine_cap``: re-locate those
-           ranks inside level-1 (then level-2) sub-buckets — one
-           extra pass each, same shape; 4096^3 positions exhaust
-           double precision on any real range
+           the SAME job via exchange reuse. Output checkpoints
+           LAZILY: the per-level (max bucket count, pending count)
+           stat read is the checkpoint's own materializing action —
+           the graph.py connected-components idiom — so locating
+           and deciding refinement is ONE job, not two. O(groups x
+           specs) rows live on executors, lineage truncated; the
+           driver sees two scalars.
+  refine   only if that stat shows a rank-holding bucket above
+           ``refine_cap``: re-locate those ranks inside level-1
+           (then level-2) sub-buckets — one extra (stat-fused) pass
+           each, same shape; 4096^3 positions exhaust double
+           precision on any real range
   resolve  pass 2 over the data: rows path-joined to the broadcast
            needed-bucket set, row_number over value order INSIDE
            each rank-holding bucket, rank row picked by a join, ONE
            groupBy(group) pivots lo/hi and interpolates — all lazy,
            executed by the caller's action.
+
+Fault tolerance: localCheckpoint trades lineage for speed — an
+executor loss makes the truncated lineage unrecoverable mid-query.
+For long-running fault-tolerant deployments pass
+``checkpointer=lambda d: d.checkpoint(eager=False)`` (with a
+``setCheckpointDir``) to keep the same job structure on reliable
+storage. Checkpointed state is released by ``release(result_df)``
+after the caller's final action; otherwise Spark's ContextCleaner
+reclaims it when the result DataFrame is garbage-collected.
 
 Executor state: histogram hash-agg O(4096) per group; the resolve
 window externally sorts one bucket's rows (<= refine_cap except in
@@ -61,8 +77,15 @@ duplicates of a single value and spills harmlessly)."""
 
 from __future__ import annotations
 
+from itertools import count
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: per-process temp-view id sequence (unique names per call so
+#: concurrent/nested invocations never collide in the session catalog)
+_CALL_IDS = count()
 
 #: buckets per refinement level (matches the round-3 bucketed form)
 BUCKETS = 4096
@@ -76,6 +99,11 @@ LEVELS = 3
 #: located-target row bound under which the needed-bucket relations
 #: are explicitly broadcast into the refine/resolve joins
 _BROADCAST_TARGETS = 1_000_000
+#: safety margin applied to ``native_distinct_max`` before trusting
+#: the approx_count_distinct sketch (default ~2% relative error) to
+#: route to the native aggregate — keeps the per-group value->count
+#: state bound honest even when the sketch underestimates
+_SKETCH_MARGIN = 0.9
 
 
 def _idx(v: Column, lo: Column, w: Column) -> Column:
@@ -103,6 +131,7 @@ def exact_percentiles_distributed(
     native_distinct_max: int = 65536,
     refine_cap: int = REFINE_CAP,
     bounds: dict[str, tuple[float, float]] | None = None,
+    checkpointer: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per group, fully distributed.
 
@@ -119,11 +148,19 @@ def exact_percentiles_distributed(
     harmless (buckets just sit sparser); WRONG bounds are not.
 
     Without ``bounds``: if every column's global approx-distinct is
-    below ``native_distinct_max``, delegates to Spark's native
-    `percentile` (its per-group value->count state is bounded by the
-    verified distinct count); `native_distinct_max=0` forces the
-    bucketed refinement (how the equivalence tests pin that path)."""
+    below ``native_distinct_max`` (with a ``_SKETCH_MARGIN`` safety
+    factor for the sketch's ~2% error), delegates to Spark's native
+    `percentile`, whose per-group value->count state is then bounded
+    by the sketch-estimated distinct count; `native_distinct_max=0`
+    forces the bucketed refinement (how the equivalence tests pin
+    that path).
+
+    ``checkpointer``: how per-level located-target relations truncate
+    lineage; default ``localCheckpoint(eager=False)`` (fast, not
+    executor-loss tolerant — see module docstring)."""
     spark = df.sparkSession
+    ckpt = checkpointer or (lambda d: d.localCheckpoint(eager=False))
+    checkpoints: list[DataFrame] = []
     cols = list(specs)
     names = [name for c in cols for _, name in specs[c]]
 
@@ -152,7 +189,8 @@ def exact_percentiles_distributed(
                 F.col(key), *[F.lit(None).cast("double").alias(n) for n in names]
             )
         if native_distinct_max and all(
-            probe[f"ad_{ci}"] <= native_distinct_max for ci in live
+            probe[f"ad_{ci}"] <= native_distinct_max * _SKETCH_MARGIN
+            for ci in live
         ):
             n_aggs = [
                 F.expr(f"percentile({c}, {pfrac})").alias(name)
@@ -163,147 +201,124 @@ def exact_percentiles_distributed(
         lows = {ci: probe[f"mn_{ci}"] for ci in live}
         widths = {ci: (probe[f"mx_{ci}"] - lows[ci]) or 1.0 for ci in live}
 
-    # v: long-form (group, col, value, 3-level bucket path), one
-    # skinny branch per column (branches scan in parallel tasks; each
-    # branch bakes ITS column's bounds in as literals). Path columns
-    # are ints: membership at level L == equality on (b0..bL). Lazy —
-    # derived twice (locate pass, resolve pass); two scans beat
-    # caching the widened relation.
-    # each branch's three bucket-path expressions are built as ONE
-    # parsed SQL select (lateral column aliases) — a Column-object
-    # tower here costs ~40 py4j round-trips per level per branch of
-    # pure plan-build latency (SURVEY.md §9 item 7)
+    # The whole locate/resolve dataflow is generated as SQL text and
+    # parsed JVM-side in ~2 spark.sql calls: an equivalent
+    # Column-object tower costs >1s of py4j round-trip latency PER
+    # CALL at plan-build time — measured slower than both Spark jobs
+    # combined at sf0.1 (SURVEY.md §9 item 7; round-6 fix).
+    uid = next(_CALL_IDS)
+    src_view = f"__pctl_src_{uid}"
+    df.createOrReplaceTempView(src_view)
+    views = [src_view]
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
     def idx_sql(lo_sql: str, w: float) -> str:
         return (
             f"least(greatest(cast(floor((__pv - {lo_sql}) / {w!r}D * "
             f"{float(BUCKETS)!r}D) as int), 0), {BUCKETS - 1})"
         )
 
-    parts = []
+    # v: long-form (group, col, value, 3-level bucket path), one
+    # skinny branch per column (branches scan in parallel tasks; each
+    # branch bakes ITS column's bounds in as literals). Path columns
+    # are ints: membership at level L == equality on (b0..bL). Lazy —
+    # derived twice (locate pass, resolve pass); two scans beat
+    # caching the widened relation. b1/b2 reference b0/b1 as lateral
+    # column aliases — one parsed SELECT per branch.
+    branches = []
     for ci in live:
         lo0, w0 = lows[ci], widths[ci]
         w1, w2 = w0 / BUCKETS, w0 / BUCKETS / BUCKETS
         lo1 = f"({lo0!r}D + cast(b0 as double) * {w1!r}D)"
         lo2 = f"({lo1} + cast(b1 as double) * {w2!r}D)"
-        parts.append(
-            df.select(
-                F.col(key).alias("__vk"),
-                F.lit(ci).cast("int").alias("__vci"),
-                F.col(cols[ci]).cast("double").alias("__pv"),
-            ).selectExpr(
-                "__vk",
-                "__vci",
-                "__pv",
-                f"IF(__pv IS NULL, -1, {idx_sql(repr(lo0) + 'D', w0)}) AS b0",
-                f"IF(__pv IS NULL, -1, {idx_sql(lo1, w1)}) AS b1",
-                f"IF(__pv IS NULL, -1, {idx_sql(lo2, w2)}) AS b2",
-            )
+        branches.append(
+            f"SELECT `{key}` AS __vk, CAST({ci} AS INT) AS __vci,"
+            f" CAST(`{cols[ci]}` AS DOUBLE) AS __pv,"
+            f" IF(__pv IS NULL, -1, {idx_sql(repr(lo0) + 'D', w0)}) AS b0,"
+            f" IF(__pv IS NULL, -1, {idx_sql(lo1, w1)}) AS b1,"
+            f" IF(__pv IS NULL, -1, {idx_sql(lo2, w2)}) AS b2"
+            f" FROM {src_view}"
         )
-    v = parts[0]
-    for part in parts[1:]:
-        v = v.unionByName(part)
-
-    #: level-0 histogram INCLUDING the NULL bucket (-1) — the one
-    #: shuffle of v in the locate pass; both consumers below (rank
-    #: targets, group universe) reuse its exchange, so the pass scans
-    #: the data once
-    histn = v.groupBy("__vk", "__vci", "b0").agg(F.count("*").alias("cnt"))
+    v_cte = "v AS (" + " UNION ALL ".join(branches) + ")"
 
     spec_rows = [
         (ci, float(pfrac), name)
         for ci in live
         for pfrac, name in specs[cols[ci]]
     ]
-    # locate, level 0: ONE window pass over the histogram (the NULL
-    # bucket -1 rides through, excluded from counts by the positive
+    spec_values = ", ".join(
+        f"({ci}, {pfrac!r}D, '{esc(name)}')" for ci, pfrac, name in spec_rows
+    )
+    # sentinel spec row (name NULL): carries the group universe (for
+    # all-NULL groups) through the SAME linear pipeline as the rank
+    # targets — one subtree, one scan (a separate distinct() branch
+    # would NOT reuse the histogram exchange: column pruning gives the
+    # two branches different canonical plans)
+    spec_values += f", ({live[0]}, CAST(NULL AS DOUBLE), CAST(NULL AS STRING))"
+
+    # locate, level 0: histogram INCLUDING the NULL bucket (-1) — the
+    # one shuffle of v in this pass — then ONE window pass (the NULL
+    # bucket rides through, excluded from counts by the positive
     # guard) gives each bucket its running count (cb), its group's
     # total (n), and a row_number; the rank targets fall out of a
-    # broadcast join with the spec relation filtered to the bucket
-    # whose [cb, cb+cnt) span holds floor/ceil((n-1)*p). The group
-    # universe (for all-NULL groups) rides the SAME linear pipeline
-    # as a sentinel spec row (name NULL) kept for each group's first
-    # histogram row — one subtree, one scan, nothing to re-derive
-    # (a separate distinct() branch would NOT reuse the histogram
-    # exchange: column pruning gives the two branches different
-    # canonical plans).
-    w = Window.partitionBy("__vk", "__vci").orderBy("b0")
-    pos = F.when(F.col("b0") >= 0, F.col("cnt")).otherwise(F.lit(0))
-    h3 = (
-        histn.withColumn(
-            "cb",
-            F.sum(pos).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            - pos,
-        )
-        .withColumn(
-            "n",
-            F.sum(pos).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            ),
-        )
-        .withColumn("rn1", F.row_number().over(w))
-    )
-    sentinel = [(live[0], None, None)]
-    specs2 = spark.createDataFrame(
-        spec_rows + sentinel, "ci int, pfrac double, name string"
-    )
-    t_expr = (F.col("n") - 1).cast("double") * F.col("pfrac")
-    is_target = F.col("name").isNotNull()
-    located = (
-        h3.join(F.broadcast(specs2), F.col("__vci") == F.col("ci"))
-        .withColumn("t", t_expr)
-        .select(
-            "__vk",
-            "__vci",
-            "name",
-            "t",
-            "cnt",
-            "cb",
-            "b0",
-            "rn1",
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("which"), F.floor("t").alias("rank")),
-                    F.struct(F.lit(1).alias("which"), F.ceil("t").alias("rank")),
-                )
-            ).alias("tg"),
-        )
-        .filter(
-            (
-                is_target
-                & (F.col("b0") >= 0)
-                & (F.col("cb") <= F.col("tg.rank"))
-                & (F.col("tg.rank") < F.col("cb") + F.col("cnt"))
-            )
-            | (~is_target & (F.col("rn1") == 1) & (F.col("tg.which") == 0))
-        )
-        .select(
-            "__vk",
-            "__vci",
-            "name",
-            "t",
-            "tg.which",
-            (F.col("tg.rank") - F.col("cb")).alias("rib"),
-            "cnt",
-            "b0",
-        )
-        .localCheckpoint(eager=True)
-    )
-    universe = located.filter(F.col("name").isNull()).select("__vk")
+    # broadcast join with the tiny spec relation filtered to the
+    # bucket whose [cb, cb+cnt) span holds floor/ceil((n-1)*p).
+    pos = "IF(b0 >= 0, cnt, 0)"
+    over = "OVER (PARTITION BY __vk, __vci ORDER BY b0"
+    locate_sql = f"""
+WITH {v_cte},
+hist AS (SELECT __vk, __vci, b0, COUNT(*) AS cnt FROM v GROUP BY __vk, __vci, b0),
+h3 AS (SELECT __vk, __vci, b0, cnt,
+  SUM({pos}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {pos} AS cb,
+  SUM({pos}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n,
+  ROW_NUMBER() {over}) AS rn1
+  FROM hist),
+specs AS (SELECT * FROM VALUES {spec_values} AS s(ci, pfrac, name)),
+j AS (SELECT /*+ BROADCAST(s) */ h.__vk, h.__vci, s.name,
+  CAST(h.n - 1 AS DOUBLE) * s.pfrac AS t, h.cnt, h.cb, h.b0, h.rn1
+  FROM h3 h JOIN specs s ON h.__vci = s.ci)
+SELECT __vk, __vci, name, t, tg.which AS which, tg.rk - cb AS rib, cnt, b0
+FROM j
+LATERAL VIEW explode(array(named_struct('which', 0, 'rk', FLOOR(t)),
+                           named_struct('which', 1, 'rk', CEIL(t)))) e AS tg
+WHERE (name IS NOT NULL AND b0 >= 0 AND cb <= tg.rk AND tg.rk < cb + cnt)
+   OR (name IS NULL AND rn1 = 1 AND tg.which = 0)
+"""
+    located = ckpt(spark.sql(locate_sql))
+    checkpoints.append(located)
+    loc_view = f"__pctl_loc_{uid}"
+    located.createOrReplaceTempView(loc_view)
+    views.append(loc_view)
     pending = located.filter(F.col("name").isNotNull())
 
-    resolved_parts: list[DataFrame] = []
+    v_df = None  # built on demand — only the (rare) refinement path needs it
+    resolve_ctes: list[str] = []
+    bcast0 = True
     path = ["b0"]
     for level in range(LEVELS):
-        # stat read over the (checkpointed, tiny) located relation:
-        # two scalars decide refinement and broadcast strategy
+        # Stat read over the tiny located relation: two scalars decide
+        # refinement and broadcast strategy. The checkpoint above is
+        # LAZY, so this first action over it is also the job that
+        # materializes it (the graph.py convergence-flag idiom) —
+        # locating + deciding is ONE job per level, not two.
         stat = pending.agg(F.max("cnt").alias("mx"), F.count("*").alias("cn")).collect()[0]
         bcast = (stat["cn"] or 0) <= _BROADCAST_TARGETS
+        if level == 0:
+            # one pending row per (group-with-data, spec, floor/ceil):
+            # a faithful upper bound on the GROUP count, which is what
+            # the final `wide` broadcast must be gated on (a refinement
+            # level can shrink pending to a handful of rows while the
+            # group count stays in the millions)
+            bcast0 = bcast
         last = level == LEVELS - 1
         done = last or (stat["mx"] or 0) <= refine_cap
         small = pending if done else pending.filter(F.col("cnt") <= refine_cap)
-        resolved_parts.append(_resolve(v, small, path, bcast))
+        small_view = f"__pctl_small_{level}_{uid}"
+        small.createOrReplaceTempView(small_view)
+        views.append(small_view)
+        resolve_ctes.append(_resolve_ctes(small_view, path, bcast, level))
         if done:
             break
 
@@ -311,13 +326,15 @@ def exact_percentiles_distributed(
         # oversized parent buckets (tiny broadcast ``parents``), then
         # re-locate each pending rank within its parent via the
         # cumulative window over the next path column
+        if v_df is None:
+            v_df = spark.sql(f"WITH {v_cte} SELECT * FROM v")
         bcol = f"b{level + 1}"
         big = pending.filter(F.col("cnt") > refine_cap).drop("cnt")
         parents = big.select("__vk", "__vci", *path).distinct()
         if bcast:
             parents = F.broadcast(parents)
         sub = (
-            v.alias("v")
+            v_df.alias("v")
             .join(parents.alias("p"), _path_eq(path, "v", "p"))
             .groupBy(*[F.col(f"v.{c}") for c in ("__vk", "__vci", *path, bcol)])
             .agg(F.count("*").alias("cnt"))
@@ -359,75 +376,108 @@ def exact_percentiles_distributed(
                 *path,
                 F.col(f"h_{bcol}").alias(bcol),
             )
-            .localCheckpoint(eager=True)
         )
+        pending = ckpt(pending)
+        checkpoints.append(pending)
         path = path + [bcol]
 
-    resolved = resolved_parts[0]
-    for part in resolved_parts[1:]:
-        resolved = resolved.unionByName(part)
-
-    # assemble in ONE groupBy(group): pivot each target's lo/hi value
-    # and position, then interpolate with Spark
-    # Percentile.getPercentile's exact arithmetic — the two-sided
-    # weighted form, lower value alone when the position is integral
-    # (lo + (hi-lo)*frac is 1 ulp off this on some inputs; caught by
-    # the high-cardinality equivalence test).
-    def interp(n: str) -> Column:
-        is_n = F.col("name") == n
-        lo_v = F.max(F.when(is_n & (F.col("which") == 0), F.col("val")))
-        hi_v = F.max(F.when(is_n & (F.col("which") == 1), F.col("val")))
-        t = F.max(F.when(is_n, F.col("t")))
-        lo_d = F.floor(t).cast("double")
-        hi_d = F.ceil(t).cast("double")
-        return (
-            F.when(lo_d == hi_d, lo_v)
-            .otherwise((hi_d - t) * lo_v + (t - lo_d) * hi_v)
-            .alias(n)
-        )
-
-    wide = resolved.groupBy("__vk").agg(*[interp(n) for n in names])
-    if bcast:
-        wide = F.broadcast(wide)  # right build of the left join
-    # all-NULL groups never produce a rank target; surface them with
+    # assemble in ONE final SQL: union the per-level resolved targets,
+    # pivot each target's lo/hi value and position per group, then
+    # interpolate with Spark Percentile.getPercentile's exact
+    # arithmetic — the two-sided weighted form, lower value alone when
+    # the position is integral (lo + (hi-lo)*frac is 1 ulp off this on
+    # some inputs; caught by the high-cardinality equivalence test).
+    # All-NULL groups never produce a rank target; they surface with
     # NULL results via a left join from the checkpointed universe
-    return (
-        universe.alias("u")
-        .join(wide.alias("w"), F.col("u.__vk").eqNullSafe(F.col("w.__vk")), "left")
-        .select(F.col("u.__vk").alias(key), *[F.col(n) for n in names])
+    # (the sentinel rows of the located relation).
+    union_sql = " UNION ALL ".join(
+        f"SELECT * FROM resolved_{i}" for i in range(len(resolve_ctes))
     )
+    base_cols: list[str] = []
+    out_cols: list[str] = []
+    for i, n in enumerate(names):
+        nq = esc(n)
+        base_cols.append(
+            f"MAX(CASE WHEN name = '{nq}' AND which = 0 THEN val END) AS lo_{i}"
+        )
+        base_cols.append(
+            f"MAX(CASE WHEN name = '{nq}' AND which = 1 THEN val END) AS hi_{i}"
+        )
+        base_cols.append(f"MAX(CASE WHEN name = '{nq}' THEN t END) AS t_{i}")
+        out_cols.append(
+            f"CASE WHEN CAST(FLOOR(t_{i}) AS DOUBLE) = CAST(CEIL(t_{i}) AS DOUBLE)"
+            f" THEN lo_{i}"
+            f" ELSE (CAST(CEIL(t_{i}) AS DOUBLE) - t_{i}) * lo_{i}"
+            f" + (t_{i} - CAST(FLOOR(t_{i}) AS DOUBLE)) * hi_{i} END AS `{n}`"
+        )
+    resolve_cte_sql = ",\n".join(resolve_ctes)
+    base_sql = ", ".join(base_cols)
+    out_sql = ", ".join(out_cols)
+    name_sql = ", ".join(f"w.`{n}`" for n in names)
+    # `wide` is one row per GROUP — its broadcast is gated on the
+    # LEVEL-0 pending count (a group-count upper bound), never on the
+    # last refinement level's pending count, which can be tiny while
+    # the group count is in the millions
+    whint = "/*+ BROADCAST(w) */ " if bcast0 else ""
+    final_sql = f"""
+WITH {v_cte},
+{resolve_cte_sql},
+resolved AS ({union_sql}),
+widebase AS (SELECT __vk, {base_sql} FROM resolved GROUP BY __vk),
+wide AS (SELECT __vk, {out_sql} FROM widebase),
+universe AS (SELECT __vk FROM {loc_view} WHERE name IS NULL)
+SELECT {whint}u.__vk AS `{key}`, {name_sql}
+FROM universe u LEFT JOIN wide w ON u.__vk <=> w.__vk
+"""
+    out = spark.sql(final_sql)
+    # every spark.sql above is analyzed eagerly, so the temp views are
+    # no longer needed (and must not leak into the caller's catalog)
+    for view in views:
+        spark.catalog.dropTempView(view)
+    out._percentile_checkpoints = checkpoints
+    return out
 
 
-def _resolve(v: DataFrame, small: DataFrame, path: list[str], bcast: bool) -> DataFrame:
-    """Exact value lookup inside cap-sized rank-holding buckets:
-    row_number over value order per needed bucket (v is first joined
-    to the tiny broadcast needed-bucket set, so only rank-holding
-    buckets are ever sorted), then a join picks the rank-holding row.
-    Ties between duplicate values are rank-irrelevant: any order among
-    equal values yields the same value at a given rank. Output:
-    (__vk, name, which, t, val)."""
-    need = small.select("__vk", "__vci", *path).distinct()
-    if bcast:
-        need = F.broadcast(need)
-    rows = v.alias("v").join(need.alias("p"), _path_eq(path, "v", "p")).select(
-        *[F.col(f"v.{c}") for c in ("__vk", "__vci", *path, "__pv")]
+def release(result: DataFrame) -> None:
+    """Unpersist the checkpointed state behind a DataFrame returned by
+    ``exact_percentiles_distributed``, once the caller has run its
+    final action. No-op on DataFrames from other sources (including
+    the native/low-cardinality fast path, which checkpoints nothing);
+    without an explicit release, Spark's ContextCleaner reclaims the
+    storage when the result DataFrame is garbage-collected."""
+    for df in getattr(result, "_percentile_checkpoints", ()):
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _resolve_ctes(small_view: str, path: list[str], bcast: bool, lvl: int) -> str:
+    """SQL CTE chunk for exact value lookup inside cap-sized
+    rank-holding buckets: row_number over value order per needed
+    bucket (v is first joined to the tiny broadcast needed-bucket
+    set, so only rank-holding buckets are ever sorted), then a join
+    picks the rank-holding row. Ties between duplicate values are
+    rank-irrelevant: any order among equal values yields the same
+    value at a given rank. Expects a CTE named ``v`` in scope;
+    defines ``resolved_{lvl}`` with (__vk, name, which, t, val)."""
+    pc = ", ".join(path)
+    vp = ", ".join(f"v.{c}" for c in ("__vk", "__vci", *path, "__pv"))
+    hint = "/*+ BROADCAST(p) */ " if bcast else ""
+    shint = "/*+ BROADCAST(s) */ " if bcast else ""
+    on_v = " AND ".join(
+        ["v.__vk <=> p.__vk", "v.__vci = p.__vci"]
+        + [f"v.{c} = p.{c}" for c in path]
     )
-    wv = Window.partitionBy("__vk", "__vci", *path).orderBy("__pv")
-    ranked = rows.withColumn("rn", F.row_number().over(wv) - 1).select(
-        F.col("__vk").alias("r_vk"),
-        F.col("__vci").alias("r_ci"),
-        *[F.col(c).alias(f"r_{c}") for c in path],
-        "__pv",
-        "rn",
+    on_r = " AND ".join(
+        ["s.__vk <=> r.__vk", "s.__vci = r.__vci"]
+        + [f"s.{c} = r.{c}" for c in path]
+        + ["r.rn = s.rib"]
     )
-    cond = (
-        F.col("__vk").eqNullSafe(F.col("r_vk"))
-        & (F.col("__vci") == F.col("r_ci"))
-        & (F.col("rn") == F.col("rib"))
-    )
-    for c in path:
-        cond = cond & (F.col(c) == F.col(f"r_{c}"))
-    small_j = F.broadcast(small) if bcast else small
-    return small_j.join(ranked, cond).select(
-        "__vk", "name", "which", "t", F.col("__pv").alias("val")
-    )
+    return f"""need_{lvl} AS (SELECT DISTINCT __vk, __vci, {pc} FROM {small_view}),
+rows_{lvl} AS (SELECT {hint}{vp} FROM v JOIN need_{lvl} p ON {on_v}),
+ranked_{lvl} AS (SELECT __vk, __vci, {pc}, __pv,
+  ROW_NUMBER() OVER (PARTITION BY __vk, __vci, {pc} ORDER BY __pv) - 1 AS rn
+  FROM rows_{lvl}),
+resolved_{lvl} AS (SELECT {shint}s.__vk, s.name, s.which, s.t, r.__pv AS val
+  FROM {small_view} s JOIN ranked_{lvl} r ON {on_r})"""

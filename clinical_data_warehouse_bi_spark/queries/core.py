@@ -429,312 +429,38 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: bucket count for the exact-percentile refinement passes
-_PCTL_BUCKETS = 4096
-#: max rows the exact stage may hold for one rank query before another
-#: refinement level is inserted (bounds executor agg state AND the
-#: driver-side merge for that item)
-_PCTL_REFINE_CAP = 262144
-
-
 def exact_percentiles_bucketed(
     df: DataFrame,
     key: str,
     specs: dict[str, list[tuple[float, str]]],
     native_distinct_max: int = 65536,
 ) -> list[dict]:
-    """Driver-merged EXACT interpolated percentiles with bounded
-    EXECUTOR memory (DuckDB quantile_cont definition: value at
-    continuous index (n-1)*p of the sorted multiset, linear
-    interpolation). Round-5 note: superseded as the registered default
-    by percentiles.exact_percentiles_distributed, which additionally
-    bounds the DRIVER side (this form merges per-group histograms on
-    the driver — fine at report grain, the bottleneck at millions of
-    groups); kept as the list-of-dicts API and the independent
-    implementation the equivalence tests cross-check.
+    """EXACT interpolated percentiles per group, list-of-dicts API
+    (DuckDB quantile_cont definition). Round-6: the round-3
+    driver-merged implementation that lived here (per-group histogram
+    counters merged in a Python loop — a known scale hazard at high
+    group cardinality) is GONE; this is now a thin adapter over
+    percentiles.exact_percentiles_distributed, which keeps state
+    bounded on BOTH sides of the driver/executor split. The collect
+    here is the caller's choice of materialization, not part of the
+    algorithm — use the DataFrame form directly for anything large.
 
-    Spark's `percentile` aggregate holds a value->count map per group
-    — fine for low-cardinality columns, unbounded for continuous ones
-    at 100 TB. This routine keeps every path bounded:
+    Reference analogue: the BI summary surface (DWH.sql:203-210)."""
+    from clinical_data_warehouse_bi_spark.percentiles import (
+        exact_percentiles_distributed,
+        release,
+    )
 
-      probe:  ONE ungrouped job per call — global (min, max,
-              approx distinct) per column, turned into plan literals
-      native: if EVERY column's global distinct estimate is
-              <= ``native_distinct_max``, one Spark `percentile` job
-              (its per-group value->count state is bounded by the
-              verified distinct count) and we are done
-      pass 2: otherwise, per-group histograms over 4096 fixed global
-              buckets (bucket arithmetic is literal — NO join, and
-              plan size is O(1) in the group count)
-      pass 3: exact value counts ONLY inside the buckets that hold a
-              target rank; any bucket bigger than ``_PCTL_REFINE_CAP``
-              rows (possible when one group occupies a sliver of the
-              global range) recursively re-buckets just that sliver —
-              each level divides the row bound by 4096, so two levels
-              already cover 10^12-row groups
-
-    Executor-side aggregation state is O(buckets),
-    O(native_distinct_max), or O(rows-in-one-final-bucket <= cap);
-    the driver merges a few thousand counters.
-    ``native_distinct_max=0`` forces the bucketed refinement (how the
-    equivalence tests pin that path). NULL measure values are binned
-    to a sentinel bucket — excluded from every rank (percentile
-    semantics ignore NULLs) but keeping their group visible so
-    all-NULL groups still emit NULL results. NULL group keys flow
-    through groupBy natively. Returns one dict per group:
-    {key: ..., name: value, ...}."""
-    import math
-    from collections import defaultdict
-
-    cols = list(specs)
-
-    # probe: global bounds + distinct sketch, one ungrouped job
-    p_aggs = []
-    for ci, c in enumerate(cols):
-        p_aggs += [
-            F.min(F.col(c).cast("double")).alias(f"mn_{ci}"),
-            F.max(F.col(c).cast("double")).alias(f"mx_{ci}"),
-            F.approx_count_distinct(c).alias(f"ad_{ci}"),
-        ]
-    probe = df.agg(*p_aggs).collect()[0].asDict()
-
-    live = [ci for ci, c in enumerate(cols) if probe[f"mn_{ci}"] is not None]
-    if native_distinct_max and all(
-        probe[f"ad_{ci}"] <= native_distinct_max for ci in live
-    ):
-        # low-cardinality fast path: one native job for everything
-        n_aggs = [
-            F.expr(f"percentile({c}, {pfrac})").alias(name)
-            for c in cols
-            for pfrac, name in specs[c]
-        ]
-        out = []
-        for r in df.groupBy(key).agg(*n_aggs).collect():
-            row = {key: r[key]}
-            for c in cols:
-                for _, name in specs[c]:
-                    row[name] = r[name]
-            out.append(row)
-        return out
-
-    def wb_sql(lo: float, width: float) -> str:
-        """Clamped fixed-width bucket index of `v` in [lo, lo+width]:
-        one shared SQL shape so every level decides membership with
-        the same IEEE arithmetic."""
-        w = width or 1.0
-        return (
-            f"least(greatest(cast(floor((v - {lo!r}D) / {w!r}D * "
-            f"{_PCTL_BUCKETS}) as int), 0), {_PCTL_BUCKETS - 1})"
-        )
-
-    # long-form (key, col-index, value, level-0 bucket) relation: a
-    # UNION of one skinny branch per column — branches scan in
-    # parallel tasks even on a one-split local file (an explode over
-    # an array of structs serializes the whole relation through one
-    # task there; measured 2x slower at sf0.1). NULL values get
-    # bucket -1: never rank-relevant, but they keep all-NULL groups
-    # visible in the histogram. Cached: it feeds pass 2, pass 3 and
-    # any refinement levels (scalar columns cache nearly free).
-    parts = []
-    for ci, c in enumerate(cols):
-        if probe[f"mn_{ci}"] is None:
-            continue  # globally all-NULL column: nothing to bin
-        lo0 = probe[f"mn_{ci}"]
-        w0 = probe[f"mx_{ci}"] - lo0
-        parts.append(
-            df.select(
-                F.col(key).alias("__vk"),
-                F.lit(ci).cast("int").alias("__vci"),
-                F.col(c).cast("double").alias("v"),
-            ).select(
-                "__vk",
-                "__vci",
-                "v",
-                F.expr(f"IF(v IS NULL, -1, {wb_sql(lo0, w0)})").alias("wb"),
-            )
-        )
-    if not parts:
-        # every spec column is globally NULL: emit NULL results per key
-        names = [name for c in cols for _, name in specs[c]]
-        return [
-            {key: r[key], **{n: None for n in names}}
-            for r in df.select(key).distinct().collect()
-        ]
-    v_cached = parts[0]
-    for part in parts[1:]:
-        v_cached = v_cached.unionByName(part)
-    v_cached = v_cached.cache()
-
+    out_df = exact_percentiles_distributed(
+        df, key, specs, native_distinct_max=native_distinct_max
+    )
+    names = [name for c in specs for _, name in specs[c]]
     try:
-        # pass 2: per-(group, column) histograms over global buckets
-        hists: dict[tuple, dict[int, int]] = defaultdict(dict)
-        for r in (
-            v_cached.groupBy("__vk", "__vci", "wb")
-            .agg(F.count("*").alias("c"))
-            .collect()
-        ):
-            hists[(r["__vk"], r["__vci"])][r["wb"]] = r["c"]
-
-        def key_eq(k) -> Column:
-            return F.col("__vk").isNull() if k is None else F.col("__vk") == F.lit(k)
-
-        def rank_value(pred: Column, lo: float, width: float, r: int, cnt: int) -> float:
-            """Exact r-th smallest value among the rows selected by
-            ``pred`` (cnt rows spanning value range [lo, lo+width]).
-            Recursively inserts bucket levels until the row bound
-            fits the cap; each level is one tiny aggregate job over
-            the cached skinny relation. Only groups whose data
-            defeats the shared global buckets ever reach depth >= 1."""
-            if cnt <= _PCTL_REFINE_CAP:
-                run = 0
-                for row in sorted(
-                    v_cached.filter(pred).groupBy("v").count().collect()
-                ):
-                    if run <= r < run + row["count"]:
-                        return row["v"]
-                    run += row["count"]
-                raise IndexError(r)
-            sub = F.expr(wb_sql(lo, width))
-            hist = sorted(
-                v_cached.filter(pred)
-                .groupBy(sub.alias("swb"))
-                .count()
-                .collect()
-            )
-            cum = 0
-            for row in hist:
-                if cum <= r < cum + row["count"]:
-                    bw = (width or 1.0) / _PCTL_BUCKETS
-                    return rank_value(
-                        pred & (sub == row["swb"]),
-                        lo + row["swb"] * bw,
-                        bw,
-                        r - cum,
-                        row["count"],
-                    )
-                cum += row["count"]
-            raise IndexError(r)
-
-        # locate each target's floor/ceil ranks inside the histograms
-        # and split rank queries into cap-sized (one shared exact job)
-        # vs oversized (per-item recursive refinement)
-        targets: dict[tuple, list] = defaultdict(list)  # (k, ci) -> specs
-        small_items: dict[tuple, set[int]] = defaultdict(set)  # (k,ci)->wbs
-        big_items: list[tuple] = []  # (k, ci, wb, rank-in-bucket, cnt)
-        group_keys = sorted({k for k, _ in hists}, key=lambda x: (x is None, str(x)))
-        for ci, c in enumerate(cols):
-            for k in group_keys:
-                h = hists.get((k, ci), {})
-                n = sum(cnt for wbi, cnt in h.items() if wbi >= 0)
-                cum, cum_at = 0, {}
-                pos_buckets = sorted(wbi for wbi in h if wbi >= 0)
-                for wbi in pos_buckets:
-                    cum_at[wbi] = cum
-                    cum += h[wbi]
-                for pfrac, name in specs[c]:
-                    if n == 0:  # all-NULL group: percentile is NULL
-                        targets[(k, ci)].append((name, None, None, None))
-                        continue
-                    t = (n - 1) * pfrac
-                    lo_i, hi_i = math.floor(t), math.ceil(t)
-                    for i in (lo_i, hi_i):
-                        for wbi in pos_buckets:
-                            if cum_at[wbi] <= i < cum_at[wbi] + h[wbi]:
-                                if h[wbi] <= _PCTL_REFINE_CAP:
-                                    small_items[(k, ci)].add(wbi)
-                                else:
-                                    big_items.append(
-                                        (k, ci, wbi, i - cum_at[wbi], h[wbi])
-                                    )
-                                break
-                    targets[(k, ci)].append((name, lo_i, hi_i, t - math.floor(t)))
-
-        # pass 3 (shared): exact value counts inside every cap-sized
-        # rank-holding bucket, ONE job. The (group, column, bucket)
-        # membership is a per-row predicate over the cached relation;
-        # a value-range prefilter (one bucket of slack each side — a
-        # superset no float rounding can escape) keeps the scan cheap
-        # and would push down in an uncached recompute.
-        invals: dict[tuple, list[tuple[float, int]]] = defaultdict(list)
-        if small_items:
-            sel = None
-            for (k, ci), wbs in small_items.items():
-                cond = (
-                    key_eq(k)
-                    & (F.col("__vci") == ci)
-                    & F.col("wb").isin(*sorted(wbs))
-                )
-                sel = cond if sel is None else (sel | cond)
-            pre, pre_ok = None, True
-            for ci, c in enumerate(cols):
-                wbs_ci = sorted(
-                    {w for (_, cci), ws in small_items.items() if cci == ci for w in ws}
-                )
-                if not wbs_ci:
-                    continue  # no cap-sized bucket on this column
-                if len(wbs_ci) > 64:  # keep plan size bounded
-                    pre_ok = False
-                    break
-                lo0 = probe[f"mn_{ci}"]
-                bw0 = ((probe[f"mx_{ci}"] - lo0) or 1.0) / _PCTL_BUCKETS
-                cond = None
-                for wbi in wbs_ci:
-                    rc = F.col("v").between(
-                        lo0 + (wbi - 1) * bw0, lo0 + (wbi + 2) * bw0
-                    )
-                    cond = rc if cond is None else (cond | rc)
-                branch = (F.col("__vci") == ci) & cond
-                pre = branch if pre is None else (pre | branch)
-            base3 = v_cached.filter(pre) if pre_ok and pre is not None else v_cached
-            for r in (
-                base3.filter(sel)
-                .groupBy("__vk", "__vci", "wb", "v")
-                .agg(F.count("*").alias("c"))
-                .collect()
-            ):
-                invals[(r["__vk"], r["__vci"], r["wb"])].append((r["v"], r["c"]))
-
-        # oversized buckets (rare): per-item recursive refinement
-        big_vals: dict[tuple, float] = {}  # (k, ci, wb, rank) -> value
-        for k, ci, wbi, rib, cnt in big_items:
-            lo0 = probe[f"mn_{ci}"]
-            bw0 = ((probe[f"mx_{ci}"] - lo0) or 1.0) / _PCTL_BUCKETS
-            pred = key_eq(k) & (F.col("__vci") == ci) & (F.col("wb") == wbi)
-            big_vals[(k, ci, wbi, rib)] = rank_value(
-                pred, lo0 + wbi * bw0, bw0, rib, cnt
-            )
-
-        def value_at(k, ci, i: int) -> float:
-            h = hists.get((k, ci), {})
-            cum = 0
-            for wbi in sorted(w for w in h if w >= 0):
-                if cum <= i < cum + h[wbi]:
-                    if (k, ci, wbi, i - cum) in big_vals:
-                        return big_vals[(k, ci, wbi, i - cum)]
-                    run = cum
-                    for v, c in sorted(invals[(k, ci, wbi)]):
-                        if run <= i < run + c:
-                            return v
-                        run += c
-                cum += h[wbi]
-            raise IndexError(i)
-
-        out = []
-        for k in group_keys:
-            row = {key: k}
-            for ci, c in enumerate(cols):
-                for name, lo_i, hi_i, frac in targets.get(
-                    (k, ci), [(nm, None, None, None) for _, nm in specs[c]]
-                ):
-                    if lo_i is None:
-                        row[name] = None
-                        continue
-                    lo_v, hi_v = value_at(k, ci, lo_i), value_at(k, ci, hi_i)
-                    row[name] = lo_v + (hi_v - lo_v) * frac
-            out.append(row)
-        return out
+        return [
+            {key: r[key], **{n: r[n] for n in names}} for r in out_df.collect()
+        ]
     finally:
-        v_cached.unpersist()
+        release(out_df)
 
 
 def percentiles_native_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
