@@ -3,11 +3,14 @@ columns with typed metadata, processed by Arrow-batched mapInPandas
 operators (the only part of the engine where Python touches row data
 — decode/feature-extract is genuinely inexpressible in SQL).
 
-The actual codec step is STUBBED (`real_decode=True` raises
-NotImplementedError: no image/audio libraries in this container).
-Everything around it — schema, partition-parallel batch iteration,
-Arrow transfer, feature schema — is real and tested, so swapping in
-PIL/ffmpeg later touches exactly one function.
+Codecs (round 6 — the NotImplementedError stub is gone): the
+`real_decode=True` path decodes PNG (pure zlib + the five standard
+scanline filters, 8-bit gray/GA/RGB/RGBA) and WAV (stdlib `wave`,
+8/16-bit PCM) with no third-party media library. Formats beyond
+those raise ValueError naming the media_type — a real deployment
+adds PIL/ffmpeg inside `decode_media` and nothing else moves. The
+default fake path (raw bytes as uint8) stays the deterministic
+fixture-independent route the registered queries use.
 
 Scale notes: binaries ride in parquet as BYTE_ARRAY; mapInPandas
 processes Arrow record batches per partition (no per-row pickling).
@@ -18,6 +21,10 @@ sizes are heavily skewed.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -70,21 +77,142 @@ def repartition_by_size_bucket(
 
 
 def decode_media(blob: bytes, media_type: str, real_decode: bool = False) -> np.ndarray:
-    """THE stub: a real deployment decodes image/audio here. The fake
-    path returns the raw bytes as a uint8 array — deterministic, so
-    feature tests are exact."""
+    """Codec dispatch. Default (fake) path: raw bytes as a uint8 array
+    — deterministic, media-library-free, what the registered queries
+    exercise. ``real_decode=True``: an actual decode by media_type —
+    PNG via the pure zlib/stdlib decoder below, WAV via the stdlib
+    ``wave`` reader. Anything else raises ValueError naming the type;
+    a production deployment adds its PIL/ffmpeg branch HERE and every
+    downstream operator (features, resize, frame sampling) picks it
+    up unchanged."""
     if real_decode:
-        raise NotImplementedError(
-            "media codecs (PIL/libsndfile/ffmpeg) are not available in this "
-            "environment; wire them here"
+        if media_type == "image/png":
+            return _decode_png(blob)
+        if media_type in ("audio/wav", "audio/x-wav"):
+            return _decode_wav(blob)
+        raise ValueError(
+            f"no codec for media_type {media_type!r}: built-ins cover"
+            " image/png and audio/wav; add the PIL/ffmpeg branch in"
+            " decode_media for other formats"
         )
     return np.frombuffer(blob, dtype=np.uint8)
 
 
-def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
+#: PNG color type -> channel count (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """Pure zlib/numpy PNG decode: chunk walk -> IDAT inflate -> undo
+    the five standard scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). 8-bit depth, non-interlaced, gray/GA/RGB/RGBA.
+    Returns (h, w) for grayscale else (h, w, channels) uint8.
+
+    The Sub/Average/Paeth reconstructions are per-pixel loops over a
+    scanline — inherently serial within a row (each pixel depends on
+    the reconstructed left neighbor); fine for the Arrow-batched
+    per-document shape this runs in, where parallelism comes from
+    partitions, not pixels."""
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, channels = 8, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            channels = _PNG_CHANNELS.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG: wrong decompressed size")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    at = 0
+    for y in range(height):
+        ftype = raw[at]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=at + 1).copy()
+        at += stride + 1
+        if ftype == 1:  # Sub: + reconstructed left
+            for i in range(channels, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - channels])) & 0xFF
+        elif ftype == 2:  # Up: + reconstructed above (vectorizes)
+            cur += prev
+        elif ftype == 3:  # Average: + floor((left + above) / 2)
+            for i in range(stride):
+                left = int(cur[i - channels]) if i >= channels else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        elif ftype != 0:  # None needs nothing
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(height, width, channels) if channels > 1 else out.reshape(
+        height, width
+    )
+
+
+def _decode_wav(blob: bytes) -> np.ndarray:
+    """stdlib ``wave`` PCM decode: 8-bit unsigned or 16-bit signed
+    little-endian samples. Returns (n,) for mono else (n, channels)."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        raw = w.readframes(w.getnframes())
+        sampwidth, channels = w.getsampwidth(), w.getnchannels()
+    if sampwidth == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8)
+    elif sampwidth == 2:
+        arr = np.frombuffer(raw, dtype="<i2")
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    return arr.reshape(-1, channels) if channels > 1 else arr
+
+
+def _as_feature_bytes(arr: np.ndarray) -> np.ndarray:
+    """Flatten a decoded array into the uint8 domain the byte-feature
+    operators consume: uint8 passes through, int16 PCM maps linearly
+    onto [0, 255] (the top byte of the shifted-unsigned sample)."""
+    a = arr.ravel()
+    if a.dtype == np.uint8:
+        return a
+    if a.dtype == np.int16:
+        return ((a.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+    raise ValueError(f"no uint8 feature mapping for dtype {a.dtype}")
+
+
+def extract_features(
+    media: DataFrame, bins: int = 16, real_decode: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary column:
     byte count, mean, entropy, and a `bins`-bucket byte histogram.
-    One mapInPandas pass; partition-parallel; no shuffle."""
+    One mapInPandas pass; partition-parallel; no shuffle.
+    ``real_decode=True`` routes blobs through the actual codecs
+    (PNG/WAV) and maps decoded samples into the uint8 feature domain;
+    the default hashes the raw bytes (codec-free, deterministic)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,7 +220,9 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
             for doc_id, blob, meta in zip(
                 pdf["doc_id"], pdf["content"], pdf["media_meta"]
             ):
-                arr = decode_media(bytes(blob), meta["media_type"])
+                arr = _as_feature_bytes(
+                    decode_media(bytes(blob), meta["media_type"], real_decode)
+                )
                 hist = np.bincount(arr // (256 // bins), minlength=bins)[:bins]
                 p = hist / max(arr.size, 1)
                 nz = p[p > 0]
@@ -131,12 +261,14 @@ def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
     )
 
 
-def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, real_decode: bool = False
+) -> DataFrame:
     """Resize pass over the binary column: nearest-neighbor resample
     of the decoded array to width x height bytes, re-encoded as a new
     blob with updated metadata. Same Arrow-batched partition-parallel
-    shape as extract_features — a real deployment swaps the resample
-    line for PIL/The codec in decode_media and nothing else moves."""
+    shape as extract_features; ``real_decode=True`` resamples the
+    actually-decoded pixel/sample array instead of the raw bytes."""
 
     target = int(width) * int(height)
 
@@ -146,7 +278,9 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
             for doc_id, blob, meta in zip(
                 pdf["doc_id"], pdf["content"], pdf["media_meta"]
             ):
-                arr = decode_media(bytes(blob), meta["media_type"])
+                arr = decode_media(
+                    bytes(blob), meta["media_type"], real_decode
+                ).ravel()
                 if arr.size == 0:
                     out = np.zeros(target, dtype=np.uint8)
                 else:

@@ -348,12 +348,23 @@ def sampled_kmeans_centroids(
         for _ in range(iters):
             d2 = dists(c)
             assign = d2.argmin(axis=1)
+            far = None  # farthest-first order, computed on demand
+            n_far = 0
             for j in range(n_clusters):
                 members = x[assign == j]
                 if len(members):
                     c[j] = members.mean(axis=0)
-                else:  # empty cluster: reseed to the farthest point
-                    c[j] = x[d2.min(axis=1).argmax()]
+                else:
+                    # empty cluster: reseed to the NEXT-farthest point
+                    # — successive empty clusters get DISTINCT seeds
+                    # (one shared farthest point would leave duplicate
+                    # centroids wasting IVF buckets); the modulo only
+                    # cycles when n_clusters exceeds the sample size,
+                    # where duplicates are unavoidable
+                    if far is None:
+                        far = np.argsort(-d2.min(axis=1), kind="stable")
+                    c[j] = x[far[n_far % len(far)]]
+                    n_far += 1
         inertia = float(dists(c).min(axis=1).sum())
         if best_inertia is None or inertia < best_inertia:
             best, best_inertia = c, inertia

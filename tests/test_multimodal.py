@@ -59,9 +59,142 @@ def test_frame_sample_plan(media):
     assert plan.select("doc_id").distinct().count() == media.count()
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def _png_encode(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Independent test-side PNG writer (filter type selectable per
+    row) so the decoder round-trip exercises every reconstruction
+    branch against bytes produced by the RFC's forward transforms."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        h, w = img.shape
+        ch, color = 1, 0
+        flat = img
+    else:
+        h, w, ch = img.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        flat = img.reshape(h, w * ch)
+    filters = filters if filters is not None else [0] * h
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y].astype(np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            enc = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = int(left[i])
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = int(cur[i]) - pred
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_png_decode_roundtrip_all_filters():
+    """Every scanline filter type (None/Sub/Up/Average/Paeth) must
+    reconstruct exactly, grayscale and RGB."""
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(10, 7), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    out = multimodal.decode_media(
+        _png_encode(gray, filters), "image/png", real_decode=True
+    )
+    assert out.shape == (10, 7) and (out == gray).all()
+
+    rgb = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    out3 = multimodal.decode_media(
+        _png_encode(rgb, [4, 3, 2, 1, 0, 4]), "image/png", real_decode=True
+    )
+    assert out3.shape == (6, 5, 3) and (out3 == rgb).all()
+
+
+def test_wav_decode_roundtrip():
+    rng = np.random.RandomState(13)
+    samples = rng.randint(-32768, 32768, size=500, dtype=np.int16)
+    out = multimodal.decode_media(
+        _wav_encode(samples), "audio/wav", real_decode=True
+    )
+    assert out.dtype == np.int16 and (out == samples).all()
+
+
+def test_real_decode_unknown_format_raises():
+    with pytest.raises(ValueError, match="no codec"):
+        multimodal.decode_media(b"xx", "video/mp4", real_decode=True)
+    with pytest.raises(ValueError, match="signature"):
         multimodal.decode_media(b"xx", "image/png", real_decode=True)
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    """The full Arrow-batched operator over ACTUAL codec output: PNG
+    pixel counts and WAV sample counts (not blob byte counts) must
+    flow into the feature schema."""
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, size=(9, 8), dtype=np.uint8)
+    wav = rng.randint(-32768, 32768, size=300, dtype=np.int16)
+    rows = [
+        (1, bytearray(_png_encode(img, [0, 1, 2, 3, 4, 0, 1, 2, 3])),
+         ("image/png", 8, 9, 0, 0.0)),
+        (2, bytearray(_wav_encode(wav)), ("audio/wav", 0, 0, 16000, 300 / 16000.0)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id bigint, content binary, media_meta struct<media_type: string,"
+        " width: int, height: int, sample_rate: int, duration_s: double>",
+    )
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(media, real_decode=True).collect()
+    }
+    assert feats[1]["n_bytes"] == img.size  # pixels, not blob bytes
+    assert feats[1]["mean_byte"] == pytest.approx(float(img.mean()))
+    assert feats[2]["n_bytes"] == wav.size  # samples, not blob bytes
+    want_mean = float((((wav.astype(np.int32) + 32768) >> 8)).mean())
+    assert feats[2]["mean_byte"] == pytest.approx(want_mean)
+    assert sum(feats[1]["histogram"]) == img.size
+    assert sum(feats[2]["histogram"]) == wav.size
 
 
 def test_resize_media_shapes_and_determinism(spark, sf_dir):

@@ -556,30 +556,79 @@ def test_star_components_match_union_find(spark, edges, isolated):
     assert got == want
 
 
+def test_raw_md5_dedup_matches_duckdb(spark, sf_dir, duck):
+    """Raw-content-hash dedup (the unregistered q_dedup_exact form)
+    keeps a direct cross-engine VALUE check after its round-5 registry
+    retirement: its witness q_corpus_clean hashes NORMALIZED text, so
+    this pins the raw md5(text) expression itself against DuckDB."""
+    from clinical_data_warehouse_bi_spark.queries.dedup import q_dedup_exact
+
+    got = {
+        r["text_hash"]: (r["n_copies"], r["keep_doc_id"])
+        for r in q_dedup_exact(spark, sf_dir).collect()
+    }
+    want = {
+        h: (n, k)
+        for h, n, k in duck.execute(
+            "SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,"
+            " MIN(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)"
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_deep_chain_converges_via_star_fallback(spark):
     """A path graph far deeper than max_iter must still return correct
-    components: auto falls back to large-star/small-star instead of
-    raising, and star converges in O(log^2 n) rounds regardless of the
-    80-hop diameter. label_prop alone must refuse with a clear error."""
+    components: auto PLATEAU-bails to large-star/small-star after a
+    few non-halving rounds (NOT after burning all max_iter actions —
+    each propagation round is a full job barrier), and star converges
+    in O(log^2 n) rounds regardless of the 80-hop diameter.
+    label_prop alone must refuse with a clear error."""
     import pytest
 
     from clinical_data_warehouse_bi_spark.graph import connected_components
 
-    n = 80  # diameter 79 >> max_iter=5
+    n = 80  # diameter 79 >> any reasonable round budget
     e_df = spark.createDataFrame(
         [Row(src=i, dst=i + 1) for i in range(n - 1)], "src long, dst long"
     )
+    stats: dict = {}
     got = {
         r["id"]: r["component"]
-        for r in connected_components(e_df, max_iter=5).collect()
+        for r in connected_components(e_df, stats=stats).collect()
     }
     assert got == {i: 0 for i in range(n)}
+    # a chain's changed-count shrinks by ~1/round, never halving: the
+    # plateau heuristic must bail at its 4-round window, not at 25
+    assert stats["fell_back"] is True
+    assert stats["label_prop_rounds"] <= 6
 
     with pytest.raises(RuntimeError, match="large-star/small-star"):
         connected_components(e_df, max_iter=5, algorithm="label_prop")
 
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(e_df, algorithm="bogus")
+
+
+def test_shallow_graph_converges_without_fallback(spark):
+    """The dedup-cluster shape (stars of duplicates around a common
+    ancestor) must keep converging inside label propagation — the
+    plateau heuristic may never trigger on it (its changed-count hits
+    zero within a few rounds)."""
+    from clinical_data_warehouse_bi_spark.graph import connected_components
+
+    edges = [Row(src=h, dst=h * 100 + i) for h in (1, 2, 3) for i in range(1, 6)]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e_df, stats=stats).collect()
+    }
+    want = {h: h for h in (1, 2, 3)}
+    want.update({h * 100 + i: h for h in (1, 2, 3) for i in range(1, 6)})
+    assert got == want
+    assert stats["fell_back"] is False
+    assert stats["label_prop_rounds"] <= 4
 
 
 def test_pack_sequences_offsets_contiguous(spark, sf_dir):
