@@ -48,7 +48,6 @@ BENCH_QUERIES = [
     "q_stream_dedup_dual",
     "q_minhash_lsh_pairs",
     "q_lsh_near_dup",
-    "q_simhash",
     "q_simhash_pairs",
     "q_text_stats",
     "q_lang_id",
@@ -57,6 +56,7 @@ BENCH_QUERIES = [
     "q_corpus_clean",
     "q_stratified_sample",
     "q_scd2_dim",
+    "q_scd2_asof",
     "q_cosine_topk",
     "q_ann_ivf_nprobe",
     "q_ann_ivf_learned",

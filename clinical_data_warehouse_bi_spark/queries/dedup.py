@@ -247,13 +247,21 @@ def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return bitsums.select("doc_id", fingerprint.alias("simhash"))
 
 
-@register("q_simhash", oracle=_SQL_SIMHASH)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (Charikar): each token votes +1/-1
     on every bit of its hash; bit j of the fingerprint is the vote
     sign. Token bit j is extracted from md5 hex nibble j//4 (portable:
     strpos-based nibble decode, identical in both engines). Near-dup
-    = small Hamming distance between fingerprints (q_simhash_pairs)."""
+    = small Hamming distance between fingerprints (q_simhash_pairs).
+
+    Round-6 registry retirement (cap is 50; slot went to q_scd2_asof):
+    q_simhash_pairs runs THIS function's exact output relation —
+    the shared ``_simhash_fingerprints`` stage — as the persisted
+    input of its banded Hamming join, and its oracle re-derives the
+    same fingerprints (the fp CTE is _SQL_SIMHASH verbatim), so the
+    signature expression stays hash-checked cross-engine through the
+    surviving witness (the round-5 q_minhash_signatures precedent).
+    Kept unregistered as the narrow-API form."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return _simhash_fingerprints(docs)
 

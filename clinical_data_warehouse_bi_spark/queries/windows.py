@@ -244,3 +244,65 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("valid_from"),
         F.lead("o_orderdate").over(w).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register("q_scd2_asof", oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_state
+      FROM orders),
+    chg AS (
+      SELECT * FROM h
+      WHERE prev_state IS NULL OR prev_state <> o_orderpriority),
+    scd AS (
+      SELECT o_custkey AS customer_id, o_orderpriority AS state,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM chg)
+    SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
+           o.o_orderdate AS as_of, s.state
+    FROM orders o
+    LEFT JOIN scd s
+      ON s.customer_id = o.o_custkey
+     AND s.valid_from <= o.o_orderdate
+     AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+    """)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS-OF) lookup against the SCD2 dimension — the
+    consumption half of the SCD2 story: every order probes "what was
+    this customer's state at this date" against q_scd2_dim's
+    effective-dated intervals. The reference's own BETWEEN-join shape
+    (Stage_area.sql:237-256) applied to the versioned dimension.
+
+    Join shape (J5's scale form, joins.interval_join_pick_first minus
+    the dedup window): the half-open validity predicate rides on the
+    customer_id EQUI hash join as a post-filter — never a nested
+    loop (plan-tested). No pick-first pass is needed: the lag/lead
+    construction makes each customer's non-empty intervals DISJOINT
+    and the chain covers [first_order_date, infinity), so every probe
+    matches exactly one version; the left join keeps the
+    probe-preserving semantics regardless."""
+    dim = q_scd2_dim(spark, sf_dir)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    probes = o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("probe_cust"),
+        F.col("o_orderdate").alias("as_of"),
+    )
+    joined = probes.join(
+        dim,
+        (F.col("probe_cust") == dim["customer_id"])
+        & (dim["valid_from"] <= F.col("as_of"))
+        & (dim["valid_to"].isNull() | (F.col("as_of") < dim["valid_to"])),
+        "left",
+    )
+    return joined.select(
+        "order_id",
+        F.col("probe_cust").alias("customer_id"),
+        "as_of",
+        "state",
+    )

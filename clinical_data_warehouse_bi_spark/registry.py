@@ -74,6 +74,10 @@ _CHECK_ORDER = [
     "q_ann_ivf_learned",
     "q_pack_sequences",
     "q_scd2_dim",
+    # round-6 additions (slot freed by retiring q_simhash — witness:
+    # q_simhash_pairs persists the identical _simhash_fingerprints
+    # relation and its oracle's fp CTE is _SQL_SIMHASH verbatim)
+    "q_scd2_asof",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -86,7 +90,6 @@ _CHECK_ORDER = [
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard",
     "q_lsh_near_dup",
-    "q_simhash",
     "q_simhash_pairs",
     "q_corpus_clean",
     "q_text_stats",

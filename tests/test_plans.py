@@ -80,7 +80,9 @@ def test_doc_pipeline_aggregates_in_place(spark, sf_dir):
     fingerprint relation, which would collapse this plan to an
     InMemoryTableScan and hide the shape under test."""
     spark.catalog.clearCache()
-    plan = physical_plan(QUERIES["q_simhash"](spark, sf_dir))
+    from clinical_data_warehouse_bi_spark.queries.dedup import q_simhash
+
+    plan = physical_plan(q_simhash(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
 
 
@@ -88,6 +90,17 @@ def test_interval_join_is_not_nested_loop(spark, sf_dir):
     """J5/J6: the BETWEEN must ride on an equi join (hash/broadcast),
     never a cartesian / broadcast-nested-loop join."""
     plan = physical_plan(QUERIES["q_asof_next_order"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_asof_join_is_not_nested_loop(spark, sf_dir):
+    """The AS-OF lookup's half-open validity predicate must ride on
+    the customer_id EQUI join as a post-filter — a hash or sort-merge
+    join keyed on the dimension's natural key, never a cartesian /
+    nested-loop plan (the VERDICT r5 acceptance bar for the SCD2
+    consumption query)."""
+    plan = physical_plan(QUERIES["q_scd2_asof"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
