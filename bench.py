@@ -130,6 +130,7 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         try:
@@ -138,13 +139,24 @@ def main() -> None:
             # memory pressure (they are never hit again)
             spark.catalog.clearCache()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-            best = None
-            for _ in range(2):  # best-of-2: the host is noisy
+            # Best-of-2, plus a third run for sub-2s entries: the
+            # host-noise band on those is +/-30% of a few hundred ms,
+            # the same order as real regressions (two rounds of
+            # untouched-code "movers" traced to exactly this). The
+            # per-query spread (max-min over timed runs) goes to
+            # stderr so moves can be attributed noise-vs-code against
+            # the bands recorded in BASELINE.md.
+            runs = []
+            for _ in range(2):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-            timings[name] = round(best, 4)
+                runs.append(time.time() - t0)
+            if min(runs) < 2.0:
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 4)
+            spreads[name] = round(max(runs) - min(runs), 4)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
@@ -157,6 +169,8 @@ def main() -> None:
         timings["pipeline_star"] = -1.0
         print(f"bench error in pipeline_star: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print("per-query spread (max-min over timed runs): "
+          + json.dumps(spreads), file=sys.stderr)
     print(
         json.dumps(
             {
