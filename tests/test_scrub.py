@@ -1,0 +1,140 @@
+"""Corpus-hygiene operators (scrub.py): PII redaction, repetition
+quality signals, and benchmark contamination. Expected values are
+computed independently in Python over the same rows (and over the
+driver's documents table), so the JVM expression trees are checked
+against a second implementation, not against themselves."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import scrub
+from clinical_data_warehouse_bi_spark.io import read_table
+
+
+def _scrub_one(spark, text: str) -> str:
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(scrub.scrub_pii("text").alias("t")).first()["t"]
+
+
+def test_scrub_pii_redacts_each_class(spark):
+    cases = {
+        "mail bob.smith+x@corp.example.org now": "mail <EMAIL> now",
+        "ssn 123-45-6789 on file": "ssn <SSN> on file",
+        "call +1 555 867-5309 today": "call <PHONE> today",
+        "host 192.168.0.12 down": "host <IP> down",
+        "card 4111 1111 1111 1111 charged": "card <CARD> charged",
+    }
+    for raw, want in cases.items():
+        assert _scrub_one(spark, raw) == want
+
+
+def test_scrub_pii_leaves_clean_text_alone(spark):
+    clean = "pi is 3.14159 and the year is 2024; see section 7-2"
+    assert _scrub_one(spark, clean) == clean
+
+
+def test_repetition_metrics_exact_values(spark):
+    rows = [
+        # 3 non-empty lines, 1 duplicate; tokens cross lines: 9 total
+        # (a b a b a b a b a), 7 3-grams with 2 distinct -> 5/7 dup;
+        # top token 'a' appears 5 of 9
+        (1, "a b a\nb a b\n\na b a"),
+        # no repetition at all
+        (2, "one two three four"),
+        # degenerate all-same-token page
+        (3, "spam spam spam spam spam"),
+        # shorter than the ngram window -> no grams, frac 0
+        (4, "tiny doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["dup_line_frac"],
+            r["dup_ngram_frac"],
+            r["top_word_frac"],
+        )
+        for r in scrub.repetition_metrics(df, ngram=3).collect()
+    }
+    assert got[1] == (
+        pytest.approx(1 / 3),
+        pytest.approx(5 / 7),
+        pytest.approx(5 / 9),
+    )
+    assert got[2] == (0.0, 0.0, pytest.approx(0.25))
+    assert got[3] == (0.0, pytest.approx(2 / 3), 1.0)
+    assert got[4] == (0.0, 0.0, 0.5)
+    assert got[5] == (0.0, 0.0, 0.0)
+
+
+def test_repetition_metrics_match_python_on_documents(spark, sf_dir):
+    """Cross-check the JVM expressions against an independent Python
+    implementation over the driver's real documents table."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    got = {
+        r["doc_id"]: (r["dup_ngram_frac"], r["top_word_frac"])
+        for r in scrub.repetition_metrics(docs, ngram=3).collect()
+    }
+    for r in docs.collect():
+        toks = [t for t in re.split(r"[^a-z0-9']+", r["text"].lower()) if t]
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        want_gram = (
+            (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
+        )
+        want_top = (
+            max(toks.count(t) for t in set(toks)) / len(toks) if toks else 0.0
+        )
+        dg, tw = got[r["doc_id"]]
+        assert dg == pytest.approx(want_gram), r["doc_id"]
+        assert tw == pytest.approx(want_top), r["doc_id"]
+
+
+def test_repetition_filter_drops_degenerate(spark):
+    rows = [
+        (1, "a normal sentence with distinct words in it"),
+        (2, "spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = [r["doc_id"] for r in scrub.repetition_filter(df).collect()]
+    assert kept == [1]
+
+
+def test_contamination_report_detects_planted_overlap(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog every single day"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text then {bench_text} and some trailing words"),
+            (2, "completely unrelated content about spark partitioning"),
+            (3, "the quick brown fox jumps over nothing here at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id long, text string"
+    )
+    rows = scrub.contamination_report(
+        corpus, bench, n=8, min_overlap_frac=0.5
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["bench_id"]) == (1, 100)
+    # 12-token benchmark -> 5 distinct 8-grams, all present in doc 1
+    assert r["bench_grams"] == 5 and r["hit_grams"] == 5
+    assert r["overlap_frac"] == 1.0
+
+
+def test_contamination_join_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark side must broadcast (map-side hash join over the
+    corpus grams) — a shuffle of the corpus n-gram relation on the
+    join key would be the non-scalable plan."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.limit(5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = scrub.contamination_report(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
