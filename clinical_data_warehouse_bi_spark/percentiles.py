@@ -106,15 +106,6 @@ _BROADCAST_TARGETS = 1_000_000
 _SKETCH_MARGIN = 0.9
 
 
-def _idx(v: Column, lo: Column, w: Column) -> Column:
-    """Clamped fixed-width bucket index of ``v`` in [lo, lo+w] —
-    the exact arithmetic shape every level shares (same IEEE ops at
-    assignment and lookup). ``w`` must be non-zero (callers pass
-    ``width or 1.0`` literals)."""
-    raw = F.floor((v - lo) / w * F.lit(float(BUCKETS))).cast("int")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(BUCKETS - 1))
-
-
 def _path_eq(path: list[str], left: str, right: str) -> Column:
     cond = F.col(f"{left}.__vk").eqNullSafe(F.col(f"{right}.__vk")) & (
         F.col(f"{left}.__vci") == F.col(f"{right}.__vci")
