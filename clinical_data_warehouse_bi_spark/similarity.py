@@ -323,6 +323,18 @@ def sampled_kmeans_centroids(
     )
     sample.sort(key=lambda r: r["vec_id"])  # RNG-independent order
     x = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    best = _lloyd(x, n_clusters, seed, iters, n_init)
+    return [(j, [float(v) for v in best[j]]) for j in range(n_clusters)]
+
+
+def _lloyd(
+    x: np.ndarray, n_clusters: int, seed: int, iters: int, n_init: int
+) -> np.ndarray:
+    """Seeded restarted Lloyd's k-means over a driver-side sample —
+    the shared fit core of the learned-IVF quantizer and the PQ
+    sub-quantizers. k-means++ init, fixed iteration count, distinct
+    farthest-point reseeding of empty clusters, lowest-inertia
+    restart wins; byte-deterministic for a given (x, seed)."""
     xsq = np.einsum("ij,ij->i", x, x)
 
     def dists(c: np.ndarray) -> np.ndarray:
@@ -368,7 +380,7 @@ def sampled_kmeans_centroids(
         inertia = float(dists(c).min(axis=1).sum())
         if best_inertia is None or inertia < best_inertia:
             best, best_inertia = c, inertia
-    return [(j, [float(v) for v in best[j]]) for j in range(n_clusters)]
+    return best
 
 
 def ivf_search(
@@ -420,4 +432,155 @@ def ivf_search(
         p.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 7,
+    sample_cap: int = 4096,
+    iters: int = 20,
+    n_init: int = 4,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search"): split the D dims into
+    ``m`` contiguous subspaces and fit a ``ksub``-codeword quantizer
+    per subspace — the compressed-vector scale path: a 64-dim float32
+    vector (256 bytes) becomes m=8 one-byte codes, a 32x memory cut,
+    which is what lets 100 TB of embeddings fit an IVF index's hot
+    tier at all.
+
+    Training follows the sampled-quantizer decision (SURVEY.md §9
+    item 11): driver-side seeded Lloyd's (the shared ``_lloyd`` core)
+    over the hash-smallest ``sample_cap`` vectors — TakeOrdered, no
+    full shuffle — one independent fit per subspace (seed offset by
+    subspace so codebooks differ). Returns
+    codebooks[sub][code][subdim], plain floats for closure capture.
+
+    D must divide by ``m`` (PQ's standard constraint)."""
+    sample = (
+        vectors.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(sample_cap)
+        .collect()
+    )
+    sample.sort(key=lambda r: r["vec_id"])  # RNG-independent order
+    x = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    dims = x.shape[1]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    dsub = dims // m
+    k = min(ksub, len(x))  # degenerate tiny samples: fewer codewords
+    books = []
+    for sub in range(m):
+        xs = x[:, sub * dsub : (sub + 1) * dsub]
+        c = _lloyd(xs, k, seed + 1000 * sub, iters, n_init)
+        books.append([[float(v) for v in row] for row in c])
+    return books
+
+
+def pq_encode(vectors: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, codes array<int>): each vector's per-subspace nearest
+    codeword — one GEMM per (subspace, Arrow batch) against the
+    broadcast codebook, fully distributed, no shuffle. The codes
+    relation is the PQ index; at rest it is ~m bytes/vector (write
+    with the int8/tinyint physical type of the sink of choice)."""
+    mats = [np.array(b, dtype=np.float64) for b in codebooks]
+    csq = [np.einsum("ij,ij->i", c, c) for c in mats]
+    m = len(mats)
+    dsub = mats[0].shape[1]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for sub in range(m):
+                xs = mat[:, sub * dsub : (sub + 1) * dsub]
+                # argmin |x-c|^2 == argmin |c|^2 - 2 x.c (|x|^2 const/row)
+                codes[:, sub] = np.argmin(
+                    csq[sub][None, :] - 2.0 * (xs @ mats[sub].T), axis=1
+                )
+            yield pd.DataFrame({"vec_id": ids, "codes": list(codes)})
+
+    return vectors.select("vec_id", "embedding").mapInPandas(
+        op, "vec_id long, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query build the
+    m x ksub lookup table of squared distances from the query's
+    subvectors to every codeword (tiny, driver-side), then score each
+    database vector as the SUM of m table lookups — never
+    reconstructing vectors, never touching floats per row. Output
+    (qid, nid, rank, adist), ascending approximate squared euclidean,
+    ties by nid (the engine's standard deterministic order).
+
+    Plan shape mirrors cosine_topk_numpy: mapInPandas partial top-k
+    per partition under the same rounded total order, then a global
+    window over |partitions| x |queries| x k rows — the codes table
+    never shuffles."""
+    mats = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(mats)
+    dsub = mats[0].shape[1]
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    luts = []  # per query: m x ksub squared-distance table
+    for _, qv in queries:
+        qarr = np.asarray(qv, dtype=np.float64)
+        lut = np.stack(
+            [
+                np.sum(
+                    (mats[sub] - qarr[sub * dsub : (sub + 1) * dsub][None, :])
+                    ** 2,
+                    axis=1,
+                )
+                for sub in range(m)
+            ]
+        )
+        luts.append(lut)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.array(pdf["codes"].tolist(), dtype=np.int64)  # N x m
+            out = []
+            for j, qid in enumerate(qids):
+                dist = luts[j][sub_idx[None, :], cm].sum(axis=1)  # N
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((ids[cand], np.round(dist[cand], 6)))
+                top = cand[order[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": qid, "nid": ids[top], "adist": dist[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = codes.select("vec_id", "codes").mapInPandas(
+        op, "qid long, nid long, adist double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("adist"), 6).asc(), F.col("nid").asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("adist", 4).alias("adist"))
     )

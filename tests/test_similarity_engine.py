@@ -141,3 +141,97 @@ def test_quantize_roundtrip_error_bound(spark, sf_dir):
         step = 1.0 / r.scale
         for x, qv in zip(emb[r.vec_id], qs):
             assert abs(x - qv * step) <= 0.5 * step * (1 + 1e-9) + 1e-12
+
+
+def test_pq_encode_shapes_and_determinism(spark, sf_dir):
+    """PQ codes: one code per subspace, every code a valid codebook
+    index, and encoding is deterministic (seeded training + argmin)."""
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=16, sample_cap=512)
+    assert len(books) == 8
+    dims = len(emb.first()["embedding"])
+    assert len(books[0][0]) == dims // 8
+    codes = {r["vec_id"]: r["codes"] for r in similarity.pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    for c in codes.values():
+        assert len(c) == 8 and all(0 <= x < 16 for x in c)
+    again = {
+        r["vec_id"]: r["codes"] for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert codes == again
+
+
+def test_pq_reconstruction_beats_global_mean(spark, sf_dir):
+    """The PQ codebooks must actually compress informatively: mean
+    squared reconstruction error well under the variance around the
+    global mean (the 0-bit baseline)."""
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(500)
+    rows = emb.collect()
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    # 64 codewords/subspace: the driver's embeddings are near-uniform
+    # (no cluster structure), where tiny codebooks plateau — this pins
+    # that a realistic codebook budget halves the quantization error
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=64, sample_cap=512)
+    codes = {r["vec_id"]: r["codes"] for r in similarity.pq_encode(emb, books).collect()}
+    mats = [np.array(b) for b in books]
+    dsub = x.shape[1] // 8
+    recon = np.stack(
+        [
+            np.concatenate([mats[s][codes[r["vec_id"]][s]] for s in range(8)])
+            for r in rows
+        ]
+    )
+    mse = float(((x - recon) ** 2).mean())
+    baseline = float(((x - x.mean(axis=0)) ** 2).mean())
+    assert mse < 0.5 * baseline, (mse, baseline)
+
+
+def test_pq_adc_recall_on_clustered_data(spark):
+    """ADC over PQ codes is a SHORTLIST generator, not a final
+    ranker: within a tight cluster the quantization error is the same
+    order as true neighbor-distance differences, so exact top-5
+    recall directly at k=5 is structurally mediocre (~0.4 here — the
+    honest number, not a bug). The contract that matters is that the
+    exact top-5 survives inside a small ADC shortlist (then exact
+    re-rank on the shortlist — pairwise/einsum — restores order at
+    1/16th the scan cost). Pin both: shortlist recall high, and the
+    cluster structure intact (every shortlist hit from the query's
+    own planted cluster)."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    k, dims, per = 5, 16, 80
+    centers = rng.normal(0, 10.0, size=(k, dims))
+    rows = []
+    for i in range(k * per):
+        v = centers[i % k] + rng.normal(0, 1.0, size=dims)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [r for r in rows if r[0] < 8]
+
+    # exact euclidean truth via numpy
+    x = np.array([r[1] for r in rows])
+    truth = set()
+    for qid, qv in queries:
+        d = ((x - np.array(qv)[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(rows)), np.round(d, 6)))
+        top = [i for i in order if i != qid][:5]
+        truth |= {(qid, i) for i in top}
+
+    books = similarity.train_pq_codebooks(emb, m=4, ksub=32, sample_cap=400)
+    codes = similarity.pq_encode(emb, books)
+    shortlist = {
+        (r["qid"], r["nid"])
+        for r in similarity.pq_adc_topk(codes, books, queries, k=50).collect()
+    }
+    recall_at_50 = len(shortlist & truth) / len(truth)
+    assert recall_at_50 >= 0.9, recall_at_50
+    # cluster structure survives compression: shortlist entries come
+    # from the query's own planted cluster (ids are interleaved mod k)
+    assert all(qid % k == nid % k for qid, nid in shortlist)
