@@ -138,3 +138,41 @@ def test_contamination_join_broadcasts_benchmark(spark, sf_dir):
     plan = scrub.contamination_report(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_texts = st.lists(
+    st.text(alphabet="ab x0'\n\t.,", min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_texts)
+def test_repetition_metrics_property_vs_python(spark, texts):
+    """Hypothesis: the JVM split/array expressions agree with the
+    independent Python implementation on adversarial text — empty
+    strings, pure-delimiter strings, apostrophes, repeated tiny
+    alphabets (the worst case for tokenizer-boundary mismatches)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_ngram_frac"], r["top_word_frac"])
+        for r in scrub.repetition_metrics(df, ngram=2).collect()
+    }
+    for i, t in rows:
+        toks = [w for w in re.split(r"[^a-z0-9']+", t.lower()) if w]
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        want_gram = (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
+        want_top = (
+            max(toks.count(w) for w in set(toks)) / len(toks) if toks else 0.0
+        )
+        assert got[i][0] == pytest.approx(want_gram), (i, t)
+        assert got[i][1] == pytest.approx(want_top), (i, t)
