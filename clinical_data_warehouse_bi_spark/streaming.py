@@ -9,6 +9,9 @@ Operators:
   the star schema's concept lookup)
 - running_user_state: custom stateful operator via
   applyInPandasWithState (per-user cumulative counters)
+- scd2_apply_changes / streaming_scd2: incremental SCD2 dimension
+  maintenance from a CDC stream (foreachBatch merge; the streaming
+  face of q_scd2_dim, r6)
 
 All operators take/return DataFrames so they compose identically in
 batch mode (Spark's unified API): the batch oracle-checked
@@ -20,7 +23,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -216,3 +219,125 @@ def run_to_memory(result: DataFrame, name: str, output_mode: str = "append"):
         .outputMode(output_mode)
         .start()
     )
+
+
+_SCD2_COLS = ["valid_from", "valid_to", "is_current"]
+
+
+def scd2_apply_changes(
+    dim: DataFrame | None,
+    changes: DataFrame,
+    key: str = "customer_id",
+    state_col: str = "state",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One SCD2 merge step — the pure-batch body of streaming_scd2's
+    foreachBatch, usable standalone as a CDC upsert: fold a batch of
+    (key, state, ts) observations into an effective-dated dimension
+    with q_scd2_dim's exact shape (change compression, half-open
+    [valid_from, valid_to) intervals, one open row per key).
+
+    Merge semantics:
+    - untouched keys and the CLOSED history of touched keys pass
+      through unchanged — only each touched key's open row is
+      re-derived, so per-batch work scales with the batch's key set,
+      not dimension size;
+    - the open row re-enters compression as a pseudo-observation at
+      its own valid_from, so a change to the same state is absorbed
+      (no spurious new version) and a real change closes it at the
+      new observation's timestamp;
+    - observations OLDER than a key's open row are dropped (the
+      late-data policy: an SCD2 open row asserts 'current since
+      valid_from'; rewriting closed history from stragglers is a
+      batch backfill job, not an incremental merge). Feed batches in
+      event-time order — the streaming wrapper inherits the source's
+      watermarking for that;
+    - ties at identical ts order by state for determinism (same
+      convention as q_scd2_dim's orderkey tie-break).
+
+    The composability invariant (property-tested): applying a change
+    history split across any chronological batching equals applying
+    it in one batch."""
+    ch = changes.select(
+        F.col(key), F.col(state_col), F.col(ts_col).alias("valid_from")
+    ).distinct()
+    if dim is None:
+        dim = (
+            ch.limit(0)
+            .withColumn("valid_to", F.col("valid_from"))
+            .withColumn("is_current", F.lit(True))
+            .select(key, state_col, *_SCD2_COLS)
+        )
+    changed_keys = ch.select(key).distinct()
+    open_rows = dim.filter(F.col("is_current"))
+    affected_open = open_rows.join(changed_keys, key, "left_semi")
+    # everything except touched keys' open rows passes through
+    marked = dim.join(
+        changed_keys.withColumn("__chg", F.lit(True)), key, "left"
+    )
+    keep = marked.filter(
+        ~(F.col("is_current") & F.col("__chg").isNotNull())
+    ).drop("__chg")
+    # late-data guard: drop observations behind the open row
+    bounds = affected_open.select(
+        F.col(key), F.col("valid_from").alias("__open_from")
+    )
+    valid_ch = (
+        ch.join(bounds, key, "left")
+        .filter(
+            F.col("__open_from").isNull()
+            | (F.col("valid_from") >= F.col("__open_from"))
+        )
+        .select(key, state_col, "valid_from")
+    )
+    events = affected_open.select(key, state_col, "valid_from").unionByName(
+        valid_ch
+    )
+    w = Window.partitionBy(key).orderBy("valid_from", state_col)
+    chg = (
+        events.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col)))
+        .drop("__prev")
+    )
+    rebuilt = chg.withColumn(
+        "valid_to", F.lead("valid_from").over(w)
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    cols = [key, state_col, *_SCD2_COLS]
+    return keep.select(*cols).unionByName(rebuilt.select(*cols))
+
+
+def streaming_scd2(
+    changes: DataFrame,
+    dim_path: str,
+    key: str = "customer_id",
+    state_col: str = "state",
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+):
+    """Maintain an SCD2 dimension incrementally from a CDC/observation
+    stream: each micro-batch folds into the parquet dimension at
+    ``dim_path`` via scd2_apply_changes (foreachBatch — the standard
+    Structured Streaming shape for merge-style sinks). The merged
+    dimension is localCheckpoint-materialized before the overwrite so
+    the read-modify-write of the same path is safe within a batch.
+
+    At scale the overwrite becomes a format with real MERGE (the
+    foreachBatch body is the part that stays); per-batch cost scales
+    with touched keys, not dimension size. Returns the started
+    StreamingQuery."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            dim = spark.read.parquet(dim_path)
+        except Exception:  # first batch: no dimension yet
+            dim = None
+        merged = scd2_apply_changes(
+            dim, batch, key=key, state_col=state_col, ts_col=ts_col
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(dim_path)
+
+    writer = changes.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
