@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: every table the driver materializes per scale factor (TESTDATA.md)
 DRIVER_TABLES = (
@@ -247,6 +248,56 @@ def write_training_shards(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.save(path)
+
+
+def global_shuffle(
+    df: DataFrame, id_col: str, seed: int = 0, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global shuffle for training-example order: sort
+    by xxhash64(id, seed) via a RANGE repartition — different seeds
+    give independent permutations, the same seed replays the same
+    order (task retries and re-runs included, which rand() cannot
+    promise). One range-exchange + per-partition sort; downstream
+    writes preserve the order file-by-file, so a sequential reader of
+    the shard listing sees the permutation. The epoch-reshuffle op of
+    a training pipeline: pair with write_training_shards per epoch
+    seed."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("__shuffle_key", h)
+        .repartitionByRange(n, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+    )
+
+
+def mix_sources(
+    sources: list[tuple[DataFrame, float]], id_col: str, seed: int = 0
+) -> DataFrame:
+    """Training-mixture shaping across corpora: union ``sources`` with
+    a per-source keep ``rate`` in [0, 1], sampled by deterministic
+    hash threshold (replay-stable, engine-portable — the
+    q_stratified_sample rule applied across FRAMES instead of within
+    one). A `__source` index column tags provenance. Rates > 1 are
+    rejected — upsampling is a reader-side repeat (epoch seeds via
+    global_shuffle), not a row-duplication job."""
+    out = None
+    for i, (df, rate) in enumerate(sources):
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(
+                f"source {i}: rate {rate} outside [0, 1] — upsample by"
+                " repeating epochs (global_shuffle seeds), not by"
+                " duplicating rows"
+            )
+        h = F.abs(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(i)))
+        kept = df.filter(h % 1_000_000 < int(rate * 1_000_000)).withColumn(
+            "__source", F.lit(i)
+        )
+        out = kept if out is None else out.unionByName(kept)
+    if out is None:
+        raise ValueError("mix_sources needs at least one source")
+    return out
 
 
 def show_tables(spark: SparkSession) -> DataFrame:

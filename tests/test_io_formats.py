@@ -80,3 +80,49 @@ def test_write_training_shards(spark, sf_dir, tmp_path):
     write_training_shards(docs, out2, num_shards=4, shard_key="doc_id",
                           max_records_per_file=100)
     assert shard_key_sets(out) == shard_key_sets(out2)
+
+
+def test_global_shuffle_deterministic_permutation(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import global_shuffle, read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    a = [r["doc_id"] for r in global_shuffle(docs, "doc_id", seed=1).collect()]
+    b = [r["doc_id"] for r in global_shuffle(docs, "doc_id", seed=1).collect()]
+    c = [r["doc_id"] for r in global_shuffle(docs, "doc_id", seed=2).collect()]
+    assert a == b  # same seed replays the same global order
+    assert a != c  # different seed is a different permutation
+    assert sorted(a) == sorted(c)  # ... of the same rows
+    assert a != sorted(a)  # and it actually shuffled
+
+
+def test_global_shuffle_no_single_partition(spark, sf_dir):
+    """The permutation must come from a RANGE exchange + local sorts,
+    never a global single-partition sort."""
+    from clinical_data_warehouse_bi_spark.io import global_shuffle, read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    df = global_shuffle(docs, "doc_id", seed=1, partitions=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert df.rdd.getNumPartitions() > 1
+
+
+def test_mix_sources_rates_and_determinism(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import mix_sources, read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.filter("doc_id % 2 = 0")
+    rest = docs.filter("doc_id % 2 = 1")
+    mixed = mix_sources([(half, 1.0), (rest, 0.3)], "doc_id", seed=5)
+    n_half, n_rest = half.count(), rest.count()
+    got = mixed.groupBy("__source").count().collect()
+    counts = {r["__source"]: r["count"] for r in got}
+    assert counts[0] == n_half  # rate 1.0 keeps everything
+    assert 0.15 * n_rest < counts[1] < 0.45 * n_rest  # ~30% kept
+    again = mix_sources([(half, 1.0), (rest, 0.3)], "doc_id", seed=5)
+    assert mixed.exceptAll(again).count() == 0  # replay-stable
+
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        mix_sources([(half, 1.5)], "doc_id")
