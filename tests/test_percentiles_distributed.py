@@ -212,3 +212,22 @@ def test_distributed_matches_duckdb_quantile_cont(spark, sf_dir, duck, ndm):
         ).fetchall()
     }
     assert got == want
+
+
+def test_distributed_special_output_names(spark):
+    """The SQL-text plan build must survive output names that need
+    escaping — spaces and embedded single quotes (the esc() path in
+    the generated CASE/alias expressions)."""
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 8)] + [("b", 10.0)],
+        "k string, v double",
+    )
+    specs = {"v": [(0.5, "median value"), (0.25, "q1's cut")]}
+    rows = {
+        r["k"]: (r["median value"], r["q1's cut"])
+        for r in exact_percentiles_distributed(
+            df, "k", specs, native_distinct_max=0
+        ).collect()
+    }
+    assert rows["a"] == (4.0, 2.5)
+    assert rows["b"] == (10.0, 10.0)
