@@ -13,7 +13,11 @@ between raw scrape and tokenizer.
 
 Scale notes:
 - PII scrubbing is a per-row regexp_replace chain — embarrassingly
-  parallel, no shuffle, pushes nothing, needs nothing.
+  parallel, no shuffle, pushes nothing, needs nothing. Like every
+  compute-heavy per-row stage, it runs at the SCAN's parallelism:
+  pre-partition few-split local inputs with io.fan_out (no-op on a
+  real many-split scan), and persist the gate's output when several
+  downstream stages consume it.
 - Repetition metrics are per-row split/aggregate expressions — one
   pass, no shuffle; thresholds filter before anything downstream
   shuffles (the cheap-reject-first rule).

@@ -1,0 +1,105 @@
+"""Flagship composition test: the COMPLETE training-corpus
+preprocessing pipeline, every stage an operator this engine ships —
+scrub -> repetition filter -> exact dedup -> contamination screen ->
+sequence packing -> epoch shuffle -> shard sink. Asserts the invariant
+each stage exists to provide, on the driver's documents table, ending
+with on-disk shards a training job could read. This is the 'a user of
+the reference could run their whole corpus prep here' claim, executed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import scrub
+from clinical_data_warehouse_bi_spark import text as T
+from clinical_data_warehouse_bi_spark.io import (
+    fan_out,
+    global_shuffle,
+    read_table,
+    write_training_shards,
+)
+
+
+def test_training_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    # fan_out: the local parquet is one split — without it every
+    # compute-heavy stage (regex chain, repetition metrics, n-gram
+    # hashing) pipelines onto a single scan task. io.fan_out is the
+    # repo idiom for this; an exact no-op on a real many-split scan.
+    docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_raw = docs.count()
+
+    # 1. PII scrub — full-width pass, text column replaced in place
+    scrubbed = docs.withColumn("text", scrub.scrub_pii("text"))
+
+    # 2. repetition/quality gate — degenerate pages out. Persist the
+    # gate's output: four downstream stages consume it, and the regex
+    # chain + repetition metrics are the pipeline's compute-heavy
+    # segment (recomputing them per action would dominate the test)
+    gated = scrub.repetition_filter(scrubbed).persist()
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_raw
+
+    # 3. exact dedup — one shuffle on the content hash, keep-min doc_id
+    hashed = gated.withColumn("__h", F.md5("text"))
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    deduped = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+    n_dedup = deduped.count()
+    assert n_dedup == gated.select(F.md5("text")).distinct().count()
+
+    # 4. benchmark contamination screen — plant the 'benchmark' as 3
+    # corpus docs; the screen must remove at least those (self-hits)
+    bench = deduped.orderBy("doc_id").limit(3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    hits = scrub.contamination_report(
+        deduped, bench, n=8, min_overlap_frac=0.5
+    )
+    contaminated = hits.select("doc_id").distinct()
+    n_hits = contaminated.count()
+    assert n_hits >= 3  # every planted doc screens itself out
+    screened = deduped.join(contaminated, "doc_id", "left_anti").persist()
+    assert screened.count() == n_dedup - n_hits
+
+    # 5. sequence packing — contiguous token offsets per shard
+    tok = screened.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    ww = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = tok.withColumn(
+        "tok_offset", F.sum("n_tokens").over(ww) - F.col("n_tokens")
+    )
+    gaps = (
+        packed.withColumn(
+            "__next",
+            F.lead("tok_offset").over(Window.partitionBy("shard").orderBy("doc_id")),
+        )
+        .filter(
+            F.col("__next").isNotNull()
+            & (F.col("__next") != F.col("tok_offset") + F.col("n_tokens"))
+        )
+        .count()
+    )
+    assert gaps == 0  # every doc starts exactly where the previous ended
+
+    # 6. epoch shuffle + shard sink — deterministic permutation, then
+    # hash shards on disk with every surviving doc present exactly once
+    epoch0 = global_shuffle(screened, "doc_id", seed=0)
+    out = str(tmp_path / "shards")
+    write_training_shards(epoch0, out, num_shards=4, shard_key="doc_id")
+    back = spark.read.parquet(out)
+    assert back.count() == screened.count()
+    assert back.select("doc_id").distinct().count() == screened.count()
+    # and the scrub really happened end-to-end: no raw emails survive
+    assert back.filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count() == 0
