@@ -584,3 +584,108 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", F.round("adist", 4).alias("adist"))
     )
+
+
+def ivf_pq_search(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    n_queries: int,
+    nprobe: int,
+    shortlist: int = 50,
+    topk: int = 5,
+) -> DataFrame:
+    """The full FAISS-style ANN pipeline, composed from this module's
+    pieces: IVF probe (broadcast-GEMM centroid ranking) restricts
+    candidates to ``nprobe`` buckets; PQ asymmetric distance over the
+    codes relation scores those candidates WITHOUT touching float
+    vectors (per-query LUT-sum, vectorized per Arrow batch); the top
+    ``shortlist`` per query then pays exact cosine on raw vectors —
+    the re-rank that restores ranking fidelity ADC trades away
+    (tests/test_similarity_engine.py pins that trade). At 100 TB the
+    float vectors live cold/columnar and only bucket assignment, the
+    m-byte codes, and the shortlist rows are ever hot.
+
+    Queries are the table's first ``n_queries`` vectors (the engine's
+    demo convention); their raw vectors are collected driver-side to
+    build the LUTs — bounded, like every query-side structure here."""
+    qrows = (
+        vectors.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted((r["vec_id"], list(r["embedding"])) for r in qrows)
+    mats = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(mats)
+    dsub = mats[0].shape[1]
+    luts = {}
+    for qid, qv in queries:
+        qarr = np.asarray(qv, dtype=np.float64)
+        luts[qid] = np.stack(
+            [
+                np.sum(
+                    (mats[s] - qarr[s * dsub : (s + 1) * dsub][None, :]) ** 2,
+                    axis=1,
+                )
+                for s in range(m)
+            ]
+        )
+
+    assign = centroid_rank(vectors, centroids, max_rank=1, metric="euclidean")
+    probes = centroid_rank(
+        vectors.filter(F.col("vec_id") < n_queries),
+        centroids,
+        max_rank=nprobe,
+        metric="euclidean",
+    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("bucket"))
+    codes = pq_encode(vectors, codebooks)
+    cand = (
+        probes.join(
+            assign.select(F.col("vec_id").alias("nid"), F.col("cid").alias("cb")),
+            F.col("bucket") == F.col("cb"),
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .join(codes.select(F.col("vec_id").alias("nid"), "codes"), "nid")
+        .select("qid", "nid", "codes")
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = pdf["qid"].to_numpy(dtype=np.int64)
+            nids = pdf["nid"].to_numpy(dtype=np.int64)
+            cm = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            dist = np.empty(len(qids), dtype=np.float64)
+            for qid in np.unique(qids):
+                rows = qids == qid
+                dist[rows] = luts[qid][sub_idx[None, :], cm[rows]].sum(axis=1)
+            yield pd.DataFrame({"qid": qids, "nid": nids, "adist": dist})
+
+    scored = cand.mapInPandas(adc, "qid long, nid long, adist double")
+    ws = Window.partitionBy("qid").orderBy(
+        F.round(F.col("adist"), 6).asc(), F.col("nid").asc()
+    )
+    short = (
+        scored.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= shortlist)
+        .drop("__rn", "adist")
+    )
+    # exact re-rank of the tiny shortlist on raw vectors
+    qvecs = vectors.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = short.join(qvecs, "qid").join(
+        vectors.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("e")),
+        "nid",
+    )
+    p = pairwise_cosine(pairs, ("qid", "nid"), ("qe", "e"))
+    wf = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("nid").asc()
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
+    )

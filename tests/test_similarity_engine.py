@@ -235,3 +235,36 @@ def test_pq_adc_recall_on_clustered_data(spark):
     # cluster structure survives compression: shortlist entries come
     # from the query's own planted cluster (ids are interleaved mod k)
     assert all(qid % k == nid % k for qid, nid in shortlist)
+
+
+def test_ivf_pq_search_with_rerank_recovers_recall(spark):
+    """The composed IVF->ADC-shortlist->exact-re-rank pipeline must
+    recover most of the brute-force cosine top-5 on planted clusters —
+    the re-rank restores the ranking fidelity raw ADC trades away
+    (compare test_pq_adc_recall_on_clustered_data's honest ~0.4)."""
+    import numpy as np
+
+    rng = np.random.RandomState(71)
+    k, dims, per = 5, 16, 80
+    centers = rng.normal(0, 10.0, size=(k, dims))
+    rows = []
+    for i in range(k * per):
+        v = centers[i % k] + rng.normal(0, 1.0, size=dims)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_queries = 8
+    queries = [r for r in rows if r[0] < n_queries]
+    truth = {
+        (r.qid, r.nid)
+        for r in similarity.cosine_topk_numpy(emb, queries, k=5).collect()
+    }
+    cents = similarity.sampled_kmeans_centroids(emb, n_clusters=k, seed=7)
+    books = similarity.train_pq_codebooks(emb, m=4, ksub=32, sample_cap=400)
+    got = {
+        (r["qid"], r["nid"])
+        for r in similarity.ivf_pq_search(
+            emb, cents, books, n_queries=n_queries, nprobe=2, shortlist=50
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, recall
