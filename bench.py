@@ -58,8 +58,10 @@ BENCH_QUERIES = [
     "q_scd2_dim",
     "q_scd2_asof",
     "q_cosine_topk",
-    "q_ann_ivf_nprobe",
     "q_ann_ivf_learned",
+    "q_ann_ivf_pq",
+    "q_repetition_filter",
+    "q_contamination",
     "q_embed_quantize",
     "q_embed_near_dup",
     "q_multimodal_features",

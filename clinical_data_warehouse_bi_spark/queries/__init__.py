@@ -3,6 +3,7 @@
 from clinical_data_warehouse_bi_spark.queries import (  # noqa: F401
     core,
     dedup,
+    hygiene,
     join_ops,
     qa_report,
     similarity,

@@ -82,7 +82,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lsh_candidate_pairs(T.lsh_band_signatures_wide(T.minhash_wide(docs)))
 
 
-@register("q_ngram_jaccard", oracle=f"""
+#: q_ngram_jaccard's DuckDB oracle, preserved after its round-7
+#: registry retirement (slot went to q_contamination) — the
+#: cross-engine value check survives in tests/test_retired_parity.py.
+SQL_NGRAM_JACCARD = f"""
     WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SQL_SHINGLES})
                 WHERE doc_id < 200),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -97,13 +100,24 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    """)
+    """
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for every pair sharing at least
     one shingle (bounded to doc_id < 200 — the exact-pairwise form is
     the verification tool, not the scale path; q_minhash_lsh_pairs is
     the scale path). Long/long division is IEEE-identical across
-    engines, so `jaccard` is hash-compared exactly."""
+    engines, so `jaccard` is hash-compared exactly.
+
+    Round-7 registry retirement (cap is 50; slot went to
+    q_contamination): q_lsh_near_dup's registered oracle hash-checks
+    the identical shingle relation, sizes CTE, and Jaccard division on
+    its candidate pairs — this query is the bounded all-pairs
+    ground-truth twin of that verify stage. The all-pairs form keeps
+    its own full oracle comparison in tests/test_retired_parity.py
+    against SQL_NGRAM_JACCARD. Kept unregistered as the
+    verification-tool API."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     sh = (
         docs.filter(F.col("doc_id") < 200)

@@ -1,0 +1,164 @@
+"""Corpus-hygiene queries (scrub.py operators) under the DuckDB
+oracle gate: repetition-based quality filtering and benchmark
+contamination. These are the round-6 extension operators the round-6
+verdict flagged as pytest-only — both are SQL-expressible, so each
+gets the full rows+schema+hash cross-engine check here.
+
+Reference analogue: none (pure extension); the closest reference
+spirit is the regex-guarded cleansing layer (Stage_area.sql:85-147).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import scrub
+from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.registry import register
+
+#: Gopher-rule thresholds (scrub.repetition_filter defaults)
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_NGRAM_FRAC = 0.50
+MAX_TOP_WORD_FRAC = 0.20
+
+#: benchmark side of the contamination demo: every 41st document
+#: plays the role of an eval-set item (deterministic, non-trivial:
+#: each matches itself at overlap 1.0 and near-dups surface extra
+#: pairs). Production passes a real benchmark table instead.
+BENCH_MOD = 41
+CONTAM_NGRAM = 8
+CONTAM_MIN_OVERLAP = 0.5
+
+# Tokenization shared by both oracles — the exact DuckDB mirror of
+# scrub's split(lower(text), "[^a-z0-9']+") with empties filtered.
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),"
+    " x -> x <> '')"
+)
+
+
+@register("q_repetition_filter", oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, chr(10)),
+                         x -> trim(x) <> '') AS lns,
+             {_SQL_WORDS} AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, lns, w,
+             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+      FROM base),
+    top AS (
+      SELECT doc_id, max(c) AS top_count FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    metrics AS (
+      SELECT g.doc_id,
+             CASE WHEN len(lns) > 0
+                  THEN CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE)
+                       / CAST(len(lns) AS DOUBLE)
+                  ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN len(grams) > 0
+                  THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                       / CAST(len(grams) AS DOUBLE)
+                  ELSE 0.0 END AS dup_ngram_frac,
+             CASE WHEN len(w) > 0
+                  THEN CAST(coalesce(top.top_count, 0) AS DOUBLE)
+                       / CAST(len(w) AS DOUBLE)
+                  ELSE 0.0 END AS top_word_frac
+      FROM g LEFT JOIN top ON top.doc_id = g.doc_id)
+    SELECT doc_id, dup_line_frac, dup_ngram_frac, top_word_frac,
+           (dup_line_frac <= {MAX_DUP_LINE_FRAC}
+            AND dup_ngram_frac <= {MAX_DUP_NGRAM_FRAC}
+            AND top_word_frac <= {MAX_TOP_WORD_FRAC}) AS keep
+    FROM metrics
+    """)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb repetition quality gate (scrub.repetition_metrics
+    / repetition_filter): per-document duplicate-line fraction,
+    duplicate-3-gram fraction, and top-token share, plus the boolean
+    ``keep`` verdict under the standard thresholds. Emitting every row
+    with its flag (instead of the filtered subset) puts the REJECTED
+    documents' metric values under the cross-engine hash too — the
+    production filter is exactly ``WHERE keep``.
+
+    Scale shape (scrub.py): all three metrics are built-in array
+    expressions in one projection pass — no shuffle, no Python; the
+    top-token share is the O(n log n) sorted-run form, not the
+    O(distinct x tokens) naive count. Numeric parity: int-to-double
+    casts are exact and both engines divide the same pair of doubles,
+    so the hash compares bit-identical values (the q_ngram_jaccard
+    convention)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    m = scrub.repetition_metrics(docs.select("doc_id", "text"))
+    return m.select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_ngram_frac",
+        "top_word_frac",
+        (
+            (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+            & (F.col("dup_ngram_frac") <= MAX_DUP_NGRAM_FRAC)
+            & (F.col("top_word_frac") <= MAX_TOP_WORD_FRAC)
+        ).alias("keep"),
+    )
+
+
+@register("q_contamination", oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - {CONTAM_NGRAM - 1}, 0)),
+               i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(CONTAM_NGRAM)).replace("w[i+0]", "w[i]")}
+             ))) AS g
+      FROM toks),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams
+              WHERE doc_id % {BENCH_MOD} = 0),
+    bsz AS (SELECT bench_id, count(*) AS bench_grams FROM bench
+            GROUP BY bench_id),
+    hits AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS hit_grams
+      FROM grams c JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id, b.bench_id)
+    SELECT h.doc_id, h.bench_id, s.bench_grams, h.hit_grams,
+           CAST(h.hit_grams AS DOUBLE) / CAST(s.bench_grams AS DOUBLE)
+             AS overlap_frac
+    FROM hits h JOIN bsz s ON s.bench_id = h.bench_id
+    WHERE CAST(h.hit_grams AS DOUBLE) / CAST(s.bench_grams AS DOUBLE)
+          >= {CONTAM_MIN_OVERLAP}
+    """)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report (scrub.contamination_report):
+    which corpus documents contain >= {CONTAM_MIN_OVERLAP} of some
+    benchmark item's distinct word {CONTAM_NGRAM}-grams — the
+    PaLM/GPT-3 n-gram-overlap decontamination rule. The benchmark
+    side is carved deterministically from `documents`
+    (doc_id % {BENCH_MOD} = 0) so the check is oracle-able; a real
+    run passes the eval set as the second frame.
+
+    Scale shape (scrub.py): both sides hash grams to 64 bits BEFORE
+    the only explode, so 8-byte keys shuffle, never text; the
+    benchmark side is broadcast, making the probe a map-side hash
+    join — no all-pairs, no corpus shuffle. Cross-engine parity rides
+    on overlap COUNTS: Spark joins on xxhash64(gram), the oracle on
+    the gram strings themselves — equal counts modulo hash collisions
+    (none on this corpus; a collision would shrink a count by 1 and
+    the hash gate would catch it)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return scrub.contamination_report(
+        corpus,
+        bench,
+        corpus_id="doc_id",
+        bench_id="bench_id",
+        n=CONTAM_NGRAM,
+        min_overlap_frac=CONTAM_MIN_OVERLAP,
+    )

@@ -193,7 +193,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE = 2
 
 
-@register("q_ann_ivf_nprobe", oracle=f"""
+#: q_ann_ivf_nprobe's DuckDB oracle, preserved after its round-7
+#: registry retirement (slot went to q_ann_ivf_pq) — the cross-engine
+#: value check survives in tests/test_retired_parity.py.
+SQL_ANN_IVF_NPROBE = f"""
     WITH n AS ({_SQL_VECS}),
     cent AS (SELECT vec_id AS cid, e AS ce, n2 AS cn2 FROM n
              WHERE vec_id < {N_CENTROIDS}),
@@ -222,7 +225,9 @@ NPROBE = 2
                                     ORDER BY round(cos, 6) DESC, nid ASC) AS rank
           FROM p)
     WHERE rank <= 5
-    """)
+    """
+
+
 def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with multi-bucket probing (nprobe={NPROBE}): each query
     searches its {NPROBE} nearest centroid buckets instead of one —
@@ -240,7 +245,17 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     einsum over the joined pairs. The SQL-fold construction remains
     as unregistered q_ann_ivf (nprobe=1), equivalence-tested against
     this query, and the unchanged DuckDB oracle hash-checks the GEMM
-    numerics end-to-end."""
+    numerics end-to-end.
+
+    Round-7 registry retirement (cap is 50; slot went to
+    q_ann_ivf_pq, which composes THIS query's probe machinery —
+    centroid_rank at the same nprobe knob — with PQ shortlisting and
+    exact re-rank): the driver now row-checks the composed flagship
+    pipeline instead of this intermediate form. The full oracle
+    comparison stays live in tests/test_retired_parity.py against
+    SQL_ANN_IVF_NPROBE, and tests/test_similarity_engine.py keeps the
+    nprobe/q_ann_ivf equivalence. Kept unregistered as the
+    raw-vector IVF API."""
     from clinical_data_warehouse_bi_spark.similarity import (
         centroid_rank,
         pairwise_cosine,
@@ -294,9 +309,19 @@ LEARNED_K = N_CENTROIDS
 #: KMeans seed — fixed so the index (and the rows-only check's row
 #: count) is reproducible run-to-run
 LEARNED_SEED = 7
-#: fitted-quantizer memo per (session, sf_dir, k, seed) — see
-#: q_ann_ivf_learned's docstring for why reuse is the honest cost
+#: fitted-quantizer memo per (application, sf_dir, k, seed) — see
+#: q_ann_ivf_learned's docstring for why reuse is the honest cost.
+#: Keyed on sparkContext.applicationId (stable per JVM context, never
+#: recycled) rather than id(spark): CPython can reuse a freed id for
+#: a new session, which would serve stale centroids. Entries are
+#: plain float lists, so a dead application's entries waste only a
+#: few KB until the (bounded: one per app x sf_dir x params) dict is
+#: dropped with the process.
 _QUANTIZER_CACHE: dict[tuple, list] = {}
+
+
+def _quantizer_key(spark: SparkSession, sf_dir: str, *params) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir, *params)
 
 
 @register("q_ann_ivf_learned", oracle=None)
@@ -343,7 +368,7 @@ def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoization rationale as io.read_table (a production index
     # trains once and serves many searches; refitting per query would
     # misrepresent the operator's cost at any scale).
-    ck = (id(spark), sf_dir, LEARNED_K, LEARNED_SEED)
+    ck = _quantizer_key(spark, sf_dir, "ivf", LEARNED_K, LEARNED_SEED)
     centroids = _QUANTIZER_CACHE.get(ck)
     if centroids is None:
         centroids = sampled_kmeans_centroids(
@@ -353,6 +378,67 @@ def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(
         emb, centroids, n_queries=N_QUERIES, nprobe=NPROBE, topk=5,
         metric="euclidean",
+    )
+
+
+#: PQ geometry for the registered composed search: 64 driver dims /
+#: m=8 subspaces = 8 dims per codeword; shortlist bounds the exact
+#: re-rank per query
+PQ_M = 8
+PQ_SHORTLIST = 50
+
+
+@register("q_ann_ivf_pq", oracle=None)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style ANN pipeline, end-to-end
+    (similarity.ivf_pq_search): learned IVF quantizer restricts each
+    query to its {NPROBE} nearest buckets; PQ asymmetric distance
+    (per-query LUT-sum over m={PQ_M} one-byte codes) scores those
+    candidates WITHOUT touching float vectors; the top {PQ_SHORTLIST}
+    per query pay exact cosine re-ranking. This is the flagship ANN
+    entry the driver row-checks — the shape a 100 TB embedding store
+    actually serves queries with, where the float vectors stay cold
+    and only bucket ids, m-byte codes, and the shortlist are hot.
+
+    No oracle BY DESIGN (the q_ann_ivf_learned convention): both the
+    IVF centroids and the PQ codebooks come from seeded iterative
+    Lloyd's, which no portable SQL reproduces. The value-level
+    evidence lives in tests/test_similarity_engine.py: composed
+    recall >= 0.8 of brute force on planted clusters, PQ
+    reconstruction-beats-mean, shortlist-recall properties; the
+    retired q_ann_ivf_nprobe twin keeps the probe machinery
+    hash-checked cross-engine in tests/test_retired_parity.py.
+
+    Quantizer + codebooks are memoized per (application, table) like
+    q_ann_ivf_learned's — a production index trains once and serves
+    many searches."""
+    from clinical_data_warehouse_bi_spark.similarity import (
+        ivf_pq_search,
+        sampled_kmeans_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ck = _quantizer_key(spark, sf_dir, "ivf", LEARNED_K, LEARNED_SEED)
+    centroids = _QUANTIZER_CACHE.get(ck)
+    if centroids is None:
+        centroids = sampled_kmeans_centroids(
+            emb, n_clusters=LEARNED_K, seed=LEARNED_SEED
+        )
+        _QUANTIZER_CACHE[ck] = centroids
+    bk = _quantizer_key(spark, sf_dir, "pq", PQ_M, LEARNED_SEED)
+    codebooks = _QUANTIZER_CACHE.get(bk)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, m=PQ_M, seed=LEARNED_SEED)
+        _QUANTIZER_CACHE[bk] = codebooks
+    return ivf_pq_search(
+        emb,
+        centroids,
+        codebooks,
+        n_queries=N_QUERIES,
+        nprobe=NPROBE,
+        shortlist=PQ_SHORTLIST,
+        topk=5,
     )
 
 

@@ -78,6 +78,13 @@ _CHECK_ORDER = [
     # q_simhash_pairs persists the identical _simhash_fingerprints
     # relation and its oracle's fp CTE is _SQL_SIMHASH verbatim)
     "q_scd2_asof",
+    # round-7 additions (slots freed by retiring q_keyword_filter,
+    # q_ngram_jaccard, and q_ann_ivf_nprobe — each keeps a live
+    # full-oracle pytest in tests/test_retired_parity.py plus the
+    # witnesses named in its retirement docstring)
+    "q_repetition_filter",
+    "q_contamination",
+    "q_ann_ivf_pq",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -88,7 +95,6 @@ _CHECK_ORDER = [
     "q_json_extract",
     "q_multi_source_union",
     "q_minhash_lsh_pairs",
-    "q_ngram_jaccard",
     "q_lsh_near_dup",
     "q_simhash_pairs",
     "q_corpus_clean",
@@ -97,7 +103,6 @@ _CHECK_ORDER = [
     "q_quality_score",
     "q_token_budget",
     "q_cosine_topk",
-    "q_ann_ivf_nprobe",
     "q_embed_quantize",
     "q_embed_near_dup",
     "q_join_lookup_cast",
@@ -118,8 +123,9 @@ _CHECK_ORDER = [
     "q_calendar_dim",
     "q_surrogate_key",
     # trivial tail (single-operator demos, most subsumable; round 5
-    # retired q_null_reject from here — witness: q_multi_source_union)
-    "q_keyword_filter",
+    # retired q_null_reject from here — witness: q_multi_source_union;
+    # round 7 retired q_keyword_filter — witness: the plan test plus
+    # tests/test_retired_parity.py's full oracle comparison)
     "q_dup_probe",
 ]
 

@@ -33,15 +33,31 @@ from pyspark.sql import functions as F
 
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams of a token array as an array column (nothing
-    leaves the row — no explode here). Guarded for short docs: Spark's
-    sequence(0, -1) DESCENDS, so the index list must be empty (not
-    [0, -1]) when fewer than ``n`` tokens exist. n_grams count is
-    size - n + 1 (1-based slice)."""
+    leaves the row — no explode here).
+
+    Built as ``n - 1`` ``zip_with`` passes over shifted slices of the
+    token array, NOT as a ``transform`` over indexes whose lambda
+    slices ``toks``: higher-order functions evaluate their lambda
+    body's non-argument subtrees PER ELEMENT (no codegen, no
+    common-subexpression elimination inside the loop), so the
+    index-lambda form re-ran the whole split-the-text expression once
+    per gram — O(tokens x text_length) per row, measured at ~4 s for
+    500 sf0.01 docs. The zip_with form evaluates each input array
+    once per pass: O(n x tokens) per row (~50x faster there).
+
+    ``concat`` (null-propagating), not ``concat_ws`` (null-skipping),
+    so the zip_with tail padding yields null grams that the final
+    guarded slice drops; gram count is size - n + 1."""
     n_tok = F.size(toks)
-    idx = F.when(n_tok >= n, F.sequence(F.lit(0), n_tok - n)).otherwise(
-        F.array().cast("array<int>")
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(n_tok - j, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n_tok >= n, F.slice(grams, 1, n_tok - n + 1)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
 
 #: PII patterns applied in order (order matters: emails before bare
 #: domains would, e.g., double-redact). Each is (regex, replacement).

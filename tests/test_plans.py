@@ -29,7 +29,9 @@ QUERIES = all_queries()
 
 def test_keyword_filter_pushdown(spark, sf_dir):
     """P3: the OR-LIKE predicate must reach the parquet scan."""
-    plan = physical_plan(QUERIES["q_keyword_filter"](spark, sf_dir))
+    from clinical_data_warehouse_bi_spark.queries.core import q_keyword_filter
+
+    plan = physical_plan(q_keyword_filter(spark, sf_dir))
     assert "PushedFilters" in plan
     # column pruning: only the 3 selected columns in ReadSchema
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
@@ -289,7 +291,11 @@ def test_ann_ivf_nprobe_no_cartesian(spark, sf_dir):
     """IVF assignment is a broadcast-matrix GEMM, not a centroid
     crossJoin: no cartesian/nested-loop operator anywhere, candidate
     scoring in an Arrow stage, bucket join as a hash join."""
-    plan = physical_plan(QUERIES["q_ann_ivf_nprobe"](spark, sf_dir))
+    from clinical_data_warehouse_bi_spark.queries.similarity import (
+        q_ann_ivf_nprobe,
+    )
+
+    plan = physical_plan(q_ann_ivf_nprobe(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan

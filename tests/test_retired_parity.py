@@ -1,0 +1,46 @@
+"""Full DuckDB-oracle comparisons for REGISTRY-RETIRED queries.
+
+The driver's correctness gate checks at most 50 registered entries;
+when a query is retired to free a slot, the convention is that a
+registered witness carries its operator shapes. This file keeps the
+retired queries' own value-level cross-engine checks alive in pytest,
+so retirement never weakens the evidence — the same normalize/compare
+protocol as tests/test_oracle_parity.py, run against the oracle SQL
+each retired query preserved at module level."""
+
+from __future__ import annotations
+
+import pytest
+
+from clinical_data_warehouse_bi_spark.queries.core import (
+    SQL_KEYWORD_FILTER,
+    q_keyword_filter,
+)
+from clinical_data_warehouse_bi_spark.queries.dedup import (
+    SQL_NGRAM_JACCARD,
+    q_ngram_jaccard,
+)
+from clinical_data_warehouse_bi_spark.queries.similarity import (
+    SQL_ANN_IVF_NPROBE,
+    q_ann_ivf_nprobe,
+)
+from test_oracle_parity import _normalize
+
+RETIRED = {
+    "q_keyword_filter": (q_keyword_filter, SQL_KEYWORD_FILTER),
+    "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "q_ann_ivf_nprobe": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
+}
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED))
+def test_retired_query_matches_oracle(name, spark, duck, sf_dir):
+    fn, oracle = RETIRED[name]
+    s_cols, s_rows = _normalize(fn(spark, sf_dir).toPandas())
+    d_cols, d_rows = _normalize(duck.execute(oracle).df())
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ][:3]
+    assert not mismatches, f"first mismatches: {mismatches}"
