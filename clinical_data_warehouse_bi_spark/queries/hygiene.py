@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clinical_data_warehouse_bi_spark import scrub
-from clinical_data_warehouse_bi_spark.io import load_tables
+from clinical_data_warehouse_bi_spark.io import fan_out, load_tables
 from clinical_data_warehouse_bi_spark.registry import register
 
 #: Gopher-rule thresholds (scrub.repetition_filter defaults)
@@ -86,15 +86,16 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents' metric values under the cross-engine hash too — the
     production filter is exactly ``WHERE keep``.
 
-    Scale shape (scrub.py): all three metrics are built-in array
-    expressions in one projection pass — no shuffle, no Python; the
-    top-token share is the O(n log n) sorted-run form, not the
-    O(distinct x tokens) naive count. Numeric parity: int-to-double
-    casts are exact and both engines divide the same pair of doubles,
-    so the hash compares bit-identical values (the q_ngram_jaccard
-    convention)."""
+    Scale shape (scrub.py): one vectorized Arrow pass, O(tokens) per
+    row, no shuffle (see scrub's module docstring for the measured
+    mapInPandas-over-interpreted-HOF decision). Numeric parity:
+    int-to-double casts are exact and both engines divide the same
+    pair of doubles, so the hash compares bit-identical values (the
+    q_ngram_jaccard convention)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    m = scrub.repetition_metrics(docs.select("doc_id", "text"))
+    # fan_out: heavy per-row tokenize/Counter work must not serialize
+    # on a one-row-group local scan (no-op on a real many-split scan).
+    m = scrub.repetition_metrics(fan_out(docs.select("doc_id", "text")))
     return m.select(
         "doc_id",
         "dup_line_frac",
@@ -145,12 +146,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only explode, so 8-byte keys shuffle, never text; the
     benchmark side is broadcast, making the probe a map-side hash
     join — no all-pairs, no corpus shuffle. Cross-engine parity rides
-    on overlap COUNTS: Spark joins on xxhash64(gram), the oracle on
+    on overlap COUNTS: Spark joins on 64-bit gram hashes, the oracle on
     the gram strings themselves — equal counts modulo hash collisions
     (none on this corpus; a collision would shrink a count by 1 and
     the hash gate would catch it)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    corpus = docs.select("doc_id", "text")
+    # fan_out the corpus side: 8-gram construction + hashing is heavy
+    # per-row work that must not serialize on a one-row-group scan
+    # (no-op on a real many-split scan). The tiny bench side needs no
+    # help — it is broadcast anyway.
+    corpus = fan_out(docs.select("doc_id", "text"))
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )

@@ -1,9 +1,18 @@
 """Corpus-hygiene operators for LLM training-data pipelines: PII
 scrubbing, repetition-based quality filtering, and benchmark
-contamination checks. All three run as JVM-side expressions (regex /
-split / aggregate built-ins — no Python in the hot path); the
-contamination check is a bucketed equi-join on n-gram hashes, the
-same candidates-only shape as the dedup LSH family.
+contamination checks. PII scrubbing is a fused JVM regexp_replace
+chain; the tokenize-heavy operators (repetition metrics, n-gram
+relations) are Arrow-batched mapInPandas stages — measured choice,
+not convenience: Spark's higher-order array functions
+(transform/zip_with/aggregate) never enter whole-stage codegen and
+evaluate their lambdas expression-interpreted per element, which put
+the all-builtin form ~20-50x behind C-backed Python string ops for
+the same n-gram work (and an index-lambda slicing form is
+accidentally O(tokens x text) per row — HOF lambda bodies get no
+common-subexpression elimination). Per-row, no shuffle, and
+embarrassingly parallel either way; the cross-engine DuckDB oracles
+(queries/hygiene.py) pin the semantics regardless of which side of
+the Arrow boundary computes them.
 
 Reference analogue: none — pure extension beyond the reference's
 849-line surface (its cleansing layer, Stage_area.sql:85-147, is the
@@ -18,46 +27,37 @@ Scale notes:
   pre-partition few-split local inputs with io.fan_out (no-op on a
   real many-split scan), and persist the gate's output when several
   downstream stages consume it.
-- Repetition metrics are per-row split/aggregate expressions — one
-  pass, no shuffle; thresholds filter before anything downstream
-  shuffles (the cheap-reject-first rule).
-- Contamination joins shuffle ONLY hashed n-grams (16-byte keys),
-  never text; the benchmark side of the join is tiny and broadcast.
+- Repetition metrics are one vectorized pass per Arrow batch — no
+  shuffle; thresholds filter before anything downstream shuffles
+  (the cheap-reject-first rule).
+- Contamination hashes n-grams to 8 bytes INSIDE the Python stage,
+  so only (id, hash) rows ever cross the Arrow boundary or shuffle —
+  never gram text; the benchmark side of the join is tiny and
+  broadcast.
 """
 
 from __future__ import annotations
 
+import hashlib
+import re
+from collections import Counter
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+#: tokenizer shared by repetition metrics and contamination — the
+#: Python mirror of split(lower(text), "[^a-z0-9']+") with empties
+#: dropped (ASCII classes: identical across Python re / Java regex /
+#: DuckDB RE2)
+_TOKEN_RE = re.compile(r"[^a-z0-9']+")
 
 
-def _word_ngrams(toks: Column, n: int) -> Column:
-    """Word n-grams of a token array as an array column (nothing
-    leaves the row — no explode here).
-
-    Built as ``n - 1`` ``zip_with`` passes over shifted slices of the
-    token array, NOT as a ``transform`` over indexes whose lambda
-    slices ``toks``: higher-order functions evaluate their lambda
-    body's non-argument subtrees PER ELEMENT (no codegen, no
-    common-subexpression elimination inside the loop), so the
-    index-lambda form re-ran the whole split-the-text expression once
-    per gram — O(tokens x text_length) per row, measured at ~4 s for
-    500 sf0.01 docs. The zip_with form evaluates each input array
-    once per pass: O(n x tokens) per row (~50x faster there).
-
-    ``concat`` (null-propagating), not ``concat_ws`` (null-skipping),
-    so the zip_with tail padding yields null grams that the final
-    guarded slice drops; gram count is size - n + 1."""
-    n_tok = F.size(toks)
-    grams = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(n_tok - j, F.lit(0)))
-        grams = F.zip_with(
-            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    return F.when(n_tok >= n, F.slice(grams, 1, n_tok - n + 1)).otherwise(
-        F.array().cast("array<string>")
-    )
+def _tokens_py(text: str | None) -> list[str]:
+    return [w for w in _TOKEN_RE.split((text or "").lower()) if w]
 
 #: PII patterns applied in order (order matters: emails before bare
 #: domains would, e.g., double-redact). Each is (regex, replacement).
@@ -94,59 +94,55 @@ def repetition_metrics(
     docs: DataFrame, text_col: str = "text", ngram: int = 3
 ) -> DataFrame:
     """Gopher/FineWeb-style repetition signals per document, appended
-    as columns — all built-in expressions, one pass, no shuffle:
+    as columns — one vectorized mapInPandas pass, no shuffle:
 
-    - ``dup_line_frac``: fraction of lines that are duplicates of an
-      earlier line (repeated boilerplate / navigation chrome).
+    - ``dup_line_frac``: fraction of non-blank lines that are
+      duplicates of an earlier line (repeated boilerplate /
+      navigation chrome). Blank = empty after trimming SPACES (the
+      JVM/DuckDB trim semantics, not Python's all-whitespace strip).
     - ``dup_ngram_frac``: fraction of word ``ngram``-grams that are
       duplicates — the classic repeated-phrase signal.
     - ``top_word_frac``: share of tokens taken by the single most
       frequent token (degenerate keyword-stuffing pages).
 
-    Implementation: split to arrays, dedup with array_distinct, and
-    compare sizes — O(tokens) per row in whole-stage codegen. The
-    n-gram relation is built with transform over a sequence (no
-    explode: nothing leaves the row)."""
-    t = F.col(text_col)
-    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
-    toks = F.filter(
-        F.split(F.lower(t), r"[^a-z0-9']+"), lambda x: x != F.lit("")
-    )
-    n_tok = F.size(toks)
-    grams = _word_ngrams(toks, ngram)
-    # most-frequent-token share: sort the token array and take the
-    # longest run of equal neighbors — O(n log n) per row (the naive
-    # per-distinct-token count is O(distinct x tokens), quadratic on
-    # exactly the big pages this metric must stay cheap on).
-    run_acc = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    Arrow-batched Python (see module docstring for the measured
+    HOF-vs-Python rationale): tokenize/Counter/set are C-backed and
+    O(tokens) per row; fractions are int-to-double IEEE divisions,
+    bit-identical to the DuckDB oracle's. Docs with no lines/tokens/
+    grams score 0.0 (null text included)."""
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [
+            StructField("dup_line_frac", DoubleType()),
+            StructField("dup_ngram_frac", DoubleType()),
+            StructField("top_word_frac", DoubleType()),
+        ]
     )
 
-    def run_step(acc: Column, w: Column) -> Column:
-        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            w.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            dl = np.zeros(n)
+            dg = np.zeros(n)
+            tw = np.zeros(n)
+            for i, t in enumerate(pdf[text_col].tolist()):
+                if not t:
+                    continue
+                lines = [x for x in t.split("\n") if x.strip(" ")]
+                if lines:
+                    dl[i] = (len(lines) - len(set(lines))) / len(lines)
+                toks = _tokens_py(t)
+                n_grams = len(toks) - ngram + 1
+                if n_grams > 0:
+                    grams = list(zip(*(toks[j:] for j in range(ngram))))
+                    dg[i] = (n_grams - len(set(grams))) / n_grams
+                if toks:
+                    tw[i] = max(Counter(toks).values()) / len(toks)
+            yield pdf.assign(
+                dup_line_frac=dl, dup_ngram_frac=dg, top_word_frac=tw
+            )
 
-    top_count = F.aggregate(
-        F.array_sort(toks), run_acc, run_step, lambda acc: acc["best"]
-    )
-    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
-    return docs.withColumns(
-        {
-            "dup_line_frac": safe(
-                F.size(lines) - F.size(F.array_distinct(lines)),
-                F.size(lines),
-            ).cast("double"),
-            "dup_ngram_frac": safe(
-                F.size(grams) - F.size(F.array_distinct(grams)),
-                F.size(grams),
-            ).cast("double"),
-            "top_word_frac": safe(top_count, n_tok).cast("double"),
-        }
-    )
+    return docs.mapInPandas(op, out_schema)
 
 
 def repetition_filter(
@@ -171,15 +167,40 @@ def repetition_filter(
 def _ngram_hashes(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, gram_hash) long-form relation: lowercase word n-grams
-    hashed to 64 bits (xxhash64) BEFORE the explode, so only 8-byte
-    keys ever shuffle — never text."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"), lambda x: x != F.lit("")
-    )
-    grams = F.transform(_word_ngrams(toks, n), lambda g: F.xxhash64(g))
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram_hash")
+    """(id, gram_hash) long-form relation: DISTINCT lowercase word
+    n-grams per document, hashed to 64 bits (md5-truncated) INSIDE
+    the Arrow stage — only 8-byte keys ever cross the Python-JVM
+    boundary or shuffle, never gram text. Both contamination sides go
+    through this same function, so the downstream equi-join sees a
+    consistent hash family (collision odds over a corpus's distinct
+    grams are the usual 64-bit birthday bound)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[int] = []
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                toks = _tokens_py(t)
+                grams = {
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                }
+                ids.extend([i] * len(grams))
+                hashes.extend(
+                    int.from_bytes(
+                        hashlib.md5(g.encode()).digest()[:8],
+                        "big",
+                        signed=True,
+                    )
+                    for g in grams
+                )
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "gram_hash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        op, f"{id_col} long, gram_hash long"
     )
 
 
@@ -199,8 +220,9 @@ def contamination_report(
     bench_grams, hit_grams, overlap_frac) for pairs at or above
     ``min_overlap_frac``.
 
-    Scale shape: both sides reduce to (id, gram_hash) with hashing
-    BEFORE explode; the benchmark side is small by definition and
+    Scale shape: both sides reduce to (id, gram_hash) with grams
+    hashed to 8 bytes inside the tokenizing Arrow stage (text never
+    leaves it); the benchmark side is small by definition and
     broadcast, so the probe is a map-side hash join over the corpus
     grams — no all-pairs, no corpus shuffle. The per-pair aggregation
     groups on (corpus_id, bench_id) — cardinality bounded by actual

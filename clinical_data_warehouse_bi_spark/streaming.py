@@ -20,6 +20,8 @@ equivalents live in queries/windows.py.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Iterator
 
 import pandas as pd
@@ -306,6 +308,89 @@ def scd2_apply_changes(
     return keep.select(*cols).unionByName(rebuilt.select(*cols))
 
 
+def _dim_siblings(dim_path: str, kind: str) -> list[str]:
+    """Existing ``{dim_path}.{kind}-{batch_id}`` work directories."""
+    base = os.path.dirname(os.path.abspath(dim_path)) or "."
+    name = os.path.basename(os.path.abspath(dim_path))
+    prefix = f"{name}.{kind}-"
+    if not os.path.isdir(base):
+        return []
+    return [
+        os.path.join(base, fn)
+        for fn in os.listdir(base)
+        if fn.startswith(prefix)
+    ]
+
+
+def _parquet_complete(path: str) -> bool:
+    """A parquet directory whose write committed (_SUCCESS marker)."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    )
+
+
+def recover_scd2_dim(dim_path: str) -> None:
+    """Crash recovery for publish_scd2_dim's rename protocol (local /
+    posix-rename filesystems — the documented scope of this sink; a
+    distributed deployment uses a MERGE-capable table format instead).
+
+    Cases, by where a crash hit the publish sequence
+    (write tmp -> rename dim to old -> rename tmp to dim -> rm old):
+    - during the tmp write: ``dim_path`` intact; the incomplete tmp is
+      swept.
+    - between the two renames: ``dim_path`` missing but the retired
+      ``.old-{batch}`` version is complete — restore it (the PRE-batch
+      state; the streaming engine did not commit the batch's offsets,
+      so the batch replays, and scd2_apply_changes is idempotent for
+      replayed observations).
+    - after the second rename: ``dim_path`` is the post-batch state;
+      stale ``.old``/``.tmp`` siblings are swept.
+
+    Single-writer assumption (one streaming query maintains one
+    dimension path), same as any foreachBatch merge sink."""
+    if not os.path.isdir(dim_path):
+        olds = [p for p in _dim_siblings(dim_path, "old") if _parquet_complete(p)]
+        if olds:
+            newest = max(
+                olds, key=lambda p: int(p.rsplit("-", 1)[1])
+                if p.rsplit("-", 1)[1].isdigit() else -1
+            )
+            os.rename(newest, dim_path)
+    for p in _dim_siblings(dim_path, "old") + _dim_siblings(dim_path, "tmp"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def publish_scd2_dim(merged: DataFrame, dim_path: str, batch_id: int) -> None:
+    """Atomically replace the dimension at ``dim_path`` with
+    ``merged``: write to a temp directory, then swap via renames. At
+    no point is the only copy of the dimension deleted before its
+    replacement is fully committed — the property mode('overwrite')
+    on the live path cannot give (it deletes, then rewrites; a crash
+    in between destroys the dimension). The paired reader-side
+    recovery is recover_scd2_dim."""
+    tmp = f"{dim_path}.tmp-{batch_id}"
+    old = f"{dim_path}.old-{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(dim_path):
+        os.rename(dim_path, old)
+    os.rename(tmp, dim_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_scd2_dim(spark: SparkSession, dim_path: str) -> DataFrame | None:
+    """Current dimension at ``dim_path`` (after crash recovery), or
+    None when none exists yet (the genuine first batch). Existence is
+    an os check, NOT an exception catch: a transient read failure on
+    an EXISTING dimension (corrupt footer, permission error, FS
+    hiccup) raises, failing the batch so the engine retries — it must
+    never be misread as 'first batch' and silently trigger a
+    from-scratch rebuild that discards the accumulated history."""
+    recover_scd2_dim(dim_path)
+    if not os.path.isdir(dim_path):
+        return None
+    return spark.read.parquet(dim_path)
+
+
 def streaming_scd2(
     changes: DataFrame,
     dim_path: str,
@@ -318,24 +403,25 @@ def streaming_scd2(
     stream: each micro-batch folds into the parquet dimension at
     ``dim_path`` via scd2_apply_changes (foreachBatch — the standard
     Structured Streaming shape for merge-style sinks). The merged
-    dimension is localCheckpoint-materialized before the overwrite so
-    the read-modify-write of the same path is safe within a batch.
+    dimension is localCheckpoint-materialized (the read-modify-write
+    of the same path never streams from the files it replaces), then
+    published by publish_scd2_dim's write-then-rename swap, so a
+    crash at ANY point leaves a readable dimension for
+    read_scd2_dim's recovery (property-tested at every crash point in
+    tests/test_streaming.py).
 
-    At scale the overwrite becomes a format with real MERGE (the
+    At scale the swap becomes a format with real MERGE (the
     foreachBatch body is the part that stays); per-batch cost scales
     with touched keys, not dimension size. Returns the started
     StreamingQuery."""
 
-    def _merge(batch: DataFrame, _batch_id: int) -> None:
+    def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            dim = spark.read.parquet(dim_path)
-        except Exception:  # first batch: no dimension yet
-            dim = None
+        dim = read_scd2_dim(spark, dim_path)
         merged = scd2_apply_changes(
             dim, batch, key=key, state_col=state_col, ts_col=ts_col
         ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(dim_path)
+        publish_scd2_dim(merged, dim_path, batch_id)
 
     writer = changes.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint_dir:

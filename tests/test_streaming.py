@@ -362,3 +362,106 @@ def test_streaming_scd2_end_to_end(spark, tmp_path):
     )
     assert got == want
     assert (1, "C", d(6), None, True) in got  # the current version
+
+
+# ---------------------------------------------------------------------------
+# SCD2 sink crash-safety (publish_scd2_dim / recover_scd2_dim)
+# ---------------------------------------------------------------------------
+
+
+def _mk_dim(spark, tmp_path, rows):
+    schema = "customer_id long, state string, ts timestamp"
+    dim_path = str(tmp_path / "dim")
+    merged = streaming.scd2_apply_changes(
+        None, spark.createDataFrame(rows, schema)
+    )
+    streaming.publish_scd2_dim(merged, dim_path, batch_id=1)
+    return dim_path, _scd2_rows(spark.read.parquet(dim_path))
+
+
+def _dim_rows(spark, tmp_path):
+    from datetime import datetime as dt
+
+    return [(1, "A", dt(2024, 2, 1)), (2, "X", dt(2024, 2, 2))]
+
+
+def test_scd2_publish_survives_crash_during_tmp_write(spark, tmp_path):
+    """A crash while the tmp directory is being written (no _SUCCESS)
+    must leave the live dimension untouched and the recovery sweep
+    must clear the debris."""
+    import os
+
+    dim_path, before = _mk_dim(spark, tmp_path, _dim_rows(spark, tmp_path))
+    tmp = f"{dim_path}.tmp-2"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "w") as f:
+        f.write("torn half-written parquet bytes")
+    dim = streaming.read_scd2_dim(spark, dim_path)
+    assert dim is not None and _scd2_rows(dim) == before
+    assert not os.path.exists(tmp)  # swept
+
+
+def test_scd2_publish_survives_crash_between_renames(spark, tmp_path):
+    """A crash after the live dim was renamed aside but before the tmp
+    was renamed in (dim_path momentarily absent) must recover the
+    retired pre-batch version — never lose the dimension."""
+    import os
+
+    dim_path, before = _mk_dim(spark, tmp_path, _dim_rows(spark, tmp_path))
+    # simulate the window: dim renamed to .old-2, complete tmp-2 on disk
+    merged = streaming.scd2_apply_changes(
+        spark.read.parquet(dim_path),
+        spark.createDataFrame(
+            [(1, "B", __import__("datetime").datetime(2024, 2, 5))],
+            "customer_id long, state string, ts timestamp",
+        ),
+    ).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{dim_path}.tmp-2")
+    os.rename(dim_path, f"{dim_path}.old-2")
+    assert not os.path.exists(dim_path)
+    dim = streaming.read_scd2_dim(spark, dim_path)
+    assert dim is not None
+    assert _scd2_rows(dim) == before  # the pre-batch state, intact
+    # debris gone; a replayed batch can publish cleanly on top
+    assert not os.path.exists(f"{dim_path}.old-2")
+    assert not os.path.exists(f"{dim_path}.tmp-2")
+
+
+def test_scd2_read_raises_on_corrupt_existing_dim(spark, tmp_path):
+    """ADVICE r6 (medium): a transient/corrupt read of an EXISTING
+    dimension must raise (batch fails and retries), never be treated
+    as 'first batch' and silently rebuild from scratch."""
+    import os
+
+    import pytest as _pytest
+
+    dim_path = str(tmp_path / "dim")
+    os.makedirs(dim_path)
+    with open(os.path.join(dim_path, "part-00000.parquet"), "w") as f:
+        f.write("not parquet")
+    with _pytest.raises(Exception):
+        df = streaming.read_scd2_dim(spark, dim_path)
+        assert df is not None
+        df.collect()
+
+
+def test_scd2_publish_never_deletes_before_replacement_ready(spark, tmp_path):
+    """publish keeps the old version on disk until the new one is the
+    live path: after a successful publish the dimension reflects the
+    merge and no debris remains."""
+    import os
+    from datetime import datetime as dt
+
+    dim_path, _ = _mk_dim(spark, tmp_path, _dim_rows(spark, tmp_path))
+    merged = streaming.scd2_apply_changes(
+        spark.read.parquet(dim_path),
+        spark.createDataFrame(
+            [(1, "B", dt(2024, 2, 5))],
+            "customer_id long, state string, ts timestamp",
+        ),
+    ).localCheckpoint(eager=True)
+    streaming.publish_scd2_dim(merged, dim_path, batch_id=2)
+    got = _scd2_rows(spark.read.parquet(dim_path))
+    assert (1, "B", dt(2024, 2, 5), None, True) in got
+    base = os.path.dirname(dim_path)
+    assert [p for p in os.listdir(base) if ".old-" in p or ".tmp-" in p] == []
