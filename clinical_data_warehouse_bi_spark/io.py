@@ -290,8 +290,13 @@ def mix_sources(
                 " repeating epochs (global_shuffle seeds), not by"
                 " duplicating rows"
             )
-        h = F.abs(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(i)))
-        kept = df.filter(h % 1_000_000 < int(rate * 1_000_000)).withColumn(
+        # pmod, not abs+%: abs(Long.MIN_VALUE) overflows and stays
+        # negative, and % keeps the dividend's sign — either way a
+        # negative threshold test that breaks the keep rule for ~1 in
+        # 2^63 rows (and deterministically for whichever ids hash
+        # there). pmod is non-negative by construction.
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(i)), F.lit(1_000_000))
+        kept = df.filter(h < int(rate * 1_000_000)).withColumn(
             "__source", F.lit(i)
         )
         out = kept if out is None else out.unionByName(kept)

@@ -201,246 +201,258 @@ def exact_percentiles_distributed(
     src_view = f"__pctl_src_{uid}"
     df.createOrReplaceTempView(src_view)
     views = [src_view]
+    # try/finally: any failure mid-flow (e.g. a per-level stat
+    # collect) must still drop every __pctl_* view — they would
+    # otherwise leak into the session catalog for its lifetime
+    try:
 
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
+        def esc(s: str) -> str:
+            return s.replace("'", "''")
 
-    def idx_sql(lo_sql: str, w: float) -> str:
-        return (
-            f"least(greatest(cast(floor((__pv - {lo_sql}) / {w!r}D * "
-            f"{float(BUCKETS)!r}D) as int), 0), {BUCKETS - 1})"
-        )
-
-    # v: long-form (group, col, value, 3-level bucket path), one
-    # skinny branch per column (branches scan in parallel tasks; each
-    # branch bakes ITS column's bounds in as literals). Path columns
-    # are ints: membership at level L == equality on (b0..bL). Lazy —
-    # derived twice (locate pass, resolve pass); two scans beat
-    # caching the widened relation. b1/b2 reference b0/b1 as lateral
-    # column aliases — one parsed SELECT per branch.
-    branches = []
-    for ci in live:
-        lo0, w0 = lows[ci], widths[ci]
-        w1, w2 = w0 / BUCKETS, w0 / BUCKETS / BUCKETS
-        lo1 = f"({lo0!r}D + cast(b0 as double) * {w1!r}D)"
-        lo2 = f"({lo1} + cast(b1 as double) * {w2!r}D)"
-        branches.append(
-            f"SELECT `{key}` AS __vk, CAST({ci} AS INT) AS __vci,"
-            f" CAST(`{cols[ci]}` AS DOUBLE) AS __pv,"
-            f" IF(__pv IS NULL, -1, {idx_sql(repr(lo0) + 'D', w0)}) AS b0,"
-            f" IF(__pv IS NULL, -1, {idx_sql(lo1, w1)}) AS b1,"
-            f" IF(__pv IS NULL, -1, {idx_sql(lo2, w2)}) AS b2"
-            f" FROM {src_view}"
-        )
-    v_cte = "v AS (" + " UNION ALL ".join(branches) + ")"
-
-    spec_rows = [
-        (ci, float(pfrac), name)
-        for ci in live
-        for pfrac, name in specs[cols[ci]]
-    ]
-    spec_values = ", ".join(
-        f"({ci}, {pfrac!r}D, '{esc(name)}')" for ci, pfrac, name in spec_rows
-    )
-    # sentinel spec row (name NULL): carries the group universe (for
-    # all-NULL groups) through the SAME linear pipeline as the rank
-    # targets — one subtree, one scan (a separate distinct() branch
-    # would NOT reuse the histogram exchange: column pruning gives the
-    # two branches different canonical plans)
-    spec_values += f", ({live[0]}, CAST(NULL AS DOUBLE), CAST(NULL AS STRING))"
-
-    # locate, level 0: histogram INCLUDING the NULL bucket (-1) — the
-    # one shuffle of v in this pass — then ONE window pass (the NULL
-    # bucket rides through, excluded from counts by the positive
-    # guard) gives each bucket its running count (cb), its group's
-    # total (n), and a row_number; the rank targets fall out of a
-    # broadcast join with the tiny spec relation filtered to the
-    # bucket whose [cb, cb+cnt) span holds floor/ceil((n-1)*p).
-    pos = "IF(b0 >= 0, cnt, 0)"
-    over = "OVER (PARTITION BY __vk, __vci ORDER BY b0"
-    locate_sql = f"""
-WITH {v_cte},
-hist AS (SELECT __vk, __vci, b0, COUNT(*) AS cnt FROM v GROUP BY __vk, __vci, b0),
-h3 AS (SELECT __vk, __vci, b0, cnt,
-  SUM({pos}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {pos} AS cb,
-  SUM({pos}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n,
-  ROW_NUMBER() {over}) AS rn1
-  FROM hist),
-specs AS (SELECT * FROM VALUES {spec_values} AS s(ci, pfrac, name)),
-j AS (SELECT /*+ BROADCAST(s) */ h.__vk, h.__vci, s.name,
-  CAST(h.n - 1 AS DOUBLE) * s.pfrac AS t, h.cnt, h.cb, h.b0, h.rn1
-  FROM h3 h JOIN specs s ON h.__vci = s.ci)
-SELECT __vk, __vci, name, t, tg.which AS which, tg.rk - cb AS rib, cnt, b0
-FROM j
-LATERAL VIEW explode(array(named_struct('which', 0, 'rk', FLOOR(t)),
-                           named_struct('which', 1, 'rk', CEIL(t)))) e AS tg
-WHERE (name IS NOT NULL AND b0 >= 0 AND cb <= tg.rk AND tg.rk < cb + cnt)
-   OR (name IS NULL AND rn1 = 1 AND tg.which = 0)
-"""
-    located = ckpt(spark.sql(locate_sql))
-    checkpoints.append(located)
-    loc_view = f"__pctl_loc_{uid}"
-    located.createOrReplaceTempView(loc_view)
-    views.append(loc_view)
-    pending = located.filter(F.col("name").isNotNull())
-
-    v_df = None  # built on demand — only the (rare) refinement path needs it
-    resolve_ctes: list[str] = []
-    bcast0 = True
-    path = ["b0"]
-    for level in range(LEVELS):
-        # Stat read over the tiny located relation: two scalars decide
-        # refinement and broadcast strategy. The checkpoint above is
-        # LAZY, so this first action over it is also the job that
-        # materializes it (the graph.py convergence-flag idiom) —
-        # locating + deciding is ONE job per level, not two.
-        stat = pending.agg(F.max("cnt").alias("mx"), F.count("*").alias("cn")).collect()[0]
-        bcast = (stat["cn"] or 0) <= _BROADCAST_TARGETS
-        if level == 0:
-            # one pending row per (group-with-data, spec, floor/ceil):
-            # a faithful upper bound on the GROUP count, which is what
-            # the final `wide` broadcast must be gated on (a refinement
-            # level can shrink pending to a handful of rows while the
-            # group count stays in the millions)
-            bcast0 = bcast
-        last = level == LEVELS - 1
-        done = last or (stat["mx"] or 0) <= refine_cap
-        small = pending if done else pending.filter(F.col("cnt") <= refine_cap)
-        small_view = f"__pctl_small_{level}_{uid}"
-        small.createOrReplaceTempView(small_view)
-        views.append(small_view)
-        resolve_ctes.append(_resolve_ctes(small_view, path, bcast, level))
-        if done:
-            break
-
-        # refine: one extra pass — sub-histogram only inside the
-        # oversized parent buckets (tiny broadcast ``parents``), then
-        # re-locate each pending rank within its parent via the
-        # cumulative window over the next path column
-        if v_df is None:
-            v_df = spark.sql(f"WITH {v_cte} SELECT * FROM v")
-        bcol = f"b{level + 1}"
-        big = pending.filter(F.col("cnt") > refine_cap).drop("cnt")
-        parents = big.select("__vk", "__vci", *path).distinct()
-        if bcast:
-            parents = F.broadcast(parents)
-        sub = (
-            v_df.alias("v")
-            .join(parents.alias("p"), _path_eq(path, "v", "p"))
-            .groupBy(*[F.col(f"v.{c}") for c in ("__vk", "__vci", *path, bcol)])
-            .agg(F.count("*").alias("cnt"))
-        )
-        w2 = Window.partitionBy("__vk", "__vci", *path).orderBy(bcol)
-        sub = sub.withColumn(
-            "cb",
-            F.sum("cnt").over(
-                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def idx_sql(lo_sql: str, w: float) -> str:
+            return (
+                f"least(greatest(cast(floor((__pv - {lo_sql}) / {w!r}D * "
+                f"{float(BUCKETS)!r}D) as int), 0), {BUCKETS - 1})"
             )
-            - F.col("cnt"),
+
+        # v: long-form (group, col, value, 3-level bucket path), one
+        # skinny branch per column (branches scan in parallel tasks; each
+        # branch bakes ITS column's bounds in as literals). Path columns
+        # are ints: membership at level L == equality on (b0..bL). Lazy —
+        # derived twice (locate pass, resolve pass); two scans beat
+        # caching the widened relation. b1/b2 reference b0/b1 as lateral
+        # column aliases — one parsed SELECT per branch.
+        branches = []
+        for ci in live:
+            lo0, w0 = lows[ci], widths[ci]
+            w1, w2 = w0 / BUCKETS, w0 / BUCKETS / BUCKETS
+            lo1 = f"({lo0!r}D + cast(b0 as double) * {w1!r}D)"
+            lo2 = f"({lo1} + cast(b1 as double) * {w2!r}D)"
+            branches.append(
+                f"SELECT `{key}` AS __vk, CAST({ci} AS INT) AS __vci,"
+                f" CAST(`{cols[ci]}` AS DOUBLE) AS __pv,"
+                f" IF(__pv IS NULL, -1, {idx_sql(repr(lo0) + 'D', w0)}) AS b0,"
+                f" IF(__pv IS NULL, -1, {idx_sql(lo1, w1)}) AS b1,"
+                f" IF(__pv IS NULL, -1, {idx_sql(lo2, w2)}) AS b2"
+                f" FROM {src_view}"
+            )
+        v_cte = "v AS (" + " UNION ALL ".join(branches) + ")"
+
+        spec_rows = [
+            (ci, float(pfrac), name)
+            for ci in live
+            for pfrac, name in specs[cols[ci]]
+        ]
+        spec_values = ", ".join(
+            f"({ci}, {pfrac!r}D, '{esc(name)}')" for ci, pfrac, name in spec_rows
         )
-        h = sub.select(
-            F.col("__vk").alias("h_vk"),
-            F.col("__vci").alias("h_ci"),
-            *[F.col(c).alias(f"h_{c}") for c in path],
-            F.col(bcol).alias(f"h_{bcol}"),
-            "cnt",
-            "cb",
-        )
-        cond = (
-            F.col("__vk").eqNullSafe(F.col("h_vk"))
-            & (F.col("__vci") == F.col("h_ci"))
-            & (F.col("cb") <= F.col("rib"))
-            & (F.col("rib") < F.col("cb") + F.col("cnt"))
-        )
-        for c in path:
-            cond = cond & (F.col(c) == F.col(f"h_{c}"))
-        pending = (
-            big.join(h, cond)
-            .select(
-                "__vk",
-                "__vci",
-                "name",
-                "t",
-                "which",
-                (F.col("rib") - F.col("cb")).alias("rib"),
+        # sentinel spec row (name NULL): carries the group universe (for
+        # all-NULL groups) through the SAME linear pipeline as the rank
+        # targets — one subtree, one scan (a separate distinct() branch
+        # would NOT reuse the histogram exchange: column pruning gives the
+        # two branches different canonical plans)
+        spec_values += f", ({live[0]}, CAST(NULL AS DOUBLE), CAST(NULL AS STRING))"
+
+        # locate, level 0: histogram INCLUDING the NULL bucket (-1) — the
+        # one shuffle of v in this pass — then ONE window pass (the NULL
+        # bucket rides through, excluded from counts by the positive
+        # guard) gives each bucket its running count (cb), its group's
+        # total (n), and a row_number; the rank targets fall out of a
+        # broadcast join with the tiny spec relation filtered to the
+        # bucket whose [cb, cb+cnt) span holds floor/ceil((n-1)*p).
+        pos = "IF(b0 >= 0, cnt, 0)"
+        over = "OVER (PARTITION BY __vk, __vci ORDER BY b0"
+        locate_sql = f"""
+    WITH {v_cte},
+    hist AS (SELECT __vk, __vci, b0, COUNT(*) AS cnt FROM v GROUP BY __vk, __vci, b0),
+    h3 AS (SELECT __vk, __vci, b0, cnt,
+      SUM({pos}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {pos} AS cb,
+      SUM({pos}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n,
+      ROW_NUMBER() {over}) AS rn1
+      FROM hist),
+    specs AS (SELECT * FROM VALUES {spec_values} AS s(ci, pfrac, name)),
+    j AS (SELECT /*+ BROADCAST(s) */ h.__vk, h.__vci, s.name,
+      CAST(h.n - 1 AS DOUBLE) * s.pfrac AS t, h.cnt, h.cb, h.b0, h.rn1
+      FROM h3 h JOIN specs s ON h.__vci = s.ci)
+    SELECT __vk, __vci, name, t, tg.which AS which, tg.rk - cb AS rib, cnt, b0
+    FROM j
+    LATERAL VIEW explode(array(named_struct('which', 0, 'rk', FLOOR(t)),
+                               named_struct('which', 1, 'rk', CEIL(t)))) e AS tg
+    WHERE (name IS NOT NULL AND b0 >= 0 AND cb <= tg.rk AND tg.rk < cb + cnt)
+       OR (name IS NULL AND rn1 = 1 AND tg.which = 0)
+    """
+        located = ckpt(spark.sql(locate_sql))
+        checkpoints.append(located)
+        loc_view = f"__pctl_loc_{uid}"
+        located.createOrReplaceTempView(loc_view)
+        views.append(loc_view)
+        pending = located.filter(F.col("name").isNotNull())
+
+        v_df = None  # built on demand — only the (rare) refinement path needs it
+        resolve_ctes: list[str] = []
+        bcast0 = True
+        path = ["b0"]
+        for level in range(LEVELS):
+            # Stat read over the tiny located relation: two scalars decide
+            # refinement and broadcast strategy. The checkpoint above is
+            # LAZY, so this first action over it is also the job that
+            # materializes it (the graph.py convergence-flag idiom) —
+            # locating + deciding is ONE job per level, not two.
+            stat = pending.agg(F.max("cnt").alias("mx"), F.count("*").alias("cn")).collect()[0]
+            bcast = (stat["cn"] or 0) <= _BROADCAST_TARGETS
+            if level == 0:
+                # one pending row per (group-with-data, spec, floor/ceil):
+                # a faithful upper bound on the GROUP count, which is what
+                # the final `wide` broadcast must be gated on (a refinement
+                # level can shrink pending to a handful of rows while the
+                # group count stays in the millions)
+                bcast0 = bcast
+            last = level == LEVELS - 1
+            done = last or (stat["mx"] or 0) <= refine_cap
+            small = pending if done else pending.filter(F.col("cnt") <= refine_cap)
+            small_view = f"__pctl_small_{level}_{uid}"
+            small.createOrReplaceTempView(small_view)
+            views.append(small_view)
+            resolve_ctes.append(_resolve_ctes(small_view, path, bcast, level))
+            if done:
+                break
+
+            # refine: one extra pass — sub-histogram only inside the
+            # oversized parent buckets (tiny broadcast ``parents``), then
+            # re-locate each pending rank within its parent via the
+            # cumulative window over the next path column
+            if v_df is None:
+                v_df = spark.sql(f"WITH {v_cte} SELECT * FROM v")
+            bcol = f"b{level + 1}"
+            big = pending.filter(F.col("cnt") > refine_cap).drop("cnt")
+            parents = big.select("__vk", "__vci", *path).distinct()
+            if bcast:
+                parents = F.broadcast(parents)
+            sub = (
+                v_df.alias("v")
+                .join(parents.alias("p"), _path_eq(path, "v", "p"))
+                .groupBy(*[F.col(f"v.{c}") for c in ("__vk", "__vci", *path, bcol)])
+                .agg(F.count("*").alias("cnt"))
+            )
+            w2 = Window.partitionBy("__vk", "__vci", *path).orderBy(bcol)
+            sub = sub.withColumn(
+                "cb",
+                F.sum("cnt").over(
+                    w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - F.col("cnt"),
+            )
+            h = sub.select(
+                F.col("__vk").alias("h_vk"),
+                F.col("__vci").alias("h_ci"),
+                *[F.col(c).alias(f"h_{c}") for c in path],
+                F.col(bcol).alias(f"h_{bcol}"),
                 "cnt",
-                *path,
-                F.col(f"h_{bcol}").alias(bcol),
+                "cb",
             )
-        )
-        pending = ckpt(pending)
-        checkpoints.append(pending)
-        path = path + [bcol]
+            cond = (
+                F.col("__vk").eqNullSafe(F.col("h_vk"))
+                & (F.col("__vci") == F.col("h_ci"))
+                & (F.col("cb") <= F.col("rib"))
+                & (F.col("rib") < F.col("cb") + F.col("cnt"))
+            )
+            for c in path:
+                cond = cond & (F.col(c) == F.col(f"h_{c}"))
+            pending = (
+                big.join(h, cond)
+                .select(
+                    "__vk",
+                    "__vci",
+                    "name",
+                    "t",
+                    "which",
+                    (F.col("rib") - F.col("cb")).alias("rib"),
+                    "cnt",
+                    *path,
+                    F.col(f"h_{bcol}").alias(bcol),
+                )
+            )
+            pending = ckpt(pending)
+            checkpoints.append(pending)
+            path = path + [bcol]
 
-    # assemble in ONE final SQL: union the per-level resolved targets,
-    # pivot each target's lo/hi value and position per group, then
-    # interpolate with Spark Percentile.getPercentile's exact
-    # arithmetic — the two-sided weighted form, lower value alone when
-    # the position is integral (lo + (hi-lo)*frac is 1 ulp off this on
-    # some inputs; caught by the high-cardinality equivalence test).
-    # All-NULL groups never produce a rank target; they surface with
-    # NULL results via a left join from the checkpointed universe
-    # (the sentinel rows of the located relation).
-    union_sql = " UNION ALL ".join(
-        f"SELECT * FROM resolved_{i}" for i in range(len(resolve_ctes))
-    )
-    base_cols: list[str] = []
-    out_cols: list[str] = []
-    for i, n in enumerate(names):
-        nq = esc(n)
-        base_cols.append(
-            f"MAX(CASE WHEN name = '{nq}' AND which = 0 THEN val END) AS lo_{i}"
+        # assemble in ONE final SQL: union the per-level resolved targets,
+        # pivot each target's lo/hi value and position per group, then
+        # interpolate with Spark Percentile.getPercentile's exact
+        # arithmetic — the two-sided weighted form, lower value alone when
+        # the position is integral (lo + (hi-lo)*frac is 1 ulp off this on
+        # some inputs; caught by the high-cardinality equivalence test).
+        # All-NULL groups never produce a rank target; they surface with
+        # NULL results via a left join from the checkpointed universe
+        # (the sentinel rows of the located relation).
+        union_sql = " UNION ALL ".join(
+            f"SELECT * FROM resolved_{i}" for i in range(len(resolve_ctes))
         )
-        base_cols.append(
-            f"MAX(CASE WHEN name = '{nq}' AND which = 1 THEN val END) AS hi_{i}"
-        )
-        base_cols.append(f"MAX(CASE WHEN name = '{nq}' THEN t END) AS t_{i}")
-        out_cols.append(
-            f"CASE WHEN CAST(FLOOR(t_{i}) AS DOUBLE) = CAST(CEIL(t_{i}) AS DOUBLE)"
-            f" THEN lo_{i}"
-            f" ELSE (CAST(CEIL(t_{i}) AS DOUBLE) - t_{i}) * lo_{i}"
-            f" + (t_{i} - CAST(FLOOR(t_{i}) AS DOUBLE)) * hi_{i} END AS `{n}`"
-        )
-    resolve_cte_sql = ",\n".join(resolve_ctes)
-    base_sql = ", ".join(base_cols)
-    out_sql = ", ".join(out_cols)
-    name_sql = ", ".join(f"w.`{n}`" for n in names)
-    # `wide` is one row per GROUP — its broadcast is gated on the
-    # LEVEL-0 pending count (a group-count upper bound), never on the
-    # last refinement level's pending count, which can be tiny while
-    # the group count is in the millions
-    whint = "/*+ BROADCAST(w) */ " if bcast0 else ""
-    final_sql = f"""
-WITH {v_cte},
-{resolve_cte_sql},
-resolved AS ({union_sql}),
-widebase AS (SELECT __vk, {base_sql} FROM resolved GROUP BY __vk),
-wide AS (SELECT __vk, {out_sql} FROM widebase),
-universe AS (SELECT __vk FROM {loc_view} WHERE name IS NULL)
-SELECT {whint}u.__vk AS `{key}`, {name_sql}
-FROM universe u LEFT JOIN wide w ON u.__vk <=> w.__vk
-"""
-    out = spark.sql(final_sql)
-    # every spark.sql above is analyzed eagerly, so the temp views are
-    # no longer needed (and must not leak into the caller's catalog)
-    for view in views:
-        spark.catalog.dropTempView(view)
+        base_cols: list[str] = []
+        out_cols: list[str] = []
+        for i, n in enumerate(names):
+            nq = esc(n)
+            base_cols.append(
+                f"MAX(CASE WHEN name = '{nq}' AND which = 0 THEN val END) AS lo_{i}"
+            )
+            base_cols.append(
+                f"MAX(CASE WHEN name = '{nq}' AND which = 1 THEN val END) AS hi_{i}"
+            )
+            base_cols.append(f"MAX(CASE WHEN name = '{nq}' THEN t END) AS t_{i}")
+            out_cols.append(
+                f"CASE WHEN CAST(FLOOR(t_{i}) AS DOUBLE) = CAST(CEIL(t_{i}) AS DOUBLE)"
+                f" THEN lo_{i}"
+                f" ELSE (CAST(CEIL(t_{i}) AS DOUBLE) - t_{i}) * lo_{i}"
+                f" + (t_{i} - CAST(FLOOR(t_{i}) AS DOUBLE)) * hi_{i} END AS `{n}`"
+            )
+        resolve_cte_sql = ",\n".join(resolve_ctes)
+        base_sql = ", ".join(base_cols)
+        out_sql = ", ".join(out_cols)
+        name_sql = ", ".join(f"w.`{n}`" for n in names)
+        # `wide` is one row per GROUP — its broadcast is gated on the
+        # LEVEL-0 pending count (a group-count upper bound), never on the
+        # last refinement level's pending count, which can be tiny while
+        # the group count is in the millions
+        whint = "/*+ BROADCAST(w) */ " if bcast0 else ""
+        final_sql = f"""
+    WITH {v_cte},
+    {resolve_cte_sql},
+    resolved AS ({union_sql}),
+    widebase AS (SELECT __vk, {base_sql} FROM resolved GROUP BY __vk),
+    wide AS (SELECT __vk, {out_sql} FROM widebase),
+    universe AS (SELECT __vk FROM {loc_view} WHERE name IS NULL)
+    SELECT {whint}u.__vk AS `{key}`, {name_sql}
+    FROM universe u LEFT JOIN wide w ON u.__vk <=> w.__vk
+    """
+        out = spark.sql(final_sql)
+    finally:
+        for view in views:
+            spark.catalog.dropTempView(view)
     out._percentile_checkpoints = checkpoints
     return out
 
 
 def release(result: DataFrame) -> None:
-    """Unpersist the checkpointed state behind a DataFrame returned by
+    """Free the checkpointed storage behind a DataFrame returned by
     ``exact_percentiles_distributed``, once the caller has run its
     final action. No-op on DataFrames from other sources (including
-    the native/low-cardinality fast path, which checkpoints nothing);
-    without an explicit release, Spark's ContextCleaner reclaims the
-    storage when the result DataFrame is garbage-collected."""
+    the native/low-cardinality fast path, which checkpoints nothing).
+
+    localCheckpoint persists the underlying RDD directly — it is NOT
+    registered in the CacheManager, so ``Dataset.unpersist`` would be
+    a silent no-op (verified against Spark 4: storage info unchanged).
+    The blocks are freed by unpersisting the LogicalRDD's rdd itself;
+    that reaches through a private plan accessor, so if the internals
+    ever drift the fallback is the GC path (ContextCleaner reclaims
+    the blocks when the RDD is collected), which is also what happens
+    when callers skip release() entirely."""
     for df in getattr(result, "_percentile_checkpoints", ()):
         try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
+            # analyzed plan of a localCheckpoint result IS the
+            # LogicalRDD holding the persisted RDD
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # plan-shape drift / stopped session:
+            pass  # best-effort — ContextCleaner frees it on GC
 
 
 def _resolve_ctes(small_view: str, path: list[str], bcast: bool, lvl: int) -> str:

@@ -485,8 +485,12 @@ def pq_encode(vectors: DataFrame, codebooks: list[list[list[float]]]) -> DataFra
     """(vec_id, codes array<int>): each vector's per-subspace nearest
     codeword — one GEMM per (subspace, Arrow batch) against the
     broadcast codebook, fully distributed, no shuffle. The codes
-    relation is the PQ index; at rest it is ~m bytes/vector (write
-    with the int8/tinyint physical type of the sink of choice)."""
+    relation is the PQ index; pq_pack_codes gives it the m-byte
+    binary physical form for the hot tier and generic sinks
+    (measured nuance: parquet's element dictionary already stores
+    ksub<=256 int codes at ~1.2 B/element, so at rest on parquet the
+    two forms are comparable — the binary bound matters for memory /
+    Arrow / broadcast and non-columnar storage)."""
     mats = [np.array(b, dtype=np.float64) for b in codebooks]
     csq = [np.einsum("ij,ij->i", c, c) for c in mats]
     m = len(mats)
@@ -510,6 +514,38 @@ def pq_encode(vectors: DataFrame, codebooks: list[list[list[float]]]) -> DataFra
     return vectors.select("vec_id", "embedding").mapInPandas(
         op, "vec_id long, codes array<int>"
     )
+
+
+def pq_pack_codes(codes: DataFrame, codes_col: str = "codes") -> DataFrame:
+    """Pack an ``array<int>`` PQ-code column into an m-byte ``binary``
+    — the physical type that makes the 'm bytes/vector' bound HARD:
+    in-memory caches, Arrow transfer, broadcasts, and row-oriented
+    sinks all hold exactly m payload bytes (an int array costs 4-8x
+    there). On parquet at rest the element dictionary already stores
+    ksub<=256 int codes at ~1.2 B/element, so both forms are the same
+    order on disk — measured in tests/test_similarity_engine.py,
+    which also asserts the packed column's on-disk width. Vectorized
+    per Arrow batch; codes must fit a byte (PQ's ksub <= 256
+    invariant — bytes() raises on violation rather than silently
+    truncating). Write the result with any sink
+    (io.write_training_shards composes)."""
+
+    @F.pandas_udf("binary")
+    def pack(s: pd.Series) -> pd.Series:
+        return s.map(lambda a: bytes(bytearray(int(c) for c in a)))
+
+    return codes.withColumn(codes_col, pack(codes_col))
+
+
+def pq_unpack_codes(packed: DataFrame, codes_col: str = "codes") -> DataFrame:
+    """Inverse of pq_pack_codes: ``binary`` back to ``array<int>`` for
+    the ADC scorers (exact round-trip, property-tested)."""
+
+    @F.pandas_udf("array<int>")
+    def unpack(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: [int(x) for x in bytes(b)])
+
+    return packed.withColumn(codes_col, unpack(codes_col))
 
 
 def pq_adc_topk(
