@@ -49,8 +49,8 @@ BENCH_QUERIES = [
     "q_minhash_lsh_pairs",
     "q_lsh_near_dup",
     "q_simhash_pairs",
-    "q_text_stats",
-    "q_lang_id",
+    "q_chunk_dedup",
+    "q_fuzzy_match",
     "q_token_budget",
     "q_quality_score",
     "q_corpus_clean",

@@ -304,3 +304,69 @@ def range_join_binned(
         how,
     )
     return out.drop("__bin")
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy entity resolution: candidate record pairs whose
+    ``name_col`` values are within Levenshtein distance ``max_dist``,
+    generated ONLY within equal ``block_cols`` blocks. This is the
+    duplicate-patient / duplicate-provider detection step a clinical
+    DWH runs on its dimension loads — the fuzzy escalation of the
+    reference's TRIM(LOWER()) normalize-then-equi-join idiom
+    (Stage_area.sql:219-220): J4 catches formatting variants, this
+    catches typos.
+
+    Scale shape: the classic blocked-ER plan. The self-join is an
+    EQUI-join on the blocking key, so it hash-partitions; candidates
+    are quadratic only within a block, never across the table — at
+    100 TB the blocking key must bound block size (add more keys or
+    switch to sorted-neighborhood / LSH blocking; a hot block is a
+    skew key and AQE splits it). Two cheap pre-filters run before the
+    O(len^2) levenshtein: the a<b dedup (halves candidates) and a
+    length-difference bound (|len(a)-len(b)| > max_dist can never be
+    within distance — prunes without computing the DP matrix).
+
+    Returns (id_a, id_b, name_a, name_b, edit_dist) with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col), F.col(name_col), *[F.col(c) for c in block_cols]
+    )
+    a = base.select(
+        *[F.col(c).alias(f"{c}_a") for c in (id_col, name_col)],
+        *[F.col(c) for c in block_cols],
+    )
+    b = base.select(
+        *[F.col(c).alias(f"{c}_b") for c in (id_col, name_col)],
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    block_eq = [F.col(c) == F.col(f"__b_{c}") for c in block_cols]
+    cond = block_eq[0]
+    for c in block_eq[1:]:
+        cond = cond & c
+    cond = (
+        cond
+        & (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        & (
+            F.abs(F.length(f"{name_col}_a") - F.length(f"{name_col}_b"))
+            <= max_dist
+        )
+    )
+    dist = F.levenshtein(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
+    return (
+        a.join(b, cond)
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            F.col(f"{name_col}_a").alias("name_a"),
+            F.col(f"{name_col}_b").alias("name_b"),
+            "edit_dist",
+        )
+    )

@@ -358,6 +358,80 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sub-document dedup granularity: non-overlapping windows of this
+#: many tokens. Real corpora use paragraph/line boundaries (Dolma,
+#: RefinedWeb); the synthetic corpus has no newlines, so fixed token
+#: windows are the boundary — the operator shape is identical.
+CHUNK_TOKENS = 8
+
+
+@register("q_chunk_dedup", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               w[(i*{CHUNK_TOKENS}+1):((i+1)*{CHUNK_TOKENS})], ' ') AS chunk
+      FROM t, unnest(generate_series(
+             0, (len(w) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS} - 1)) AS u(i)),
+    kept AS (
+      SELECT doc_id, pos, chunk FROM (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, pos) AS rn
+        FROM chunks) r WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(t2.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup with document reconstruction — the
+    paragraph/line-level dedup every large corpus build runs (Lee et
+    al. substring dedup at practical granularity; Dolma/RefinedWeb
+    run it on paragraphs): split each document into non-overlapping
+    {CHUNK_TOKENS}-token chunks, keep only the globally FIRST
+    occurrence of each distinct chunk (order: doc_id, then position),
+    and rebuild every document from its surviving chunks. Output per
+    document: chunk counts before/after and the reconstructed text —
+    a total rewrite decision for the corpus, including docs reduced
+    to the empty string.
+
+    Scale shape: document text NEVER shuffles. Stage 1 maps docs to a
+    slim (doc_id, pos, h1, h2) relation — chunk content is reduced to
+    two independent 64-bit hashes while still in the scan's map stage
+    (the contamination-report discipline; 128 bits makes a dedup-key
+    collision astronomically unlikely, and the cross-engine hash gate
+    would surface one). The keep-first window shuffles only those
+    20-byte rows; the kept positions aggregate per doc (second slim
+    shuffle) and join back to the re-tokenized documents — broadcast
+    at test scale, one doc_id-partitioned join of text at 100 TB.
+    Tokenizing twice is deliberate: re-running a map-side split is
+    cheaper than shuffling or caching raw text (the q_corpus_clean
+    measurement). The window partitions by the hash pair, so skew is
+    impossible by construction (a hot chunk is ONE key with many
+    rows — bounded by corpus repetition, handled by rn=1 short
+    circuit in WindowGroupLimit).
+
+    The DuckDB oracle dedups on the chunk STRINGS themselves and
+    rebuilds with string_agg — so the hash-pair shortcut is verified
+    value-for-value against the direct form. Core: T.chunk_dedup
+    (reusable over any (id, text) frame; idempotence property-tested
+    by re-applying it to its own output)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return T.chunk_dedup(
+        fan_out(docs.select("doc_id", "text")), chunk_tokens=CHUNK_TOKENS
+    )
+
+
 @register("q_dedup_clusters", oracle=f"""
     WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),
     edges AS (

@@ -316,3 +316,53 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joins.range_join_binned(left, right, "ship_s", "lo_s", "hi_s")
     return out.select("l_orderkey", "l_linenumber", "window_order")
+
+
+#: fuzzy-match knobs: two-key blocking (nation x market segment) and
+#: the standard typo radius
+FUZZY_MAX_DIST = 2
+
+
+@register("q_fuzzy_match", oracle=f"""
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+               FROM customer)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= {FUZZY_MAX_DIST}
+    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+    """)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution on the customer dimension — find
+    likely-duplicate customer records whose names differ by at most
+    {FUZZY_MAX_DIST} edits, blocked on (nation, market segment). The
+    fuzzy escalation of the reference's normalize-then-join cleansing
+    idiom (Stage_area.sql:219-220): J4's TRIM(LOWER()) catches
+    formatting variants; edit distance catches typos — the
+    duplicate-patient detection every clinical MDM/DWH load runs.
+
+    Plan (joins.fuzzy_blocked_pairs): equi self-join on the blocking
+    keys (hash-partitioned, never all-pairs), a<b halving, and a
+    length-band prune BEFORE the O(len^2) levenshtein DP — the
+    expensive scalar runs only on surviving candidates. Levenshtein
+    is the identical unit-cost edit distance in both engines, so the
+    pair set and distances hash-compare exactly."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    pairs = joins.fuzzy_blocked_pairs(
+        fan_out(cust, "c_custkey"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_dist=FUZZY_MAX_DIST,
+    )
+    return pairs.select(
+        F.col("id_a"),
+        F.col("id_b"),
+        "name_a",
+        "name_b",
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+    )

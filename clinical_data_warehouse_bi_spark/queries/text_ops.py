@@ -18,7 +18,10 @@ _LEX_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in T.LANG_LEXICON)
 _STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"
 
 
-@register("q_text_stats", oracle=f"""
+#: q_text_stats' DuckDB oracle, preserved after its round-7 registry
+#: retirement (slot went to q_fuzzy_match) — the cross-engine value
+#: check survives in tests/test_retired_parity.py.
+SQL_TEXT_STATS = f"""
     WITH t AS (
       SELECT doc_id, text, {_SQL_TOKENS} AS toks,
              length(text) AS n_chars_actual,
@@ -34,14 +37,26 @@ _STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"
                 - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
                 AS DOUBLE) / greatest(n_chars_actual, 1) AS punct_ratio
     FROM t
-    """)
+    """
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + document statistics: whitespace/alnum token
     count, a BPE-ish regex token count (letters runs | single digits |
     single punctuation — the GPT-2-style pre-tokenizer shape), average
     token length, punctuation ratio. Pure per-row expressions: no
     shuffle at all; scales linearly. fan_out so the regexp work is not
-    serialized on a one-row-group local scan (no-op on real splits)."""
+    serialized on a one-row-group local scan (no-op on real splits).
+
+    Round-7 registry retirement (cap is 50; slot went to
+    q_fuzzy_match): the token-count leg (size of the shared T.tokens
+    relation) stays hash-checked every round through q_quality_score's
+    registered n_tokens column, and the per-row-expression operator
+    shape (P-class projections over documents) is carried by
+    q_quality_score and q_repetition_filter. The BPE-regex count,
+    avg-token-length, and punctuation-ratio expressions keep their own
+    full oracle comparison in tests/test_retired_parity.py against
+    SQL_TEXT_STATS. Kept unregistered as the narrow-API form."""
     docs = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"])
     toks = T.tokens("text")
     n_chars = F.length("text")
@@ -82,7 +97,10 @@ def _predicted_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-@register("q_lang_id", oracle=f"""
+#: q_lang_id's DuckDB oracle, preserved after its round-7 registry
+#: retirement (slot went to q_chunk_dedup) — the cross-engine value
+#: check survives in tests/test_retired_parity.py.
+SQL_LANG_ID = f"""
     WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
     lex(lang, word) AS (VALUES {_LEX_VALUES}),
     hits AS (
@@ -95,12 +113,24 @@ def _predicted_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
                                 ORDER BY hits DESC, lang ASC) AS rn
       FROM hits)
     SELECT doc_id, lang AS pred_lang, hits FROM ranked WHERE rn = 1
-    """)
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: count stopword-lexicon hits per
     language, argmax per document (ties broken alphabetically).
     The lexicon is a broadcast dim; the token explode + group is one
-    shuffle on doc_id. N-gram extension slot documented in text.py."""
+    shuffle on doc_id. N-gram extension slot documented in text.py.
+
+    Round-7 registry retirement (cap is 50; slot went to
+    q_chunk_dedup): q_token_budget composes the IDENTICAL
+    ``_predicted_lang`` relation — same helper function, same lexicon
+    join, same argmax window — as the language leg of its registered,
+    hash-checked rollup, so the assignment stays oracle-verified
+    through the witness every round. This standalone per-document
+    form keeps its own full oracle comparison in
+    tests/test_retired_parity.py against SQL_LANG_ID. Kept
+    unregistered as the narrow-API form."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return _predicted_lang(spark, docs).select(
         "doc_id", F.col("lang").alias("pred_lang"), "hits"

@@ -85,6 +85,13 @@ _CHECK_ORDER = [
     "q_repetition_filter",
     "q_contamination",
     "q_ann_ivf_pq",
+    # round-7 additions, part 2 (slots freed by retiring q_lang_id —
+    # witness: q_token_budget composes the identical _predicted_lang
+    # relation — and q_text_stats — witness: q_quality_score carries
+    # the token-count leg; both keep full oracle comparisons in
+    # tests/test_retired_parity.py)
+    "q_chunk_dedup",
+    "q_fuzzy_match",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -98,8 +105,6 @@ _CHECK_ORDER = [
     "q_lsh_near_dup",
     "q_simhash_pairs",
     "q_corpus_clean",
-    "q_text_stats",
-    "q_lang_id",
     "q_quality_score",
     "q_token_budget",
     "q_cosine_topk",

@@ -229,3 +229,68 @@ def chunk_manifest(packed: DataFrame, ctx: int) -> DataFrame:
             (hi - F.col("tok_offset")).alias("tok_end"),
         )
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Sub-document exact dedup with reconstruction (q_chunk_dedup's
+    core, reusable over any (id, text) frame — including its own
+    output, which makes the operator idempotent by construction):
+    split into non-overlapping ``chunk_tokens``-token chunks, keep the
+    globally first occurrence of each distinct chunk (order: id, then
+    position), rebuild each document from its surviving chunks.
+
+    Returns (id, n_chunks, n_kept, clean_text). Text never shuffles:
+    the keep-first window runs on a slim (id, pos, h1, h2) relation —
+    two independently-salted xxhash64s of the chunk, 128 bits total —
+    and reconstruction joins the kept positions back to a
+    re-tokenized scan (re-splitting is cheaper than shuffling or
+    caching raw text; the q_corpus_clean measurement). NOTE: xxhash64
+    is engine-specific — the registered query's DuckDB oracle dedups
+    on chunk STRINGS instead, which is what verifies this shortcut.
+    """
+    from pyspark.sql import Window
+
+    c = int(chunk_tokens)
+    toks = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("w"))
+    n_chunks = F.expr(f"cast((size(w) + {c - 1}) div {c} as bigint)")
+    hash_pairs = F.expr(
+        f"transform("
+        f"  transform(sequence(0, cast((size(w) + {c - 1}) div {c} as int) - 1),"
+        f"            i -> concat_ws(' ', slice(w, i*{c}+1, {c}))),"
+        f"  s -> struct(xxhash64(s) as h1, xxhash64(s, 'b') as h2))"
+    )
+    chunked = (
+        toks.filter(F.size("w") > 0)
+        .select("__id", F.posexplode(hash_pairs).alias("pos", "hp"))
+        .select("__id", "pos", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
+    )
+    w_keep = Window.partitionBy("h1", "h2").orderBy("__id", "pos")
+    kept = (
+        chunked.withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") == 1)
+        .groupBy("__id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("kept_pos"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+    )
+    rebuild = F.expr(
+        f"array_join(flatten(transform(kept_pos,"
+        f" i -> slice(w, i*{c}+1, {c}))), ' ')"
+    )
+    return (
+        toks.join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            n_chunks.alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.when(F.col("kept_pos").isNull(), F.lit(""))
+            .otherwise(rebuild)
+            .alias("clean_text"),
+        )
+    )

@@ -325,3 +325,44 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     plan = physical_plan(QUERIES["q_pack_sequences"](spark, sf_dir))
     assert "Exchange hashpartitioning(shard" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def _exchange_blocks(df) -> list[str]:
+    """Per-node detail blocks of the formatted explain for every
+    Exchange operator (each block carries its Input column list)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    s = df._jdf.queryExecution().explainString(mode)
+    return [
+        b
+        for b in s.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+
+
+def test_chunk_dedup_text_never_shuffles(spark, sf_dir):
+    """q_chunk_dedup's whole point at 100 TB: document text is reduced
+    to (id, pos, hash, hash) BEFORE any KEYED exchange — no
+    hash/range/single-partition exchange may carry the text or
+    token-array column. (fan_out's RoundRobin repartition is exempt:
+    it exists to parallelize the tokenizer on a one-row-group local
+    scan and is a proven no-op on real multi-split scans —
+    test_fan_out_noop_when_well_split.)"""
+    blocks = [
+        b
+        for b in _exchange_blocks(QUERIES["q_chunk_dedup"](spark, sf_dir))
+        if "RoundRobinPartitioning" not in b
+    ]
+    assert blocks, "expected at least one keyed exchange (keep-first window)"
+    for b in blocks:
+        assert "text#" not in b, b
+        assert " w#" not in b and "[w#" not in b, b
+
+
+def test_fuzzy_match_is_blocked_equi_join(spark, sf_dir):
+    """The fuzzy self-join must hash/broadcast on the blocking keys —
+    a nested-loop/cartesian plan means blocking fell out and every
+    pair gets a levenshtein, the O(n^2) collapse."""
+    plan = physical_plan(QUERIES["q_fuzzy_match"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

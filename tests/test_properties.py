@@ -710,3 +710,102 @@ def test_chunk_manifest_covers_every_context(spark, sf_dir):
             assert 0 < n <= PACK_CTX
     want = {r.doc_id: r.n_tokens for r in packed.collect()}
     assert per_doc == want
+
+
+def test_chunk_dedup_idempotent_and_exhaustive(spark, sf_dir):
+    """Re-applying chunk_dedup to its own output must remove nothing
+    (every surviving chunk is globally unique, and chunk boundaries
+    are preserved because only trailing chunks are partial), and the
+    total kept-chunk count must equal the number of DISTINCT chunks
+    in the corpus — dedup removes exactly the duplicates, no more."""
+    from clinical_data_warehouse_bi_spark import text as T
+    from clinical_data_warehouse_bi_spark.io import load_tables
+    from clinical_data_warehouse_bi_spark.queries.dedup import CHUNK_TOKENS
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    once = T.chunk_dedup(docs, chunk_tokens=CHUNK_TOKENS).cache()
+
+    # exhaustive: sum(n_kept) == count of distinct chunk strings
+    n_kept_total = once.agg(F.sum("n_kept")).first()[0]
+    distinct_chunks = (
+        docs.select(T.tokens("text").alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast((size(w) + {CHUNK_TOKENS - 1})"
+                    f" div {CHUNK_TOKENS} as int) - 1),"
+                    f" i -> concat_ws(' ', slice(w, i*{CHUNK_TOKENS}+1, {CHUNK_TOKENS})))"
+                )
+            ).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_kept_total == distinct_chunks
+
+    # idempotence: second application keeps every chunk of every doc
+    twice = T.chunk_dedup(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        chunk_tokens=CHUNK_TOKENS,
+    )
+    changed = twice.filter(F.col("n_kept") != F.col("n_chunks")).count()
+    assert changed == 0
+    # and the rebuilt text itself is a fixed point
+    joined = (
+        once.select("doc_id", F.col("clean_text").alias("t1"))
+        .join(twice.select("doc_id", F.col("clean_text").alias("t2")), "doc_id")
+        .filter(F.col("t1") != F.col("t2"))
+    )
+    assert joined.count() == 0
+    once.unpersist()
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_fuzzy_blocked_pairs_match_brute_force(spark):
+    """fuzzy_blocked_pairs must equal the brute-force model: all
+    a<b pairs within equal blocks at edit distance <= k — including
+    pairs the length-band prune must NOT lose (distance exactly k via
+    pure insertions) and excluding cross-block near-identical names."""
+    rows = [
+        # block (1, 'A'): a typo cluster
+        (1, "mercer", 1, "A"),
+        (2, "merced", 1, "A"),     # sub, dist 1
+        (3, "mercersburg", 1, "A"),  # 6 inserts, dist 6: pruned
+        (4, "merce", 1, "A"),      # deletion, dist 1
+        (5, "xavier", 1, "A"),     # far
+        # same name, different block: must NOT pair with doc 1
+        (6, "mercer", 2, "A"),
+        (7, "mercer!!", 2, "A"),   # dist 2 from mercer via 2 inserts
+        # block (1, 'B')
+        (8, "smith", 1, "B"),
+        (9, "smyth", 1, "B"),      # dist 1
+        (10, "smithee", 1, "B"),   # dist 2 (2 inserts — length-band edge)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, nk int, seg string")
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in joins.fuzzy_blocked_pairs(
+            df, id_col="id", name_col="name", block_cols=["nk", "seg"], max_dist=2
+        ).collect()
+    }
+    expected = set()
+    for i, (ia, na, ka, sa) in enumerate(rows):
+        for ib, nb, kb, sb in rows[i + 1:]:
+            if (ka, sa) == (kb, sb) and ia < ib:
+                d = _lev(na, nb)
+                if d <= 2:
+                    expected.add((ia, ib, d))
+    assert got == expected
+    assert (6, 7, 2) in expected  # the pure-insertion distance-2 pair survived

@@ -24,12 +24,20 @@ from clinical_data_warehouse_bi_spark.queries.similarity import (
     SQL_ANN_IVF_NPROBE,
     q_ann_ivf_nprobe,
 )
+from clinical_data_warehouse_bi_spark.queries.text_ops import (
+    SQL_LANG_ID,
+    SQL_TEXT_STATS,
+    q_lang_id,
+    q_text_stats,
+)
 from test_oracle_parity import _normalize
 
 RETIRED = {
     "q_keyword_filter": (q_keyword_filter, SQL_KEYWORD_FILTER),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "q_ann_ivf_nprobe": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
+    "q_lang_id": (q_lang_id, SQL_LANG_ID),
+    "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
 }
 
 
