@@ -82,11 +82,20 @@ def bench_pipeline(spark, sf: float) -> float:
 
     from clinical_data_warehouse_bi_spark import star
     from clinical_data_warehouse_bi_spark.fixtures import make_sources
+    from clinical_data_warehouse_bi_spark.io import (
+        release_new_persistent_rdds,
+        snapshot_persistent_rdds,
+    )
 
     n_patients = max(120, int(12000 * sf))
     src = make_sources(spark, n_patients=n_patients)
     for df in src.values():
         df.cache().count()
+    # every pipeline run leaves ~5 localCheckpoint RDDs pinned in
+    # executor storage that clearCache cannot reach; released between
+    # runs they are harmless, accumulated they degrade run 3+ by 2x
+    # (measured 14 -> 22 s)
+    rdd_baseline = snapshot_persistent_rdds(spark)
 
     def run():
         out = star.run_pipeline(src)
@@ -112,12 +121,14 @@ def bench_pipeline(spark, sf: float) -> float:
         f" dwh_fact={n_dwh} agg_rows={n_agg}",
         file=sys.stderr,
     )
+    release_new_persistent_rdds(spark, rdd_baseline)
     best = None
     for _ in range(2):
         t0 = time.time()
         run()
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
+        release_new_persistent_rdds(spark, rdd_baseline)
     for df in src.values():
         df.unpersist()
     return round(best, 4)

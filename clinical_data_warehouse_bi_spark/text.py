@@ -294,3 +294,112 @@ def chunk_dedup(
             .alias("clean_text"),
         )
     )
+
+
+def lsh_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persistable LSH index relation (doc_id, band_id, band_sig)
+    for a corpus. Build ONCE, write with io.write_training_shards (or
+    write_bucketed_table bucketed on band_sig for an exchange-free
+    probe join); incremental batches then probe the stored index —
+    corpus text is never re-read, re-tokenized, or re-hashed."""
+    return lsh_band_signatures_wide(minhash_wide(docs, id_col, text_col))
+
+
+def incremental_near_dup_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidates for an INCOMING batch without touching the
+    existing corpus: band the batch (work proportional to the batch,
+    not the corpus), then (a) join batch bands against the stored
+    corpus index -> (corpus_id, batch_id) candidates and (b) self-join
+    the batch bands -> within-batch candidates. This is how a corpus
+    that ingests daily actually runs dedup at 100 TB — the full
+    re-band of the union (q_minhash_lsh_pairs' shape) is the
+    from-scratch build, THIS is the steady state.
+
+    Returns distinct (doc_a, doc_b, origin) with origin
+    'corpus-batch' (doc_a from the index) or 'batch' (doc_a < doc_b,
+    both new). Exact-verification stays candidates-only downstream:
+    semi-join candidate ids against the corpus to re-read just those
+    documents (see incremental_verify_jaccard).
+
+    Corpus and batch id spaces MUST be disjoint (any real ingest
+    assigns new ids); pair orientation relies on it."""
+    new_bands = lsh_index(batch, id_col, text_col).cache()
+    idx = index.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band_id").alias("band_id_i"),
+        F.col("band_sig").alias("sig_i"),
+    )
+    nb = new_bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", F.col("band_sig").alias("sig_b")
+    )
+    corpus_batch = (
+        idx.join(
+            nb,
+            (F.col("band_id_i") == F.col("band_id"))
+            & (F.col("sig_i") == F.col("sig_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("origin", F.lit("corpus-batch"))
+    )
+    batch_batch = lsh_candidate_pairs(new_bands).withColumn(
+        "origin", F.lit("batch")
+    )
+    return corpus_batch.unionByName(batch_batch)
+
+
+def incremental_verify_jaccard(
+    pairs: DataFrame,
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact 3-gram Jaccard on incremental candidates ONLY: the
+    corpus side is semi-joined down to candidate ids BEFORE any
+    shingling, so the expensive re-tokenization touches O(candidates)
+    corpus documents, never the corpus (predicate pushdown carries
+    the id filter into the corpus scan). Returns
+    (doc_a, doc_b, origin, jaccard)."""
+    pairs = pairs.cache()
+    a_ids = pairs.select(F.col("doc_a").alias(id_col)).distinct()
+    b_ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    touched = (
+        corpus_docs.select(id_col, text_col)
+        .join(a_ids, id_col, "left_semi")
+        .unionByName(batch_docs.select(id_col, text_col))
+        .join(a_ids.unionByName(b_ids).distinct(), id_col, "left_semi")
+    )
+    sh = shingled(touched, id_col, text_col, shingle_n).distinct().cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b", "origin")
+        .agg(F.count("*").alias("inter_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "origin",
+            (
+                F.col("inter_n").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter_n")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Z-order layout tests: Morton-key correctness against a pure-Python
+reference, content preservation through the clustered write, and the
+actual payoff — a box query's footer-prunable row-group count must
+drop by a large factor vs the natural layout (the same min/max
+statistics Spark's parquet scan uses for row-group skipping)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import layout
+from clinical_data_warehouse_bi_spark.io import read_table
+
+
+def test_morton_key_matches_python_reference(spark):
+    bits = 6
+    top = (1 << bits) - 1
+    rows = [(a, b) for a in (0, 1, 5, 31, 63) for b in (0, 2, 17, 63)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    keyed = layout.zorder_key(
+        df, ["x", "y"], bits=bits, bounds={"x": (0, top), "y": (0, top)}
+    )
+    got = {(r.x, r.y): r["__z"] for r in keyed.collect()}
+    for a, b in rows:
+        assert got[(a, b)] == layout.morton_interleave_py([a, b], bits), (a, b)
+
+
+def test_interleave_rejects_long_overflow():
+    with pytest.raises(ValueError):
+        layout._interleave_sql(4, 16)
+
+
+def test_zorder_write_preserves_content_and_prunes(spark, sf_dir):
+    """The headline property: same rows on disk, but a 2-D box filter
+    can skip most row groups via footer stats — while the natural
+    layout (row order uncorrelated with either column) must read
+    nearly every group."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_test_")
+    plain, zord = f"{tmp}/plain", f"{tmp}/zorder"
+    try:
+        # small row groups so ~6k rows produce many prunable units
+        li.coalesce(1).write.mode("overwrite").option(
+            "parquet.block.size", str(16 * 1024)
+        ).parquet(plain)
+        layout.write_zordered(
+            li,
+            zord,
+            ["l_partkey", "l_suppkey"],
+            partitions=4,
+            parquet_block_bytes=16 * 1024,
+        )
+
+        # content preserved exactly
+        a = spark.read.parquet(plain)
+        b = spark.read.parquet(zord)
+        assert a.count() == b.count()
+        qa = a.agg(
+            F.sum("l_quantity").alias("s"), F.sum("l_partkey").alias("p")
+        ).first()
+        qb = b.agg(
+            F.sum("l_quantity").alias("s"), F.sum("l_partkey").alias("p")
+        ).first()
+        assert (qa.s, qa.p) == (qb.s, qb.p)
+
+        # central ~15% box in both dimensions
+        bounds = li.agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        ).first()
+        p_lo, p_hi, s_lo, s_hi = bounds
+        box = {
+            "l_partkey": (
+                p_lo + 0.45 * (p_hi - p_lo),
+                p_lo + 0.60 * (p_hi - p_lo),
+            ),
+            "l_suppkey": (
+                s_lo + 0.45 * (s_hi - s_lo),
+                s_lo + 0.60 * (s_hi - s_lo),
+            ),
+        }
+        eff = layout.zorder_effectiveness(plain, zord, box)
+        # enough granularity for the comparison to mean something
+        assert eff["plain"]["total"] >= 5, eff
+        assert eff["zordered"]["total"] >= 5, eff
+        # natural layout: row groups span the key space, nearly all match
+        assert eff["plain_frac"] >= 0.8, eff
+        # z-ordered: the box touches a small fraction of groups
+        assert eff["zordered_frac"] <= 0.5 * eff["plain_frac"], eff
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -809,3 +809,70 @@ def test_fuzzy_blocked_pairs_match_brute_force(spark):
                     expected.add((ia, ib, d))
     assert got == expected
     assert (6, 7, 2) in expected  # the pure-insertion distance-2 pair survived
+
+
+def test_incremental_near_dup_matches_full_rebuild(spark, sf_dir):
+    """The steady-state ingest path must find EXACTLY the pairs the
+    from-scratch rebuild finds, restricted to pairs that involve the
+    new batch — banding only the batch and probing the stored corpus
+    index loses nothing (same band family, same signatures)."""
+    from clinical_data_warehouse_bi_spark import text as T
+    from clinical_data_warehouse_bi_spark.io import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in T.lsh_candidate_pairs(T.lsh_index(docs)).collect()
+    }
+    # corpus ids < 400 <= batch ids, so any pair touching the batch
+    # has doc_b in the batch
+    expected = {
+        (a, b, "corpus-batch" if a < 400 else "batch")
+        for a, b in full
+        if b >= 400
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.origin)
+        for r in T.incremental_near_dup_pairs(
+            batch, T.lsh_index(corpus)
+        ).collect()
+    }
+    assert got == expected
+    assert any(o == "corpus-batch" for _, _, o in got) or not expected
+
+
+def test_incremental_verify_jaccard_matches_python(spark, sf_dir):
+    """Exact Jaccard on incremental candidates vs an independent
+    Python computation over the same documents."""
+    from clinical_data_warehouse_bi_spark import text as T
+    from clinical_data_warehouse_bi_spark.io import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    pairs = T.incremental_near_dup_pairs(batch, T.lsh_index(corpus))
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in T.incremental_verify_jaccard(pairs, corpus, batch).collect()
+    }
+    assert len(got) == pairs.count()
+
+    import re
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def sh_set(t: str) -> set:
+        w = re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    for (a, b), j in got.items():
+        sa, sb = sh_set(texts[a]), sh_set(texts[b])
+        expect = len(sa & sb) / len(sa | sb)
+        assert abs(j - expect) < 1e-12, (a, b, j, expect)

@@ -158,3 +158,31 @@ def test_materialized_layers_partition_fact(spark, tmp_path_factory):
         out["dwh"]["fact_disorder_events"].count()
         == rebuilt["dwh"]["fact_disorder_events"].count()
     )
+
+
+def test_release_frees_pipeline_checkpoints(spark):
+    """A pipeline run pins localCheckpoint RDD blocks that
+    catalog.clearCache cannot release (not CacheManager-registered);
+    io.release_new_persistent_rdds must return the session exactly to
+    its pre-run storage baseline — the between-epochs cleanup a
+    long-lived session needs (without it, repeated runs degrade as
+    executor storage fills)."""
+    from clinical_data_warehouse_bi_spark.io import (
+        release_new_persistent_rdds,
+        snapshot_persistent_rdds,
+    )
+
+    spark.catalog.clearCache()
+    src = make_sources(spark)
+    baseline = snapshot_persistent_rdds(spark)
+    out = star.run_pipeline(src)
+    out["dwh"]["fact_disorder_events"].write.format("noop").mode(
+        "overwrite"
+    ).save()
+    created = snapshot_persistent_rdds(spark) - baseline
+    assert created, "expected the pipeline to checkpoint at its barriers"
+    released = release_new_persistent_rdds(spark, baseline)
+    # ContextCleaner may have GC-released some concurrently, so bound
+    # rather than equate; the invariant is NO new RDD survives
+    assert released <= len(created)
+    assert snapshot_persistent_rdds(spark) - baseline == set()
