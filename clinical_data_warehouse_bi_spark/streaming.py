@@ -427,3 +427,72 @@ def streaming_scd2(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def dedup_ingest_batch(
+    batch: DataFrame,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of exact-dedup corpus ingest: fingerprint the
+    batch (md5 of normalized text), dedup WITHIN the batch (keep min
+    id per fingerprint), anti-join against the corpus's existing
+    fingerprints, append the survivors. The corpus file itself is the
+    index — its fingerprint column is all the anti-join reads
+    (column-pruned scan), and appending survivors atomically extends
+    both corpus and index, which makes REPLAY IDEMPOTENT: if a crash
+    lands after the append but before the offset commit, the replayed
+    batch's fingerprints all match and the anti-join drops every row.
+    A two-artifact design (separate index) loses that for free.
+
+    Scale: the per-batch anti-join is batch-vs-corpus on the
+    fingerprint column only; at 100 TB store the corpus bucketed on
+    fingerprint (io.write_bucketed_table) so the probe is
+    exchange-free on the corpus side, or keep the dimension in a
+    MERGE-capable format. Same single-writer / posix-rename scope as
+    the SCD2 sink."""
+    from pyspark.sql import Window
+
+    from clinical_data_warehouse_bi_spark.text import normalized_text
+
+    spark = batch.sparkSession
+    fresh = batch.select(id_col, text_col).withColumn(
+        "fingerprint", F.md5(normalized_text(text_col))
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    fresh = (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if os.path.isdir(corpus_path):
+        existing = spark.read.parquet(corpus_path).select("fingerprint")
+        fresh = fresh.join(existing, "fingerprint", "left_anti")
+    fresh.select(id_col, text_col, "fingerprint").write.mode("append").parquet(
+        corpus_path
+    )
+
+
+def streaming_dedup_ingest(
+    docs: DataFrame,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+):
+    """Maintain an exact-deduped document corpus from a stream: each
+    micro-batch flows through dedup_ingest_batch (foreachBatch), so
+    the corpus at ``corpus_path`` only ever gains documents whose
+    normalized-content fingerprint was never seen — across batches,
+    within batches, and across crash/replay (idempotent by
+    construction; see dedup_ingest_batch). The streaming face of
+    q_corpus_clean's dedup stage, and the exact-dup complement of the
+    batch incremental near-dup path (text.incremental_near_dup_pairs).
+    Returns the started StreamingQuery."""
+    writer = docs.writeStream.foreachBatch(
+        lambda b, _id: dedup_ingest_batch(b, corpus_path, id_col, text_col)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -465,3 +465,61 @@ def test_scd2_publish_never_deletes_before_replacement_ready(spark, tmp_path):
     assert (1, "B", dt(2024, 2, 5), None, True) in got
     base = os.path.dirname(dim_path)
     assert [p for p in os.listdir(base) if ".old-" in p or ".tmp-" in p] == []
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-dedup corpus ingest
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_ingest_end_to_end(spark, tmp_path):
+    """File-source stream in two drains with duplicates inside a
+    batch, across batches, and a formatting-only variant (normalized
+    fingerprints): the maintained corpus keeps exactly one copy per
+    normalized content, lowest id wins within a batch."""
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha beta"), (2, "gamma"), (3, "alpha beta")]
+    b2 = [(4, "  ALPHA   beta "), (5, "delta"), (6, "gamma")]
+    src = str(tmp_path / "docs")
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming.streaming_dedup_ingest(
+        stream, corpus, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()
+    }
+    # doc 3 (dup of 1 in-batch), doc 4 (normalized dup of 1 across
+    # batches), doc 6 (dup of 2 across batches) are all dropped
+    assert rows == {(1, "alpha beta"), (2, "gamma"), (5, "delta")}
+    fps = [r.fingerprint for r in spark.read.parquet(corpus).collect()]
+    assert len(fps) == len(set(fps))
+
+
+def test_dedup_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-after-append, before-offset-commit: the engine replays
+    the same micro-batch; the second application must add nothing."""
+    schema = "doc_id long, text string"
+    corpus = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    )
+    streaming.dedup_ingest_batch(batch, corpus)
+    first = sorted(
+        (r.doc_id, r.fingerprint)
+        for r in spark.read.parquet(corpus).collect()
+    )
+    assert [d for d, _ in first] == [1, 2]
+    streaming.dedup_ingest_batch(batch, corpus)  # replay
+    second = sorted(
+        (r.doc_id, r.fingerprint)
+        for r in spark.read.parquet(corpus).collect()
+    )
+    assert second == first
