@@ -54,39 +54,75 @@ def zorder_key(
     cols: list[str],
     bits: int = ZORDER_BITS,
     bounds: dict[str, tuple[float, float]] | None = None,
+    normalize: str = "linear",
 ) -> DataFrame:
     """Append a ``__z`` Morton-key column interleaving ``cols``.
 
-    Each column is min/max-normalized to ``[0, 2^bits)`` (one small
-    agg job unless ``bounds`` are supplied — e.g. from parquet footer
-    statistics via io.parquet_numeric_bounds), then the bits are
-    interleaved. Linear normalization is the cheap default; heavily
-    skewed columns want quantile (equi-depth) bucketing instead —
-    feed pre-bucketed columns in that case. NULLs normalize to bucket
-    0, so they cluster at the curve's origin rather than scattering.
-    """
-    if bounds is None:
-        aggs = []
-        for c in cols:
-            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-        row = df.agg(*aggs).first()
-        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
-    top = (1 << bits) - 1
-    norm = []
-    for i, c in enumerate(cols):
-        mn, mx = bounds[c]
-        if mn is None or mx is None or float(mx) == float(mn):
-            expr = F.lit(0).cast("long")
-        else:
-            scale = top / (float(mx) - float(mn))
-            expr = F.least(
-                F.lit(top).cast("long"),
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    F.floor((F.col(c).cast("double") - float(mn)) * scale + 0.5),
-                ),
+    ``normalize='linear'`` (default): each column is min/max-scaled
+    to ``[0, 2^bits)`` — one small agg job unless ``bounds`` are
+    supplied (e.g. from parquet footer statistics via
+    io.parquet_numeric_bounds). Cheap, but a heavy-tailed column
+    collapses most rows into a few buckets and the curve degrades to
+    a 1-D sort on the remaining columns.
+
+    ``normalize='quantile'``: equi-depth bucketing — bucket
+    boundaries from approxQuantile (one pass, Greenwald-Khanna), then
+    a vectorized numpy searchsorted per Arrow batch assigns buckets.
+    Every bucket holds ~equal row counts REGARDLESS of the value
+    distribution, which is what preserves the curve's locality under
+    skew (and is what production OPTIMIZE ZORDER implementations do).
+    Prefer bits <= 10 here: 2^bits-1 boundary values ride into the
+    executor as a broadcast numpy array.
+
+    NULLs normalize to bucket 0 in both modes, so they cluster at the
+    curve's origin rather than scattering."""
+    norm: list = []
+    if normalize == "quantile":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        n_b = (1 << bits) - 1
+        probs = [j / float(1 << bits) for j in range(1, 1 << bits)]
+        all_bnds = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        ).approxQuantile(cols, probs, 1.0 / (4 << bits))
+        for i, c in enumerate(cols):
+            b = np.asarray(all_bnds[i], dtype="float64")
+
+            @pandas_udf("long")
+            def _bucket(s: pd.Series, _b=b) -> pd.Series:
+                v = s.astype("float64")
+                out = np.searchsorted(_b, v.to_numpy(), side="right")
+                return pd.Series(out).where(~v.isna().to_numpy(), 0)
+
+            norm.append(
+                F.coalesce(_bucket(F.col(c)), F.lit(0)).cast("long").alias(f"__zt{i}")
             )
-        norm.append(F.coalesce(expr, F.lit(0).cast("long")).alias(f"__zt{i}"))
+    elif normalize == "linear":
+        if bounds is None:
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            row = df.agg(*aggs).first()
+            bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+        top = (1 << bits) - 1
+        for i, c in enumerate(cols):
+            mn, mx = bounds[c]
+            if mn is None or mx is None or float(mx) == float(mn):
+                expr = F.lit(0).cast("long")
+            else:
+                scale = top / (float(mx) - float(mn))
+                expr = F.least(
+                    F.lit(top).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.floor((F.col(c).cast("double") - float(mn)) * scale + 0.5),
+                    ),
+                )
+            norm.append(F.coalesce(expr, F.lit(0).cast("long")).alias(f"__zt{i}"))
+    else:
+        raise ValueError(f"unknown normalize mode: {normalize!r}")
     staged = df.select("*", *norm)
     z = F.expr(_interleave_sql(len(cols), bits))
     return staged.withColumn("__z", z).drop(*[f"__zt{i}" for i in range(len(cols))])
@@ -99,6 +135,7 @@ def write_zordered(
     bits: int = ZORDER_BITS,
     partitions: int | None = None,
     parquet_block_bytes: int | None = None,
+    normalize: str = "linear",
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-order of ``cols``:
     range-partition on the Morton key (file-level clustering), sort
@@ -107,7 +144,7 @@ def write_zordered(
     — smaller groups = finer skipping granularity at more footer
     overhead (the test uses a small value to force many groups from
     small data; production leaves the default 128 MB)."""
-    keyed = zorder_key(df, cols, bits=bits)
+    keyed = zorder_key(df, cols, bits=bits, normalize=normalize)
     n = partitions or keyed.rdd.getNumPartitions()
     clustered = (
         keyed.repartitionByRange(n, "__z").sortWithinPartitions("__z").drop("__z")

@@ -101,3 +101,52 @@ def run_all(stage: dict[str, DataFrame], dwh: dict[str, DataFrame]) -> dict[str,
         "orphans": orphan_checks(dwh),
         "duplicates": duplicate_checks(dwh),
     }
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Long-format data profile — the load-validation report a DWH
+    runs on every fresh table (the generalization of QA.sql's
+    hand-written per-table probes): for each column, row count, null
+    count, exact distinct count, and min/max rendered as strings.
+
+    Two clean jobs, both scale-safe:
+    1. min/max for ALL columns in ONE aggregation (no DISTINCT
+       aggregates, so no Expand blowup — the anti-pattern
+       test_agg_per_order_has_no_expand locks elsewhere).
+    2. distinct/null counts via stack() unpivot to (column, value)
+       then a single-DISTINCT groupBy — two-phase partial aggregation,
+       one shuffle of (column, value) pairs, never k separate
+       count-distinct Expands. Rows multiply by k columns, but the
+       unpivot is a projection (no shuffle of the wide row).
+    """
+    cols = list(cols or df.columns)
+    k = len(cols)
+    # job 1 exprs: min/max as strings (one row, 2k cells)
+    mm = df.agg(
+        *[F.min(F.col(c).cast("string")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("string")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    )
+    # job 2: unpivot -> per-column counts (single DISTINCT aggregate)
+    stack_args = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in cols
+    )
+    long = df.select(
+        F.expr(f"stack({k}, {stack_args}) AS (column, value)")
+    )
+    counts = long.groupBy("column").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+    spark = df.sparkSession
+    mm_row = mm.first()
+    mm_df = spark.createDataFrame(
+        [
+            (c, mm_row[f"mn_{i}"], mm_row[f"mx_{i}"])
+            for i, c in enumerate(cols)
+        ],
+        "column string, min_value string, max_value string",
+    )
+    return counts.join(mm_df, "column").select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )

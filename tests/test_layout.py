@@ -95,3 +95,41 @@ def test_zorder_write_preserves_content_and_prunes(spark, sf_dir):
         assert eff["zordered_frac"] <= 0.5 * eff["plain_frac"], eff
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_quantile_normalization_is_equi_depth_under_skew(spark):
+    """On a heavy-tailed column, linear normalization collapses most
+    rows into the bottom bucket (the curve degrades); quantile mode
+    must spread them near-uniformly across buckets."""
+    import math
+
+    bits = 4
+    n = 4096
+    # exponential-ish tail: a few huge values dominate the range
+    rows = [(i, math.exp(i / 300.0)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    def bucket_counts(mode):
+        keyed = layout.zorder_key(df, ["v", "v"], bits=bits, normalize=mode)
+        # bucket of v = low `bits` interleaved with itself; recover it
+        # by de-interleaving even bit positions
+        zs = [r["__z"] for r in keyed.collect()]
+        buckets = {}
+        for z in zs:
+            b = 0
+            for i in range(bits):
+                b |= ((z >> (2 * i)) & 1) << i
+            buckets[b] = buckets.get(b, 0) + 1
+        return buckets
+
+    lin = bucket_counts("linear")
+    qtl = bucket_counts("quantile")
+    # linear: the bottom bucket swallows the vast majority
+    assert max(lin.values()) > 0.5 * n, lin
+    # quantile: every bucket within 2x of the ideal equal share
+    ideal = n / (1 << bits)
+    assert len(qtl) == (1 << bits), sorted(qtl)
+    assert max(qtl.values()) < 2 * ideal, qtl
+    # approxQuantile boundary error can shave a bucket by up to
+    # rel_err * n rows on each side; bound loosely
+    assert min(qtl.values()) > ideal / 4, qtl

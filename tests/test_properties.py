@@ -876,3 +876,31 @@ def test_incremental_verify_jaccard_matches_python(spark, sf_dir):
         sa, sb = sh_set(texts[a]), sh_set(texts[b])
         expect = len(sa & sb) / len(sa | sb)
         assert abs(j - expect) < 1e-12, (a, b, j, expect)
+
+
+def test_profile_table_matches_duckdb(spark, sf_dir, duck):
+    """qa.profile_table vs a hand-written DuckDB profile of the same
+    columns: counts exact, min/max compared on the same string casts."""
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.qa import profile_table
+
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    li = read_table(spark, sf_dir, "lineitem")
+    got = {
+        r.column: (r.n_rows, r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+        for r in profile_table(li, cols).collect()
+    }
+    for c in cols:
+        row = duck.execute(
+            f"SELECT count(*), sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),"
+            f" count(DISTINCT {c}),"
+            f" min(CAST({c} AS VARCHAR)), max(CAST({c} AS VARCHAR))"
+            " FROM lineitem"
+        ).fetchone()
+        assert got[c] == (
+            row[0],
+            row[1] or 0,
+            row[2],
+            row[3],
+            row[4],
+        ), (c, got[c], row)
