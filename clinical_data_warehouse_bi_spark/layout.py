@@ -82,22 +82,29 @@ def zorder_key(
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        n_b = (1 << bits) - 1
         probs = [j / float(1 << bits) for j in range(1, 1 << bits)]
+        uniq = list(dict.fromkeys(cols))
         all_bnds = df.select(
-            *[F.col(c).cast("double").alias(c) for c in cols]
-        ).approxQuantile(cols, probs, 1.0 / (4 << bits))
-        for i, c in enumerate(cols):
-            b = np.asarray(all_bnds[i], dtype="float64")
+            *[F.col(c).cast("double").alias(c) for c in uniq]
+        ).approxQuantile(uniq, probs, 1.0 / (4 << bits))
+        bnds_by_col = dict(zip(uniq, all_bnds))
 
-            @pandas_udf("long")
-            def _bucket(s: pd.Series, _b=b) -> pd.Series:
+        def _make_bucket_udf(b):
+            def _bucket(s):
                 v = s.astype("float64")
-                out = np.searchsorted(_b, v.to_numpy(), side="right")
+                out = np.searchsorted(b, v.to_numpy(), side="right")
                 return pd.Series(out).where(~v.isna().to_numpy(), 0)
 
+            # real (non-PEP563-stringified) hints: this module uses
+            # `from __future__ import annotations`, which would turn
+            # inline hints into strings pandas_udf cannot resolve
+            _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
+            return pandas_udf(_bucket, "long")
+
+        for i, c in enumerate(cols):
+            udf = _make_bucket_udf(np.asarray(bnds_by_col[c], dtype="float64"))
             norm.append(
-                F.coalesce(_bucket(F.col(c)), F.lit(0)).cast("long").alias(f"__zt{i}")
+                F.coalesce(udf(F.col(c)), F.lit(0)).cast("long").alias(f"__zt{i}")
             )
     elif normalize == "linear":
         if bounds is None:

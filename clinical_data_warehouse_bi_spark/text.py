@@ -403,3 +403,67 @@ def incremental_verify_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Paragraph/line-level exact dedup with reconstruction — the
+    boundary-based sibling of chunk_dedup and the form newline
+    corpora actually run (Dolma/RefinedWeb drop repeated paragraphs
+    corpus-wide, keeping the first occurrence): split on ``delim``,
+    drop whitespace-only units, keep the globally first occurrence of
+    each distinct unit (order: id, then position), rebuild each
+    document from its survivors joined by ``delim``.
+
+    Returns (id, n_paras, n_kept, clean_text). Same scale shape as
+    chunk_dedup: unit text is hashed to two salted 64-bit values in
+    the scan's map stage, only (id, pos, h1, h2) ever shuffles, and
+    reconstruction joins kept positions back to a re-split scan.
+    Idempotent by construction (units are delimiter-bounded, so
+    re-splitting the rebuilt text reproduces exactly the kept units).
+    """
+    from pyspark.sql import Window
+
+    d_lit = delim.replace("'", "\\'")
+    parts = docs.select(
+        F.col(id_col).alias("__id"), F.split(text_col, d_lit).alias("u")
+    )
+    hashed = (
+        parts.select("__id", F.posexplode("u").alias("pos", "s"))
+        .filter(F.trim("s") != "")
+        .select(
+            "__id",
+            "pos",
+            F.xxhash64("s").alias("h1"),
+            F.xxhash64("s", F.lit("b")).alias("h2"),
+        )
+    )
+    w_keep = Window.partitionBy("h1", "h2").orderBy("__id", "pos")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") == 1)
+        .groupBy("__id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("kept_pos"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+    )
+    n_paras = F.expr("cast(size(filter(u, s -> trim(s) != '')) as bigint)")
+    rebuild = F.expr(
+        f"array_join(transform(kept_pos, i -> element_at(u, i + 1)), '{d_lit}')"
+    )
+    return (
+        parts.join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            n_paras.alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.when(F.col("kept_pos").isNull(), F.lit(""))
+            .otherwise(rebuild)
+            .alias("clean_text"),
+        )
+    )

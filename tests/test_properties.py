@@ -904,3 +904,53 @@ def test_profile_table_matches_duckdb(spark, sf_dir, duck):
             row[3],
             row[4],
         ), (c, got[c], row)
+
+
+def test_paragraph_dedup_matches_python_model(spark):
+    """paragraph_dedup vs a direct Python model on constructed docs:
+    within-doc repeats, cross-doc repeats, whitespace-only lines,
+    docs reduced to empty, and delimiter preservation."""
+    from clinical_data_warehouse_bi_spark import text as T
+
+    docs = [
+        (1, "intro\ncommon disclaimer\nbody one"),
+        (2, "common disclaimer\nbody two\n\n  \nbody two"),
+        (3, "common disclaimer"),
+        (4, "   \n\n"),
+        (5, "intro\nbody one"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.clean_text)
+        for r in T.paragraph_dedup(df).collect()
+    }
+
+    seen: set[str] = set()
+    expect = {}
+    for did, text in docs:
+        units = text.split("\n")
+        nonempty = [u for u in units if u.strip() != ""]
+        kept = []
+        for u in units:
+            if u.strip() == "":
+                continue
+            if u not in seen:
+                seen.add(u)
+                kept.append(u)
+        expect[did] = (len(nonempty), len(kept), "\n".join(kept))
+    assert got == expect
+    # the interesting cases really occurred
+    assert expect[2][1] == 1  # cross-doc dup dropped + in-doc repeat dropped
+    assert expect[3] == (1, 0, "")  # doc reduced to empty
+    assert expect[4] == (0, 0, "")  # whitespace-only doc
+
+    # idempotence on the rebuilt corpus
+    rebuilt = spark.createDataFrame(
+        [(k, v[2]) for k, v in expect.items()], "doc_id long, text string"
+    )
+    again = {
+        r.doc_id: (r.n_paras, r.n_kept, r.clean_text)
+        for r in T.paragraph_dedup(rebuilt).collect()
+    }
+    for did, (np_, nk, ct) in again.items():
+        assert np_ == nk and ct == expect[did][2], (did, again[did])
