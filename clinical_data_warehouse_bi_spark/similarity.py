@@ -725,3 +725,74 @@ def ivf_pq_search(
         .filter(F.col("rank") <= topk)
         .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public description): semantic
+    near-duplicate pruning over an embedding table — cluster the
+    embeddings, compute pairwise cosine ONLY within each cluster, and
+    drop every vector that has a higher-priority near-duplicate
+    (cosine >= ``threshold`` to a lower id) in its cluster. The
+    embedding-space complement of the text-hash dedup family: catches
+    paraphrases and re-encodings no n-gram or MinHash machinery can.
+
+    Returns (id, cluster, keep). Deterministic keep rule: a vector is
+    dropped iff some lower-id cluster-mate sits above the threshold —
+    the lowest id of every near-dup group survives (the published
+    method keeps one arbitrary member; lowest-id is its deterministic
+    instance).
+
+    Scale shape: assignment is centroid_rank's broadcast-GEMM Arrow
+    pass (euclidean — the metric the k-means index was built with);
+    the quadratic pairwise stays WITHIN clusters, which is the knob
+    the method itself prescribes (pick k so clusters stay small —
+    cost is sum of cluster_size^2, never corpus^2); the verify is
+    pairwise_cosine's einsum batch. One shuffle on cluster id for the
+    self-join, one aggregation for the keep verdict."""
+    assign = centroid_rank(
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        centroids,
+        max_rank=1,
+        metric="euclidean",
+    ).filter(F.col("rn") == 1)
+    tagged = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        .join(assign.select("vec_id", "cid"), "vec_id")
+    )
+    a = tagged.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("cid").alias("ca"),
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("cid").alias("cb"),
+    )
+    cand = a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", "va", "vb")
+    close = pairwise_cosine(cand, ("id_a", "id_b"), ("va", "vb")).filter(
+        F.col("cos") >= threshold
+    )
+    # drop id_b of every close pair (it has a lower-id near-dup)
+    dropped = close.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assign.select("vec_id", F.col("cid").alias("cluster"))
+        .join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
+        .select(
+            F.col("vec_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -337,3 +337,47 @@ def test_pq_pack_codes_roundtrip_and_disk_width(spark, sf_dir, tmp_path):
     similarity.pq_pack_codes(ent).coalesce(1).write.parquet(p_ebin)
     ebin, en = col_bytes(p_ebin, "codes")
     assert ebin / en <= m + 8, ebin / en
+
+
+def test_semantic_dedup_drops_planted_near_duplicates(spark):
+    """Planted-copy corpus: originals in well-separated gaussian
+    clusters, near-copies (tiny noise) of a subset with HIGHER ids.
+    semantic_dedup must drop exactly the copies — every original
+    survives, and each copy's lower-id source is in the same
+    cluster."""
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark.similarity import (
+        sampled_kmeans_centroids,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    dims, n_clusters, per = 32, 4, 10
+    # geometry matters: within-cluster cosine must sit well BELOW the
+    # dedup threshold (mean norm ~5*sqrt(32)=28, spread ~2.5*sqrt(32)
+    # =14 -> cluster-mate cosine ~0.8) while planted copies sit at ~1
+    means = rng.normal(size=(n_clusters, dims)) * 5.0
+    rows = []
+    vid = 0
+    originals = []
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = means[c] + rng.normal(size=dims) * 2.5
+            rows.append((vid, [float(x) for x in v]))
+            originals.append(vid)
+            vid += 1
+    copies = {}
+    for src in originals[::3]:  # every 3rd original gets a near-copy
+        v = np.array(rows[src][1]) + rng.normal(size=dims) * 1e-3
+        rows.append((vid, [float(x) for x in v]))
+        copies[vid] = src
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_kmeans_centroids(df, n_clusters=n_clusters, seed=3)
+    out = {r.vec_id: r.keep for r in semantic_dedup(df, cents, 0.95).collect()}
+    assert len(out) == len(rows)
+    for v in originals:
+        assert out[v], f"original {v} wrongly dropped"
+    for v in copies:
+        assert not out[v], f"near-copy {v} survived"
