@@ -363,3 +363,38 @@ def release_new_persistent_rdds(spark: SparkSession, baseline: set) -> int:
             jm.get(rid).unpersist(False)
             released += 1
     return released
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_files: int
+) -> dict:
+    """Small-file compaction for append-style parquet sinks (the
+    operational complement of streaming_dedup_ingest / any
+    foreachBatch append, which write >=1 file per micro-batch): read
+    the directory, localCheckpoint it (the rewrite must never stream
+    from the files it is about to replace), coalesce to
+    ``target_files``, and publish with the same write-to-tmp +
+    rename swap as streaming.publish_scd2_dim — at no point is the
+    only copy deleted before its replacement committed; a crash
+    leaves either the old or the new directory, both complete
+    (streaming.recover_scd2_dim's sibling sweep applies on the next
+    compaction). coalesce, not repartition: compaction must not pay
+    a shuffle — it only narrows the file count.
+
+    Returns {"files_before": n, "files_after": m, "rows": r}."""
+    import glob
+    import shutil
+
+    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path).localCheckpoint()
+    rows = df.count()
+    tmp = f"{path}.tmp-compact"
+    old = f"{path}.old-compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.coalesce(max(int(target_files), 1)).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}

@@ -126,3 +126,29 @@ def test_mix_sources_rates_and_determinism(spark, sf_dir):
 
     with pytest.raises(ValueError, match="outside"):
         mix_sources([(half, 1.5)], "doc_id")
+
+
+def test_compact_parquet_dir_preserves_content(spark, tmp_path):
+    """Many small appended files -> few files, identical content, and
+    the RDD blocks pinned by the rewrite's checkpoint are released
+    by the follow-up helper."""
+    from clinical_data_warehouse_bi_spark.io import (
+        compact_parquet_dir,
+        release_new_persistent_rdds,
+        snapshot_persistent_rdds,
+    )
+
+    path = str(tmp_path / "appended")
+    for i in range(6):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}-{j}") for j in range(10)], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    baseline = snapshot_persistent_rdds(spark)
+    stats = compact_parquet_dir(spark, path, target_files=2)
+    release_new_persistent_rdds(spark, baseline)
+    assert stats["files_before"] >= 6
+    assert stats["files_after"] <= 2
+    assert stats["rows"] == 60
+    after = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert after == before
