@@ -496,3 +496,86 @@ def streaming_dedup_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def near_dup_ingest_batch(
+    batch: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of streaming NEAR-dup detection: band the
+    batch's MinHash signatures (work proportional to the batch),
+    probe the persistent LSH band index for batch-vs-corpus
+    candidates, self-join the batch bands for batch-vs-batch pairs,
+    append the found pairs to ``pairs_path`` and the batch's bands to
+    ``index_path`` (text.incremental_near_dup_pairs' steady-state
+    loop, run by the streaming engine).
+
+    Crash/replay semantics: appending PAIRS before BANDS makes replay
+    lose nothing — if a crash lands between the two appends, the
+    replayed batch re-probes an index that does not yet contain it
+    and re-finds the same pairs (duplicate pair rows are possible
+    on replay, never missing ones; consumers read pairs DISTINCT,
+    which the exactly-once variant would need a transactional store
+    to avoid). Batch ids must be globally fresh (any real ingest
+    assigns monotone ids)."""
+    from clinical_data_warehouse_bi_spark import text as T
+
+    spark = batch.sparkSession
+    new_bands = T.lsh_index(batch, id_col, text_col).localCheckpoint()
+    idx = spark.read.parquet(index_path) if os.path.isdir(index_path) else None
+    # compose candidates from the materialized band relation (do NOT
+    # re-derive signatures via incremental_near_dup_pairs — that
+    # would re-tokenize the batch a second time)
+    bb = T.lsh_candidate_pairs(new_bands).withColumn("origin", F.lit("batch"))
+    if idx is not None:
+        i = idx.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("band_id").alias("band_id_i"),
+            F.col("band_sig").alias("sig_i"),
+        )
+        nb = new_bands.select(
+            F.col("doc_id").alias("doc_b"),
+            "band_id",
+            F.col("band_sig").alias("sig_b"),
+        )
+        cb = (
+            i.join(
+                nb,
+                (F.col("band_id_i") == F.col("band_id"))
+                & (F.col("sig_i") == F.col("sig_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+            .withColumn("origin", F.lit("corpus-batch"))
+        )
+        found = cb.unionByName(bb)
+    else:
+        found = bb
+    found.write.mode("append").parquet(pairs_path)
+    new_bands.write.mode("append").parquet(index_path)
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming MinHash-LSH near-duplicate detection: maintain the
+    band index incrementally and emit candidate pairs per micro-batch
+    — the streaming face of text.incremental_near_dup_pairs, as
+    streaming_dedup_ingest is of exact dedup. Returns the started
+    StreamingQuery."""
+    writer = docs.writeStream.foreachBatch(
+        lambda b, _id: near_dup_ingest_batch(
+            b, index_path, pairs_path, id_col, text_col
+        )
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -523,3 +523,47 @@ def test_dedup_ingest_batch_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(corpus).collect()
     )
     assert second == first
+
+
+def test_streaming_near_dup_matches_batch_rebuild(spark, tmp_path):
+    """Two file-source drains over real documents; the union of the
+    per-batch pair appends must equal the from-scratch LSH rebuild's
+    pairs restricted to (a) within batch 1, (b) batch-1-vs-batch-2,
+    and (c) within batch 2 — i.e. every pair, since every doc arrives
+    in some batch. Orientation differs (corpus-batch pairs are
+    (corpus_id, new_id)); compare as unordered id sets."""
+    from clinical_data_warehouse_bi_spark import text as T
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_stream")
+    index_path = str(tmp_path / "band_index")
+    pairs_path = str(tmp_path / "pairs")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming.streaming_near_dup(
+        stream, index_path, pairs_path, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in T.lsh_candidate_pairs(T.lsh_index(docs)).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the corpus actually has near-dup candidates
+    # and the index now covers the full corpus
+    n_docs = spark.read.parquet(index_path).select("doc_id").distinct().count()
+    assert n_docs == docs.count()
