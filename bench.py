@@ -137,6 +137,10 @@ def bench_pipeline(spark, sf: float) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from clinical_data_warehouse_bi_spark.io import (
+        release_new_persistent_rdds,
+        snapshot_persistent_rdds,
+    )
     from clinical_data_warehouse_bi_spark.registry import all_queries
     from clinical_data_warehouse_bi_spark.session import get_spark
 
@@ -144,6 +148,13 @@ def main() -> None:
     queries = all_queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # localCheckpoint blocks are NOT CacheManager-registered, so
+    # clearCache never frees them; queries that checkpoint
+    # (percentiles, dedup_clusters, similarity index builds) leak
+    # executor storage across the 40-query session otherwise — the
+    # round-7 q_ann_ivf_learned 0.85->3.81 s "regression" mechanism.
+    # Snapshot once, release everything newer after each query.
+    rdd_baseline = snapshot_persistent_rdds(spark)
     for name in BENCH_QUERIES:
         fn = queries[name]
         try:
@@ -151,6 +162,7 @@ def main() -> None:
             # caches fresh DataFrame instances, so leftovers only add
             # memory pressure (they are never hit again)
             spark.catalog.clearCache()
+            release_new_persistent_rdds(spark, rdd_baseline)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
             # Best-of-2, plus a third run for sub-2s entries: the
             # host-noise band on those is +/-30% of a few hundred ms,
