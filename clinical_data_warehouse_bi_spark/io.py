@@ -365,8 +365,44 @@ def release_new_persistent_rdds(spark: SparkSession, baseline: set) -> int:
     return released
 
 
+def recover_compacted_dir(path: str) -> None:
+    """Crash recovery for compact_parquet_dir's rename protocol, run
+    before every read of an append sink that gets compacted. Cases,
+    by where a crash hit (write tmp -> rename path to old -> rename
+    tmp to path -> rm old):
+
+    - during the tmp write: ``path`` intact; the incomplete tmp is
+      swept.
+    - between the two renames: ``path`` missing; the retired
+      ``.old-compact`` is complete (it WAS the live directory) —
+      restore it. The completed tmp is swept with it; the next
+      compaction simply redoes the (idempotent) rewrite.
+    - after the second rename: ``path`` is the compacted directory;
+      stale siblings are swept.
+
+    Single-writer assumption, same as the SCD2 sink."""
+    import shutil
+
+    tmp = f"{path}.tmp-compact"
+    old = f"{path}.old-compact"
+    if not os.path.isdir(path):
+        if os.path.isdir(old) and os.path.exists(
+            os.path.join(old, "_SUCCESS")
+        ):
+            os.rename(old, path)
+        elif os.path.isdir(tmp) and os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            # old already swept means the swap completed and something
+            # external removed path; the committed tmp is the only
+            # surviving complete copy — promote it rather than lose it
+            os.rename(tmp, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_parquet_dir(
-    spark: SparkSession, path: str, target_files: int
+    spark: SparkSession, path: str, target_files: int, transform=None
 ) -> dict:
     """Small-file compaction for append-style parquet sinks (the
     operational complement of streaming_dedup_ingest / any
@@ -376,22 +412,35 @@ def compact_parquet_dir(
     ``target_files``, and publish with the same write-to-tmp +
     rename swap as streaming.publish_scd2_dim — at no point is the
     only copy deleted before its replacement committed; a crash
-    leaves either the old or the new directory, both complete
-    (streaming.recover_scd2_dim's sibling sweep applies on the next
-    compaction). coalesce, not repartition: compaction must not pay
-    a shuffle — it only narrows the file count.
+    leaves either the old or the new directory, both complete, and
+    recover_compacted_dir (invoked here first, like
+    streaming.read_scd2_dim's recover-before-read) restores ``path``
+    from a _SUCCESS-complete sibling before anything reads it.
+    coalesce, not repartition: compaction must not pay a shuffle —
+    it only narrows the file count.
 
-    Returns {"files_before": n, "files_after": m, "rows": r}."""
+    ``transform`` (optional, DataFrame -> DataFrame) is applied
+    before the checkpoint — the hook maintenance rewrites use to fold
+    semantic cleanup into the same crash-safe publish (e.g.
+    streaming.compact_pairs_distinct passes ``.distinct()`` so a
+    replay-duplicated pairs sink is bounded by its true pair set).
+    A transform MAY shuffle (distinct does); plain compaction never
+    does.
+
+    Returns {"files_before": n, "files_after": m, "rows": r} with
+    ``rows`` counted AFTER the transform."""
     import glob
     import shutil
 
+    recover_compacted_dir(path)
     files_before = len(glob.glob(os.path.join(path, "*.parquet")))
-    df = spark.read.parquet(path).localCheckpoint()
+    df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
+    df = df.localCheckpoint()
     rows = df.count()
     tmp = f"{path}.tmp-compact"
     old = f"{path}.old-compact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     df.coalesce(max(int(target_files), 1)).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
