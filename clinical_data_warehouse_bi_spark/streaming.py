@@ -516,11 +516,14 @@ def near_dup_ingest_batch(
     Crash/replay semantics: appending PAIRS before BANDS makes replay
     lose nothing — if a crash lands between the two appends, the
     replayed batch re-probes an index that does not yet contain it
-    and re-finds the same pairs (duplicate pair rows are possible
-    on replay, never missing ones; consumers read pairs DISTINCT,
-    which the exactly-once variant would need a transactional store
-    to avoid). Batch ids must be globally fresh (any real ingest
-    assigns monotone ids)."""
+    and re-finds the same pairs. If the crash lands after BOTH
+    appends (before the offset commit), the replayed batch's own
+    bands are already in the index; the probe anti-joins those out
+    (see below) so replay emits only duplicate ROWS of correct pairs
+    — never self-pairs or reversed inventions. Consumers read pairs
+    DISTINCT (or run compact_pairs_distinct), which the exactly-once
+    variant would need a transactional store to avoid. Batch ids
+    must be globally fresh (any real ingest assigns monotone ids)."""
     from clinical_data_warehouse_bi_spark import text as T
 
     spark = batch.sparkSession
@@ -531,10 +534,24 @@ def near_dup_ingest_batch(
     # would re-tokenize the batch a second time)
     bb = T.lsh_candidate_pairs(new_bands).withColumn("origin", F.lit("batch"))
     if idx is not None:
-        i = idx.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("band_id").alias("band_id_i"),
-            F.col("band_sig").alias("sig_i"),
+        # Replay guard: if a crash landed AFTER both appends but
+        # before the offset commit, the replayed batch's own bands
+        # are already IN the index — probing them would emit
+        # self-pairs (doc_a == doc_b) and reversed duplicates of the
+        # batch-vs-batch pairs, i.e. NEW incorrect rows, not mere
+        # duplicates. Anti-join the index down to rows whose doc_id
+        # is NOT in this batch (broadcast: batch ids are one
+        # micro-batch small) so the corpus side is genuinely
+        # pre-batch corpus; batch-vs-batch pairs come from the
+        # self-join above, exactly once per replay.
+        batch_ids = new_bands.select("doc_id").distinct()
+        i = (
+            idx.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("band_id").alias("band_id_i"),
+                F.col("band_sig").alias("sig_i"),
+            )
         )
         nb = new_bands.select(
             F.col("doc_id").alias("doc_b"),
@@ -579,3 +596,25 @@ def streaming_near_dup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def compact_pairs_distinct(
+    spark: SparkSession, pairs_path: str, target_files: int = 1
+) -> dict:
+    """Maintenance rewrite for the streaming near-dup PAIRS sink: the
+    at-least-once append contract allows duplicate pair rows on
+    replay (near_dup_ingest_batch's documented semantics), so a
+    long-running stream needs a periodic compaction that bounds the
+    directory by its TRUE distinct pair set, not the replay history.
+    io.compact_parquet_dir's crash-safe rename-swap publish composed
+    with ``.distinct()`` over all pair columns (doc_a, doc_b,
+    origin): run between (never concurrently with) micro-batches —
+    the same single-writer window any sink maintenance needs.
+
+    Returns compact_parquet_dir's stats dict; ``rows`` is the
+    distinct pair count."""
+    from clinical_data_warehouse_bi_spark.io import compact_parquet_dir
+
+    return compact_parquet_dir(
+        spark, pairs_path, target_files, transform=lambda df: df.distinct()
+    )

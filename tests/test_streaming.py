@@ -567,3 +567,69 @@ def test_streaming_near_dup_matches_batch_rebuild(spark, tmp_path):
     # and the index now covers the full corpus
     n_docs = spark.read.parquet(index_path).select("doc_id").distinct().count()
     assert n_docs == docs.count()
+
+
+def test_near_dup_replay_after_both_appends_emits_no_inventions(spark, tmp_path):
+    """The worst replay window: crash AFTER pairs+bands appends but
+    before the offset commit. The replayed batch probes an index that
+    already contains its own bands — the anti-join guard must keep it
+    from emitting self-pairs (doc_a == doc_b) or reversed duplicates;
+    replay may only duplicate ROWS of already-correct pairs."""
+    index_path = str(tmp_path / "band_index")
+    pairs_path = str(tmp_path / "pairs")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = spark.createDataFrame([(1, base), (2, base + " ok")], schema)
+    b2 = spark.createDataFrame([(3, base + " yes"), (4, base)], schema)
+    streaming.near_dup_ingest_batch(b1, index_path, pairs_path)
+    streaming.near_dup_ingest_batch(b2, index_path, pairs_path)
+    first = [
+        (r.doc_a, r.doc_b, r.origin)
+        for r in spark.read.parquet(pairs_path).collect()
+    ]
+    assert all(a != b for a, b, _ in first)
+    distinct_first = set(first)
+    # replay batch 2 verbatim (its bands are already in the index)
+    streaming.near_dup_ingest_batch(b2, index_path, pairs_path)
+    replayed = [
+        (r.doc_a, r.doc_b, r.origin)
+        for r in spark.read.parquet(pairs_path).collect()
+    ]
+    assert all(a != b for a, b, _ in replayed)  # no self-pairs
+    # no NEW pair content: replay only duplicates rows already present
+    assert set(replayed) == distinct_first
+    assert len(replayed) > len(first)  # duplicates did land (at-least-once)
+
+
+def test_compact_pairs_distinct_bounds_replayed_sink(spark, tmp_path):
+    """After a forced replay the pairs sink holds duplicate rows
+    across many small files; compact_pairs_distinct must rewrite it
+    to the exact distinct pair set in fewer files, crash-safely."""
+    import glob
+    import os
+
+    index_path = str(tmp_path / "band_index")
+    pairs_path = str(tmp_path / "pairs")
+    schema = "doc_id long, text string"
+    base = "pack my box with five dozen liquor jugs every single day"
+    b1 = spark.createDataFrame([(1, base), (2, base + " ok")], schema)
+    b2 = spark.createDataFrame([(3, base + " yes")], schema)
+    streaming.near_dup_ingest_batch(b1, index_path, pairs_path)
+    streaming.near_dup_ingest_batch(b2, index_path, pairs_path)
+    streaming.near_dup_ingest_batch(b2, index_path, pairs_path)  # replay
+    before_rows = [
+        (r.doc_a, r.doc_b, r.origin)
+        for r in spark.read.parquet(pairs_path).collect()
+    ]
+    want = set(before_rows)
+    assert len(before_rows) > len(want)  # replay really duplicated
+    files_before = len(glob.glob(os.path.join(pairs_path, "*.parquet")))
+    stats = streaming.compact_pairs_distinct(spark, pairs_path, target_files=1)
+    assert stats["rows"] == len(want)
+    assert stats["files_after"] < files_before
+    after = {
+        (r.doc_a, r.doc_b, r.origin)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert after == want
+    assert spark.read.parquet(pairs_path).count() == len(want)
