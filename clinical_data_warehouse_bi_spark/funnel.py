@@ -40,7 +40,12 @@ def funnel_steps(
     if not steps:
         raise ValueError("steps must be non-empty")
     k = len(steps)
-    steps_sql = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    # step names are data, not SQL — escape them into the literal
+    # (a name like "add'l info" must not break the fold expression)
+    def _lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    steps_sql = "array(" + ", ".join(_lit(s) for s in steps) + ")"
     ev = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("__u"),
         F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")).alias("e"),

@@ -121,10 +121,13 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """
     cols = list(cols or df.columns)
     k = len(cols)
-    # job 1 exprs: min/max as strings (one row, 2k cells)
+    # job 1 exprs: min/max on the NATIVE column type (numeric/date
+    # ordering, not lexicographic — cast-then-min would report e.g.
+    # max '9.0' for a quantity column reaching 50), rendered as
+    # strings only for the uniform report schema
     mm = df.agg(
-        *[F.min(F.col(c).cast("string")).alias(f"mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("string")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        *[F.min(F.col(c)).cast("string").alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c)).cast("string").alias(f"mx_{i}") for i, c in enumerate(cols)],
     )
     # job 2: unpivot -> per-column counts (single DISTINCT aggregate)
     stack_args = ", ".join(

@@ -426,11 +426,18 @@ def paragraph_dedup(
     Idempotent by construction (units are delimiter-bounded, so
     re-splitting the rebuilt text reproduces exactly the kept units).
     """
+    import re as _re
+
     from pyspark.sql import Window
 
-    d_lit = delim.replace("'", "\\'")
+    # two escapings for the two roles the delimiter plays: F.split
+    # treats its pattern as a Java REGEX (a '.' or '|' delimiter
+    # would split per-character unescaped), while the array_join
+    # rebuild embeds it as a SQL STRING literal
+    split_pat = _re.escape(delim)
+    d_lit = delim.replace("\\", "\\\\").replace("'", "\\'")
     parts = docs.select(
-        F.col(id_col).alias("__id"), F.split(text_col, d_lit).alias("u")
+        F.col(id_col).alias("__id"), F.split(text_col, split_pat).alias("u")
     )
     hashed = (
         parts.select("__id", F.posexplode("u").alias("pos", "s"))

@@ -880,7 +880,10 @@ def test_incremental_verify_jaccard_matches_python(spark, sf_dir):
 
 def test_profile_table_matches_duckdb(spark, sf_dir, duck):
     """qa.profile_table vs a hand-written DuckDB profile of the same
-    columns: counts exact, min/max compared on the same string casts."""
+    columns: counts exact; min/max computed on the NATIVE type in
+    both engines (numeric/date ordering — the round-7 advice catch:
+    a lexicographic min over string casts reports max '9.0' for a
+    quantity column reaching 50) and only rendered as strings."""
     from clinical_data_warehouse_bi_spark.io import read_table
     from clinical_data_warehouse_bi_spark.qa import profile_table
 
@@ -890,11 +893,14 @@ def test_profile_table_matches_duckdb(spark, sf_dir, duck):
         r.column: (r.n_rows, r.n_nulls, r.n_distinct, r.min_value, r.max_value)
         for r in profile_table(li, cols).collect()
     }
+    # the numeric column's max must be numerically largest, not
+    # lexicographically largest
+    assert float(got["l_quantity"][4]) >= 10.0
     for c in cols:
         row = duck.execute(
             f"SELECT count(*), sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),"
             f" count(DISTINCT {c}),"
-            f" min(CAST({c} AS VARCHAR)), max(CAST({c} AS VARCHAR))"
+            f" CAST(min({c}) AS VARCHAR), CAST(max({c}) AS VARCHAR)"
             " FROM lineitem"
         ).fetchone()
         assert got[c] == (
@@ -988,3 +994,54 @@ def test_funnel_matches_duckdb_sequential_min(spark, sf_dir, duck):
         assert got[user_id] == (n, ts1, ts2, ts3), (user_id, got[user_id], (n, ts1, ts2, ts3))
     # the fixture actually exercises full completion
     assert any(v[0] == 3 for v in got.values())
+
+
+def test_funnel_steps_escapes_quoted_step_names(spark):
+    """Step names are data: one containing a single quote (and a
+    backslash) must flow through the fold expression intact rather
+    than breaking the SQL parse (round-7 advice)."""
+    from datetime import datetime
+
+    from clinical_data_warehouse_bi_spark.funnel import funnel_steps
+
+    s1, s2 = "add'l info", "done\\now"
+    ev = spark.createDataFrame(
+        [
+            (1, s1, datetime(2024, 1, 1, 10)),
+            (1, s2, datetime(2024, 1, 1, 11)),
+            (2, s2, datetime(2024, 1, 1, 9)),  # wrong order: stalls at 0
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.user_id: r.steps_completed
+        for r in funnel_steps(ev, [s1, s2]).collect()
+    }
+    assert got == {1: 2, 2: 0}
+
+
+def test_paragraph_dedup_regex_metachar_delimiter(spark):
+    """A '.' or '|' delimiter must split on the literal character,
+    not per-character as a regex (round-7 advice), and the rebuild
+    must re-join with the same literal."""
+    from clinical_data_warehouse_bi_spark import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "alpha.common.beta"), (2, "common.gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.clean_text)
+        for r in T.paragraph_dedup(docs, delim=".").collect()
+    }
+    assert got[1] == (3, 3, "alpha.common.beta")
+    assert got[2] == (2, 1, "gamma")
+
+    pipe = spark.createDataFrame(
+        [(1, "a|b"), (2, "b|c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.clean_text
+        for r in T.paragraph_dedup(pipe, delim="|").collect()
+    }
+    assert got == {1: "a|b", 2: "c"}
