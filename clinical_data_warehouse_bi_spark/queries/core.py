@@ -306,16 +306,28 @@ def q_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_surrogate_key", oracle="""
+SQL_SURROGATE_KEY = """
     SELECT row_number() OVER (ORDER BY s_suppkey) AS provider_id,
            s_name, s_nationkey
     FROM supplier
-    """)
+    """
+
+
 def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 — ROW_NUMBER() OVER () surrogate key (Stage_area.sql:58).
     Deterministic ORDER BY replaces MariaDB's insertion order. This
     global window single-partitions — correct for dimension tables
-    only; fact keys use keys.distributed_key() at scale."""
+    only; fact keys use keys.distributed_key() at scale.
+
+    Round-8 registry retirement (cap is 50; the slot went to
+    q_funnel_steps): hash-checked for seven straight rounds on a
+    frozen implementation. Witness: q_scd2_dim's registered oracle
+    exercises the same ROW_NUMBER-over-ordered-window machinery (its
+    version sequencing IS a per-key surrogate ordering), and the
+    distributed-key variants keep their own property tests
+    (tests/test_properties.py::test_zip_index_key_dense_unique). The
+    full oracle comparison stays live in tests/test_retired_parity.py
+    against SQL_SURROGATE_KEY."""
     from clinical_data_warehouse_bi_spark.keys import row_number_key
 
     s = load_tables(spark, sf_dir, ("supplier",))["supplier"]

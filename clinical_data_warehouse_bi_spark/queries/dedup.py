@@ -480,3 +480,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )
+
+
+@register("q_paragraph_dedup", oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    units AS (
+      SELECT doc_id, i AS pos, w[i+1] AS s
+      FROM t, unnest(generate_series(0, len(w) - 1)) AS u(i)
+      WHERE trim(w[i+1]) <> ''),
+    kept AS (
+      SELECT doc_id, pos, s FROM (
+        SELECT doc_id, pos, s,
+               row_number() OVER (PARTITION BY s
+                                  ORDER BY doc_id, pos) AS rn
+        FROM units) r WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(s, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_paras FROM units GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(t2.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-based unit dedup with reconstruction
+    (text.paragraph_dedup) — the delimiter-bounded sibling of
+    q_chunk_dedup and the form newline corpora actually run
+    (Dolma/RefinedWeb drop repeated paragraphs corpus-wide, keeping
+    the first occurrence). The synthetic corpus has no newlines (the
+    q_chunk_dedup rationale), so the registered boundary is the
+    space character — unit = word, the same operator path at its
+    finest granularity: split on the delimiter, drop whitespace-only
+    units, keep the globally FIRST occurrence (order: doc_id, then
+    position), rebuild each doc from survivors joined by the
+    delimiter.
+
+    Scale shape (identical to q_chunk_dedup, plan-tested there):
+    unit text reduces to two salted 64-bit hashes in the scan's map
+    stage; only (doc_id, pos, h1, h2) shuffles through the
+    keep-first window; reconstruction joins kept positions back to a
+    re-split scan. The DuckDB oracle dedups on the unit STRINGS
+    themselves, verifying the hash shortcut value-for-value.
+    Idempotent by construction (delimiter-bounded units re-split
+    exactly); registered per the round-7 advice to put the round-7
+    operator mass under the oracle gate."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return T.paragraph_dedup(
+        fan_out(docs.select("doc_id", "text")), delim=" "
+    )

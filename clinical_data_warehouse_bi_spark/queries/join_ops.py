@@ -239,17 +239,28 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "supp_fk")
 
 
-@register("q_insert_if_absent", oracle="""
+SQL_INSERT_IF_ABSENT = """
     SELECT r_regionkey, r_name FROM region
     UNION ALL
     SELECT -1 AS r_regionkey, 'UNKNOWN' AS r_name
     WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_name = 'UNKNOWN')
-    """)
+    """
+
+
 def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9/S4 — conditional fallback-row insert via NOT EXISTS
     (DWH.sql:138-144 'Unknown concept'; Stage_area.sql:112-113 the
     literal row). The existence probe is a driver-side scalar on an
-    aggressively-filtered dim — O(dim) once, not per-row."""
+    aggressively-filtered dim — O(dim) once, not per-row.
+
+    Round-8 registry retirement (cap is 50; the slot went to
+    q_paragraph_dedup): hash-checked for seven straight rounds on a
+    frozen implementation. Witness: q_anti_new_dates carries the
+    registered anti-join insert-only-what's-missing shape (J8, the
+    set-level generalization of this single-literal-row probe), and
+    the star pipeline's Unknown-concept row stays covered by the e2e
+    QA probes. The full oracle comparison stays live in
+    tests/test_retired_parity.py against SQL_INSERT_IF_ABSENT."""
     region = load_tables(spark, sf_dir, ("region",))["region"]
     missing = region.filter(F.col("r_name") == "UNKNOWN").limit(1).count() == 0
     base = region.select("r_regionkey", "r_name")

@@ -306,3 +306,52 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as_of",
         "state",
     )
+
+
+#: the canonical three-step conversion funnel over the events table;
+#: 'error'/'signup' events are noise the step filter drops at the scan
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register("q_funnel_steps", oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ('view','click','purchase')),
+    s1 AS (SELECT u.user_id,
+             (SELECT min(ts) FROM events e WHERE e.user_id = u.user_id
+                AND e.event_type = 'view') AS ts1 FROM u),
+    s2 AS (SELECT s1.*,
+             (SELECT min(ts) FROM events e WHERE e.user_id = s1.user_id
+                AND e.event_type = 'click' AND e.ts > s1.ts1) AS ts2 FROM s1),
+    s3 AS (SELECT s2.*,
+             (SELECT min(ts) FROM events e WHERE e.user_id = s2.user_id
+                AND e.event_type = 'purchase' AND e.ts > s2.ts2) AS ts3 FROM s2)
+    SELECT user_id,
+           CAST(CASE WHEN ts3 IS NOT NULL THEN 3
+                     WHEN ts2 IS NOT NULL THEN 2
+                     WHEN ts1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS steps_completed,
+           ts1 AS step_1_ts, ts2 AS step_2_ts, ts3 AS step_3_ts
+    FROM s3
+    """)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (funnel.funnel_steps): per user, the
+    earliest-completion timestamps of view -> click -> purchase with
+    strict time progression, plus how many steps completed. The
+    ordered question the reference's per-admission event
+    pre-aggregation exists to serve (DWH.sql:203-210), generalized to
+    sequences.
+
+    Greedy-on-sorted-events == sequential-min: the DuckDB oracle
+    computes each step as a correlated min STRICTLY after the prior
+    step's completion, verifying the single-fold implementation
+    value-for-value (the same oracle construction as the
+    tests/test_properties.py property; registering it puts the fold
+    under the driver's hash gate per the round-7 advice).
+
+    Scale shape: step-type filter is pushed to the scan, ONE shuffle
+    on user_id, per-user sort + linear aggregate() fold — no
+    self-joins, no per-step window cascade; state O(steps) per user."""
+    from clinical_data_warehouse_bi_spark.funnel import funnel_steps
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return funnel_steps(ev, FUNNEL_STEPS)

@@ -92,6 +92,13 @@ _CHECK_ORDER = [
     # tests/test_retired_parity.py)
     "q_chunk_dedup",
     "q_fuzzy_match",
+    # round-8 additions (slots freed by retiring q_insert_if_absent —
+    # witness: q_anti_new_dates's anti-join insert shape — and
+    # q_surrogate_key — witness: q_scd2_dim's ROW_NUMBER-over-window
+    # machinery; both keep full oracle comparisons in
+    # tests/test_retired_parity.py)
+    "q_funnel_steps",
+    "q_paragraph_dedup",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -117,7 +124,6 @@ _CHECK_ORDER = [
     "q_anti_new_dates",
     "q_semi_valid_fact",
     "q_orphan_cleanup",
-    "q_insert_if_absent",
     "q_scalar_lookup_default",
     "q_range_join",
     "q_qa_orphan_report",
@@ -126,7 +132,6 @@ _CHECK_ORDER = [
     "q_regex_numeric_parse",
     "q_sentinel_timestamps",
     "q_calendar_dim",
-    "q_surrogate_key",
     # trivial tail (single-operator demos, most subsumable; round 5
     # retired q_null_reject from here — witness: q_multi_source_union;
     # round 7 retired q_keyword_filter — witness: the plan test plus

@@ -14,11 +14,17 @@ import pytest
 
 from clinical_data_warehouse_bi_spark.queries.core import (
     SQL_KEYWORD_FILTER,
+    SQL_SURROGATE_KEY,
     q_keyword_filter,
+    q_surrogate_key,
 )
 from clinical_data_warehouse_bi_spark.queries.dedup import (
     SQL_NGRAM_JACCARD,
     q_ngram_jaccard,
+)
+from clinical_data_warehouse_bi_spark.queries.join_ops import (
+    SQL_INSERT_IF_ABSENT,
+    q_insert_if_absent,
 )
 from clinical_data_warehouse_bi_spark.queries.similarity import (
     SQL_ANN_IVF_NPROBE,
@@ -33,6 +39,8 @@ from clinical_data_warehouse_bi_spark.queries.text_ops import (
 from test_oracle_parity import _normalize
 
 RETIRED = {
+    "q_insert_if_absent": (q_insert_if_absent, SQL_INSERT_IF_ABSENT),
+    "q_surrogate_key": (q_surrogate_key, SQL_SURROGATE_KEY),
     "q_keyword_filter": (q_keyword_filter, SQL_KEYWORD_FILTER),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "q_ann_ivf_nprobe": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
