@@ -101,6 +101,13 @@ def decode_media(blob: bytes, media_type: str, real_decode: bool = False) -> np.
 #: PNG color type -> channel count (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: fence for the pure-python decoder: reconstructed image bytes
+#: (height x width x channels) beyond this raise instead of entering
+#: the serial Average/Paeth per-pixel loops (~seconds per MB in
+#: CPython). 16 MiB ~= 2048x2048 RGBA — generous for thumbnails and
+#: fixtures, far below where a real pipeline needs the PIL branch.
+_MAX_DECODE_BYTES = 16 * 1024 * 1024
+
 
 def _decode_png(blob: bytes) -> np.ndarray:
     """Pure zlib/numpy PNG decode: chunk walk -> IDAT inflate -> undo
@@ -108,11 +115,15 @@ def _decode_png(blob: bytes) -> np.ndarray:
     RFC 2083 §6). 8-bit depth, non-interlaced, gray/GA/RGB/RGBA.
     Returns (h, w) for grayscale else (h, w, channels) uint8.
 
-    The Sub/Average/Paeth reconstructions are per-pixel loops over a
-    scanline — inherently serial within a row (each pixel depends on
-    the reconstructed left neighbor); fine for the Arrow-batched
-    per-document shape this runs in, where parallelism comes from
-    partitions, not pixels."""
+    Filter reconstruction cost: Up vectorizes trivially; Sub is a
+    per-channel-lane running sum, vectorized below as a cumsum (mod
+    256 falls out of uint8 overflow). Average/Paeth are inherently
+    serial within a row (each pixel depends on the RECONSTRUCTED left
+    neighbor — a data dependence no numpy expression removes), so
+    they stay per-pixel loops behind _MAX_DECODE_BYTES: past that, a
+    clear error says to add the PIL branch in decode_media rather
+    than silently burning minutes of interpreter time per image.
+    Parallelism comes from partitions, not pixels."""
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG: bad signature")
     pos, width, height, channels = 8, None, None, None
@@ -143,6 +154,13 @@ def _decode_png(blob: bytes) -> np.ndarray:
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("corrupt PNG: wrong decompressed size")
+    if height * stride > _MAX_DECODE_BYTES:
+        raise ValueError(
+            f"PNG of {height * stride} reconstructed bytes exceeds the"
+            f" pure-python decoder's {_MAX_DECODE_BYTES}-byte fence"
+            " (Average/Paeth rows are per-pixel loops); add the PIL"
+            " branch in decode_media for images this large"
+        )
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     at = 0
@@ -150,9 +168,11 @@ def _decode_png(blob: bytes) -> np.ndarray:
         ftype = raw[at]
         cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=at + 1).copy()
         at += stride + 1
-        if ftype == 1:  # Sub: + reconstructed left
-            for i in range(channels, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - channels])) & 0xFF
+        if ftype == 1:  # Sub: + reconstructed left == per-lane running
+            # sum; uint8 cumsum overflow IS the required mod-256
+            np.cumsum(
+                cur.reshape(width, channels), axis=0, dtype=np.uint8, out=cur.reshape(width, channels)
+            )
         elif ftype == 2:  # Up: + reconstructed above (vectorizes)
             cur += prev
         elif ftype == 3:  # Average: + floor((left + above) / 2)
