@@ -108,9 +108,14 @@ def zorder_key(
             )
     elif normalize == "linear":
         if bounds is None:
+            # min/max in the DOUBLE domain the scaling runs in, so
+            # timestamp/date/decimal columns work (their native
+            # min/max would come back as Python objects float() on
+            # the driver cannot consume)
             aggs = []
             for c in cols:
-                aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+                d = F.col(c).cast("double")
+                aggs += [F.min(d).alias(f"mn_{c}"), F.max(d).alias(f"mx_{c}")]
             row = df.agg(*aggs).first()
             bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
         top = (1 << bits) - 1
@@ -159,7 +164,18 @@ def write_zordered(
     w = clustered.write.mode("overwrite")
     if parquet_block_bytes:
         w = w.option("parquet.block.size", str(parquet_block_bytes))
-    w.parquet(path)
+    # a Z-ordered layout EXISTS for footer min/max skipping; legacy
+    # INT96 timestamps write no statistics at all, silently voiding
+    # the whole exercise for time columns. Pin INT64 micros for this
+    # write even under a session that kept the INT96 default.
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        w.parquet(path)
+    finally:
+        spark.conf.set(key, before)
 
 
 def morton_interleave_py(values: list[int], bits: int) -> int:
@@ -201,11 +217,24 @@ def matching_row_groups(
     """(total row groups, row groups whose min/max ranges intersect
     every ``box`` predicate) — i.e. how many groups a footer-pruned
     scan of ``col BETWEEN lo AND hi AND ...`` must actually read."""
+    from datetime import datetime, timezone
+
+    def norm(v):
+        # parquet timestamp stats come back tz-aware (isAdjustedToUTC)
+        # while Spark-collected probe values are naive UTC (the
+        # session pins UTC); pin both to UTC so they compare
+        if isinstance(v, datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=timezone.utc)
+        return v
+
     groups = row_group_stats(path, list(box))
     hit = sum(
         1
         for g in groups
-        if all(g[c][0] <= hi and g[c][1] >= lo for c, (lo, hi) in box.items())
+        if all(
+            norm(g[c][0]) <= norm(hi) and norm(g[c][1]) >= norm(lo)
+            for c, (lo, hi) in box.items()
+        )
     )
     return len(groups), hit
 

@@ -500,9 +500,23 @@ def run_pipeline(
     src: dict[str, DataFrame],
     out_dir: str | None = None,
     parity_keys: bool = False,
+    zorder_fact: bool = False,
+    zorder_opts: dict | None = None,
 ) -> dict[str, dict[str, DataFrame]]:
     """staging -> dwh (-> parquet layers when out_dir given — the
-    reference's database-per-layer materialization barriers)."""
+    reference's database-per-layer materialization barriers).
+
+    ``zorder_fact`` switches the DWH fact's physical layout from
+    hive-partitioning on event_source_type to Z-order clustering on
+    (admission_id, event_datetime) via layout.write_zordered — the
+    M8 'fact index' answer as the pipeline's OWN physical design
+    (DWH.sql:193-198 indexes exactly these probe columns): the BI
+    point/range probes ("this admission", "this admission this
+    week") prune by parquet footer min/max on BOTH columns at once
+    instead of reading a whole source-type slice. Source-type stays
+    a low-cardinality column whose footer stats still serve equality
+    slices. ``zorder_opts`` forwards to write_zordered (bits,
+    partitions, parquet_block_bytes, normalize)."""
     stage = build_staging(src, parity_keys=parity_keys)
     if out_dir:
         from clinical_data_warehouse_bi_spark.io import write_layer
@@ -522,9 +536,19 @@ def run_pipeline(
             # (DWH.sql:193-198): partition pruning serves the
             # per-source BI slices, parquet min/max stats serve the
             # key/range probes
-            partition_by = (
-                ["event_source_type"] if name == "fact_disorder_events" else None
-            )
-            write_layer(df, f"{out_dir}/dwh/{name}", partition_by=partition_by)
+            if name == "fact_disorder_events" and zorder_fact:
+                from clinical_data_warehouse_bi_spark.layout import write_zordered
+
+                write_zordered(
+                    df,
+                    f"{out_dir}/dwh/{name}",
+                    ["admission_id", "event_datetime"],
+                    **(zorder_opts or {}),
+                )
+            else:
+                partition_by = (
+                    ["event_source_type"] if name == "fact_disorder_events" else None
+                )
+                write_layer(df, f"{out_dir}/dwh/{name}", partition_by=partition_by)
             dwh[name] = spark.read.parquet(f"{out_dir}/dwh/{name}")
     return {"stage": stage, "dwh": dwh}

@@ -186,3 +186,66 @@ def test_release_frees_pipeline_checkpoints(spark):
     # rather than equate; the invariant is NO new RDD survives
     assert released <= len(created)
     assert snapshot_persistent_rdds(spark) - baseline == set()
+
+
+def test_zordered_fact_layout_prunes_point_probes(spark, tmp_path_factory):
+    """M8 end-to-end: run_pipeline(zorder_fact=True) writes the DWH
+    fact Z-ordered on (admission_id, event_datetime); a point/range
+    probe box must skip MORE row groups than the same data in an
+    arrival-order layout, with identical content."""
+    import os
+
+    from clinical_data_warehouse_bi_spark.layout import zorder_effectiveness
+
+    out_dir = str(tmp_path_factory.mktemp("dwh_z"))
+    src = make_sources(spark, n_patients=400)
+    out = star.run_pipeline(
+        src,
+        out_dir=out_dir,
+        zorder_fact=True,
+        # small row groups force many footer entries from small data;
+        # production uses the 128 MB default
+        zorder_opts={"partitions": 8, "parquet_block_bytes": 16 * 1024},
+    )
+    fact = out["dwh"]["fact_disorder_events"]
+    z_dir = os.path.join(out_dir, "dwh", "fact_disorder_events")
+    assert any(f.endswith(".parquet") for f in os.listdir(z_dir))
+
+    # arrival-order baseline of the SAME rows, same file/group geometry
+    plain_dir = str(tmp_path_factory.mktemp("fact_plain"))
+    (
+        fact.repartition(8)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(16 * 1024))
+        .parquet(plain_dir)
+    )
+
+    # box: one mid-range admission band x one narrow time window
+    r = fact.agg(
+        F.min("admission_id").alias("a0"),
+        F.max("admission_id").alias("a1"),
+        F.min("event_datetime").alias("t0"),
+        F.max("event_datetime").alias("t1"),
+    ).first()
+    a_mid = (r.a0 + r.a1) // 2
+    a_w = max((r.a1 - r.a0) // 20, 1)
+    t_mid = r.t0 + (r.t1 - r.t0) / 2
+    t_w = (r.t1 - r.t0) / 20
+    box = {
+        "admission_id": (a_mid, a_mid + a_w),
+        "event_datetime": (t_mid, t_mid + t_w),
+    }
+    eff = zorder_effectiveness(plain_dir, z_dir, box)
+    assert eff["zordered"]["total"] >= 4, eff  # geometry sanity
+    assert eff["skip_improvement"] > 1.0, eff
+
+    # content identical to the default-layout pipeline
+    rebuilt = star.run_pipeline(make_sources(spark, n_patients=400))
+    cols = sorted(fact.columns)
+    h = lambda d: d.select(  # noqa: E731
+        F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("rh")
+    ).agg(
+        F.expr("bit_xor(rh)").alias("h"), F.count("*").alias("n")
+    ).first()
+    hz, hp = h(fact), h(rebuilt["dwh"]["fact_disorder_events"])
+    assert (hz.h, hz.n) == (hp.h, hp.n)
