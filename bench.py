@@ -36,13 +36,13 @@ BENCH_QUERIES = [
     "q_range_join",
     "q_join_nullsafe_junk",
     "q_anti_new_dates",
-    "q_semi_valid_fact",
     "q_orphan_cleanup",
     "q_qa_orphan_report",
     "q_qa_rowcount_report",
     "q_dup_probe",
     "q_sessionize",
     "q_window_tumbling",
+    "q_funnel_steps",
     "q_pack_sequences",
     "q_dedup_clusters",
     "q_stream_dedup_dual",
@@ -50,8 +50,10 @@ BENCH_QUERIES = [
     "q_lsh_near_dup",
     "q_simhash_pairs",
     "q_chunk_dedup",
+    "q_paragraph_dedup",
     "q_fuzzy_match",
     "q_token_budget",
+    "q_bpe_encode",
     "q_quality_score",
     "q_corpus_clean",
     "q_stratified_sample",

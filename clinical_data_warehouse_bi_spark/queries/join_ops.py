@@ -191,17 +191,28 @@ def q_anti_new_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_semi_valid_fact", oracle="""
+SQL_SEMI_VALID_FACT = """
     SELECT l.l_orderkey, l.l_linenumber
     FROM lineitem l
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_orderkey = l.l_orderkey
                     AND o.o_orderstatus = 'F')
-    """)
+    """
+
+
 def q_semi_valid_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10/J11 keep-side — semi-join: fact rows whose FK matches a
     (filtered) dim (the recompute form of DWH.sql:150-152's
-    anti-join DELETE)."""
+    anti-join DELETE).
+
+    Round-8 registry retirement (cap is 50; the slot went to
+    q_bpe_encode): hash-checked for seven straight rounds on a
+    frozen implementation. Witness: q_orphan_cleanup carries the
+    registered J10 keep/drop recompute (its LEFT-join survivor
+    filter IS this semi-join unioned with the NULL-FK branch), and
+    the star pipeline's six orphan deletes exercise joins.semi_join's
+    sibling anti path e2e. The full oracle comparison stays live in
+    tests/test_retired_parity.py against SQL_SEMI_VALID_FACT."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     dim = t["orders"].filter(F.col("o_orderstatus") == "F")
     out = joins.semi_join(

@@ -390,3 +390,59 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         last.alias("last_chunk"),
         (last - first + F.lit(1)).alias("n_chunks"),
     )
+
+
+#: BPE geometry for the registered encode: enough merges that real
+#: multi-character tokens win (the corpus vocabulary is ~40 words),
+#: few enough that training is a sub-second driver loop at any sf
+#: (the histogram, not the corpus, bounds the loop)
+BPE_MERGES = 64
+#: fitted-merge-table memo per (application, sf_dir) — the quantizer
+#: convention (queries/similarity.py): a production tokenizer trains
+#: once and encodes many corpora; refitting per query would
+#: misrepresent the operator's cost
+_BPE_CACHE: dict[tuple, list] = {}
+
+
+@register("q_bpe_encode", oracle=None)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenization end-to-end (bpe.py): ONE
+    histogram job over the corpus (bpe.word_histogram), a driver-side
+    deterministic merge-learning loop over that small histogram
+    (bpe.train_bpe — ties break lexicographically, so the merge
+    table is a pure function of the corpus), then shuffle-free
+    Arrow-batched encoding of every document with the merge table
+    riding the closure (bpe.bpe_encode). Output per document:
+    token count and the space-joined token stream (arrays are
+    serialized for the driver's canonicalizer).
+
+    No oracle BY DESIGN (the q_ann_ivf_pq convention): BPE merge
+    learning is an iterative greedy algorithm no portable SQL
+    reproduces. The driver records the rows-only check — one row per
+    document, deterministic given the corpus; the value-level
+    evidence lives in tests/test_bpe.py (incremental-vs-naive
+    training equivalence, tie-break determinism, lossless word
+    round-trip, distributed-encode == driver-encode).
+
+    Scale shape: training reads the histogram (vocabulary-sized, not
+    corpus-sized) onto the driver once; encoding is a pure map with
+    a per-batch word cache — no shuffle, no per-row Python, Arrow
+    batches in and out."""
+    from clinical_data_warehouse_bi_spark import bpe
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ck = (spark.sparkContext.applicationId, sf_dir, BPE_MERGES)
+    merges = _BPE_CACHE.get(ck)
+    if merges is None:
+        hist = [
+            (r.word, r.n)
+            for r in bpe.word_histogram(docs).orderBy("word").collect()
+        ]
+        merges = bpe.train_bpe(hist, n_merges=BPE_MERGES)
+        _BPE_CACHE[ck] = merges
+    enc = bpe.bpe_encode(fan_out(docs.select("doc_id", "text")), merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+    )

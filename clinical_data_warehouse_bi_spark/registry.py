@@ -99,6 +99,11 @@ _CHECK_ORDER = [
     # tests/test_retired_parity.py)
     "q_funnel_steps",
     "q_paragraph_dedup",
+    # round-8 additions, part 2 (slot freed by retiring
+    # q_semi_valid_fact — witness: q_orphan_cleanup's registered J10
+    # keep/drop recompute; full oracle comparison lives in
+    # tests/test_retired_parity.py)
+    "q_bpe_encode",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -122,7 +127,6 @@ _CHECK_ORDER = [
     "q_asof_next_order",
     "q_join_nullsafe_junk",
     "q_anti_new_dates",
-    "q_semi_valid_fact",
     "q_orphan_cleanup",
     "q_scalar_lookup_default",
     "q_range_join",

@@ -24,7 +24,9 @@ from clinical_data_warehouse_bi_spark.queries.dedup import (
 )
 from clinical_data_warehouse_bi_spark.queries.join_ops import (
     SQL_INSERT_IF_ABSENT,
+    SQL_SEMI_VALID_FACT,
     q_insert_if_absent,
+    q_semi_valid_fact,
 )
 from clinical_data_warehouse_bi_spark.queries.similarity import (
     SQL_ANN_IVF_NPROBE,
@@ -40,6 +42,7 @@ from test_oracle_parity import _normalize
 
 RETIRED = {
     "q_insert_if_absent": (q_insert_if_absent, SQL_INSERT_IF_ABSENT),
+    "q_semi_valid_fact": (q_semi_valid_fact, SQL_SEMI_VALID_FACT),
     "q_surrogate_key": (q_surrogate_key, SQL_SURROGATE_KEY),
     "q_keyword_filter": (q_keyword_filter, SQL_KEYWORD_FILTER),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
