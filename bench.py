@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "q_orphan_cleanup",
     "q_qa_orphan_report",
     "q_qa_rowcount_report",
-    "q_dup_probe",
+    "q_lm_perplexity",
     "q_sessionize",
     "q_window_tumbling",
     "q_funnel_steps",

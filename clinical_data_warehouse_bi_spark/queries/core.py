@@ -275,13 +275,15 @@ def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_dup_probe", oracle="""
+SQL_DUP_PROBE = """
     SELECT o_custkey, count(*) AS n_orders,
            CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
                 AS DOUBLE) AS total_spend
     FROM orders GROUP BY o_custkey HAVING count(*) > 1
     ORDER BY count(*) DESC, o_custkey LIMIT 10
-    """)
+    """
+
+
 def q_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6 + O1 — GROUP BY ... HAVING count(*)>1 duplicate detection
     (QA.sql:124-176) ranked to the top-10 offenders (LIMIT,
@@ -289,7 +291,17 @@ def q_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_topk_orders' ORDER BY + LIMIT now rides here). Deterministic
     total order (count desc, unique key tiebreak); Spark plans
     TakeOrderedAndProject — per-partition top-k then a k-row merge,
-    no global sort at scale."""
+    no global sort at scale.
+
+    Round-8 registry retirement (cap is 50; the slot went to
+    q_lm_perplexity): hash-checked for seven straight rounds on a
+    frozen implementation, and the designated fall-off candidate in
+    the check-order's trivial tail since round 5. Witnesses: the
+    HAVING>1 probe family runs live in the pipeline QA suite
+    (qa.duplicate_*_probe, all-zero asserted e2e every round), and
+    the TakeOrderedAndProject top-k shape is plan-locked in
+    tests/test_plans.py. The full oracle comparison stays live in
+    tests/test_retired_parity.py against SQL_DUP_PROBE."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     return (
         o.groupBy("o_custkey")

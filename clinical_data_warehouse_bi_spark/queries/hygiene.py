@@ -167,3 +167,58 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=CONTAM_NGRAM,
         min_overlap_frac=CONTAM_MIN_OVERLAP,
     )
+
+
+#: LM tokenizer in DuckDB — the exact mirror of text.tokens
+#: ([a-z0-9]+ extraction, the dedup-family tokenizer, NOT the
+#: apostrophe-aware scrub split above)
+_SQL_LM_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@register("q_lm_perplexity", oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_LM_TOKENS} AS w FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, w[i+1] AS tok
+      FROM t, unnest(generate_series(0, len(w) - 1)) AS u(i)),
+    big AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks),
+    bigrams AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+    vv AS (SELECT count(DISTINCT tok) AS v FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             ln((bc.c12 + 0.5) / (c1.c1 + 0.5 * vv.v)) AS lp
+      FROM bigrams b
+      JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN vv),
+    mlp AS (SELECT doc_id, avg(lp) AS mlp FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len({_SQL_LM_TOKENS}) AS BIGINT) AS n_tokens,
+           round(exp(-m.mlp), 4) AS ppl
+    FROM documents d LEFT JOIN mlp m ON m.doc_id = d.doc_id
+    """)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity (lm.perplexity) — the
+    CCNet/RefinedWeb-class statistical quality score: train a
+    smoothed bigram model on the corpus (one vocabulary-sized count
+    shuffle), score every document's mean negative log-likelihood
+    under it (broadcast counts, one doc_id shuffle), gate on ppl
+    downstream. Add-alpha smoothing keeps the model a pure function
+    of the corpus, so the ENTIRE train+score path sits under the
+    cross-engine hash gate — the DuckDB oracle retrains the same
+    counts and must reproduce every document's rounded perplexity.
+
+    Scale shape: bigrams form map-side from the token array (no
+    window shuffle); only (w1, w2) pairs shuffle for counting; the
+    scoring pass broadcast-joins the vocabulary-sized model and pays
+    one doc_id exchange for the mean. See lm.py for the 100 TB notes
+    (hash-pruning rare bigrams; external reference-corpus model via
+    the ``model`` parameter)."""
+    from clinical_data_warehouse_bi_spark import lm
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return lm.perplexity(fan_out(docs.select("doc_id", "text")))

@@ -104,6 +104,12 @@ _CHECK_ORDER = [
     # keep/drop recompute; full oracle comparison lives in
     # tests/test_retired_parity.py)
     "q_bpe_encode",
+    # round-8 additions, part 3 (slot freed by retiring q_dup_probe —
+    # witnesses: the pipeline QA duplicate probes (e2e, all-zero
+    # asserted) + the TakeOrderedAndProject plan lock in
+    # tests/test_plans.py; full oracle comparison lives in
+    # tests/test_retired_parity.py)
+    "q_lm_perplexity",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -136,11 +142,12 @@ _CHECK_ORDER = [
     "q_regex_numeric_parse",
     "q_sentinel_timestamps",
     "q_calendar_dim",
-    # trivial tail (single-operator demos, most subsumable; round 5
-    # retired q_null_reject from here — witness: q_multi_source_union;
-    # round 7 retired q_keyword_filter — witness: the plan test plus
-    # tests/test_retired_parity.py's full oracle comparison)
-    "q_dup_probe",
+    # trivial tail: empty since round 8 (q_dup_probe retired last —
+    # witness: pipeline QA duplicate probes + TakeOrderedAndProject
+    # plan lock; round 5 retired q_null_reject — witness:
+    # q_multi_source_union; round 7 retired q_keyword_filter —
+    # witness: the plan test plus tests/test_retired_parity.py's
+    # full oracle comparison)
 ]
 
 

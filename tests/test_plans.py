@@ -366,3 +366,34 @@ def test_fuzzy_match_is_blocked_equi_join(spark, sf_dir):
     plan = physical_plan(QUERIES["q_fuzzy_match"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_probe_is_take_ordered(spark, sf_dir):
+    """O1: ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a global sort — the
+    plan witness for the registry-retired q_dup_probe."""
+    from clinical_data_warehouse_bi_spark.queries.core import q_dup_probe
+
+    plan = physical_plan(q_dup_probe(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_lm_perplexity_broadcasts_model_one_doc_exchange(spark, sf_dir):
+    """The LM scoring pass must broadcast the vocabulary-sized count
+    relations (no shuffle of the corpus-sized bigram stream onto
+    word keys) and pay exchanges only for the model's own counting
+    and the per-document mean."""
+    from clinical_data_warehouse_bi_spark.queries.hygiene import (
+        q_lm_perplexity,
+    )
+
+    plan = physical_plan(q_lm_perplexity(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the doc-side bigram stream must never hash-partition on words:
+    # every exchange keys on the doc id or on model count keys
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^#,]+)[#,]", plan):
+        key = m.group(1)
+        assert key == "__id" or key.startswith("w"), (key, plan[:2000])

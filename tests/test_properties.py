@@ -1045,3 +1045,39 @@ def test_paragraph_dedup_regex_metachar_delimiter(spark):
         for r in T.paragraph_dedup(pipe, delim="|").collect()
     }
     assert got == {1: "a|b", 2: "c"}
+
+
+def test_lm_perplexity_semantics(spark):
+    """Planted corpus: a document made of the corpus's dominant
+    pattern must score LOWER perplexity than a document of unique
+    gibberish; sub-2-token docs score NULL; an externally supplied
+    model scores a held-out doc identically to retraining."""
+    from clinical_data_warehouse_bi_spark import lm
+
+    common = "the cat sat on the mat " * 10
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),
+            (3, "zq xv qj wk vz kx jq"),  # unseen-elsewhere bigrams
+            (4, "word"),  # single token -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.ppl) for r in lm.perplexity(docs).collect()}
+    assert got[4][1] is None and got[4][0] == 1
+    assert got[1][1] == got[2][1]  # identical docs, identical score
+    assert got[1][1] < got[3][1]  # fluent << gibberish
+
+    # external-model path: score doc 3 under the model of docs 1-2.
+    # Every bigram is unseen there, so each scores the pure smoothing
+    # mass alpha/(alpha*V) = 1/V and the perplexity is EXACTLY V (the
+    # training vocabulary: the, cat, sat, on, mat -> 5.0)
+    model = lm.bigram_counts(docs.filter(F.col("doc_id") < 3))
+    ext = {
+        r.doc_id: r.ppl
+        for r in lm.perplexity(
+            docs.filter(F.col("doc_id") == 3), model=model
+        ).collect()
+    }
+    assert ext[3] == 5.0

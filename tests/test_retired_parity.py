@@ -13,8 +13,10 @@ from __future__ import annotations
 import pytest
 
 from clinical_data_warehouse_bi_spark.queries.core import (
+    SQL_DUP_PROBE,
     SQL_KEYWORD_FILTER,
     SQL_SURROGATE_KEY,
+    q_dup_probe,
     q_keyword_filter,
     q_surrogate_key,
 )
@@ -43,6 +45,7 @@ from test_oracle_parity import _normalize
 RETIRED = {
     "q_insert_if_absent": (q_insert_if_absent, SQL_INSERT_IF_ABSENT),
     "q_semi_valid_fact": (q_semi_valid_fact, SQL_SEMI_VALID_FACT),
+    "q_dup_probe": (q_dup_probe, SQL_DUP_PROBE),
     "q_surrogate_key": (q_surrogate_key, SQL_SURROGATE_KEY),
     "q_keyword_filter": (q_keyword_filter, SQL_KEYWORD_FILTER),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
