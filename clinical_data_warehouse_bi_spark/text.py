@@ -474,3 +474,43 @@ def paragraph_dedup(
             .alias("clean_text"),
         )
     )
+
+
+def quota_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 100,
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Per-group quota cap: keep at most ``n_per_group`` documents
+    per ``group_col`` value — the domain-capping step a corpus mix
+    runs so no single source (one crawl domain, one dump) dominates
+    the training distribution (the per-domain caps in C4/RefinedWeb;
+    the COMPLEMENT of io.mix_sources, which reweights between whole
+    sources after each is capped).
+
+    Selection is deterministic and unbiased WITHIN a group: priority
+    is the md5 of the document id (a uniform content-independent
+    ranking both engines reproduce — the q_corpus_clean fingerprint
+    convention), unless ``priority_col`` names a quality score to
+    keep the BEST n instead (descending, id-tiebroken).
+
+    Scale shape: ONE shuffle on the group key. The rank<=n predicate
+    compiles to WindowGroupLimit (plan-tested), so every map task
+    pre-prunes its partition to n rows per group BEFORE the
+    exchange — a hot domain ships n rows per upstream partition, not
+    its whole row set, which is what makes a quota cap survive the
+    one-giant-domain skew case at 100 TB."""
+    from pyspark.sql import Window
+
+    if priority_col is None:
+        order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+    else:
+        order = [F.col(priority_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n_per_group))
+        .drop("__rn")
+    )

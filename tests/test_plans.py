@@ -397,3 +397,17 @@ def test_lm_perplexity_broadcasts_model_one_doc_exchange(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([^#,]+)[#,]", plan):
         key = m.group(1)
         assert key == "__id" or key.startswith("w"), (key, plan[:2000])
+
+
+def test_quota_sample_uses_window_group_limit(spark, sf_dir):
+    """The rank<=n quota predicate must compile to WindowGroupLimit
+    so a hot domain pre-prunes to n rows per map task BEFORE the
+    group-key exchange (the skew story of text.quota_sample)."""
+    from clinical_data_warehouse_bi_spark import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = physical_plan(T.quota_sample(docs, "source", 10))
+    assert "WindowGroupLimit" in plan
+    # partial mode runs before the exchange
+    pre_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "WindowGroupLimit" in pre_exchange, plan[:1500]

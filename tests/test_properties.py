@@ -1081,3 +1081,52 @@ def test_lm_perplexity_semantics(spark):
         ).collect()
     }
     assert ext[3] == 5.0
+
+
+def test_quota_sample_matches_duckdb(spark, sf_dir, duck):
+    """text.quota_sample vs the same row_number construction in
+    DuckDB on the real documents table: identical kept doc set for
+    the hash-priority form AND the quality-priority form."""
+    from clinical_data_warehouse_bi_spark import text as T
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(
+        r.doc_id for r in T.quota_sample(docs, "source", 30).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.execute("""
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents) t WHERE rn <= 30
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+    got_q = sorted(
+        r.doc_id
+        for r in T.quota_sample(
+            docs, "source", 30, priority_col="n_chars"
+        ).collect()
+    )
+    want_q = sorted(
+        r[0]
+        for r in duck.execute("""
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY source
+                ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) t WHERE rn <= 30
+        """).fetchall()
+    )
+    assert got_q == want_q
+    # every group capped, none emptied
+    from collections import Counter
+
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    by_group = Counter(src[d] for d in got)
+    assert max(by_group.values()) <= 30
+    assert set(by_group) == set(src.values())
