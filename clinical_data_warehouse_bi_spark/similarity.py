@@ -796,3 +796,110 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def covariance_stats(vectors: DataFrame, vec_col: str = "embedding") -> dict:
+    """Exact mean vector and covariance matrix of an embedding
+    column, distributed: every Arrow batch reduces to ONE partial row
+    (count n, sum vector d, Gram matrix d*d flattened), the driver
+    sums the per-batch partials and assembles cov = E[xx^T] - mm^T.
+    Driver traffic is O(batches x d^2) — for d=64 that is 32 KB per
+    batch regardless of how many billions of rows each batch covers;
+    the vector table itself never shuffles and never leaves the
+    executors.
+
+    Returns {"n": int, "mean": (d,) float64, "cov": (d, d) float64}."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # N x D
+            yield pd.DataFrame({
+                "n": [mat.shape[0]],
+                "s": [mat.sum(axis=0).tolist()],
+                "g": [(mat.T @ mat).ravel().tolist()],
+            })
+
+    parts = vectors.select(vec_col).mapInPandas(
+        op, "n long, s array<double>, g array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("covariance_stats: empty input")
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    g = np.sum([np.asarray(r.g) for r in parts], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    return {"n": n, "mean": mean, "cov": cov}
+
+
+def pca_model(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> dict:
+    """PCA (optionally whitening) over an embedding column — the
+    dimensionality-reduction step a vector store runs before IVF/PQ
+    (fewer dims = smaller codes, faster GEMM; whitening equalizes
+    component variances, which PQ's per-subspace codebooks reward).
+    One distributed pass (covariance_stats), then a d x d
+    eigendecomposition on the driver — d is the embedding width, so
+    the driver work is microseconds and independent of corpus size.
+
+    Deterministic: numpy eigh is deterministic for a given matrix,
+    and each component's sign is canonicalized (largest-|coord|
+    entry made positive) so the model is reproducible run-to-run.
+
+    Returns {"mean", "components" (k x d), "explained_var" (k,),
+    "whiten": bool} — pass to pca_project."""
+    st = covariance_stats(vectors, vec_col)
+    vals, vecs = np.linalg.eigh(st["cov"])  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, order].T  # k x d
+    ev = np.maximum(vals[order], 0.0)
+    for i in range(comp.shape[0]):
+        j = np.argmax(np.abs(comp[i]))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    if whiten:
+        comp = comp / np.sqrt(ev + eps)[:, None]
+    return {
+        "mean": st["mean"],
+        "components": comp,
+        "explained_var": ev,
+        "whiten": whiten,
+    }
+
+
+def pca_project(
+    vectors: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """(id, out_col array<double>): project every vector onto the PCA
+    (or whitening) basis. Pure Arrow-batched map — the (k x d) model
+    rides the closure (serialized once per executor), no shuffle, and
+    the output is ready for the ANN/PQ stack at width k."""
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comp = np.asarray(model["components"], dtype=np.float64)  # k x d
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = (mat - mean) @ comp.T  # N x k
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                out_col: [r.tolist() for r in proj],
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        op, f"{id_col} long, {out_col} array<double>"
+    )

@@ -3,6 +3,7 @@ SQL-expressed oracle-checked baseline."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from clinical_data_warehouse_bi_spark import similarity
@@ -381,3 +382,60 @@ def test_semantic_dedup_drops_planted_near_duplicates(spark):
         assert out[v], f"original {v} wrongly dropped"
     for v in copies:
         assert not out[v], f"near-copy {v} survived"
+
+
+def test_covariance_stats_matches_numpy(spark):
+    """Distributed batch-partial covariance == direct numpy on the
+    collected matrix, any partitioning."""
+    from clinical_data_warehouse_bi_spark.similarity import covariance_stats
+
+    rng = np.random.RandomState(5)
+    mat = rng.normal(size=(400, 8)) * rng.uniform(0.5, 3.0, size=8)
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    st = covariance_stats(df)
+    assert st["n"] == 400
+    assert np.allclose(st["mean"], mat.mean(axis=0), atol=1e-10)
+    assert np.allclose(st["cov"], np.cov(mat.T, bias=True), atol=1e-9)
+
+
+def test_pca_project_properties(spark):
+    """On planted anisotropic data: components capture variance in
+    descending order, the projection reproduces numpy's, and the
+    whitened output has ~identity covariance. Determinism: two fits
+    give the identical model (sign canonicalization)."""
+    from clinical_data_warehouse_bi_spark.similarity import (
+        covariance_stats,
+        pca_model,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(9)
+    # strong anisotropy: axis 0 dominates, then 1, then noise
+    base = rng.normal(size=(500, 6))
+    mat = base * np.array([10.0, 4.0, 1.0, 0.5, 0.25, 0.1])
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+
+    m = pca_model(df, k=3)
+    assert m["explained_var"][0] >= m["explained_var"][1] >= m["explained_var"][2]
+    # first component aligns with the dominant axis
+    assert abs(m["components"][0][0]) > 0.99
+    m2 = pca_model(df, k=3)
+    assert np.allclose(m["components"], m2["components"])
+
+    proj = pca_project(df, m)
+    got = {r.vec_id: np.asarray(r.projected) for r in proj.collect()}
+    want = (mat - mat.mean(axis=0)) @ np.asarray(m["components"]).T
+    for i in range(500):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+
+    mw = pca_model(df, k=3, whiten=True)
+    pw = pca_project(df, mw)
+    wmat = np.array([r.projected for r in pw.collect()])
+    cov = np.cov(wmat.T, bias=True)
+    assert np.allclose(cov, np.eye(3), atol=0.05)
