@@ -618,3 +618,140 @@ def compact_pairs_distinct(
     return compact_parquet_dir(
         spark, pairs_path, target_files, transform=lambda df: df.distinct()
     )
+
+
+#: synopsis partition value the roll-up compaction merges history
+#: into; real batch ids from the streaming engine are >= 0
+PREAGG_BASE_BATCH = -1
+
+
+def preagg_apply_batch(
+    batch: DataFrame,
+    synopsis_path: str,
+    batch_id: int,
+    group_col: str = "admission_id",
+    concept_col: str = "clinical_concept_id",
+    source_col: str = "event_source_type",
+) -> None:
+    """One micro-batch of EXACTLY-ONCE incremental pre-aggregate
+    maintenance for the reference's BI roll-up (DWH.sql:203-210
+    aggregates events per admission; this maintains that table as
+    events stream in, instead of recomputing it from the full fact).
+
+    The state is a SYNOPSIS, not the final aggregate: per
+    (group, concept, source) partial counts, partitioned by the
+    engine's batch_id. Two properties fall out:
+    - MERGEABLE: total_events is a sum over partials, and the
+      distinct counts are distincts over synopsis KEYS — so the
+      derived aggregate (read_preagg) is exact across any number of
+      batches, including re-observed groups, which a stored FINAL
+      aggregate could never repair for COUNT(DISTINCT).
+    - EXACTLY-ONCE: the batch's contribution lands via DYNAMIC
+      partition overwrite of ITS OWN batch_id partition — a replayed
+      batch (same epoch id, the engine's contract) overwrites the
+      identical partition with identical content, so replay after
+      ANY crash point is a no-op, with no index, no anti-join, and
+      no transactional store.
+
+    Scale shape: one groupBy of the batch (batch-proportional), one
+    partition-directory write. Synopsis size is bounded by touched
+    keys per batch; compact_preagg rolls history into one base
+    partition so the read side never scans unbounded batch counts."""
+    spark = batch.sparkSession
+    contrib = (
+        batch.groupBy(group_col, concept_col, source_col)
+        .agg(F.count("*").alias("n"))
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        contrib.write.mode("overwrite").partitionBy("batch_id").parquet(
+            synopsis_path
+        )
+    finally:
+        spark.conf.set(key, before)
+
+
+def read_preagg(
+    spark: SparkSession,
+    synopsis_path: str,
+    group_col: str = "admission_id",
+    concept_col: str = "clinical_concept_id",
+    source_col: str = "event_source_type",
+) -> DataFrame:
+    """Derive the final BI aggregate from the synopsis: sum of
+    partial counts + distinct-over-keys (collect_set, never the
+    multi-countDistinct Expand). The synopsis is orders of magnitude
+    smaller than the event stream it summarizes, so this read is
+    cheap; run compact_preagg periodically to keep it so."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(synopsis_path)
+    syn = spark.read.parquet(synopsis_path)
+    return syn.groupBy(group_col).agg(
+        F.sum("n").alias("total_events"),
+        F.size(F.collect_set(concept_col)).alias("unique_concepts"),
+        F.size(F.collect_set(source_col)).alias("different_sources"),
+    )
+
+
+def streaming_preagg(
+    events: DataFrame,
+    synopsis_path: str,
+    checkpoint_dir: str | None = None,
+    **cols,
+):
+    """Maintain the pre-aggregate synopsis from a stream — the
+    exactly-once BI-rollup sink (see preagg_apply_batch). Returns the
+    started StreamingQuery."""
+    writer = events.writeStream.foreachBatch(
+        lambda b, bid: preagg_apply_batch(b, synopsis_path, bid, **cols)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def compact_preagg(
+    spark: SparkSession,
+    synopsis_path: str,
+    group_col: str = "admission_id",
+    concept_col: str = "clinical_concept_id",
+    source_col: str = "event_source_type",
+) -> dict:
+    """Roll the synopsis's batch partitions into ONE base partition
+    (batch_id={PREAGG_BASE_BATCH}), summing partials per key — the
+    maintenance op that bounds read_preagg's scan by the KEY space
+    instead of the batch count. Crash-safe via the shared compaction
+    publish protocol (io.recover_compacted_dir sibling names). Run
+    between micro-batches, after their offsets commit — the same
+    single-writer window every sink maintenance here assumes; a
+    batch replayed AFTER its partition was compacted would
+    double-count, and committed offsets are what rule that out."""
+    import glob
+
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(synopsis_path)
+    syn = spark.read.parquet(synopsis_path)
+    rolled = (
+        syn.groupBy(group_col, concept_col, source_col)
+        .agg(F.sum("n").alias("n"))
+        .withColumn("batch_id", F.lit(PREAGG_BASE_BATCH).cast("long"))
+        .localCheckpoint()
+    )
+    rows = rolled.count()
+    tmp = f"{synopsis_path}.tmp-compact"
+    old = f"{synopsis_path}.old-compact"
+    rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    os.rename(synopsis_path, old)
+    os.rename(tmp, synopsis_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": rows,
+        "partitions_after": len(
+            glob.glob(os.path.join(synopsis_path, "batch_id=*"))
+        ),
+    }

@@ -633,3 +633,101 @@ def test_compact_pairs_distinct_bounds_replayed_sink(spark, tmp_path):
     }
     assert after == want
     assert spark.read.parquet(pairs_path).count() == len(want)
+
+
+def test_streaming_preagg_exactly_once_and_compaction(spark, tmp_path):
+    """Incremental BI pre-aggregate maintenance: streamed synopsis ==
+    full batch recompute; a replayed batch (same epoch id) is a
+    no-op at ANY crash point (dynamic partition overwrite); roll-up
+    compaction preserves the derived aggregate while bounding the
+    partition count."""
+    schema = (
+        "admission_id long, clinical_concept_id long,"
+        " event_source_type string"
+    )
+    rows = [
+        # admission 1 seen in all three batches, concept 10 repeated
+        [(1, 10, "Lab"), (1, 11, "Lab"), (2, 10, "Rx")],
+        [(1, 10, "Vitals"), (2, 20, "Rx"), (3, 30, "Lab")],
+        [(1, 12, "Lab"), (3, 30, "Lab"), (3, 31, "Rx")],
+    ]
+    syn = str(tmp_path / "synopsis")
+    for bid, batch_rows in enumerate(rows):
+        streaming.preagg_apply_batch(
+            spark.createDataFrame(batch_rows, schema), syn, bid
+        )
+    got = {
+        r.admission_id: (r.total_events, r.unique_concepts, r.different_sources)
+        for r in streaming.read_preagg(spark, syn).collect()
+    }
+    flat = [t for b in rows for t in b]
+    want = {}
+    for adm in {t[0] for t in flat}:
+        mine = [t for t in flat if t[0] == adm]
+        want[adm] = (
+            len(mine),
+            len({t[1] for t in mine}),
+            len({t[2] for t in mine}),
+        )
+    assert got == want
+
+    # replay batch 1 verbatim (crash after write, before offset
+    # commit): its partition is overwritten with identical content
+    streaming.preagg_apply_batch(
+        spark.createDataFrame(rows[1], schema), syn, 1
+    )
+    got2 = {
+        r.admission_id: (r.total_events, r.unique_concepts, r.different_sources)
+        for r in streaming.read_preagg(spark, syn).collect()
+    }
+    assert got2 == want
+
+    # roll-up: one base partition, derived aggregate unchanged
+    stats = streaming.compact_preagg(spark, syn)
+    assert stats["partitions_after"] == 1
+    got3 = {
+        r.admission_id: (r.total_events, r.unique_concepts, r.different_sources)
+        for r in streaming.read_preagg(spark, syn).collect()
+    }
+    assert got3 == want
+    # and new batches keep landing after compaction
+    streaming.preagg_apply_batch(
+        spark.createDataFrame([(4, 40, "Lab")], schema), syn, 3
+    )
+    got4 = {
+        r.admission_id: r.total_events
+        for r in streaming.read_preagg(spark, syn).collect()
+    }
+    assert got4[4] == 1 and got4[1] == want[1][0]
+
+
+def test_streaming_preagg_from_file_stream(spark, tmp_path):
+    """End-to-end through the streaming engine: two drained
+    micro-batches produce the same derived aggregate as a batch
+    groupBy over the union."""
+    schema = (
+        "admission_id long, clinical_concept_id long,"
+        " event_source_type string"
+    )
+    src = str(tmp_path / "events_src")
+    syn = str(tmp_path / "synopsis")
+    b1 = [(1, 10, "Lab"), (2, 10, "Rx"), (1, 11, "Lab")]
+    b2 = [(1, 10, "Rx"), (2, 20, "Rx")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming.streaming_preagg(
+        stream, syn, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.admission_id: (r.total_events, r.unique_concepts, r.different_sources)
+        for r in streaming.read_preagg(spark, syn).collect()
+    }
+    assert got == {1: (3, 2, 2), 2: (2, 2, 1)}
