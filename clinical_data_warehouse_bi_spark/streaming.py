@@ -755,3 +755,88 @@ def compact_preagg(
             glob.glob(os.path.join(synopsis_path, "batch_id=*"))
         ),
     }
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ordered-sequence funnel — the stateful face of
+    funnel.funnel_steps (whose greedy fold is oracle-checked as
+    q_funnel_steps): per user, maintain (stage, completion
+    timestamps) across micro-batches via applyInPandasWithState and
+    emit the user's current funnel row whenever a batch touches them.
+    State is O(steps) per user, the same bound as the batch fold.
+
+    Ordering contract: events are processed in timestamp order WITHIN
+    each batch, and batches are assumed to arrive in event-time order
+    per user (the greedy state cannot revisit a step when an earlier
+    event surfaces later — the standard limitation of any
+    single-pass funnel; a source with cross-batch disorder feeds this
+    through a watermarked sort or falls back to the batch fold).
+
+    Unified API: on a batch frame the same call degrades to the batch
+    fold semantics via funnel.funnel_steps."""
+    from pyspark.sql.types import ArrayType
+
+    if not stream.isStreaming:
+        from clinical_data_warehouse_bi_spark.funnel import funnel_steps
+
+        return funnel_steps(stream, steps, user_col, type_col, ts_col)
+
+    k = len(steps)
+    out_schema = StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField("steps_completed", LongType()),
+        ]
+        + [StructField(f"step_{i + 1}_ts", TimestampType()) for i in range(k)]
+    )
+    state_schema = StructType(
+        [
+            StructField("stage", LongType()),
+            StructField("hits", ArrayType(LongType())),  # epoch micros
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            stage, hits = state.get
+            stage, hits = int(stage), list(hits or [])
+        else:
+            stage, hits = 0, []
+        ev = []
+        for pdf in pdfs:
+            # ns -> us; the state stores integers so the arrow
+            # round-trip is exact
+            us = pdf[ts_col].astype("int64") // 1000
+            ev.extend(zip(us.tolist(), pdf[type_col].tolist()))
+        ev.sort()
+        for ts_us, et in ev:
+            if stage < k and et == steps[stage] and (
+                stage == 0 or ts_us > hits[-1]
+            ):
+                stage += 1
+                hits.append(ts_us)
+        state.update((stage, hits))
+        row = {user_col: [key[0]], "steps_completed": [stage]}
+        for i in range(k):
+            row[f"step_{i + 1}_ts"] = [
+                pd.Timestamp(hits[i], unit="us") if i < stage else pd.NaT
+            ]
+        yield pd.DataFrame(row)
+
+    return (
+        stream.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

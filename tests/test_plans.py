@@ -119,8 +119,14 @@ def test_scan_prunes_columns(spark, sf_dir):
 
 def test_semi_join_for_integrity_cleanup(spark, sf_dir):
     """J10: orphan cleanup must plan a semi join (never materialize
-    dim columns onto the fact)."""
-    plan = physical_plan(QUERIES["q_semi_valid_fact"](spark, sf_dir))
+    dim columns onto the fact). Imported directly: q_semi_valid_fact
+    retired from the registry in round 8 (full oracle lives in
+    test_retired_parity.py); the plan shape stays locked here."""
+    from clinical_data_warehouse_bi_spark.queries.join_ops import (
+        q_semi_valid_fact,
+    )
+
+    plan = physical_plan(q_semi_valid_fact(spark, sf_dir))
     assert "LeftSemi" in plan
 
 

@@ -731,3 +731,84 @@ def test_streaming_preagg_from_file_stream(spark, tmp_path):
         for r in streaming.read_preagg(spark, syn).collect()
     }
     assert got == {1: (3, 2, 2), 2: (2, 2, 1)}
+
+
+def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
+    """Two event-time-ordered drains through the engine: the LAST
+    emitted row per user must equal funnel_steps' batch fold over the
+    full event set (the oracle-checked q_funnel_steps semantics),
+    including users who stall mid-funnel and out-of-order events
+    WITHIN a batch."""
+    from datetime import datetime
+
+    from clinical_data_warehouse_bi_spark.funnel import funnel_steps
+
+    schema = "user_id long, event_type string, ts timestamp"
+    t = lambda h, m=0: datetime(2024, 3, 1, h, m)  # noqa: E731
+    b1 = [
+        (1, "view", t(9)), (1, "click", t(10)),
+        (2, "click", t(9)),              # wrong order: stalls at 0
+        (3, "view", t(9, 30)), (3, "view", t(9)),  # in-batch disorder
+    ]
+    b2 = [
+        (1, "purchase", t(11)),
+        (2, "view", t(12)), (2, "click", t(13)),
+        (3, "click", t(9)),              # not strictly after step 1
+    ]
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "funnel_out")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    steps = ["view", "click", "purchase"]
+    q = (
+        streaming.streaming_funnel(stream, steps)
+        .writeStream.foreachBatch(
+            lambda b, bid: b.withColumn(
+                "bid", F.lit(int(bid))
+            ).write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import pandas as pd
+
+    emitted = pd.read_parquet(out).sort_values("bid")
+    # last (highest-batch) emission per user is the current state
+    last = {}
+    for _, r in emitted.iterrows():
+        last[r.user_id] = (
+            r.steps_completed, r.step_1_ts, r.step_2_ts, r.step_3_ts
+        )
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r.user_id: (r.steps_completed, r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel_steps(batch, steps).collect()
+    }
+    assert set(last) == set(want)
+    for u in want:
+        gs, g1, g2, g3 = last[u]
+        ws, w1, w2, w3 = want[u]
+        assert gs == ws, (u, last[u], want[u])
+        for g, w in ((g1, w1), (g2, w2), (g3, w3)):
+            if w is None:
+                assert pd.isna(g), (u, last[u], want[u])
+            else:
+                # sink parquet reads back tz-aware UTC; batch collect
+                # is naive UTC (the session tz)
+                assert pd.Timestamp(w, tz="UTC") == g, (u, last[u], want[u])
+    # the batch-dual degrade path: same call on a batch frame
+    dual = {
+        r.user_id: r.steps_completed
+        for r in streaming.streaming_funnel(batch, steps).collect()
+    }
+    assert dual == {u: v[0] for u, v in want.items()}
