@@ -466,6 +466,12 @@ def dedup_ingest_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # the corpus is also a compaction target (io.compact_parquet_dir
+    # bounds its micro-batch file count) — recover any interrupted
+    # rename-swap before trusting the directory's existence
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(corpus_path)
     if os.path.isdir(corpus_path):
         existing = spark.read.parquet(corpus_path).select("fingerprint")
         fresh = fresh.join(existing, "fingerprint", "left_anti")
@@ -526,8 +532,15 @@ def near_dup_ingest_batch(
     must be globally fresh (any real ingest assigns monotone ids)."""
     from clinical_data_warehouse_bi_spark import text as T
 
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
     spark = batch.sparkSession
     new_bands = T.lsh_index(batch, id_col, text_col).localCheckpoint()
+    # both sink directories are compaction targets
+    # (compact_pairs_distinct / compact_parquet_dir) — recover any
+    # interrupted rename-swap before reading or appending
+    recover_compacted_dir(index_path)
+    recover_compacted_dir(pairs_path)
     idx = spark.read.parquet(index_path) if os.path.isdir(index_path) else None
     # compose candidates from the materialized band relation (do NOT
     # re-derive signatures via incremental_near_dup_pairs — that
@@ -657,7 +670,12 @@ def preagg_apply_batch(
     partition-directory write. Synopsis size is bounded by touched
     keys per batch; compact_preagg rolls history into one base
     partition so the read side never scans unbounded batch counts."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
     spark = batch.sparkSession
+    # the synopsis is compact_preagg's rename-swap target — restore
+    # any interrupted publish before overwriting a partition in it
+    recover_compacted_dir(synopsis_path)
     contrib = (
         batch.groupBy(group_col, concept_col, source_col)
         .agg(F.count("*").alias("n"))
