@@ -73,3 +73,48 @@ def funnel_steps(
         for i in range(k)
     ]
     return out.select(*cols)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — the other canonical ordered-behavior
+    BI query next to the funnel (the reference's per-admission
+    pre-agg generalized across time): users are cohorted by the
+    month of their FIRST event; each later month they appear in
+    increments that cohort's retention at that month offset.
+    Returns (cohort month-start date, month_offset int,
+    n_active bigint).
+
+    Scale shape: one user-key shuffle computes each user's cohort
+    (partial min pushes map-side); the events join back to the
+    per-user cohort on the SAME user key (co-partitioned — AQE
+    reuses the exchange); the (cohort, offset, user) distinct +
+    count is a single-DISTINCT aggregation, never an Expand. The
+    matrix itself is tiny (cohorts x offsets)."""
+    cohorts = events.groupBy(user_col).agg(
+        F.date_trunc("month", F.min(ts_col)).alias("__cohort")
+    )
+    active = (
+        events.select(user_col, F.date_trunc("month", ts_col).alias("__m"))
+        .join(cohorts, user_col)
+        .select(
+            user_col,
+            "__cohort",
+            F.round(F.months_between("__m", "__cohort"))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("__cohort", "month_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .select(
+            F.to_date("__cohort").alias("cohort"),
+            "month_offset",
+            "n_active",
+        )
+    )

@@ -1,0 +1,89 @@
+"""Time-series regularization: per-key resampling onto a fixed grid
+with gap filling.
+
+The BI question the reference's calendar dimension exists to serve
+(Stage_area.sql builds date rows precisely so sparse facts can be
+reported on a dense axis): observed events are irregular, reports
+want one row per key per bucket, missing buckets filled by policy
+(NULL, zero, or forward-fill of the last observation).
+
+Scale shape: the per-key grid is generated MAP-SIDE from each key's
+own (min, max) span via sequence() — no calendar cross-join of every
+key against a global axis, which at 100 TB multiplies keys x global
+span instead of keys x own span. One key shuffle computes the spans,
+the observed aggregates reuse the same key partitioning, and the
+forward-fill is one window over (key, bucket) — the exchange is
+shared end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_fill(
+    obs: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    step: str = "1 day",
+    how: str = "ffill",
+) -> DataFrame:
+    """(key, bucket timestamp, n_obs bigint, value double): one row
+    per ``step`` bucket from each key's first to last observation.
+    ``value`` is the bucket's SUM of ``val_col``; empty buckets have
+    n_obs = 0 and value by ``how``: 'ffill' carries the last
+    observed bucket value forward, 'zero' fills 0.0, 'null' leaves
+    NULL. The grid is delimited per key (own min..max span), so a
+    short-lived key costs its own lifetime, not the corpus's."""
+    if how not in ("ffill", "zero", "null"):
+        raise ValueError(f"unknown fill policy: {how!r}")
+    bucket = F.date_trunc("day" if step == "1 day" else "hour", ts_col)
+    if step not in ("1 day", "1 hour"):
+        raise ValueError("step must be '1 day' or '1 hour'")
+    unit = "day" if step == "1 day" else "hour"
+    per_bucket = (
+        obs.select(
+            F.col(key_col).alias("__k"),
+            bucket.alias("__b"),
+            F.col(val_col).cast("double").alias("__v"),
+        )
+        .groupBy("__k", "__b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum("__v").alias("__obs_val"),
+        )
+    )
+    spans = per_bucket.groupBy("__k").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = spans.select(
+        "__k",
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval 1 {unit})")
+        ).alias("__b"),
+    )
+    dense = grid.join(per_bucket, ["__k", "__b"], "left").select(
+        "__k",
+        "__b",
+        F.coalesce("n_obs", F.lit(0).cast("bigint")).alias("n_obs"),
+        "__obs_val",
+    )
+    if how == "ffill":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = F.last("__obs_val", ignorenulls=True).over(w)
+    elif how == "zero":
+        filled = F.coalesce("__obs_val", F.lit(0.0))
+    else:
+        filled = F.col("__obs_val")
+    return dense.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias("bucket"),
+        "n_obs",
+        filled.alias("value"),
+    )

@@ -1130,3 +1130,94 @@ def test_quota_sample_matches_duckdb(spark, sf_dir, duck):
     by_group = Counter(src[d] for d in got)
     assert max(by_group.values()) <= 30
     assert set(by_group) == set(src.values())
+
+
+def test_cohort_retention_matches_duckdb(spark, sf_dir, duck):
+    """funnel.cohort_retention vs the same cohort construction in
+    DuckDB over the real events table: identical retention matrix."""
+    from clinical_data_warehouse_bi_spark.funnel import cohort_retention
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    got = {
+        (str(r.cohort), r.month_offset): r.n_active
+        for r in cohort_retention(ev).collect()
+    }
+    want = {
+        (str(c), int(o)): n
+        for c, o, n in duck.execute("""
+            WITH c AS (SELECT user_id,
+                              date_trunc('month', min(ts)) AS cohort
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT e.user_id, c.cohort,
+                         datediff('month', c.cohort,
+                                  date_trunc('month', e.ts)) AS off
+                  FROM events e JOIN c USING (user_id))
+            SELECT CAST(cohort AS DATE), off, count(*)
+            FROM a GROUP BY 1, 2
+        """).fetchall()
+    }
+    assert got == want and len(got) > 0
+    # offset-0 row exists for every cohort (a user is active in their
+    # own first month by construction)
+    assert all((c, 0) in got for c, o in got if o == 0)
+
+
+def test_resample_fill_matches_duckdb(spark, sf_dir, duck):
+    """timeseries.resample_fill vs DuckDB generate_series + window
+    forward-fill on real per-user daily event values: dense grid,
+    exact bucket sums, ffill semantics, and the zero/null policies."""
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.timeseries import resample_fill
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    got = {
+        (r.user_id, str(r.bucket)): (r.n_obs, r.value)
+        for r in resample_fill(ev).collect()
+    }
+    want = {}
+    for u, b, n, v in duck.execute("""
+        WITH ob AS (
+          SELECT user_id, date_trunc('day', ts) AS b,
+                 count(*) AS n, sum(value) AS v
+          FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+                  FROM ob GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(lo, hi,
+                        INTERVAL 1 DAY)) AS b FROM spans),
+        dense AS (
+          SELECT g.user_id, g.b, coalesce(ob.n, 0) AS n, ob.v
+          FROM grid g LEFT JOIN ob
+            ON ob.user_id = g.user_id AND ob.b = g.b)
+        SELECT user_id, b, n,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS v
+        FROM dense
+    """).fetchall():
+        want[(u, str(b))] = (n, v)
+    assert set(got) == set(want)
+    for k in want:
+        gn, gv = got[k]
+        wn, wv = want[k]
+        assert gn == wn, (k, got[k], want[k])
+        assert (gv is None) == (wv is None), (k, got[k], want[k])
+        if wv is not None:
+            assert abs(gv - wv) < 1e-9, (k, got[k], want[k])
+    # the grid really is dense and the policies differ where expected
+    import collections
+
+    per_user = collections.Counter(u for u, _ in got)
+    assert max(per_user.values()) > 1
+    zero = {
+        (r.user_id, str(r.bucket)): r.value
+        for r in resample_fill(ev, how="zero").collect()
+    }
+    nul = {
+        (r.user_id, str(r.bucket)): r.value
+        for r in resample_fill(ev, how="null").collect()
+    }
+    gaps = [k for k in got if got[k][0] == 0]
+    assert gaps, "fixture produced no gap buckets"
+    for k in gaps:
+        assert zero[k] == 0.0 and nul[k] is None
