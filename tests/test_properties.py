@@ -1221,3 +1221,101 @@ def test_resample_fill_matches_duckdb(spark, sf_dir, duck):
     assert gaps, "fixture produced no gap buckets"
     for k in gaps:
         assert zero[k] == 0.0 and nul[k] is None
+
+
+@settings(**SETTINGS)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 12),         # day offset
+            st.integers(-5, 5),         # value
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    how=st.sampled_from(["ffill", "zero", "null"]),
+)
+def test_resample_fill_matches_python_model(spark, obs, how):
+    """resample_fill vs a direct Python model on random sparse
+    series: dense per-key grid over the key's own span, bucket sums,
+    and all three gap policies — including duplicate observations in
+    one bucket and single-observation keys."""
+    from datetime import datetime, timedelta
+
+    from clinical_data_warehouse_bi_spark.timeseries import resample_fill
+
+    base = datetime(2024, 5, 1)
+    rows = [
+        (k, base + timedelta(days=d, hours=(v % 3)), float(v))
+        for k, d, v in obs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.bucket.date()): (r.n_obs, r.value)
+        for r in resample_fill(df, how=how).collect()
+    }
+
+    want = {}
+    by_key: dict[int, dict] = {}
+    for k, ts, v in rows:
+        by_key.setdefault(k, {}).setdefault(ts.date(), []).append(v)
+    for k, buckets in by_key.items():
+        lo, hi = min(buckets), max(buckets)
+        last = None
+        d = lo
+        while d <= hi:
+            vs = buckets.get(d)
+            if vs is not None:
+                last = sum(vs)
+                want[(k, d)] = (len(vs), last)
+            else:
+                fill = {"ffill": last, "zero": 0.0, "null": None}[how]
+                want[(k, d)] = (0, fill)
+            d += timedelta(days=1)
+    assert set(got) == set(want)
+    for key in want:
+        gn, gv = got[key]
+        wn, wv = want[key]
+        assert gn == wn, (key, got[key], want[key])
+        if wv is None:
+            assert gv is None, (key, got[key], want[key])
+        else:
+            assert gv is not None and abs(gv - wv) < 1e-9, (
+                key, got[key], want[key],
+            )
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 3)),  # (id, group)
+        min_size=0,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(1, 5),
+)
+def test_quota_sample_idempotent_and_capped(spark, docs, n):
+    """quota_sample is deterministic, idempotent (re-capping the
+    capped output changes nothing), and never exceeds n per group or
+    drops a group entirely."""
+    from collections import Counter
+
+    from clinical_data_warehouse_bi_spark import text as T
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}") for i, g in docs] or [], "doc_id long, source string"
+    )
+    once = T.quota_sample(df, "source", n)
+    ids1 = sorted(r.doc_id for r in once.collect())
+    ids2 = sorted(r.doc_id for r in T.quota_sample(df, "source", n).collect())
+    assert ids1 == ids2  # deterministic
+    twice = sorted(
+        r.doc_id for r in T.quota_sample(once, "source", n).collect()
+    )
+    assert twice == ids1  # idempotent
+    by_g = Counter(g for i, g in docs if i in set(ids1))
+    groups = {g for _, g in docs}
+    assert all(v <= n for v in by_g.values())
+    assert {g for g in by_g} == groups or not docs
