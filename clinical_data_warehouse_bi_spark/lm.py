@@ -107,10 +107,13 @@ def perplexity(
         # the model is vocabulary-sized — cache it so the context
         # totals and the scoring broadcast reuse ONE bigram count
         # shuffle instead of re-deriving the corpus-wide stream per
-        # consumer (measured at sf0.1; the cached relation is the
-        # trained LM — the io.read_table memoization rationale). An
-        # externally supplied model is the caller's to persist.
+        # consumer, and so the scalar V fetch below stops re-running
+        # the corpus vocabulary job on every invocation (measured at
+        # sf0.1; the cached relations ARE the trained LM — the
+        # io.read_table memoization rationale). An externally
+        # supplied model is the caller's to persist.
         bc = bc.cache()
+        v = v.cache()
     # V is a scalar: fetch it driver-side once and fold it into the
     # smoothing literal (the q_scalar_lookup_default pattern) rather
     # than paying a broadcast crossJoin for one number
