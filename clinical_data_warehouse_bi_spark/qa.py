@@ -153,3 +153,33 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return counts.join(mm_df, "column").select(
         "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format Pearson correlation over numeric columns — the
+    profiler's (qa.profile_table) second-order companion for load
+    validation (a broken feed often shows up as a correlation flip
+    before any single-column bound moves). Returns (col_a, col_b,
+    corr double, rounded to 6) for every unordered pair a < b.
+
+    ONE aggregation job computes all k*(k-1)/2 coefficients as
+    parallel corr() expressions — map-side partial moments, a
+    single-row reduce, no Expand, no per-pair pass over the data;
+    the k^2 cell count is a driver-side constant, never a row
+    multiplier."""
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    if not pairs:
+        raise ValueError("correlation_matrix needs at least two columns")
+    row = df.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    ).first()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(a, b, row[f"c_{i}"]) for i, (a, b) in enumerate(pairs)],
+        "col_a string, col_b string, corr double",
+    )

@@ -1319,3 +1319,28 @@ def test_quota_sample_idempotent_and_capped(spark, docs, n):
     groups = {g for _, g in docs}
     assert all(v <= n for v in by_g.values())
     assert {g for g in by_g} == groups or not docs
+
+
+def test_correlation_matrix_matches_duckdb(spark, sf_dir, duck):
+    """qa.correlation_matrix vs DuckDB corr() on lineitem numerics:
+    every unordered pair, rounded coefficients equal."""
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.qa import correlation_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read_table(spark, sf_dir, "lineitem")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(li, cols).collect()
+    }
+    assert len(got) == 6
+    for (a, b), g in got.items():
+        w = duck.execute(
+            f"SELECT round(corr({a}, {b}), 6) FROM lineitem"
+        ).fetchone()[0]
+        assert g is not None and abs(g - w) < 2e-6, (a, b, g, w)
+    # the driver's synthetic columns are mutually independent draws,
+    # so every coefficient is near zero — which is itself the
+    # regression signal a broken feed (duplicated column, join
+    # fan-out) would flip
+    assert all(abs(v) < 0.2 for v in got.values())
