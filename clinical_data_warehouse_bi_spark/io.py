@@ -386,9 +386,11 @@ def recover_compacted_dir(path: str) -> None:
     tmp = f"{path}.tmp-compact"
     old = f"{path}.old-compact"
     if not os.path.isdir(path):
-        if os.path.isdir(old) and os.path.exists(
-            os.path.join(old, "_SUCCESS")
-        ):
+        # the old sibling is created ONLY by an atomic rename of the
+        # live directory, so its existence alone proves completeness
+        # (no _SUCCESS requirement: dynamic-partition-overwrite sinks
+        # like the pre-agg synopsis write no top-level marker)
+        if os.path.isdir(old):
             os.rename(old, path)
         elif os.path.isdir(tmp) and os.path.exists(
             os.path.join(tmp, "_SUCCESS")

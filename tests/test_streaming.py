@@ -812,3 +812,44 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
         for r in streaming.streaming_funnel(batch, steps).collect()
     }
     assert dual == {u: v[0] for u, v in want.items()}
+
+
+def test_preagg_synopsis_recovers_mid_compaction_crash(spark, tmp_path):
+    """A crash between compact_preagg's publish renames leaves no
+    directory at the synopsis path; the next batch apply and the
+    next read must both restore it and proceed (recover-before-
+    access discipline)."""
+    import os
+
+    schema = (
+        "admission_id long, clinical_concept_id long,"
+        " event_source_type string"
+    )
+    syn = str(tmp_path / "synopsis")
+    streaming.preagg_apply_batch(
+        spark.createDataFrame([(1, 10, "Lab"), (2, 20, "Rx")], schema), syn, 0
+    )
+    streaming.preagg_apply_batch(
+        spark.createDataFrame([(1, 11, "Rx")], schema), syn, 1
+    )
+    want = {
+        r.admission_id: (r.total_events, r.unique_concepts, r.different_sources)
+        for r in streaming.read_preagg(spark, syn).collect()
+    }
+    # crash between the renames: path gone, complete old present
+    os.rename(syn, f"{syn}.old-compact")
+    got = {
+        r.admission_id: (r.total_events, r.unique_concepts, r.different_sources)
+        for r in streaming.read_preagg(spark, syn).collect()
+    }
+    assert got == want
+    # same crash again, then a new batch lands through recovery
+    os.rename(syn, f"{syn}.old-compact")
+    streaming.preagg_apply_batch(
+        spark.createDataFrame([(3, 30, "Lab")], schema), syn, 2
+    )
+    got2 = {
+        r.admission_id: r.total_events
+        for r in streaming.read_preagg(spark, syn).collect()
+    }
+    assert got2 == {1: 2, 2: 1, 3: 1}
