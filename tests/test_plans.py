@@ -417,3 +417,19 @@ def test_quota_sample_uses_window_group_limit(spark, sf_dir):
     # partial mode runs before the exchange
     pre_exchange = plan.split("Exchange hashpartitioning")[1]
     assert "WindowGroupLimit" in pre_exchange, plan[:1500]
+
+
+def test_paragraph_dedup_text_never_shuffles(spark, sf_dir):
+    """q_paragraph_dedup shares q_chunk_dedup's scale contract: unit
+    text reduces to (id, pos, h1, h2) before any KEYED exchange —
+    no hash/range exchange may carry the text or the split-unit
+    array (RoundRobin fan_out exempt, as in the chunk test)."""
+    blocks = [
+        b
+        for b in _exchange_blocks(QUERIES["q_paragraph_dedup"](spark, sf_dir))
+        if "RoundRobinPartitioning" not in b
+    ]
+    assert blocks, "expected at least one keyed exchange (keep-first window)"
+    for b in blocks:
+        assert "text#" not in b, b
+        assert " u#" not in b and "[u#" not in b, b
