@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "q_qa_rowcount_report",
     "q_lm_perplexity",
     "q_sessionize",
-    "q_window_tumbling",
+    "q_resample_fill",
     "q_funnel_steps",
     "q_pack_sequences",
     "q_dedup_clusters",
@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "q_bpe_encode",
     "q_quality_score",
     "q_corpus_clean",
-    "q_stratified_sample",
+    "q_quota_sample",
     "q_scd2_dim",
     "q_scd2_asof",
     "q_cosine_topk",
@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "q_ann_ivf_pq",
     "q_repetition_filter",
     "q_contamination",
-    "q_embed_quantize",
+    "q_cohort_retention",
     "q_embed_near_dup",
     "q_multimodal_features",
     "q_frame_sample",

@@ -590,11 +590,13 @@ _SQL_RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 
-@register("q_stratified_sample", oracle=f"""
+SQL_STRATIFIED_SAMPLE = f"""
     SELECT event_id, event_type
     FROM events
     WHERE {_SQL_NIBBLE_HASH} < {_SQL_RATE_CASE}
-    """)
+    """
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — the training-mix shaping
     op: keep each row iff uniform_hash(id) < rate(stratum), with
@@ -604,7 +606,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike rand() or TABLESAMPLE, the sample is STABLE, so downstream
     incremental jobs see a consistent subset). Pure per-row filter:
     no shuffle, scales linearly, and the predicate pushes to the
-    scan."""
+    scan.
+
+    Round-8 registry retirement (cap is 50; the slot went to
+    q_quota_sample — the sampling family's richer registered form,
+    per-group capping with the same deterministic-md5-priority
+    discipline): hash-checked for six straight rounds on a frozen
+    implementation; the batch==stream set-equality test
+    (tests/test_streaming.py) keeps the filter value-checked on real
+    events, and the full oracle comparison stays live in
+    tests/test_retired_parity.py against SQL_STRATIFIED_SAMPLE."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     u = F.expr(
         "cast(conv(substr(md5(cast(event_id as string)), 1, 7), 16, 10) as bigint)"

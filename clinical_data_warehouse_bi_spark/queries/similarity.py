@@ -442,7 +442,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_embed_quantize", oracle="""
+SQL_EMBED_QUANTIZE = """
     WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     s AS (SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) AS m
@@ -454,7 +454,9 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 127.0 / m ELSE 0.0 END) + 0.5) AS INT) AS VARCHAR)),
              'string_agg', '|') AS q
     FROM s
-    """)
+    """
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage/transport
     op a training pipeline applies to embedding shards (4x smaller,
@@ -462,8 +464,16 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x * scale + 0.5) (explicit half-up: floor is IEEE-exact and
     engine-portable, unlike round()'s tie-breaking, which differs
     between engines). Pure per-row expression work — no shuffle, no
-    Python; the quantized array is '|'-serialized in the registered
-    output because the driver's canonicalizer cannot hash lists."""
+    Python; the quantized array is '|'-serialized in the compared
+    output because the canonicalizers cannot hash lists.
+
+    Round-8 registry retirement (cap is 50; the slot went to
+    q_cohort_retention): hash-checked for five straight rounds on a
+    frozen implementation. Witness: quantization's registered
+    representative is the richer PQ tier (q_ann_ivf_pq: per-subspace
+    codebooks, packed m-byte codes, ADC scoring); int8 scalar
+    quantization keeps its full oracle comparison live in
+    tests/test_retired_parity.py against SQL_EMBED_QUANTIZE."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     e = F.expr("transform(embedding, x -> cast(x as double))")
     s = emb.select("vec_id", e.alias("e")).withColumn(

@@ -446,3 +446,41 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
         F.array_join("bpe_tokens", " ").alias("bpe_text"),
     )
+
+
+#: per-source document cap for the registered quota demo (the corpus
+#: has a handful of sources; 30 caps every one of them)
+QUOTA_PER_SOURCE = 30
+
+
+@register("q_quota_sample", oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= {QUOTA_PER_SOURCE}
+    """)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (text.quota_sample) — the C4/RefinedWeb
+    domain-capping step: keep at most {QUOTA_PER_SOURCE} documents
+    per source, selected by a deterministic md5-of-id priority (the
+    q_corpus_clean fingerprint convention: uniform,
+    content-independent, and reproduced bit-for-bit by the DuckDB
+    oracle's identical window).
+
+    Scale shape: ONE shuffle on the source key, and the rank<=n
+    predicate compiles to WindowGroupLimit so every map task
+    pre-prunes to n rows per source BEFORE the exchange — a hot
+    domain ships n rows per upstream partition, not its row set
+    (plan-locked in tests/test_plans.py). Registered per the
+    round-8 plan to put the library sampling additions under the
+    driver's hash gate; idempotence and cap properties are
+    hypothesis-tested."""
+    from clinical_data_warehouse_bi_spark.text import quota_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return quota_sample(docs, "source", QUOTA_PER_SOURCE).select(
+        "doc_id", "source"
+    )

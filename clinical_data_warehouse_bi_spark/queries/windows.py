@@ -13,7 +13,7 @@ from clinical_data_warehouse_bi_spark.io import load_tables
 from clinical_data_warehouse_bi_spark.registry import register
 
 
-@register("q_window_tumbling", oracle="""
+SQL_WINDOW_TUMBLING = """
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
@@ -21,12 +21,22 @@ from clinical_data_warehouse_bi_spark.registry import register
              AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
-    """)
+    """
+
+
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch dual of
     streaming.windowed_counts — identical groupBy(window(...))).
     Epoch-aligned tumbling window == date_trunc('hour'). Exact
-    decimal sum -> string -> double for cross-engine bit equality."""
+    decimal sum -> string -> double for cross-engine bit equality.
+
+    Round-8 registry retirement (cap is 50; the slot went to
+    q_resample_fill — the window family's densified form): the
+    identical groupBy(window(...)) stays VALUE-checked against batch
+    ground truth by tests/test_streaming.py::
+    test_windowed_counts_matches_batch on the real events table, and
+    the full oracle comparison stays live in
+    tests/test_retired_parity.py against SQL_WINDOW_TUMBLING."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -355,3 +365,78 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return funnel_steps(ev, FUNNEL_STEPS)
+
+
+@register("q_cohort_retention", oracle="""
+    WITH c AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, c.cohort,
+                 datediff('day', c.cohort,
+                          date_trunc('day', e.ts)) AS month_offset
+          FROM events e JOIN c USING (user_id))
+    SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort,
+           CAST(month_offset AS INTEGER) AS month_offset,
+           count(*) AS n_active
+    FROM a GROUP BY 1, 2
+    """)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (funnel.cohort_retention) — the other
+    canonical ordered-behavior BI rollup next to the funnel: users
+    cohorted by first-event period, actives counted per (cohort,
+    offset). DAY granularity registered: the fixture events span ~a
+    month, so the month matrix is a single cell while days exercise
+    a real cohorts x offsets surface (the month form keeps its own
+    DuckDB parity test in tests/test_properties.py). One user-key
+    shuffle (the cohort min reuses it for the join), one
+    single-DISTINCT aggregation, never an Expand.
+
+    Cohort rendered as a plain date STRING: a DATE column reaches
+    the comparator as '2024-01-01' from Spark but as a pandas
+    midnight timestamp from DuckDB's .df()."""
+    from clinical_data_warehouse_bi_spark.funnel import cohort_retention
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return cohort_retention(ev, period="day").select(
+        F.to_date("cohort").cast("string").alias("cohort"),
+        "month_offset",
+        "n_active",
+    )
+
+
+@register("q_resample_fill", oracle="""
+    WITH ob AS (
+      SELECT user_id, date_trunc('day', ts) AS b,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+              FROM ob GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
+             FROM spans),
+    dense AS (
+      SELECT g.user_id, g.b, coalesce(ob.n, 0) AS n, ob.v
+      FROM grid g LEFT JOIN ob ON ob.user_id = g.user_id AND ob.b = g.b)
+    SELECT user_id, b AS bucket, CAST(n AS BIGINT) AS n_obs,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY b
+             ROWS UNBOUNDED PRECEDING) AS value
+    FROM dense
+    """)
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key time-series regularization (timeseries.resample_fill):
+    one row per user per day from each user's first to last event,
+    observed buckets summed exactly (decimal -> string -> double, the
+    cross-engine convention), gaps forward-filled — the dense axis
+    the reference's calendar dimension exists to provide, built
+    per-key instead of via a global calendar cross join.
+
+    Scale shape: the grid generates MAP-SIDE from each key's own
+    (min, max) span via sequence() — keys x own-span rows, never
+    keys x global-span; one key shuffle shared by the spans, the
+    bucket aggregates, and the forward-fill window."""
+    from clinical_data_warehouse_bi_spark.timeseries import resample_fill
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return resample_fill(ev, exact=True)

@@ -65,7 +65,6 @@ _CHECK_ORDER = [
     # tests/test_properties.py::test_raw_md5_dedup_matches_duckdb.)
     "q_multimodal_features",
     "q_stream_dedup_dual",
-    "q_window_tumbling",
     "q_sessionize",
     "q_frame_sample",
     # round-3 additions
@@ -110,13 +109,25 @@ _CHECK_ORDER = [
     # tests/test_plans.py; full oracle comparison lives in
     # tests/test_retired_parity.py)
     "q_lm_perplexity",
+    # round-8 additions, part 4 (slots freed by retiring
+    # q_stratified_sample — witness: q_quota_sample carries the
+    # registered sampling family with the same md5-priority
+    # discipline, plus the batch==stream set-equality pytest —
+    # q_window_tumbling — witness: the identical groupBy(window)
+    # stays value-checked vs batch ground truth in
+    # tests/test_streaming.py — and q_embed_quantize — witness:
+    # q_ann_ivf_pq is quantization's richer registered tier; all
+    # three keep full oracle comparisons in
+    # tests/test_retired_parity.py)
+    "q_quota_sample",
+    "q_cohort_retention",
+    "q_resample_fill",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
     "q_percentiles",
     "q_approx_stats",
     "q_rollup",
-    "q_stratified_sample",
     "q_json_extract",
     "q_multi_source_union",
     "q_minhash_lsh_pairs",
@@ -126,7 +137,6 @@ _CHECK_ORDER = [
     "q_quality_score",
     "q_token_budget",
     "q_cosine_topk",
-    "q_embed_quantize",
     "q_embed_near_dup",
     "q_join_lookup_cast",
     "q_join_normalized",

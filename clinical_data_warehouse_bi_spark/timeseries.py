@@ -29,6 +29,7 @@ def resample_fill(
     val_col: str = "value",
     step: str = "1 day",
     how: str = "ffill",
+    exact: bool = False,
 ) -> DataFrame:
     """(key, bucket timestamp, n_obs bigint, value double): one row
     per ``step`` bucket from each key's first to last observation.
@@ -36,23 +37,42 @@ def resample_fill(
     n_obs = 0 and value by ``how``: 'ffill' carries the last
     observed bucket value forward, 'zero' fills 0.0, 'null' leaves
     NULL. The grid is delimited per key (own min..max span), so a
-    short-lived key costs its own lifetime, not the corpus's."""
+    short-lived key costs its own lifetime, not the corpus's.
+
+    ``exact=True`` sums in decimal(18,6) and converts via string —
+    bit-identical under any partitioning and engine (the cross-engine
+    hash-gate convention); default double sums are faster and fine
+    for reporting."""
     if how not in ("ffill", "zero", "null"):
         raise ValueError(f"unknown fill policy: {how!r}")
     bucket = F.date_trunc("day" if step == "1 day" else "hour", ts_col)
     if step not in ("1 day", "1 hour"):
         raise ValueError("step must be '1 day' or '1 hour'")
     unit = "day" if step == "1 day" else "hour"
+    if exact:
+        vexpr = F.col(val_col).cast("decimal(18,6)")
+    else:
+        vexpr = F.col(val_col).cast("double")
     per_bucket = (
         obs.select(
             F.col(key_col).alias("__k"),
             bucket.alias("__b"),
-            F.col(val_col).cast("double").alias("__v"),
+            vexpr.alias("__v"),
         )
         .groupBy("__k", "__b")
         .agg(
             F.count("*").cast("bigint").alias("n_obs"),
-            F.sum("__v").alias("__obs_val"),
+            F.sum("__v").alias("__raw_sum"),
+        )
+        .select(
+            "__k",
+            "__b",
+            "n_obs",
+            (
+                F.col("__raw_sum").cast("string").cast("double")
+                if exact
+                else F.col("__raw_sum")
+            ).alias("__obs_val"),
         )
     )
     spans = per_bucket.groupBy("__k").agg(

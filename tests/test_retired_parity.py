@@ -15,9 +15,11 @@ import pytest
 from clinical_data_warehouse_bi_spark.queries.core import (
     SQL_DUP_PROBE,
     SQL_KEYWORD_FILTER,
+    SQL_STRATIFIED_SAMPLE,
     SQL_SURROGATE_KEY,
     q_dup_probe,
     q_keyword_filter,
+    q_stratified_sample,
     q_surrogate_key,
 )
 from clinical_data_warehouse_bi_spark.queries.dedup import (
@@ -32,7 +34,13 @@ from clinical_data_warehouse_bi_spark.queries.join_ops import (
 )
 from clinical_data_warehouse_bi_spark.queries.similarity import (
     SQL_ANN_IVF_NPROBE,
+    SQL_EMBED_QUANTIZE,
     q_ann_ivf_nprobe,
+    q_embed_quantize,
+)
+from clinical_data_warehouse_bi_spark.queries.windows import (
+    SQL_WINDOW_TUMBLING,
+    q_window_tumbling,
 )
 from clinical_data_warehouse_bi_spark.queries.text_ops import (
     SQL_LANG_ID,
@@ -46,6 +54,9 @@ RETIRED = {
     "q_insert_if_absent": (q_insert_if_absent, SQL_INSERT_IF_ABSENT),
     "q_semi_valid_fact": (q_semi_valid_fact, SQL_SEMI_VALID_FACT),
     "q_dup_probe": (q_dup_probe, SQL_DUP_PROBE),
+    "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "q_window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
+    "q_embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "q_surrogate_key": (q_surrogate_key, SQL_SURROGATE_KEY),
     "q_keyword_filter": (q_keyword_filter, SQL_KEYWORD_FILTER),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
