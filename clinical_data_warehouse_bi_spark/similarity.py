@@ -903,3 +903,163 @@ def pca_project(
     return vectors.select(id_col, vec_col).mapInPandas(
         op, f"{id_col} long, {out_col} array<double>"
     )
+
+
+#: metadata filename inside a persisted IVF-PQ index directory
+INDEX_META = "_index_meta.json"
+
+
+def build_ivf_pq_index(
+    vectors: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    seed: int = 7,
+) -> dict:
+    """Persist a servable IVF-PQ index: train the coarse quantizer
+    and PQ codebooks (bounded driver-side fits, the FAISS recipe),
+    assign + encode every vector distributed (broadcast-GEMM, no
+    shuffle), and write the postings as parquet PARTITIONED BY
+    BUCKET with the m-byte packed codes. The partition layout IS the
+    index's access path: a search touches nprobe/n_clusters of the
+    files via partition pruning, never the whole postings set —
+    the on-disk analogue of the in-memory probe restriction, and the
+    missing operational half of q_ann_ivf_pq (a production index is
+    built once and served from storage by later sessions, not
+    refit per process).
+
+    Metadata (centroids + codebooks, a few KB) lands as JSON inside
+    the directory, written AFTER the postings commit so a complete
+    meta file implies complete postings. Returns the metadata dict."""
+    import json
+    import os
+
+    centroids = sampled_kmeans_centroids(vectors, n_clusters, seed=seed)
+    codebooks = train_pq_codebooks(vectors, m=m, seed=seed)
+    assign = centroid_rank(
+        vectors, centroids, max_rank=1, metric="euclidean"
+    ).select("vec_id", F.col("cid").alias("bucket"))
+    codes = pq_pack_codes(pq_encode(vectors, codebooks))
+    postings = codes.join(assign, "vec_id").select("vec_id", "codes", "bucket")
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = {
+        "centroids": [[int(c), [float(x) for x in v]] for c, v in centroids],
+        "codebooks": codebooks,
+        "m": m,
+        "n_clusters": n_clusters,
+    }
+    with open(os.path.join(path, INDEX_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_ivf_pq_index(path: str) -> dict:
+    """Read a persisted index's metadata (the complete-iff-present
+    commit marker build_ivf_pq_index documents)."""
+    import json
+    import os
+
+    with open(os.path.join(path, INDEX_META)) as f:
+        meta = json.load(f)
+    meta["centroids"] = [(int(c), list(v)) for c, v in meta["centroids"]]
+    return meta
+
+
+def search_ivf_pq_index(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    n_queries: int,
+    nprobe: int,
+    shortlist: int = 50,
+    topk: int = 5,
+) -> DataFrame:
+    """Serve ANN queries FROM the persisted index: probe selection is
+    driver-side numpy against the loaded centroids (queries are
+    bounded); the postings scan filters to the probed buckets, which
+    Catalyst turns into PARTITION PRUNING on the bucket= directories
+    (plan-tested) — the scan reads ~nprobe/n_clusters of the index
+    regardless of corpus size; ADC LUT-sums score the packed codes
+    per Arrow batch; only the per-query shortlist pays exact cosine
+    against the float vector table (semi-joined by id). No training,
+    no full-index pass, no shuffle of anything corpus-sized."""
+    meta = load_ivf_pq_index(path)
+    cents = meta["centroids"]
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    mats = [np.array(b, dtype=np.float64) for b in meta["codebooks"]]
+    m = len(mats)
+    dsub = mats[0].shape[1]
+
+    qrows = (
+        vectors.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted((r["vec_id"], list(r["embedding"])) for r in qrows)
+    luts, probe_rows = {}, []
+    for qid, qv in queries:
+        qarr = np.asarray(qv, dtype=np.float64)
+        d2 = np.sum((cmat - qarr[None, :]) ** 2, axis=1)
+        order = np.argsort(d2, kind="stable")[:nprobe]
+        probe_rows += [(int(qid), int(cids[i])) for i in order]
+        luts[qid] = np.stack(
+            [
+                np.sum(
+                    (mats[s] - qarr[s * dsub : (s + 1) * dsub][None, :]) ** 2,
+                    axis=1,
+                )
+                for s in range(m)
+            ]
+        )
+
+    buckets = sorted({b for _, b in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "qid long, bucket int")
+    postings = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    cand = (
+        postings.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), "codes")
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = pdf["qid"].to_numpy(dtype=np.int64)
+            nids = pdf["nid"].to_numpy(dtype=np.int64)
+            cm = np.array(
+                [list(bytes(b)) for b in pdf["codes"]], dtype=np.int64
+            )
+            dist = np.empty(len(qids), dtype=np.float64)
+            for qid in np.unique(qids):
+                rows = qids == qid
+                dist[rows] = luts[qid][sub_idx[None, :], cm[rows]].sum(axis=1)
+            yield pd.DataFrame({"qid": qids, "nid": nids, "adist": dist})
+
+    scored = cand.mapInPandas(adc, "qid long, nid long, adist double")
+    ws = Window.partitionBy("qid").orderBy(
+        F.round(F.col("adist"), 6).asc(), F.col("nid").asc()
+    )
+    short = (
+        scored.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= shortlist)
+        .drop("__rn", "adist")
+    )
+    qvecs = vectors.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = short.join(qvecs, "qid").join(
+        vectors.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("e")),
+        "nid",
+    )
+    p = pairwise_cosine(pairs, ("qid", "nid"), ("qe", "e"))
+    wf = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("nid").asc()
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
+    )

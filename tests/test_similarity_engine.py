@@ -482,3 +482,59 @@ def test_pca_composed_ivf_keeps_recall(spark):
     # cluster (ids interleave mod k)
     same = sum(1 for q, n in hits if q % 5 == n % 5)
     assert same / len(hits) >= 0.95, same / len(hits)
+
+
+def test_persisted_ivf_pq_index_serves_searches(spark, tmp_path):
+    """Build the IVF-PQ index to disk once, then serve searches from
+    the persisted postings: results match the in-memory composed
+    pipeline, the postings scan partition-prunes to the probed
+    buckets (the on-disk probe restriction), and recall against
+    brute force holds on planted clusters."""
+    rng = np.random.RandomState(23)
+    k, dims, per = 5, 16, 80
+    centers = rng.normal(0, 10.0, size=(k, dims))
+    rows = []
+    for i in range(k * per):
+        v = centers[i % k] + rng.normal(0, 1.0, size=dims)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "ivfpq_index")
+    meta = similarity.build_ivf_pq_index(
+        emb, path, n_clusters=k, m=4, seed=7
+    )
+    assert len(meta["centroids"]) == k
+
+    n_queries, nprobe = 8, 2
+    got = similarity.search_ivf_pq_index(
+        spark, path, emb, n_queries=n_queries, nprobe=nprobe, topk=5
+    )
+    # partition pruning reaches the postings scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    hits = [(r.qid, r.nid) for r in got.collect()]
+    assert len(hits) == n_queries * 5
+
+    # parity with the in-memory composed pipeline (same quantizers:
+    # both train via the same seeded bounded fits)
+    mem = {
+        (r.qid, r.nid)
+        for r in similarity.ivf_pq_search(
+            emb,
+            similarity.sampled_kmeans_centroids(emb, n_clusters=k, seed=7),
+            similarity.train_pq_codebooks(emb, m=4, seed=7),
+            n_queries=n_queries,
+            nprobe=nprobe,
+            topk=5,
+        ).collect()
+    }
+    assert set(hits) == mem
+
+    # recall vs brute force on the planted clusters
+    queries = [r for r in rows if r[0] < n_queries]
+    truth = {
+        (r.qid, r.nid)
+        for r in similarity.cosine_topk_numpy(emb, queries, k=5).collect()
+    }
+    recall = len(set(hits) & truth) / len(truth)
+    assert recall >= 0.8, recall
