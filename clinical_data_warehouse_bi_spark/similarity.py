@@ -1063,3 +1063,33 @@ def search_ivf_pq_index(
         .filter(F.col("rank") <= topk)
         .select("qid", "nid", "rank", F.round("cos", 4).alias("cosine"))
     )
+
+
+def append_to_ivf_pq_index(spark, path: str, new_vectors: DataFrame) -> int:
+    """Incremental ingest for the persisted IVF-PQ index: assign and
+    encode ONLY the new batch against the index's frozen quantizers
+    (the FAISS operational model — centroids/codebooks retrain on a
+    cadence, not per batch), anti-join away vec_ids the postings
+    already contain (column-pruned id scan, the dedup_ingest
+    discipline — replaying a crashed append is a no-op), and append
+    into the bucket partitions. Work is batch-proportional: the
+    existing postings are only ever read as a one-column id relation.
+
+    Returns the number of postings appended. Same single-writer
+    scope as every file sink here; quantizer drift (a batch far from
+    the trained distribution) is the signal to rebuild — monitor
+    with centroid_rank distances."""
+    meta = load_ivf_pq_index(path)
+    assign = centroid_rank(
+        new_vectors, meta["centroids"], max_rank=1, metric="euclidean"
+    ).select("vec_id", F.col("cid").alias("bucket"))
+    codes = pq_pack_codes(pq_encode(new_vectors, meta["codebooks"]))
+    postings = codes.join(assign, "vec_id").select(
+        "vec_id", "codes", "bucket"
+    )
+    existing = spark.read.parquet(path).select("vec_id")
+    fresh = postings.join(existing, "vec_id", "left_anti").localCheckpoint()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("bucket").parquet(path)
+    return n

