@@ -1093,3 +1093,59 @@ def append_to_ivf_pq_index(spark, path: str, new_vectors: DataFrame) -> int:
     if n:
         fresh.write.mode("append").partitionBy("bucket").parquet(path)
     return n
+
+
+def compact_ivf_pq_index(spark, path: str) -> dict:
+    """Maintenance rewrite for an appended index: incremental ingest
+    leaves >=1 file per batch per touched bucket; this rewrites the
+    postings to ~one file per bucket (hash repartition on the
+    partition column — each bucket's rows land in one task) with the
+    shared crash-safe rename-swap (io.recover_compacted_dir sibling
+    names), carrying the metadata JSON into the replacement BEFORE
+    the swap so the commit-marker invariant (meta present => postings
+    complete) holds at every crash point.
+
+    Returns {"rows": n, "files_before": a, "files_after": b}."""
+    import glob
+    import os
+    import shutil
+
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(path)
+    meta = load_ivf_pq_index(path)
+    files = lambda p: len(  # noqa: E731
+        glob.glob(os.path.join(p, "bucket=*", "*.parquet"))
+    )
+    files_before = files(path)
+    df = spark.read.parquet(path).localCheckpoint()
+    rows = df.count()
+    tmp = f"{path}.tmp-compact"
+    old = f"{path}.old-compact"
+    (
+        df.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    import json
+
+    with open(os.path.join(tmp, INDEX_META), "w") as f:
+        json.dump(
+            {
+                **meta,
+                "centroids": [
+                    [int(c), [float(x) for x in v]]
+                    for c, v in meta["centroids"]
+                ],
+            },
+            f,
+        )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": files(path),
+    }

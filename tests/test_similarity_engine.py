@@ -577,3 +577,56 @@ def test_ivf_pq_index_incremental_append(spark, tmp_path):
     assert {r.qid for r in got} == {0, 1, 2, 3}
     neighbor_ids = {r.nid for r in got}
     assert any(nid >= 240 for nid in neighbor_ids) or len(neighbor_ids) == 20
+
+
+def test_ivf_pq_index_compaction(spark, tmp_path):
+    """Repeated appends fragment the bucket partitions; compaction
+    must shrink the file count, preserve the exact posting set and
+    the metadata, and leave the index fully servable."""
+    import glob
+    import os
+
+    rng = np.random.RandomState(37)
+    k, dims = 4, 16
+    centers = rng.normal(0, 10.0, size=(k, dims))
+
+    def mk(lo, hi):
+        return [
+            (i, [float(x) for x in centers[i % k] + rng.normal(0, 1.0, dims)])
+            for i in range(lo, hi)
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    path = str(tmp_path / "idx")
+    similarity.build_ivf_pq_index(
+        spark.createDataFrame(mk(0, 120), schema), path, n_clusters=k, m=4
+    )
+    for lo in (120, 160, 200):
+        similarity.append_to_ivf_pq_index(
+            spark, path, spark.createDataFrame(mk(lo, lo + 40), schema)
+        )
+    before = len(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
+    stats = similarity.compact_ivf_pq_index(spark, path)
+    assert stats["rows"] == 240
+    assert stats["files_after"] < before
+    assert os.path.exists(os.path.join(path, similarity.INDEX_META))
+    ids = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert ids == set(range(240))
+    # reproduce the indexed vectors exactly: same seed, same draw
+    # order (centers, then 240 sequential vectors)
+    rng2 = np.random.RandomState(37)
+    centers2 = rng2.normal(0, 10.0, size=(k, dims))
+    allv = spark.createDataFrame(
+        [
+            (i, [float(x) for x in centers2[i % k] + rng2.normal(0, 1.0, dims)])
+            for i in range(240)
+        ],
+        schema,
+    )
+    got = similarity.search_ivf_pq_index(
+        spark, path, allv, n_queries=4, nprobe=2, topk=5
+    ).collect()
+    assert len(got) == 20
+    # planted-cluster structure survives the compaction round-trip
+    same = sum(1 for r in got if r.nid % k == r.qid % k)
+    assert same / len(got) >= 0.9, same
