@@ -858,3 +858,29 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_vector_ingest(
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming embedding ingest into a persisted IVF-PQ index
+    (similarity.append_to_ivf_pq_index per micro-batch): each batch
+    assigns/encodes against the index's frozen quantizers and
+    appends only ids the postings don't already contain, so replay
+    after any crash point is a no-op — the vector-store face of
+    streaming_dedup_ingest. The index must exist
+    (similarity.build_ivf_pq_index trains it on a seed corpus; a
+    cadence job rebuilds/compacts as distribution drifts). Returns
+    the started StreamingQuery."""
+    from clinical_data_warehouse_bi_spark.similarity import (
+        append_to_ivf_pq_index,
+    )
+
+    writer = vectors.writeStream.foreachBatch(
+        lambda b, _id: append_to_ivf_pq_index(b.sparkSession, index_path, b)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -853,3 +853,50 @@ def test_preagg_synopsis_recovers_mid_compaction_crash(spark, tmp_path):
         for r in streaming.read_preagg(spark, syn).collect()
     }
     assert got2 == {1: 2, 2: 1, 3: 1}
+
+
+def test_streaming_vector_ingest_extends_index(spark, tmp_path):
+    """Two drained micro-batches of embeddings land in the persisted
+    IVF-PQ index exactly once (a re-delivered file adds nothing) and
+    are immediately searchable."""
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark import similarity
+
+    rng = np.random.RandomState(43)
+    k, dims = 4, 16
+    centers = rng.normal(0, 10.0, size=(k, dims))
+
+    def mk(lo, hi):
+        return [
+            (i, [float(x) for x in centers[i % k] + rng.normal(0, 1.0, dims)])
+            for i in range(lo, hi)
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    path = str(tmp_path / "idx")
+    similarity.build_ivf_pq_index(
+        spark.createDataFrame(mk(0, 160), schema), path, n_clusters=k, m=4
+    )
+    src = str(tmp_path / "vec_src")
+    spark.createDataFrame(mk(160, 200), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    q = streaming.streaming_vector_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(mk(200, 240), schema)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        # re-deliver batch 2's rows in a THIRD file (at-least-once
+        # source): the anti-join guard must drop all of them
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = [r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()]
+    assert sorted(ids) == list(range(240))  # exactly once, no dupes
