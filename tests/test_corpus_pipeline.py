@@ -1,10 +1,11 @@
 """Flagship composition test: the COMPLETE training-corpus
 preprocessing pipeline, every stage an operator this engine ships —
-scrub -> repetition filter -> exact dedup -> contamination screen ->
-sequence packing -> epoch shuffle -> shard sink. Asserts the invariant
-each stage exists to provide, on the driver's documents table, ending
-with on-disk shards a training job could read. This is the 'a user of
-the reference could run their whole corpus prep here' claim, executed.
+scrub -> repetition filter -> LM-perplexity gate -> exact dedup ->
+contamination screen -> per-source quota cap -> sequence packing ->
+epoch shuffle -> shard sink. Asserts the invariant each stage exists
+to provide, on the driver's documents table, ending with on-disk
+shards a training job could read. This is the 'a user of the
+reference could run their whole corpus prep here' claim, executed.
 """
 
 from __future__ import annotations
@@ -27,7 +28,9 @@ def test_training_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # compute-heavy stage (regex chain, repetition metrics, n-gram
     # hashing) pipelines onto a single scan task. io.fan_out is the
     # repo idiom for this; an exact no-op on a real many-split scan.
-    docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = fan_out(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
     n_raw = docs.count()
 
     # 1. PII scrub — full-width pass, text column replaced in place
@@ -40,6 +43,21 @@ def test_training_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     gated = scrub.repetition_filter(scrubbed).persist()
     n_gated = gated.count()
     assert 0 < n_gated <= n_raw
+
+    # 2b. statistical quality gate — corpus bigram-LM perplexity
+    # (lm.perplexity, round 8): drop the least-fluent tail above the
+    # corpus p90. The threshold comes from the scored distribution
+    # itself (one approxQuantile pass), the CCNet recipe.
+    from clinical_data_warehouse_bi_spark import lm
+
+    ppl = lm.perplexity(gated)
+    p90 = ppl.approxQuantile("ppl", [0.9], 0.01)[0]
+    keep_ids = ppl.filter(
+        F.col("ppl").isNull() | (F.col("ppl") <= F.lit(p90))
+    ).select("doc_id")
+    gated = gated.join(keep_ids, "doc_id", "left_semi").persist()
+    n_lm = gated.count()
+    assert 0 < n_lm <= n_gated
 
     # 3. exact dedup — one shuffle on the content hash, keep-min doc_id
     hashed = gated.withColumn("__h", F.md5("text"))
@@ -65,6 +83,17 @@ def test_training_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert n_hits >= 3  # every planted doc screens itself out
     screened = deduped.join(contaminated, "doc_id", "left_anti").persist()
     assert screened.count() == n_dedup - n_hits
+
+    # 4b. per-source quota cap (text.quota_sample, round 8) — no
+    # domain may dominate the mix; cap generously so the stage is a
+    # real pass-through-mostly gate, then verify the bound
+    from collections import Counter
+
+    screened = T.quota_sample(screened, "source", 200).persist()
+    by_src = Counter(
+        r.source for r in screened.select("source").collect()
+    )
+    assert by_src and max(by_src.values()) <= 200
 
     # 5. sequence packing — contiguous token offsets per shard
     tok = screened.select(
