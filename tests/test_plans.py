@@ -433,3 +433,28 @@ def test_paragraph_dedup_text_never_shuffles(spark, sf_dir):
     for b in blocks:
         assert "text#" not in b, b
         assert " u#" not in b and "[u#" not in b, b
+
+
+def test_cohort_retention_plan_shape(spark, sf_dir):
+    """All exchanges key on the user id or the (tiny) matrix key —
+    no Expand (single-DISTINCT aggregation), no cartesian, and the
+    events relation never shuffles on anything else."""
+    import re
+
+    plan = physical_plan(QUERIES["q_cohort_retention"](spark, sf_dir))
+    assert "Expand" not in plan and "CartesianProduct" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\(([^#,]+)[#,]", plan))
+    assert keys <= {"user_id", "__cohort"}, keys
+
+
+def test_resample_fill_plan_shape(spark, sf_dir):
+    """The per-key grid must be generated map-side from each key's
+    own span: every exchange keys on the series key (no
+    global-calendar cartesian, no range exchange of the grid)."""
+    import re
+
+    plan = physical_plan(QUERIES["q_resample_fill"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\(([^#,]+)[#,]", plan))
+    assert keys == {"__k"}, keys
