@@ -183,3 +183,155 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         [(a, b, row[f"c_{i}"]) for i, (a, b) in enumerate(pairs)],
         "col_a string, col_b string, corr double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite (beyond-reference, round 8)
+# ---------------------------------------------------------------------------
+#
+# Generalizes the reference's hand-written QA probes (QA.sql:13-116)
+# into a compiled check suite, the Great-Expectations/dbt-test shape a
+# warehouse team actually maintains. The compiler's scale contract:
+#
+#   * every row-expression check on a table (not_null, accepted_range,
+#     accepted_values) folds into ONE aggregation pass over that table
+#     - sum(violation_flag) columns + a shared count(*) - so a suite
+#     of 20 column checks on a 100 TB fact costs one scan, not 20;
+#   * unique checks compile to the two-level aggregation from
+#     q_qa_rowcount_report (groupBy keys -> count, then one-row agg):
+#     map-side partial dedup, never an Expand over the whole row;
+#   * referential checks are broadcast left_anti counts (the dim side
+#     is the small side by construction in a star schema);
+#   * cross_sum checks (fact vs pre-aggregate reconciliation,
+#     QA.sql:67-71) are two scalar aggregates cross-joined - O(1)
+#     driver traffic.
+#
+# Each check yields (check_name, violations, total_rows, passed).
+
+def _fused_row_checks(name_flags, df: DataFrame) -> DataFrame:
+    """ONE aggregation for all row-expression checks on one table;
+    one output row per check via a post-agg inline explode."""
+    aggs = [F.count("*").alias("_total")] + [
+        F.sum(flag.cast("bigint")).alias(f"_v_{i}")
+        for i, (_, flag) in enumerate(name_flags)
+    ]
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(nm).alias("check_name"),
+                F.col(f"_v_{i}").alias("violations"),
+                F.col("_total").alias("total_rows"),
+            )
+            for i, (nm, _) in enumerate(name_flags)
+        ]
+    )
+    return one.select(F.inline(structs))
+
+
+def expectation_report(
+    tables: dict[str, DataFrame], spec: list[dict]
+) -> DataFrame:
+    """Compile a declarative expectation spec into the minimal set of
+    Spark jobs and return one row per check:
+    (check_name, violations, total_rows, passed).
+
+    Spec entries (dicts)::
+
+        {"check": "not_null", "table": t, "column": c}
+        {"check": "accepted_range", "table": t, "column": c,
+         "lo": x | None, "hi": y | None}      # null passes; use
+                                              # not_null to forbid it
+        {"check": "accepted_values", "table": t, "column": c,
+         "values": [...]}
+        {"check": "unique", "table": t, "columns": [c, ...]}
+        {"check": "referential", "table": t, "column": fk,
+         "ref_table": d, "ref_column": k}     # null FK passes
+        {"check": "cross_sum", "name": n, "table": a, "expr": sql_a,
+         "other_table": b, "other_expr": sql_b}
+                                              # violations = |a - b|,
+                                              # total_rows = a
+    """
+    per_table_flags: dict[str, list] = {}
+    reports: list[DataFrame] = []
+
+    for e in spec:
+        kind = e["check"]
+        if kind == "not_null":
+            t, c = e["table"], e["column"]
+            per_table_flags.setdefault(t, []).append(
+                (f"not_null:{t}.{c}", F.col(c).isNull())
+            )
+        elif kind == "accepted_range":
+            t, c = e["table"], e["column"]
+            cond = F.lit(False)
+            if e.get("lo") is not None:
+                cond = cond | (F.col(c) < F.lit(e["lo"]))
+            if e.get("hi") is not None:
+                cond = cond | (F.col(c) > F.lit(e["hi"]))
+            per_table_flags.setdefault(t, []).append(
+                (f"accepted_range:{t}.{c}", F.col(c).isNotNull() & cond)
+            )
+        elif kind == "accepted_values":
+            t, c = e["table"], e["column"]
+            per_table_flags.setdefault(t, []).append(
+                (
+                    f"accepted_values:{t}.{c}",
+                    F.col(c).isNotNull() & ~F.col(c).isin(e["values"]),
+                )
+            )
+        elif kind == "unique":
+            t, cols = e["table"], e["columns"]
+            nm = f"unique:{t}." + "+".join(cols)
+            per_key = tables[t].groupBy(*cols).agg(F.count("*").alias("_c"))
+            rep = per_key.agg(
+                F.sum("_c").cast("bigint").alias("total_rows"),
+                F.count("*").alias("_distinct"),
+            ).select(
+                F.lit(nm).alias("check_name"),
+                (F.col("total_rows") - F.col("_distinct")).alias("violations"),
+                "total_rows",
+            )
+            reports.append(rep)
+        elif kind == "referential":
+            t, fk = e["table"], e["column"]
+            d, k = e["ref_table"], e["ref_column"]
+            nm = f"referential:{t}.{fk}->{d}.{k}"
+            fact, dim = tables[t], tables[d]
+            orphans = (
+                fact.where(F.col(fk).isNotNull())
+                .join(F.broadcast(dim), fact[fk] == dim[k], "left_anti")
+                .agg(F.count("*").alias("violations"))
+            )
+            total = fact.agg(F.count("*").alias("total_rows"))
+            reports.append(
+                orphans.crossJoin(total).select(
+                    F.lit(nm).alias("check_name"), "violations", "total_rows"
+                )
+            )
+        elif kind == "cross_sum":
+            nm = f"cross_sum:{e['name']}"
+            a = tables[e["table"]].agg(F.expr(e["expr"]).cast("bigint").alias("_a"))
+            bdf = tables[e["other_table"]].agg(
+                F.expr(e["other_expr"]).cast("bigint").alias("_b")
+            )
+            reports.append(
+                a.crossJoin(bdf).select(
+                    F.lit(nm).alias("check_name"),
+                    F.abs(F.col("_a") - F.col("_b")).alias("violations"),
+                    F.col("_a").alias("total_rows"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+
+    for t, flags in per_table_flags.items():
+        reports.append(_fused_row_checks(flags, tables[t]))
+
+    out = reduce(lambda x, y: x.unionByName(y), reports)
+    return out.select(
+        "check_name",
+        F.col("violations").cast("bigint").alias("violations"),
+        F.col("total_rows").cast("bigint").alias("total_rows"),
+        (F.col("violations") == 0).alias("passed"),
+    )

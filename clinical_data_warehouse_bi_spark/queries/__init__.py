@@ -6,6 +6,7 @@ from clinical_data_warehouse_bi_spark.queries import (  # noqa: F401
     hygiene,
     join_ops,
     qa_report,
+    retrieval_ops,
     similarity,
     text_ops,
     windows,

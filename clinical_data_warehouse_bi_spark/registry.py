@@ -122,6 +122,15 @@ _CHECK_ORDER = [
     "q_quota_sample",
     "q_cohort_retention",
     "q_resample_fill",
+    # round-8 additions, part 5 (slots freed by retiring
+    # q_qa_rowcount_report — witness: q_expectations' `unique:`
+    # checks run the identical two-level distinct-key aggregation —
+    # and q_qa_agg_consistency — witness: q_expectations'
+    # `cross_sum:` check is the same two-scalar reconciliation
+    # shape; both keep full oracle comparisons in
+    # tests/test_retired_parity.py)
+    "q_bm25_topk",
+    "q_expectations",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -147,8 +156,6 @@ _CHECK_ORDER = [
     "q_scalar_lookup_default",
     "q_range_join",
     "q_qa_orphan_report",
-    "q_qa_rowcount_report",
-    "q_qa_agg_consistency",
     "q_regex_numeric_parse",
     "q_sentinel_timestamps",
     "q_calendar_dim",

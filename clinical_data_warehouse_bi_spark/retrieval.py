@@ -1,0 +1,258 @@
+"""BM25 keyword retrieval over the documents corpus.
+
+The lexical-search counterpart to the dense ANN family in
+similarity.py: Okapi BM25 (Robertson/Sparck Jones, the public
+probabilistic-IR weighting used by Lucene/Elasticsearch) scored
+entirely with JVM-side built-ins. Training-data curation uses this
+shape constantly — keyword-targeted corpus slicing, boolean-ish
+quality probes, retrieval baselines for contamination audits.
+
+Reference parity note: the reference warehouse (DWH.sql) has no
+retrieval surface; this module is part of the training-data-pipeline
+extension mandate (BASELINE.json north star), same family as
+similarity.py / text.py.
+
+Scale design (the part that must survive 100 TB):
+
+* ``bm25_topk`` — ONE fixed ad-hoc query, terms known at plan time.
+  Per-term term frequencies are computed as per-row array
+  expressions (``size(filter(tokens, t -> t = term))``) so the
+  corpus is NEVER exploded and NEVER shuffled: the only wide
+  operation is a 1-row scalar aggregate (N, sum dl, per-term df)
+  that is broadcast back via a 1-row cross join, and the final
+  top-k runs as TakeOrderedAndProject (per-partition partial top-k,
+  driver merges k rows per partition). Two corpus scans total, zero
+  exchanges of document data.
+
+* ``bm25_batch_topk`` — MANY queries at once. Tokens are pruned
+  against the (small, broadcast-literal) union of query terms
+  BEFORE the explode, so the posting relation is bounded by
+  matching terms only; one (doc_id, term) aggregation builds the
+  tf relation, document frequencies reduce off the same relation,
+  and queries join in by broadcast. Per-query top-k is a
+  row_number window over (query_id) — partitioned by query, never
+  a global sort.
+
+Cross-engine determinism: tokenization matches the DuckDB oracle's
+``regexp_extract_all(lower(text), '[a-z0-9]+')``; N / df / dl /
+sum(dl) are integer-exact in both engines, so the per-row score is
+one fixed-shape double expression over identical scalars. ``ln`` is
+not required to be correctly rounded by IEEE 754, so scores are
+rounded to 4 decimals in BOTH engines and the rounded value is the
+sort key (ties broken by doc_id) — the compared relation is
+engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import text as T
+
+#: BM25 free parameters (the standard Lucene defaults)
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _idf(df_count: Column, n_docs: Column) -> Column:
+    """Robertson IDF with the Lucene +1 floor (always positive)."""
+    return F.log(
+        (n_docs - df_count + F.lit(0.5)) / (df_count + F.lit(0.5)) + F.lit(1.0)
+    )
+
+
+def _tf_norm(tf: Column, dl: Column, avgdl: Column, k1: float, b: float) -> Column:
+    """BM25 tf saturation with document-length normalization."""
+    return (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-k documents for one query, shuffle-free scoring.
+
+    Returns (id_col, score) with score rounded to 4 decimals,
+    ordered by (score DESC, id ASC) and limited to k — a
+    deterministic total order shared with the oracle.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    for t in query_terms:
+        if not t or not all(c.islower() or c.isdigit() for c in t):
+            raise ValueError(f"query terms must be lowercase alnum: {t!r}")
+
+    toks = T.tokens(text_col)
+
+    # NB: a two-parameter lambda would be bound by F.filter as
+    # (element, index) — capture the term via a closure factory
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), *tf_cols
+    )
+
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contribs = [
+        _idf(F.col(f"df_{i}"), F.col("n_docs"))
+        * _tf_norm(F.col(f"tf_{i}"), F.col("dl"), avgdl, k1, b)
+        for i in range(len(query_terms))
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        scored.select(F.col(id_col), F.round(total, 4).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle_sql(
+    query_terms: list[str],
+    k: int,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> str:
+    """DuckDB oracle mirroring bm25_topk expression-for-expression."""
+    tf_exprs = ", ".join(
+        f"len(list_filter(regexp_extract_all(lower({text_col}), '[a-z0-9]+'),"
+        f" x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(query_terms))
+    )
+    # parenthesization mirrors the Spark expression tree exactly
+    # (idf * (saturated_tf)) so IEEE association matches
+    contribs = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * ((tf_{i} * {k1 + 1.0}) /"
+        f" (tf_{i} + {k1} * ({1.0 - b} + {b} * dl / (sum_dl * 1.0 / n_docs)))))"
+        for i in range(len(query_terms))
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT {id_col},
+             len(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS dl,
+             {tf_exprs}
+      FROM {table}),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_exprs} FROM per_doc)
+    SELECT {id_col}, score FROM (
+      SELECT {id_col}, round({contribs}, 4) AS score
+      FROM per_doc CROSS JOIN stats)
+    WHERE score > 0
+    ORDER BY score DESC, {id_col} ASC
+    LIMIT {k}
+    """
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "q_text",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-k per query for a DataFrame of queries.
+
+    The query set is collected to the driver (queries are small by
+    nature — this is the same bounded-collect contract as the
+    N_QUERIES vectors in similarity.q_cosine_topk) so the union of
+    query terms can prune document tokens BEFORE the explode.
+    Returns (query_id, id_col, score, rank) with rank 1..k per
+    query, deterministic via (score DESC, id ASC).
+    """
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        T.tokens(query_text_col).alias("q_terms"),
+    ).collect()
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    # (query_id, term) pairs, deduped per query (standard BM25
+    # ignores query-side term frequency for short queries)
+    qt_pairs = sorted(
+        {(r["query_id"], t) for r in qrows for t in r["q_terms"]}
+    )
+    all_terms = sorted({t for _, t in qt_pairs})
+    term_lits = F.array(*[F.lit(t) for t in all_terms])
+
+    toks = T.tokens(text_col)
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        # prune to query terms BEFORE exploding: posting rows are
+        # bounded by matches, the full token stream never shuffles
+        F.filter(toks, lambda x: F.array_contains(term_lits, x)).alias("hits"),
+    )
+    spark = docs.sparkSession
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    tf = (
+        per_doc.select(id_col, "dl", F.explode("hits").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_count"))
+    qt = spark.createDataFrame(qt_pairs, ["query_id", "term"])
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contrib = _idf(F.col("df_count"), F.col("n_docs")) * _tf_norm(
+        F.col("tf").cast("double"), F.col("dl"), avgdl, k1, b
+    )
+    per_query_doc = scored.groupBy("query_id", id_col).agg(
+        F.round(F.sum(contrib), 4).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_query_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

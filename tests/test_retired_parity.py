@@ -32,6 +32,12 @@ from clinical_data_warehouse_bi_spark.queries.join_ops import (
     q_insert_if_absent,
     q_semi_valid_fact,
 )
+from clinical_data_warehouse_bi_spark.queries.qa_report import (
+    SQL_QA_AGG_CONSISTENCY,
+    SQL_QA_ROWCOUNT,
+    q_qa_agg_consistency,
+    q_qa_rowcount_report,
+)
 from clinical_data_warehouse_bi_spark.queries.similarity import (
     SQL_ANN_IVF_NPROBE,
     SQL_EMBED_QUANTIZE,
@@ -63,6 +69,8 @@ RETIRED = {
     "q_ann_ivf_nprobe": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "q_qa_rowcount_report": (q_qa_rowcount_report, SQL_QA_ROWCOUNT),
+    "q_qa_agg_consistency": (q_qa_agg_consistency, SQL_QA_AGG_CONSISTENCY),
 }
 
 

@@ -1,0 +1,175 @@
+"""BM25 retrieval (retrieval.py) and the declarative expectation
+suite (qa.expectation_report): semantics, batch==single equivalence,
+and the plan shapes that carry them to 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import qa, retrieval
+from clinical_data_warehouse_bi_spark.io import load_tables
+from test_plans import physical_plan
+
+
+# ---------------------------------------------------------------- BM25
+
+def test_bm25_batch_matches_single(spark, sf_dir):
+    """The many-query posting-list path must agree with the
+    shuffle-free single-query path: same matching-doc set, same
+    scores (to rounding) for every query. k exceeds the corpus so
+    rank-boundary ulp noise cannot perturb the compared sets."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    queries = spark.createDataFrame(
+        [(1, "hash join"), (2, "spark merge sort"), (3, "vector")],
+        ["query_id", "q_text"],
+    )
+    batch = retrieval.bm25_batch_topk(docs, queries, k=100_000).collect()
+    by_query: dict[int, dict[int, float]] = {}
+    for r in batch:
+        by_query.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+
+    for qid, terms in [(1, ["hash", "join"]), (2, ["spark", "merge", "sort"]), (3, ["vector"])]:
+        single = {
+            r["doc_id"]: r["score"]
+            for r in retrieval.bm25_topk(docs, terms, k=100_000).collect()
+        }
+        got = by_query[qid]
+        assert set(got) == set(single)
+        for d, s in single.items():
+            assert abs(got[d] - s) < 1e-3, (qid, d, got[d], s)
+
+
+def test_bm25_single_query_never_shuffles_docs(spark, sf_dir):
+    """Scale contract: per-term tf is a per-row array expression —
+    no explode, no hash-partition exchange of document rows; the
+    top-k is a TakeOrderedAndProject."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    plan = physical_plan(retrieval.bm25_topk(docs, ["hash", "join"], 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    """A doc matching only the rare term must outscore a doc
+    matching only the ubiquitous term (equal tf and length)."""
+    rows = [(0, "rare alpha beta gamma"), (1, "common alpha beta gamma")]
+    rows += [(i, "common filler one two") for i in range(2, 22)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(docs, ["rare", "common"], 50).collect()
+    }
+    assert got[0] > got[1]
+
+
+def test_bm25_tf_saturates(spark):
+    """More occurrences score higher, but sub-linearly (k1 cap)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "hash miss miss miss"),
+            (1, "hash hash miss miss"),
+            (2, "hash hash hash hash"),
+            (3, "miss miss miss miss"),
+        ],
+        ["doc_id", "text"],
+    )
+    res = retrieval.bm25_topk(docs, ["hash"], 10).collect()
+    got = {r["doc_id"]: r["score"] for r in res}
+    assert 3 not in got  # zero matches filtered out
+    assert got[2] > got[1] > got[0]
+    # saturation: tf 1->2 gains more than tf 2->4
+    assert (got[1] - got[0]) > (got[2] - got[1])
+
+
+def test_bm25_rejects_bad_terms(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(docs, [], 10)
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(docs, ["Hash Join"], 10)
+
+
+# ----------------------------------------------- expectation suite
+
+def test_expectation_report_planted_violations(spark):
+    """Every check kind against tables with KNOWN defect counts."""
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0),
+            (2, 11, "F", -3.0),   # range violation (totalprice < 0)
+            (3, None, "X", 7.0),  # null FK + bad status
+            (3, 12, "O", 2.0),    # duplicate key; custkey 12 orphan
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    customer = spark.createDataFrame([(10,), (11,)], ["c_custkey"])
+    spec = [
+        {"check": "not_null", "table": "orders", "column": "o_custkey"},
+        {"check": "accepted_range", "table": "orders",
+         "column": "o_totalprice", "lo": 0.0, "hi": None},
+        {"check": "accepted_values", "table": "orders",
+         "column": "o_orderstatus", "values": ["O", "F"]},
+        {"check": "unique", "table": "orders", "columns": ["o_orderkey"]},
+        {"check": "referential", "table": "orders", "column": "o_custkey",
+         "ref_table": "customer", "ref_column": "c_custkey"},
+        {"check": "cross_sum", "name": "orders_vs_customers",
+         "table": "orders", "expr": "count(distinct o_custkey)",
+         "other_table": "customer", "other_expr": "count(*)"},
+    ]
+    rep = {
+        r["check_name"]: (r["violations"], r["total_rows"], r["passed"])
+        for r in qa.expectation_report(
+            {"orders": orders, "customer": customer}, spec
+        ).collect()
+    }
+    assert rep["not_null:orders.o_custkey"] == (1, 4, False)
+    assert rep["accepted_range:orders.o_totalprice"] == (1, 4, False)
+    assert rep["accepted_values:orders.o_orderstatus"] == (1, 4, False)
+    assert rep["unique:orders.o_orderkey"] == (1, 4, False)
+    # null FK passes referential; custkey 12 has no match
+    assert rep["referential:orders.o_custkey->customer.c_custkey"] == (1, 4, False)
+    # 3 distinct custkeys vs 2 customers
+    assert rep["cross_sum:orders_vs_customers"] == (1, 3, False)
+    assert len(rep) == len(spec)
+
+
+def test_expectation_row_checks_fuse_into_one_scan(spark, sf_dir):
+    """N row-expression checks on one table must compile to ONE
+    aggregation pass (one scan), not N jobs."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    spec = [
+        {"check": "not_null", "table": "lineitem", "column": "l_quantity"},
+        {"check": "accepted_range", "table": "lineitem",
+         "column": "l_quantity", "lo": 1.0, "hi": 50.0},
+        {"check": "accepted_range", "table": "lineitem",
+         "column": "l_discount", "lo": 0.0, "hi": 0.1},
+        {"check": "accepted_values", "table": "lineitem",
+         "column": "l_returnflag", "values": ["A", "N", "R"]},
+    ]
+    plan = physical_plan(qa.expectation_report(t, spec))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_expectation_all_green_on_driver_data(spark, sf_dir, duck):
+    """The registered fixed suite passes end-to-end on the driver's
+    synthetic star schema (violations exist only where the data
+    really has them — asserted equal to DuckDB ground truth)."""
+    from clinical_data_warehouse_bi_spark.queries.qa_report import q_expectations
+
+    rep = {
+        r["check_name"]: r["violations"]
+        for r in q_expectations(spark, sf_dir).collect()
+    }
+    # spot-check two checks against independently-computed truth
+    nulls = duck.execute(
+        "SELECT count(*) FROM orders WHERE o_custkey IS NULL"
+    ).fetchone()[0]
+    assert rep["not_null:orders.o_custkey"] == nulls
+    orphans = duck.execute(
+        """SELECT count(*) FROM lineitem l LEFT JOIN orders o
+           ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL"""
+    ).fetchone()[0]
+    assert rep["referential:lineitem.l_orderkey->orders.o_orderkey"] == orphans
