@@ -38,7 +38,8 @@ BENCH_QUERIES = [
     "q_anti_new_dates",
     "q_orphan_cleanup",
     "q_qa_orphan_report",
-    "q_qa_rowcount_report",
+    "q_expectations",
+    "q_bm25_topk",
     "q_lm_perplexity",
     "q_sessionize",
     "q_resample_fill",
