@@ -1,0 +1,154 @@
+"""Distributed quality classifier: logistic regression trained with
+full-batch gradient descent, one Spark job per iteration.
+
+The fastText-/CCNet-style learned quality filter is a standard stage
+in LLM training-data pipelines (score every document, keep the
+high-probability tail). The heuristics in q_quality_score give the
+FEATURES; this module learns the WEIGHTS from a labeled sample and
+scores the full corpus JVM-side.
+
+Scale contract (the covariance_stats idiom, similarity.py:801):
+
+* ``train_logreg`` — per iteration, every Arrow batch reduces to ONE
+  partial row (count, gradient vector, log-loss sum); the driver sums
+  O(batches) partials of size O(d) and updates the weight vector. The
+  feature table never shuffles, weights travel by closure broadcast.
+  An iteration is one job; 30 iterations on 100 TB is 30 scans of a
+  (cached) slim feature projection — the optimizer state (w) is d
+  doubles on the driver.
+* ``predict_proba`` — pure JVM expression: the dot product unrolls to
+  fixed arithmetic over array elements (d is small for quality
+  features), so scoring stays inside whole-stage codegen; no Python
+  in the hot path.
+* ``featurize_documents`` — per-row token/array expressions (no
+  shuffle), the same Gopher/C4-cheap-signal family as
+  q_quality_score.
+
+Determinism: full-batch GD with a fixed iteration count and a fixed
+init is exactly reproducible (no sampling, no data-order dependence
+beyond float summation of per-batch partials, which the tests bound).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import text as T
+
+
+def featurize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, features array<double>) — bias + cheap quality
+    signals, computed per-row with built-ins (no shuffle, no UDF)."""
+    toks = T.tokens(text_col)
+    n_tok = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
+    stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.greatest(
+        n_types, F.lit(1)
+    )
+    ttr = n_types.cast("double") / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    log_len = F.log1p(n_tok.cast("double"))
+    return docs.select(
+        "doc_id",
+        F.array(
+            F.lit(1.0), stop_ratio, ttr, len_score, log_len / F.lit(10.0)
+        ).alias("features"),
+    )
+
+
+def train_logreg(
+    df: DataFrame,
+    *,
+    features_col: str = "features",
+    label_col: str = "label",
+    n_iter: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> np.ndarray:
+    """Full-batch logistic regression; returns the (d,) weight vector.
+
+    One aggregation job per iteration: executors emit per-batch
+    partial (n, grad, loss) rows, the driver sums them and takes a
+    mean-gradient step. Labels must be 0/1."""
+    slim = df.select(
+        F.col(features_col).alias("x"), F.col(label_col).cast("double").alias("y")
+    )
+    d = len(slim.select("x").first()["x"])
+    w = np.zeros(d, dtype=np.float64)
+
+    for _ in range(n_iter):
+        w_now = w.copy()
+
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.array(pdf["x"].tolist(), dtype=np.float64)  # N x d
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                z = x @ w_now
+                p = 1.0 / (1.0 + np.exp(-z))
+                grad = x.T @ (p - y)
+                eps = 1e-12
+                loss = -np.sum(
+                    y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps)
+                )
+                yield pd.DataFrame(
+                    {"n": [len(y)], "g": [grad.tolist()], "l": [float(loss)]}
+                )
+
+        parts = slim.mapInPandas(op, "n long, g array<double>, l double").collect()
+        n = sum(r.n for r in parts)
+        g = np.sum([np.asarray(r.g) for r in parts], axis=0)
+        w = w - lr * (g / n + l2 * w)
+    return w
+
+
+def train_logreg_reference(
+    x: np.ndarray, y: np.ndarray, *, n_iter: int = 30, lr: float = 1.0, l2: float = 0.0
+) -> np.ndarray:
+    """Driver-side numpy twin of train_logreg (same init, same step
+    rule) — the equivalence oracle for the distributed trainer."""
+    w = np.zeros(x.shape[1], dtype=np.float64)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        g = x.T @ (p - y)
+        w = w - lr * (g / len(y) + l2 * w)
+    return w
+
+
+def _dot_expr(features_col: str, w: np.ndarray) -> Column:
+    """Unrolled fixed-arity dot product — stays in codegen, no HOF
+    lambda interpretation per row for small d."""
+    terms = " + ".join(
+        f"{features_col}[{i}] * ({float(w[i])!r})" for i in range(len(w))
+    )
+    return F.expr(terms)
+
+
+def predict_proba(
+    df: DataFrame, w: np.ndarray, *, features_col: str = "features"
+) -> DataFrame:
+    """Adds `proba` (sigmoid of the linear score) JVM-side."""
+    z = _dot_expr(features_col, w)
+    return df.withColumn("proba", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def quality_filter(
+    docs: DataFrame,
+    w: np.ndarray,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus filtering composition: featurize -> score -> keep docs
+    with P(quality) >= threshold. The join back to the full document
+    row is by doc_id; at scale prefer scoring the slim feature
+    relation and semi-joining the corpus (pushdown-friendly)."""
+    scored = predict_proba(featurize_documents(docs, text_col), w)
+    keep = scored.where(F.col("proba") >= F.lit(threshold)).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
