@@ -256,3 +256,193 @@ def bm25_batch_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index (the operational half of q_bm25_topk,
+# same family as similarity.build_ivf_pq_index: a production search
+# index is built once and served from storage by later sessions).
+# ---------------------------------------------------------------------------
+#
+# On-disk layout:
+#
+#   path/_index_meta.json            config (n_buckets) — written at build
+#   path/postings/batch=<id>/tb=<b>/part-*.parquet
+#   path/postings/batch=<id>/_batch_stats.json   {"n_docs", "sum_dl"}
+#
+# * Postings rows are (term, doc_id, tf, dl) — dl denormalized so a
+#   search never joins a doc-length table.
+# * `tb` is a PORTABLE md5 term bucket (computable in Python, Spark
+#   and the DuckDB oracles — never Spark's own hash()): a search
+#   filters tb IN (query-term buckets), which Catalyst turns into
+#   partition pruning on the tb= directories, then pushes `term IN`
+#   down to the parquet scan inside them. The scan touches
+#   ~|query terms|/n_buckets of the index regardless of corpus size.
+# * Appends are exactly-once by construction: each batch stages into
+#   a dot-prefixed tmp dir (invisible to readers) and publishes with
+#   ONE atomic rename to batch=<id>; a replayed append sees the
+#   committed dir and no-ops. The per-batch stats JSON is written
+#   INSIDE the staged dir, so the rename publishes data and stats
+#   together — corpus statistics (N, sum dl) are the sum of the
+#   committed batches' stats files, O(batches) driver work, and can
+#   never disagree with the postings they describe.
+
+BM25_INDEX_META = "_index_meta.json"
+BM25_BATCH_STATS = "_batch_stats.json"
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(col: Column, n_buckets: int) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def _write_postings_batch(
+    docs: DataFrame,
+    path: str,
+    batch_id: str,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+) -> bool:
+    """Stage-and-rename publish of one postings batch. Returns False
+    (no-op) if the batch is already committed — replay safety."""
+    import json
+    import os
+    import shutil
+
+    postings_root = os.path.join(path, "postings")
+    target = os.path.join(postings_root, f"batch={batch_id}")
+    tmp = os.path.join(postings_root, f".tmp-batch-{batch_id}")
+    if os.path.isdir(target):
+        return False
+    if os.path.isdir(tmp):  # stale crash leftover: incomplete, redo
+        shutil.rmtree(tmp)
+    os.makedirs(postings_root, exist_ok=True)
+
+    toks = T.tokens(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"), toks.alias("toks")
+    )
+    postings = (
+        per_doc.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("tb", _term_bucket_col(F.col("term"), n_buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    with open(os.path.join(tmp, BM25_BATCH_STATS), "w") as f:
+        json.dump({"n_docs": stats["n_docs"], "sum_dl": stats["sum_dl"]}, f)
+    os.rename(tmp, target)
+    return True
+
+
+def bm25_index_build(
+    docs: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Create a persisted BM25 index from an initial corpus (batch
+    id 'base'). The inverted-index build is the one place the token
+    stream legitimately shuffles: one (doc_id, term) aggregation,
+    paid once at indexing time so every later search is pruned."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, BM25_INDEX_META), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+    _write_postings_batch(docs, path, "base", n_buckets, text_col, id_col)
+
+
+def bm25_index_append(
+    docs: DataFrame,
+    path: str,
+    batch_id: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> bool:
+    """Append a disjoint document batch; replay-idempotent (returns
+    False without touching the index if batch_id is committed)."""
+    import json
+    import os
+
+    if "=" in batch_id or "/" in batch_id or batch_id.startswith("."):
+        raise ValueError(f"invalid batch_id: {batch_id!r}")
+    with open(os.path.join(path, BM25_INDEX_META)) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    return _write_postings_batch(docs, path, batch_id, n_buckets, text_col, id_col)
+
+
+def _index_stats(path: str) -> tuple[int, int]:
+    import glob
+    import json
+    import os
+
+    n_docs = sum_dl = 0
+    for p in glob.glob(os.path.join(path, "postings", "batch=*", BM25_BATCH_STATS)):
+        with open(p) as f:
+            s = json.load(f)
+        n_docs += s["n_docs"]
+        sum_dl += s["sum_dl"]
+    if n_docs == 0:
+        raise ValueError(f"empty or unbuilt BM25 index at {path}")
+    return n_docs, sum_dl
+
+
+def bm25_index_search(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Serve a query FROM the persisted index: bucket selection is
+    driver-side (portable md5), the postings scan prunes to those
+    tb= directories and pushes `term IN (...)` into the parquet
+    scan, document frequencies reduce off the pruned relation, and
+    the final top-k is a TakeOrderedAndProject over per-doc sums.
+    Nothing corpus-sized is scanned, shuffled or collected."""
+    import json
+    import os
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    with open(os.path.join(path, BM25_INDEX_META)) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    n_docs, sum_dl = _index_stats(path)
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in query_terms})
+
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("tb").isin(buckets))
+        .where(F.col("term").isin(query_terms))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df_count")
+    )
+    scored = postings.join(F.broadcast(dfreq), "term")
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
+    contrib = _idf(F.col("df_count"), F.lit(n_docs)) * _tf_norm(
+        F.col("tf").cast("double"), F.col("dl"), avgdl, k1, b
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -884,3 +884,30 @@ def streaming_vector_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_bm25_ingest(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming document ingest into a persisted BM25 index
+    (retrieval.bm25_index_append per micro-batch): the engine's
+    batch id IS the index batch id, so redelivery after any crash
+    point finds the committed batch=<id> directory and no-ops —
+    exactly-once postings without an id-level guard, the lexical
+    face of streaming_vector_ingest. Scope: this guards ENGINE
+    replay (same batch id after a crash); a source that re-delivers
+    the same documents in a NEW file gets a new batch id, so feed
+    this from a deduped stream (dedup_events / dedup_ingest_batch)
+    when the source is at-least-once at the file level. The index
+    must exist (retrieval.bm25_index_build seeds it). Returns the
+    started StreamingQuery."""
+    from clinical_data_warehouse_bi_spark.retrieval import bm25_index_append
+
+    writer = docs.writeStream.foreachBatch(
+        lambda b, bid: bm25_index_append(b, index_path, f"s{bid}")
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

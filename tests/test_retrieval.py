@@ -173,3 +173,94 @@ def test_expectation_all_green_on_driver_data(spark, sf_dir, duck):
            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL"""
     ).fetchone()[0]
     assert rep["referential:lineitem.l_orderkey->orders.o_orderkey"] == orphans
+
+
+# ------------------------------------------- persisted BM25 index
+
+def _index_corpus(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    first = docs.where(F.col("doc_id") < 400)
+    second = docs.where(F.col("doc_id") >= 400)
+    return docs, first, second
+
+
+def test_bm25_index_build_append_matches_inline(spark, sf_dir, tmp_path):
+    """base-build + one append must serve the SAME relation the
+    shuffle-free inline path computes over the union corpus (k
+    covers every match, so ulp-at-the-boundary cannot perturb it)."""
+    docs, first, second = _index_corpus(spark, sf_dir)
+    path = str(tmp_path / "bm25_idx")
+    retrieval.bm25_index_build(first, path, n_buckets=8)
+    assert retrieval.bm25_index_append(second, path, "b1") is True
+
+    terms = ["hash", "join", "spark"]
+    served = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_index_search(spark, path, terms, 100_000).collect()
+    }
+    inline = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(docs, terms, 100_000).collect()
+    }
+    assert set(served) == set(inline)
+    for d, s in inline.items():
+        assert abs(served[d] - s) < 1e-3, (d, served[d], s)
+
+
+def test_bm25_index_append_replay_is_noop(spark, sf_dir, tmp_path):
+    docs, first, second = _index_corpus(spark, sf_dir)
+    path = str(tmp_path / "bm25_idx")
+    retrieval.bm25_index_build(first, path, n_buckets=8)
+    retrieval.bm25_index_append(second, path, "b1")
+    before = sorted(
+        (r["doc_id"], r["score"])
+        for r in retrieval.bm25_index_search(spark, path, ["hash"], 10_000).collect()
+    )
+    # replayed delivery of the same batch: committed dir wins, no-op
+    assert retrieval.bm25_index_append(second, path, "b1") is False
+    after = sorted(
+        (r["doc_id"], r["score"])
+        for r in retrieval.bm25_index_search(spark, path, ["hash"], 10_000).collect()
+    )
+    assert before == after
+
+
+def test_bm25_index_crash_leftover_is_recovered(spark, sf_dir, tmp_path):
+    """A stale .tmp-batch dir (crash before the publish rename) is
+    invisible to searches and swept by the retried append."""
+    import os
+
+    docs, first, second = _index_corpus(spark, sf_dir)
+    path = str(tmp_path / "bm25_idx")
+    retrieval.bm25_index_build(first, path, n_buckets=8)
+    stale = os.path.join(path, "postings", ".tmp-batch-b1")
+    os.makedirs(os.path.join(stale, "tb=0"))
+    with open(os.path.join(stale, "tb=0", "part-junk.parquet"), "w") as f:
+        f.write("garbage")
+    # search ignores the dot-dir
+    retrieval.bm25_index_search(spark, path, ["hash"], 5).collect()
+    # retried append sweeps it and commits
+    assert retrieval.bm25_index_append(second, path, "b1") is True
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(os.path.join(path, "postings", "batch=b1"))
+
+
+def test_bm25_index_search_prunes_partitions(spark, sf_dir, tmp_path):
+    """Scale contract: the postings scan partition-prunes to the
+    query terms' tb= buckets and pushes term IN down to parquet."""
+    docs, first, _ = _index_corpus(spark, sf_dir)
+    path = str(tmp_path / "bm25_idx")
+    retrieval.bm25_index_build(first, path, n_buckets=8)
+    plan = physical_plan(retrieval.bm25_index_search(spark, path, ["hash"], 10))
+    assert "PartitionFilters" in plan and "tb" in plan
+    assert "PushedFilters" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_index_rejects_bad_batch_ids(spark, sf_dir, tmp_path):
+    docs, first, _ = _index_corpus(spark, sf_dir)
+    path = str(tmp_path / "bm25_idx")
+    retrieval.bm25_index_build(first, path, n_buckets=8)
+    for bad in ["a=b", "a/b", ".hidden"]:
+        with pytest.raises(ValueError):
+            retrieval.bm25_index_append(first, path, bad)

@@ -900,3 +900,61 @@ def test_streaming_vector_ingest_extends_index(spark, tmp_path):
         q.stop()
     ids = [r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()]
     assert sorted(ids) == list(range(240))  # exactly once, no dupes
+
+
+def test_streaming_bm25_ingest_extends_index(spark, tmp_path):
+    """Two drained document micro-batches land in the persisted BM25
+    index as committed batch dirs, and the served search equals the
+    inline shuffle-free path over the full corpus."""
+    import os
+
+    from clinical_data_warehouse_bi_spark import retrieval
+
+    words = ["hash", "join", "merge", "scan", "sort", "filler"]
+    def mk(lo, hi):
+        return [
+            (i, " ".join(words[(i + j) % len(words)] for j in range(12)))
+            for i in range(lo, hi)
+        ]
+
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "bm25")
+    retrieval.bm25_index_build(
+        spark.createDataFrame(mk(0, 100), schema), path, n_buckets=8
+    )
+    src = str(tmp_path / "doc_src")
+    spark.createDataFrame(mk(100, 150), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming.streaming_bm25_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(mk(150, 200), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batches = sorted(
+        d for d in os.listdir(os.path.join(path, "postings")) if d.startswith("batch=")
+    )
+    assert len(batches) >= 2  # base + streamed commits
+
+    full = spark.createDataFrame(mk(0, 200), schema)
+    served = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_index_search(
+            spark, path, ["hash", "join"], 100_000
+        ).collect()
+    }
+    inline = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(full, ["hash", "join"], 100_000).collect()
+    }
+    assert set(served) == set(inline)
+    for d, s in inline.items():
+        assert abs(served[d] - s) < 1e-3
