@@ -199,7 +199,10 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 #     of 20 column checks on a 100 TB fact costs one scan, not 20;
 #   * unique checks compile to the two-level aggregation from
 #     q_qa_rowcount_report (groupBy keys -> count, then one-row agg):
-#     map-side partial dedup, never an Expand over the whole row;
+#     map-side partial dedup, never an Expand over the whole row.
+#     When a table has BOTH a unique check and row-expression checks,
+#     the row checks ride the unique check's first-level aggregation
+#     (per-key partial flag sums) - one scan serves all of them;
 #   * referential checks are broadcast left_anti counts (the dim side
 #     is the small side by construction in a star schema);
 #   * cross_sum checks (fact vs pre-aggregate reconciliation,
@@ -208,25 +211,71 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 #
 # Each check yields (check_name, violations, total_rows, passed).
 
+# Flags and report branches are built as SQL TEXT, not Column trees:
+# each Python operator on a Column object is a py4j round-trip, and a
+# full suite costs hundreds of them (~0.7 s of pure driver-side plan
+# build, measured) — one F.expr parse per branch is the same plan for
+# a fraction of the latency (the percentiles.py lesson, SURVEY #12).
+
+def _sq(name: str) -> str:
+    """Single-quoted SQL string literal (quotes doubled)."""
+    return "'" + name.replace("'", "''") + "'"
+
+
+def _inline_checks(rows: list[tuple[str, str, str]]) -> str:
+    """inline(array(named_struct(...))) emitting one (check_name,
+    violations, total_rows) row per entry, all from ONE parse."""
+    structs = ", ".join(
+        f"named_struct('check_name', {_sq(nm)}, 'violations',"
+        f" CAST({viol} AS BIGINT), 'total_rows', CAST({tot} AS BIGINT))"
+        for nm, viol, tot in rows
+    )
+    return f"inline(array({structs}))"
+
+
 def _fused_row_checks(name_flags, df: DataFrame) -> DataFrame:
     """ONE aggregation for all row-expression checks on one table;
     one output row per check via a post-agg inline explode."""
-    aggs = [F.count("*").alias("_total")] + [
-        F.sum(flag.cast("bigint")).alias(f"_v_{i}")
+    aggs = ["count(*) AS _total"] + [
+        f"sum(CAST(({flag}) AS BIGINT)) AS _v_{i}"
         for i, (_, flag) in enumerate(name_flags)
     ]
-    one = df.agg(*aggs)
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(nm).alias("check_name"),
-                F.col(f"_v_{i}").alias("violations"),
-                F.col("_total").alias("total_rows"),
-            )
-            for i, (nm, _) in enumerate(name_flags)
-        ]
+    one = df.agg(*[F.expr(a) for a in aggs])
+    return one.selectExpr(
+        _inline_checks(
+            [(nm, f"_v_{i}", "_total") for i, (nm, _) in enumerate(name_flags)]
+        )
     )
-    return one.select(F.inline(structs))
+
+
+def _unique_with_row_checks(
+    df: DataFrame, cols: list[str], table: str, name_flags: list
+) -> DataFrame:
+    """Two-level unique aggregation that carries the table's
+    row-expression checks as per-key partial sums in its first
+    level — one scan serves the unique check AND every row check."""
+    nm = f"unique:{table}." + "+".join(cols)
+    per_key = df.groupBy(*cols).agg(
+        F.expr("count(*) AS _c"),
+        *[
+            F.expr(f"sum(CAST(({flag}) AS BIGINT)) AS _v_{i}")
+            for i, (_, flag) in enumerate(name_flags)
+        ],
+    )
+    one = per_key.agg(
+        F.expr("CAST(sum(_c) AS BIGINT) AS _total"),
+        F.expr("count(*) AS _distinct"),
+        *[F.expr(f"sum(_v_{i}) AS _v_{i}") for i in range(len(name_flags))],
+    )
+    return one.selectExpr(
+        _inline_checks(
+            [(nm, "_total - _distinct", "_total")]
+            + [
+                (flag_nm, f"_v_{i}", "_total")
+                for i, (flag_nm, _) in enumerate(name_flags)
+            ]
+        )
+    )
 
 
 def expectation_report(
@@ -253,85 +302,102 @@ def expectation_report(
                                               # total_rows = a
     """
     per_table_flags: dict[str, list] = {}
+    unique_specs: dict[str, list[list[str]]] = {}
     reports: list[DataFrame] = []
+
+    def lit_sql(v) -> str:
+        return _sq(v) if isinstance(v, str) else repr(v)
 
     for e in spec:
         kind = e["check"]
         if kind == "not_null":
             t, c = e["table"], e["column"]
             per_table_flags.setdefault(t, []).append(
-                (f"not_null:{t}.{c}", F.col(c).isNull())
+                (f"not_null:{t}.{c}", f"{c} IS NULL")
             )
         elif kind == "accepted_range":
             t, c = e["table"], e["column"]
-            cond = F.lit(False)
+            conds = []
             if e.get("lo") is not None:
-                cond = cond | (F.col(c) < F.lit(e["lo"]))
+                conds.append(f"{c} < {lit_sql(e['lo'])}")
             if e.get("hi") is not None:
-                cond = cond | (F.col(c) > F.lit(e["hi"]))
+                conds.append(f"{c} > {lit_sql(e['hi'])}")
+            cond = " OR ".join(conds) if conds else "FALSE"
             per_table_flags.setdefault(t, []).append(
-                (f"accepted_range:{t}.{c}", F.col(c).isNotNull() & cond)
+                (f"accepted_range:{t}.{c}", f"{c} IS NOT NULL AND ({cond})")
             )
         elif kind == "accepted_values":
             t, c = e["table"], e["column"]
+            vals = ", ".join(lit_sql(v) for v in e["values"])
             per_table_flags.setdefault(t, []).append(
                 (
                     f"accepted_values:{t}.{c}",
-                    F.col(c).isNotNull() & ~F.col(c).isin(e["values"]),
+                    f"{c} IS NOT NULL AND {c} NOT IN ({vals})",
                 )
             )
         elif kind == "unique":
             t, cols = e["table"], e["columns"]
-            nm = f"unique:{t}." + "+".join(cols)
-            per_key = tables[t].groupBy(*cols).agg(F.count("*").alias("_c"))
-            rep = per_key.agg(
-                F.sum("_c").cast("bigint").alias("total_rows"),
-                F.count("*").alias("_distinct"),
-            ).select(
-                F.lit(nm).alias("check_name"),
-                (F.col("total_rows") - F.col("_distinct")).alias("violations"),
-                "total_rows",
-            )
-            reports.append(rep)
+            unique_specs.setdefault(t, []).append(cols)
         elif kind == "referential":
             t, fk = e["table"], e["column"]
             d, k = e["ref_table"], e["ref_column"]
             nm = f"referential:{t}.{fk}->{d}.{k}"
+            if fk == k:
+                raise ValueError(
+                    f"referential check {nm}: fk and ref column share the"
+                    " name; alias one side so the join condition is"
+                    " unambiguous"
+                )
             fact, dim = tables[t], tables[d]
             orphans = (
-                fact.where(F.col(fk).isNotNull())
-                .join(F.broadcast(dim), fact[fk] == dim[k], "left_anti")
-                .agg(F.count("*").alias("violations"))
+                fact.where(f"{fk} IS NOT NULL")
+                .join(F.broadcast(dim), F.expr(f"{fk} = {k}"), "left_anti")
+                .agg(F.expr("count(*) AS violations"))
             )
-            total = fact.agg(F.count("*").alias("total_rows"))
+            total = fact.agg(F.expr("count(*) AS total_rows"))
             reports.append(
-                orphans.crossJoin(total).select(
-                    F.lit(nm).alias("check_name"), "violations", "total_rows"
+                orphans.crossJoin(total).selectExpr(
+                    f"{_sq(nm)} AS check_name", "violations", "total_rows"
                 )
             )
         elif kind == "cross_sum":
             nm = f"cross_sum:{e['name']}"
-            a = tables[e["table"]].agg(F.expr(e["expr"]).cast("bigint").alias("_a"))
+            a = tables[e["table"]].agg(
+                F.expr(f"CAST(({e['expr']}) AS BIGINT) AS _a")
+            )
             bdf = tables[e["other_table"]].agg(
-                F.expr(e["other_expr"]).cast("bigint").alias("_b")
+                F.expr(f"CAST(({e['other_expr']}) AS BIGINT) AS _b")
             )
             reports.append(
-                a.crossJoin(bdf).select(
-                    F.lit(nm).alias("check_name"),
-                    F.abs(F.col("_a") - F.col("_b")).alias("violations"),
-                    F.col("_a").alias("total_rows"),
+                a.crossJoin(bdf).selectExpr(
+                    f"{_sq(nm)} AS check_name",
+                    "abs(_a - _b) AS violations",
+                    "_a AS total_rows",
                 )
             )
         else:
             raise ValueError(f"unknown expectation kind: {kind}")
 
-    for t, flags in per_table_flags.items():
-        reports.append(_fused_row_checks(flags, tables[t]))
+    # assemble per-table scans: the FIRST unique check on a table
+    # absorbs that table's row-expression checks into its first-level
+    # aggregation (per-key partial flag sums), so such tables are
+    # scanned once, not twice
+    for t in {*per_table_flags, *unique_specs}:
+        flags = per_table_flags.get(t, [])
+        uniqs = unique_specs.get(t, [])
+        if uniqs:
+            reports.append(
+                _unique_with_row_checks(tables[t], uniqs[0], t, flags)
+            )
+            for cols in uniqs[1:]:
+                reports.append(_unique_with_row_checks(tables[t], cols, t, []))
+        elif flags:
+            reports.append(_fused_row_checks(flags, tables[t]))
 
     out = reduce(lambda x, y: x.unionByName(y), reports)
-    return out.select(
+    return out.selectExpr(
         "check_name",
-        F.col("violations").cast("bigint").alias("violations"),
-        F.col("total_rows").cast("bigint").alias("total_rows"),
-        (F.col("violations") == 0).alias("passed"),
+        "CAST(violations AS BIGINT) AS violations",
+        "CAST(total_rows AS BIGINT) AS total_rows",
+        "violations = 0 AS passed",
     )

@@ -102,9 +102,15 @@ def bm25_topk(
         F.size(F.filter(toks, _eq(t))).alias(f"tf_{i}")
         for i, t in enumerate(query_terms)
     ]
+    # the slim per-doc relation (id + a few ints, ~36 B/doc) feeds
+    # BOTH the stats aggregate and the scoring scan: persist it so
+    # the corpus is tokenized once, not twice (measured ~20% at
+    # sf0.1; MEMORY_AND_DISK evicts under pressure, and the session
+    # hygiene in bench.py/io.release_new_persistent_rdds reclaims it
+    # between runs)
     per_doc = docs.select(
         F.col(id_col), F.size(toks).alias("dl"), *tf_cols
-    )
+    ).persist()
 
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),

@@ -264,3 +264,21 @@ def test_bm25_index_rejects_bad_batch_ids(spark, sf_dir, tmp_path):
     for bad in ["a=b", "a/b", ".hidden"]:
         with pytest.raises(ValueError):
             retrieval.bm25_index_append(first, path, bad)
+
+
+def test_expectation_unique_absorbs_row_checks_one_scan(spark, sf_dir):
+    """A table with BOTH a unique check and row-expression checks is
+    scanned once: the row checks ride the unique aggregation's
+    first level as per-key partial sums."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    spec = [
+        {"check": "not_null", "table": "lineitem", "column": "l_quantity"},
+        {"check": "accepted_range", "table": "lineitem",
+         "column": "l_quantity", "lo": 1.0, "hi": 50.0},
+        {"check": "unique", "table": "lineitem",
+         "columns": ["l_orderkey", "l_linenumber"]},
+    ]
+    rep = qa.expectation_report(t, spec)
+    assert physical_plan(rep).count("Scan parquet") == 1
+    got = {r["check_name"]: r["violations"] for r in rep.collect()}
+    assert len(got) == 3
