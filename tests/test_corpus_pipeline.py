@@ -1,11 +1,13 @@
 """Flagship composition test: the COMPLETE training-corpus
 preprocessing pipeline, every stage an operator this engine ships —
-scrub -> repetition filter -> LM-perplexity gate -> exact dedup ->
-contamination screen -> per-source quota cap -> sequence packing ->
-epoch shuffle -> shard sink. Asserts the invariant each stage exists
-to provide, on the driver's documents table, ending with on-disk
-shards a training job could read. This is the 'a user of the
-reference could run their whole corpus prep here' claim, executed.
+scrub -> repetition filter -> LM-perplexity gate -> learned quality
+classifier -> exact dedup -> contamination screen -> per-source
+quota cap -> sequence packing -> epoch shuffle -> shard sink ->
+served BM25 index over the output. Asserts the invariant each stage
+exists to provide, on the driver's documents table, ending with
+on-disk shards a training job could read and query. This is the 'a
+user of the reference could run their whole corpus prep here'
+claim, executed.
 """
 
 from __future__ import annotations
@@ -58,6 +60,24 @@ def test_training_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     gated = gated.join(keep_ids, "doc_id", "left_semi").persist()
     n_lm = gated.count()
     assert 0 < n_lm <= n_gated
+
+    # 2c. learned quality gate (classifier.train_logreg, round 8) —
+    # the fastText/CCNet-style step: train on a cheap heuristic
+    # teacher (here: docs of >= 20 tokens), then keep what the model
+    # scores as quality. One job per GD iteration, scoring JVM-side.
+    from clinical_data_warehouse_bi_spark import classifier
+
+    feats = classifier.featurize_documents(gated)
+    labeled = feats.withColumn(
+        "label", (F.col("features")[3] >= 0.2).cast("double")
+    )
+    wvec = classifier.train_logreg(labeled, n_iter=40, lr=2.0)
+    gated = classifier.quality_filter(gated, wvec, threshold=0.5).persist()
+    n_clf = gated.count()
+    teacher_pos = labeled.filter("label = 1.0").count()
+    assert 0 < n_clf <= n_lm
+    # the learned gate tracks its teacher to within 10% of the corpus
+    assert abs(n_clf - teacher_pos) <= max(5, int(0.1 * n_lm))
 
     # 3. exact dedup — one shuffle on the content hash, keep-min doc_id
     hashed = gated.withColumn("__h", F.md5("text"))
@@ -132,3 +152,27 @@ def test_training_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert back.filter(
         F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     ).count() == 0
+
+    # 7. served retrieval over the output corpus — build the
+    # persisted BM25 index from the shards and serve a query; every
+    # hit must actually contain a query term, and the served scores
+    # must equal the inline shuffle-free path on the same corpus
+    from clinical_data_warehouse_bi_spark import retrieval
+
+    idx = str(tmp_path / "bm25_idx")
+    retrieval.bm25_index_build(back.select("doc_id", "text"), idx, n_buckets=8)
+    served = retrieval.bm25_index_search(spark, idx, ["hash", "join"], 10_000)
+    hits = served.join(back, "doc_id").select("doc_id", "text", "score").collect()
+    assert hits
+    for r in hits:
+        assert ("hash" in r["text"].lower()) or ("join" in r["text"].lower())
+    inline = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(
+            back.select("doc_id", "text"), ["hash", "join"], 10_000
+        ).collect()
+    }
+    got = {r["doc_id"]: r["score"] for r in hits}
+    assert set(got) == set(inline)
+    for d, s in inline.items():
+        assert abs(got[d] - s) < 1e-3
