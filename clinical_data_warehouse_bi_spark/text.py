@@ -514,3 +514,77 @@ def quota_sample(
         .filter(F.col("__rn") <= int(n_per_group))
         .drop("__rn")
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_window: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Sub-document dedup with CONTENT-DEFINED chunk boundaries (the
+    Rabin/CDC idea from dedup storage systems, token-level): a chunk
+    boundary falls after token i iff the rolling hash of the last
+    ``hash_window`` tokens is 0 mod ``divisor`` (expected chunk
+    length ~= divisor tokens). Because a boundary depends only on the
+    trailing token window, INSERTING text shifts every fixed-window
+    chunk after the edit but leaves CDC boundaries downstream intact
+    — shared suffixes still dedup, the exact failure mode of
+    chunk_dedup's fixed windows (and the reason storage dedup
+    abandoned fixed blocks).
+
+    Same scale shape as chunk_dedup: boundaries, chunks and their two
+    salted xxhash64s are all per-row array expressions; only the slim
+    (id, chunk_idx, h1, h2) relation reaches the keep-first window,
+    and reconstruction joins kept chunk indexes back to a re-chunked
+    scan. Text never shuffles. Returns (id, n_chunks, n_kept,
+    clean_text)."""
+    from pyspark.sql import Window
+
+    k, d = int(hash_window), int(divisor)
+    toks = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("w"))
+    cuts = F.expr(
+        f"filter(sequence(1, size(w) - 1),"
+        f" i -> pmod(xxhash64(concat_ws(' ',"
+        f"   slice(w, greatest(1, i - {k} + 1), least({k}, i)))), {d}) = 0)"
+    )
+    chunks = F.expr(
+        "zip_with("
+        "  concat(array(1), transform(__cuts, c -> c + 1)),"
+        "  concat(__cuts, array(size(w))),"
+        "  (s, e) -> concat_ws(' ', slice(w, s, e - s + 1)))"
+    )
+    chunked_docs = (
+        toks.filter(F.size("w") > 0)
+        .withColumn("__cuts", cuts)
+        .withColumn("__chunks", chunks)
+    )
+    hash_pairs = F.expr(
+        "transform(__chunks, s -> struct(xxhash64(s) as h1, xxhash64(s, 'b') as h2))"
+    )
+    slim = chunked_docs.select(
+        "__id", F.posexplode(hash_pairs).alias("pos", "hp")
+    ).select("__id", "pos", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
+    w_keep = Window.partitionBy("h1", "h2").orderBy("__id", "pos")
+    kept = (
+        slim.withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") == 1)
+        .groupBy("__id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("kept_pos"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+    )
+    rebuild = F.expr("array_join(transform(kept_pos, p -> __chunks[p]), ' ')")
+    return (
+        chunked_docs.join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.size("__chunks").cast("bigint").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.when(F.col("kept_pos").isNull(), F.lit(""))
+            .otherwise(rebuild)
+            .alias("clean_text"),
+        )
+    )

@@ -1344,3 +1344,80 @@ def test_correlation_matrix_matches_duckdb(spark, sf_dir, duck):
     # regression signal a broken feed (duplicated column, join
     # fan-out) would flip
     assert all(abs(v) < 0.2 for v in got.values())
+
+
+# ------------------------- content-defined chunk dedup (CDC, r8) --
+
+from clinical_data_warehouse_bi_spark import text as T  # noqa: E402
+from clinical_data_warehouse_bi_spark.io import read_table  # noqa: E402
+
+_CDC_BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four five "
+    "six seven eight nine ten"
+)
+
+
+def test_cdc_chunk_dedup_survives_prefix_insertion(spark):
+    """The CDC contract: inserting a prefix shifts every fixed-window
+    chunk (fixed dedup finds NOTHING to remove from the copy) but
+    leaves content-defined boundaries downstream intact (CDC removes
+    the shared tail)."""
+    docs = spark.createDataFrame(
+        [(0, _CDC_BASE), (1, "inserted prefix words here " + _CDC_BASE)],
+        ["doc_id", "text"],
+    )
+    cdc = {r["doc_id"]: r for r in T.cdc_chunk_dedup(docs).collect()}
+    fixed = {r["doc_id"]: r for r in T.chunk_dedup(docs).collect()}
+    # fixed windows: the shifted copy shares no chunk with the original
+    assert fixed[1]["n_kept"] == fixed[1]["n_chunks"]
+    # CDC: most of the copy's chunks resynchronize and dedup away
+    assert cdc[1]["n_kept"] < cdc[1]["n_chunks"]
+    assert cdc[1]["n_kept"] <= fixed[1]["n_kept"] - 1
+    # the original is globally first: it keeps everything
+    assert cdc[0]["n_kept"] == cdc[0]["n_chunks"]
+
+
+def test_cdc_chunk_dedup_exact_copy_fully_removed(spark):
+    docs = spark.createDataFrame(
+        [(0, _CDC_BASE), (1, _CDC_BASE)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in T.cdc_chunk_dedup(docs).collect()}
+    assert got[0]["n_kept"] == got[0]["n_chunks"]
+    assert got[1]["n_kept"] == 0 and got[1]["clean_text"] == ""
+
+
+def test_cdc_chunk_dedup_lossless_without_duplicates(spark):
+    """A corpus with no repeated chunks reconstructs verbatim (the
+    chunks partition the token stream)."""
+    docs = spark.createDataFrame([(0, _CDC_BASE)], ["doc_id", "text"])
+    r = T.cdc_chunk_dedup(docs).first()
+    assert r["n_kept"] == r["n_chunks"]
+    assert r["clean_text"] == _CDC_BASE
+
+
+def test_cdc_chunk_dedup_deterministic(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(map(tuple, T.cdc_chunk_dedup(docs).collect()))
+    b = sorted(map(tuple, T.cdc_chunk_dedup(docs).collect()))
+    assert a == b
+
+
+def test_cdc_chunk_dedup_text_never_shuffles(spark, sf_dir):
+    """Same scale contract as q_chunk_dedup: only the slim
+    (id, pos, h1, h2) relation reaches a keyed exchange — never the
+    text, token array, or chunk-string array."""
+    from test_plans import _exchange_blocks
+
+    docs = read_table(spark, sf_dir, "documents")
+    blocks = [
+        b
+        for b in _exchange_blocks(T.cdc_chunk_dedup(docs))
+        if "RoundRobinPartitioning" not in b
+    ]
+    assert blocks, "expected at least one keyed exchange (keep-first window)"
+    for b in blocks:
+        assert "text#" not in b, b
+        assert " w#" not in b and "[w#" not in b, b
+        assert "__chunks#" not in b, b
