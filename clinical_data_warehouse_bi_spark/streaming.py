@@ -911,3 +911,82 @@ def streaming_bm25_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def expectations_apply_batch(
+    batch: DataFrame,
+    report_path: str,
+    batch_id: int,
+    spec: list[dict],
+    dims: dict[str, DataFrame] | None = None,
+) -> None:
+    """One micro-batch of EXACTLY-ONCE streaming data-quality
+    monitoring: run the declarative expectation suite
+    (qa.expectation_report) on the batch — the stream is addressed
+    as table 'stream' in the spec; static dimension tables for
+    referential checks come in via ``dims`` — and land the per-check
+    (violations, total_rows) rows via dynamic partition overwrite of
+    the batch's OWN batch_id partition (the preagg_apply_batch
+    contract: replay overwrites identical content, no-op).
+
+    Per-check counts are MONOIDS over batches (sums), so
+    read_expectation_totals is exact across any number of batches.
+    'unique' checks are rejected: cross-batch uniqueness is not a
+    summable per-batch quantity — that is streaming_dedup_ingest's
+    job. Report size is O(checks) rows per batch; the read side
+    aggregates a relation of batches x checks rows, which stays
+    trivial for years of batches."""
+    from clinical_data_warehouse_bi_spark import qa
+
+    for e in spec:
+        if e["check"] == "unique":
+            raise ValueError(
+                "streaming expectations cannot monitor 'unique' across"
+                " batches (not per-batch summable); use"
+                " streaming_dedup_ingest for cross-batch key dedup"
+            )
+    spark = batch.sparkSession
+    tables = {"stream": batch, **(dims or {})}
+    contrib = (
+        qa.expectation_report(tables, spec)
+        .select("check_name", "violations", "total_rows")
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        contrib.write.mode("overwrite").partitionBy("batch_id").parquet(
+            report_path
+        )
+    finally:
+        spark.conf.set(key, before)
+
+
+def read_expectation_totals(spark: SparkSession, report_path: str) -> DataFrame:
+    """Exact cumulative data-quality state: per-check violation and
+    row totals over every committed batch partition."""
+    rep = spark.read.parquet(report_path)
+    return rep.groupBy("check_name").agg(
+        F.sum("violations").cast("bigint").alias("violations"),
+        F.sum("total_rows").cast("bigint").alias("total_rows"),
+        (F.sum("violations") == 0).alias("passed"),
+    )
+
+
+def streaming_expectations(
+    stream: DataFrame,
+    report_path: str,
+    spec: list[dict],
+    dims: dict[str, DataFrame] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous data-quality monitoring on an ingest stream:
+    expectations_apply_batch per micro-batch. Returns the started
+    StreamingQuery; read_expectation_totals serves the dashboard."""
+    writer = stream.writeStream.foreachBatch(
+        lambda b, bid: expectations_apply_batch(b, report_path, bid, spec, dims)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

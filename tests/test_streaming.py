@@ -958,3 +958,111 @@ def test_streaming_bm25_ingest_extends_index(spark, tmp_path):
     assert set(served) == set(inline)
     for d, s in inline.items():
         assert abs(served[d] - s) < 1e-3
+
+
+def _exp_spec():
+    return [
+        {"check": "not_null", "table": "stream", "column": "user_id"},
+        {"check": "accepted_values", "table": "stream",
+         "column": "event_type", "values": ["click", "view"]},
+        {"check": "referential", "table": "stream", "column": "user_id",
+         "ref_table": "users", "ref_column": "uid"},
+    ]
+
+
+def _exp_rows(lo, hi, bad_every=5):
+    # every 5th row: null user; every 7th: bad event_type; ids >= 90 orphan
+    rows = []
+    for i in range(lo, hi):
+        uid = None if i % bad_every == 0 else (90 + i % 20 if i % 3 == 0 else i % 50)
+        et = "scroll" if i % 7 == 0 else ("click" if i % 2 == 0 else "view")
+        rows.append((i, uid, et))
+    return rows
+
+
+def test_expectations_apply_batch_totals_and_replay(spark, tmp_path):
+    """Two batches accumulate exact per-check totals; replaying a
+    batch id overwrites its own partition (no double counting)."""
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    users = spark.createDataFrame([(i,) for i in range(60)], ["uid"])
+    schema = "event_id long, user_id long, event_type string"
+    path = str(tmp_path / "dq")
+    b0 = spark.createDataFrame(_exp_rows(0, 100), schema)
+    b1 = spark.createDataFrame(_exp_rows(100, 250), schema)
+    S.expectations_apply_batch(b0, path, 0, _exp_spec(), {"users": users})
+    S.expectations_apply_batch(b1, path, 1, _exp_spec(), {"users": users})
+    totals = {
+        r["check_name"]: (r["violations"], r["total_rows"], r["passed"])
+        for r in S.read_expectation_totals(spark, path).collect()
+    }
+    # ground truth: the same suite over the concatenated batches
+    from clinical_data_warehouse_bi_spark import qa
+
+    full = spark.createDataFrame(_exp_rows(0, 250), schema)
+    want = {
+        r["check_name"]: (r["violations"], r["total_rows"], r["passed"])
+        for r in qa.expectation_report(
+            {"stream": full, "users": users}, _exp_spec()
+        ).collect()
+    }
+    assert totals == want
+    # replay batch 1: identical partition overwrite, totals unchanged
+    S.expectations_apply_batch(b1, path, 1, _exp_spec(), {"users": users})
+    totals2 = {
+        r["check_name"]: (r["violations"], r["total_rows"], r["passed"])
+        for r in S.read_expectation_totals(spark, path).collect()
+    }
+    assert totals2 == want
+
+
+def test_expectations_reject_unique_checks(spark, tmp_path):
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    b = spark.createDataFrame([(1, 1, "click")],
+                              "event_id long, user_id long, event_type string")
+    with pytest.raises(ValueError):
+        S.expectations_apply_batch(
+            b, str(tmp_path / "dq"), 0,
+            [{"check": "unique", "table": "stream", "columns": ["event_id"]}],
+        )
+
+
+def test_streaming_expectations_end_to_end(spark, tmp_path):
+    """The foreachBatch wrapper drains a file stream and the totals
+    match the batch-computed suite over everything delivered."""
+    from clinical_data_warehouse_bi_spark import qa
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    users = spark.createDataFrame([(i,) for i in range(60)], ["uid"])
+    schema = "event_id long, user_id long, event_type string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_exp_rows(0, 80), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    path = str(tmp_path / "dq")
+    q = S.streaming_expectations(
+        stream, path, _exp_spec(), {"users": users},
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(_exp_rows(80, 160), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    totals = {
+        r["check_name"]: (r["violations"], r["total_rows"])
+        for r in S.read_expectation_totals(spark, path).collect()
+    }
+    full = spark.createDataFrame(_exp_rows(0, 160), schema)
+    want = {
+        r["check_name"]: (r["violations"], r["total_rows"])
+        for r in qa.expectation_report(
+            {"stream": full, "users": users}, _exp_spec()
+        ).collect()
+    }
+    assert totals == want
