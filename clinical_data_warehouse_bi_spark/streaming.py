@@ -990,3 +990,89 @@ def streaming_expectations(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def join_view_apply_batch(
+    fact_batch: DataFrame,
+    view_path: str,
+    batch_id: int,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    as_of_col: str | None = None,
+    how: str = "left",
+) -> None:
+    """One micro-batch of EXACTLY-ONCE incremental JOIN-view
+    maintenance — the enrichment counterpart of preagg_apply_batch:
+    the materialized view V = fact >< dim is maintained by landing
+    ONLY the batch delta, already joined (dV = dfact >< dim), via
+    dynamic partition overwrite of the batch's own batch_id
+    partition. Replay overwrites identical content: no-op.
+
+    Dimension correctness over time is the SCD2 contract, not
+    retro-rewrites: pass an SCD2 dimension (valid_from / valid_to
+    columns, scd2_apply_changes' schema) plus ``as_of_col`` naming
+    the fact's event-time column, and each fact row joins the
+    version in force AT ITS OWN TIME — so later dim changes never
+    invalidate rows already materialized (the warehouse-standard
+    semantics; a Type-1 overwrite dim would need full re-enrichment,
+    which is a rebuild, not maintenance).
+
+    Scale shape: one broadcast join per batch (dim is the small side
+    of a star by construction), one partition write. No view-sized
+    read, shuffle, or rewrite ever happens on the maintenance path."""
+    spark = fact_batch.sparkSession
+    d = F.broadcast(dim)
+    if as_of_col is not None:
+        cond = (
+            (fact_batch[fact_key] == d[dim_key])
+            & (d["valid_from"] <= fact_batch[as_of_col])
+            & (
+                d["valid_to"].isNull()
+                | (fact_batch[as_of_col] < d["valid_to"])
+            )
+        )
+    else:
+        cond = fact_batch[fact_key] == d[dim_key]
+    enriched = fact_batch.join(d, cond, how).drop(dim_key).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        enriched.write.mode("overwrite").partitionBy("batch_id").parquet(
+            view_path
+        )
+    finally:
+        spark.conf.set(key, before)
+
+
+def read_join_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """The maintained enrichment view (all committed batches)."""
+    return spark.read.parquet(view_path).drop("batch_id")
+
+
+def streaming_join_view(
+    stream: DataFrame,
+    view_path: str,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    as_of_col: str | None = None,
+    how: str = "left",
+    checkpoint_dir: str | None = None,
+):
+    """Continuously maintain the enrichment view from an ingest
+    stream (join_view_apply_batch per micro-batch)."""
+    writer = stream.writeStream.foreachBatch(
+        lambda b, bid: join_view_apply_batch(
+            b, view_path, bid, dim, fact_key, dim_key,
+            as_of_col=as_of_col, how=how,
+        )
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

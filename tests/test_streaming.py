@@ -1066,3 +1066,98 @@ def test_streaming_expectations_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert totals == want
+
+
+def test_join_view_incremental_matches_full_rebuild(spark, tmp_path):
+    """Two maintained batches == the one-shot join over all facts;
+    replay of a batch changes nothing."""
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], ["cust_id", "tier"]
+    )
+    schema = "fact_id long, cust long, amount double"
+    f0 = spark.createDataFrame([(i, 1 + i % 3, float(i)) for i in range(40)], schema)
+    f1 = spark.createDataFrame(
+        [(i, 1 + i % 3, float(i)) for i in range(40, 90)], schema
+    )
+    path = str(tmp_path / "view")
+    S.join_view_apply_batch(f0, path, 0, dim, "cust", "cust_id")
+    S.join_view_apply_batch(f1, path, 1, dim, "cust", "cust_id")
+    got = sorted(map(tuple, S.read_join_view(spark, path).collect()))
+    full = f0.unionByName(f1).join(
+        F.broadcast(dim), F.col("cust") == F.col("cust_id"), "left"
+    ).drop("cust_id")
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    S.join_view_apply_batch(f1, path, 1, dim, "cust", "cust_id")  # replay
+    assert sorted(map(tuple, S.read_join_view(spark, path).collect())) == want
+
+
+def test_join_view_scd2_as_of_versions_are_stable(spark, tmp_path):
+    """With an SCD2 dim and as_of_col, each fact row is enriched
+    with the version in force at its event time — and a later dim
+    change does NOT alter rows already materialized."""
+    import datetime as dt
+
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    def d(day):
+        return dt.datetime(2024, 1, day)
+
+    dim_v1 = spark.createDataFrame(
+        [(1, "gold", d(1), None, True)],
+        "cust_id long, tier string, valid_from timestamp,"
+        " valid_to timestamp, is_current boolean",
+    )
+    schema = "fact_id long, cust long, ts timestamp"
+    path = str(tmp_path / "view")
+    b0 = spark.createDataFrame([(0, 1, d(5))], schema)
+    S.join_view_apply_batch(
+        b0, path, 0, dim_v1, "cust", "cust_id", as_of_col="ts"
+    )
+    # the customer is demoted on day 10: a second SCD2 version
+    dim_v2 = spark.createDataFrame(
+        [
+            (1, "gold", d(1), d(10), False),
+            (1, "silver", d(10), None, True),
+        ],
+        dim_v1.schema,
+    )
+    b1 = spark.createDataFrame([(1, 1, d(8)), (2, 1, d(12))], schema)
+    S.join_view_apply_batch(
+        b1, path, 1, dim_v2, "cust", "cust_id", as_of_col="ts"
+    )
+    got = {
+        r["fact_id"]: r["tier"]
+        for r in S.read_join_view(spark, path).collect()
+    }
+    # fact 0 (day 5, materialized under v1) stays gold; fact 1
+    # (day 8) is gold by the as-of interval; fact 2 (day 12) silver
+    assert got == {0: "gold", 1: "gold", 2: "silver"}
+
+
+def test_streaming_join_view_end_to_end(spark, tmp_path):
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    schema = "fact_id long, fk long"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i, 1 + i % 2) for i in range(30)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    path = str(tmp_path / "view")
+    q = S.streaming_join_view(
+        stream, path, dim, "fk", "k", checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(i, 1 + i % 2) for i in range(30, 60)], schema)\
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    view = S.read_join_view(spark, path)
+    assert view.count() == 60
+    assert view.filter(F.col("v").isNull()).count() == 0
