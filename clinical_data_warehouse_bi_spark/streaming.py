@@ -1076,3 +1076,69 @@ def streaming_join_view(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def compact_expectations(spark: SparkSession, report_path: str) -> dict:
+    """Roll the streaming data-quality report's batch partitions into
+    one base partition of per-check totals (the per-check counts are
+    monoids, so summing partials preserves read_expectation_totals
+    exactly). Same single-writer window and crash-safe publish
+    protocol as compact_preagg."""
+    import glob
+
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(report_path)
+    rep = spark.read.parquet(report_path)
+    rolled = (
+        rep.groupBy("check_name")
+        .agg(
+            F.sum("violations").cast("bigint").alias("violations"),
+            F.sum("total_rows").cast("bigint").alias("total_rows"),
+        )
+        .withColumn("batch_id", F.lit(PREAGG_BASE_BATCH).cast("long"))
+        .localCheckpoint()
+    )
+    rows = rolled.count()
+    tmp = f"{report_path}.tmp-compact"
+    old = f"{report_path}.old-compact"
+    rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    os.rename(report_path, old)
+    os.rename(tmp, report_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": rows,
+        "partitions_after": len(glob.glob(os.path.join(report_path, "batch_id=*"))),
+    }
+
+
+def compact_join_view(
+    spark: SparkSession, view_path: str, num_files: int | None = None
+) -> dict:
+    """Roll the join view's batch partitions into one base partition
+    (no aggregation — the view rows ARE the content; this bounds the
+    read side's partition count and merges small per-batch files).
+    Crash-safe via the shared compaction publish protocol; same
+    single-writer window as compact_preagg."""
+    import glob
+
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(view_path)
+    view = spark.read.parquet(view_path).drop("batch_id").withColumn(
+        "batch_id", F.lit(PREAGG_BASE_BATCH).cast("long")
+    )
+    if num_files:
+        view = view.coalesce(int(num_files))
+    rolled = view.localCheckpoint()
+    rows = rolled.count()
+    tmp = f"{view_path}.tmp-compact"
+    old = f"{view_path}.old-compact"
+    rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    os.rename(view_path, old)
+    os.rename(tmp, view_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": rows,
+        "partitions_after": len(glob.glob(os.path.join(view_path, "batch_id=*"))),
+    }

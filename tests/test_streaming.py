@@ -1161,3 +1161,45 @@ def test_streaming_join_view_end_to_end(spark, tmp_path):
     view = S.read_join_view(spark, path)
     assert view.count() == 60
     assert view.filter(F.col("v").isNull()).count() == 0
+
+
+def test_compact_expectations_preserves_totals(spark, tmp_path):
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    users = spark.createDataFrame([(i,) for i in range(60)], ["uid"])
+    schema = "event_id long, user_id long, event_type string"
+    path = str(tmp_path / "dq")
+    for bid, (lo, hi) in enumerate([(0, 100), (100, 250), (250, 300)]):
+        S.expectations_apply_batch(
+            spark.createDataFrame(_exp_rows(lo, hi), schema),
+            path, bid, _exp_spec(), {"users": users},
+        )
+    before = sorted(map(tuple, S.read_expectation_totals(spark, path).collect()))
+    res = S.compact_expectations(spark, path)
+    assert res["partitions_after"] == 1
+    after = sorted(map(tuple, S.read_expectation_totals(spark, path).collect()))
+    assert after == before
+
+
+def test_compact_join_view_preserves_rows(spark, tmp_path):
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    schema = "fact_id long, fk long"
+    path = str(tmp_path / "view")
+    for bid, (lo, hi) in enumerate([(0, 30), (30, 70), (70, 100)]):
+        S.join_view_apply_batch(
+            spark.createDataFrame([(i, 1 + i % 2) for i in range(lo, hi)], schema),
+            path, bid, dim, "fk", "k",
+        )
+    before = sorted(map(tuple, S.read_join_view(spark, path).collect()))
+    res = S.compact_join_view(spark, path, num_files=2)
+    assert res["partitions_after"] == 1
+    after = sorted(map(tuple, S.read_join_view(spark, path).collect()))
+    assert after == before
+    # maintenance continues cleanly after compaction
+    S.join_view_apply_batch(
+        spark.createDataFrame([(i, 1 + i % 2) for i in range(100, 120)], schema),
+        path, 3, dim, "fk", "k",
+    )
+    assert S.read_join_view(spark, path).count() == 120
