@@ -401,3 +401,70 @@ def expectation_report(
         "CAST(total_rows AS BIGINT) AS total_rows",
         "violations = 0 AS passed",
     )
+
+
+def drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+    threshold: float = 0.2,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Distribution-drift detection between two snapshots of a table:
+    Population Stability Index per numeric column, the standard
+    monitoring statistic (psi < 0.1 stable, > 0.2 action — the
+    conventional thresholds).
+
+    Bin edges come from the BASELINE's quantiles (one approxQuantile
+    driver call, O(cols x bins) scalars); then per-bin counts for
+    ALL columns compile into ONE aggregation pass per side —
+    n_cols x n_bins sum(CASE) expressions, built as SQL text — so a
+    20-column drift check on a 100 TB snapshot pair costs exactly
+    two scans. PSI itself is arithmetic over the two 1-row results,
+    computed driver-side on O(cols x bins) numbers.
+
+    Returns (column, psi, drifted) — drifted = psi > threshold."""
+    import math
+
+    edges_by_col: dict[str, list[float]] = {}
+    qs = [i / n_bins for i in range(1, n_bins)]
+    quantiles = baseline.approxQuantile(cols, qs, 0.001)
+    for c, es in zip(cols, quantiles):
+        uniq = sorted({float(e) for e in es if e is not None})
+        edges_by_col[c] = uniq
+
+    def bin_exprs(side: str) -> list[str]:
+        exprs = []
+        for c, edges in edges_by_col.items():
+            bounds = [None, *edges, None]
+            for b in range(len(edges) + 1):
+                lo, hi = bounds[b], bounds[b + 1]
+                conds = [f"{c} IS NOT NULL"]
+                if lo is not None:
+                    conds.append(f"{c} > {lo!r}")
+                if hi is not None:
+                    conds.append(f"{c} <= {hi!r}")
+                exprs.append(
+                    f"sum(CASE WHEN {' AND '.join(conds)} THEN 1 ELSE 0 END)"
+                    f" AS {side}_{c}_{b}"
+                )
+        exprs.append(f"count(*) AS {side}_total")
+        return exprs
+
+    b_row = baseline.agg(*[F.expr(e) for e in bin_exprs("b")]).first()
+    c_row = current.agg(*[F.expr(e) for e in bin_exprs("c")]).first()
+
+    out = []
+    for c, edges in edges_by_col.items():
+        nb = len(edges) + 1
+        b_tot = max(b_row["b_total"], 1)
+        c_tot = max(c_row["c_total"], 1)
+        psi = 0.0
+        for b in range(nb):
+            p = max((b_row[f"b_{c}_{b}"] or 0) / b_tot, eps)
+            q = max((c_row[f"c_{c}_{b}"] or 0) / c_tot, eps)
+            psi += (q - p) * math.log(q / p)
+        out.append((c, float(psi), bool(psi > threshold)))
+    spark = baseline.sparkSession
+    return spark.createDataFrame(out, "column string, psi double, drifted boolean")

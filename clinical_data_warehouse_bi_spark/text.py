@@ -588,3 +588,54 @@ def cdc_chunk_dedup(
             .alias("clean_text"),
         )
     )
+
+
+def normalize_unicode(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str = "NFKC",
+    strip_accents: bool = True,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFKC by default: ligatures,
+    fullwidth forms, and compatibility characters fold to canonical
+    ASCII-ish equivalents; optionally strip combining marks so
+    accented letters match their base forms) — the standard first
+    step of multilingual corpus prep, before any tokenizer sees the
+    bytes.
+
+    Spark SQL has no unicode-normalization builtin, so this is an
+    Arrow-batched mapInPandas pass (pure map: no shuffle, schema
+    preserved with text replaced in place). Idempotent: normal forms
+    are fixpoints, and mark-stripping removes what a second pass
+    would no longer find."""
+    import unicodedata
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normal form: {form}")
+    schema = docs.schema
+
+    def _norm(s):
+        if s is None:
+            return None
+        out = unicodedata.normalize(form, s)
+        if strip_accents:
+            out = "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", out)
+                if not unicodedata.combining(ch)
+            )
+            out = unicodedata.normalize(form, out)
+        return out
+
+    def op(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[text_col] = pd.Series(
+                [_norm(s) for s in pdf[text_col]], index=pdf.index, dtype=object
+            )
+            yield pdf
+
+    return docs.mapInPandas(op, schema)

@@ -1421,3 +1421,27 @@ def test_cdc_chunk_dedup_text_never_shuffles(spark, sf_dir):
         assert "text#" not in b, b
         assert " w#" not in b and "[w#" not in b, b
         assert "__chunks#" not in b, b
+
+
+def test_normalize_unicode_folds_and_is_idempotent(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "Café résumé"),          # accents
+            (1, "ﬁne ﬂow"),                  # fi/fl ligatures
+            (2, "ＨＥＬＬＯ"),     # fullwidth HELLO
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    once = {r["doc_id"]: r["text"] for r in T.normalize_unicode(docs).collect()}
+    assert once[0] == "Cafe resume"
+    assert once[1] == "fine flow"
+    assert once[2] == "HELLO"
+    assert once[3] is None
+    twice = {
+        r["doc_id"]: r["text"]
+        for r in T.normalize_unicode(T.normalize_unicode(docs)).collect()
+    }
+    assert twice == once
+    # schema preserved, pure map
+    assert T.normalize_unicode(docs).columns == docs.columns

@@ -282,3 +282,77 @@ def test_expectation_unique_absorbs_row_checks_one_scan(spark, sf_dir):
     assert physical_plan(rep).count("Scan parquet") == 1
     got = {r["check_name"]: r["violations"] for r in rep.collect()}
     assert len(got) == 3
+
+
+# ------------------------------------------------- drift report
+
+def test_drift_report_stable_vs_shifted(spark, sf_dir):
+    """Identical snapshots score ~0 PSI; a shifted copy crosses the
+    action threshold; PSI matches a numpy model bin-for-bin."""
+    import math
+
+    import numpy as np
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    base = li.select("l_quantity", "l_extendedprice")
+    same = {
+        r["column"]: r
+        for r in qa.drift_report(base, base, ["l_quantity", "l_extendedprice"]).collect()
+    }
+    for c in same.values():
+        assert c["psi"] < 0.01 and not c["drifted"]
+
+    shifted = base.withColumn("l_quantity", F.col("l_quantity") * 2 + 10)
+    rep = {
+        r["column"]: r
+        for r in qa.drift_report(
+            base, shifted, ["l_quantity", "l_extendedprice"]
+        ).collect()
+    }
+    assert rep["l_quantity"]["drifted"] and rep["l_quantity"]["psi"] > 0.2
+    assert not rep["l_extendedprice"]["drifted"]
+
+    # numpy model: same deciles, same epsilon floor, same formula
+    qvals = base.approxQuantile("l_quantity", [i / 10 for i in range(1, 10)], 0.001)
+    edges = sorted(set(qvals))
+    bvals = np.array([r["l_quantity"] for r in base.select("l_quantity").collect()])
+    cvals = bvals * 2 + 10
+    def frac(v):
+        bins = [None, *edges, None]
+        out = []
+        for b in range(len(edges) + 1):
+            lo, hi = bins[b], bins[b + 1]
+            m = np.ones(len(v), bool)
+            if lo is not None:
+                m &= v > lo
+            if hi is not None:
+                m &= v <= hi
+            out.append(m.sum() / len(v))
+        return out
+    psi = sum(
+        (max(q, 1e-4) - max(p, 1e-4)) * math.log(max(q, 1e-4) / max(p, 1e-4))
+        for p, q in zip(frac(bvals), frac(cvals))
+    )
+    assert abs(rep["l_quantity"]["psi"] - psi) < 1e-9
+
+
+def test_drift_report_one_scan_per_side(spark, sf_dir):
+    """All columns' bin counts compile into one aggregation per
+    snapshot: exactly two scans for any number of columns."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    import clinical_data_warehouse_bi_spark.qa as qa_mod
+
+    seen = []
+    orig = type(li).agg
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        seen.append(physical_plan(out).count("Scan parquet"))
+        return out
+
+    type(li).agg = spy
+    try:
+        qa_mod.drift_report(li, li, ["l_quantity", "l_discount", "l_tax"]).collect()
+    finally:
+        type(li).agg = orig
+    assert seen and all(s == 1 for s in seen) and len(seen) == 2
