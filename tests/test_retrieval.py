@@ -356,3 +356,29 @@ def test_drift_report_one_scan_per_side(spark, sf_dir):
     finally:
         type(li).agg = orig
     assert seen and all(s == 1 for s in seen) and len(seen) == 2
+
+
+# ------------------------------------------------- corpus card
+
+def test_corpus_card_matches_duckdb_ground_truth(spark, sf_dir, duck, tmp_path):
+    import json
+    import os
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = str(tmp_path / "_card.json")
+    card = qa.corpus_card(docs, out_path=out)
+
+    n_docs, n_distinct, n_tokens = duck.execute(
+        """SELECT count(*), count(DISTINCT text),
+                  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+           FROM documents"""
+    ).fetchone()
+    assert card["n_docs"] == n_docs
+    assert card["n_tokens"] == n_tokens
+    assert abs(card["exact_dup_rate"] - (1 - n_distinct / n_docs)) < 1e-6
+    assert card["tokens_per_doc"]["p50"] <= card["tokens_per_doc"]["p90"]
+    assert sum(card["lang_mix"].values()) <= n_docs
+    assert sum(card["source_mix"].values()) == n_docs
+    with open(out) as f:
+        assert json.load(f) == card
+    assert os.path.basename(out).startswith("_")
