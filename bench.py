@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "q_minhash_lsh_pairs",
     "q_lsh_near_dup",
     "q_simhash_pairs",
-    "q_chunk_dedup",
+    "q_cdc_chunk_dedup",
     "q_paragraph_dedup",
     "q_fuzzy_match",
     "q_token_budget",

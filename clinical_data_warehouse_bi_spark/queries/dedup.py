@@ -365,7 +365,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 8
 
 
-@register("q_chunk_dedup", oracle=f"""
+#: q_chunk_dedup's DuckDB oracle, preserved after its round-8
+#: registry retirement (witness: q_cdc_chunk_dedup carries the
+#: identical slim keep-first window + string_agg-rebuild machinery
+#: over a strictly richer boundary construction; the fixed-window
+#: form keeps this full comparison live in
+#: tests/test_retired_parity.py plus its idempotence property test)
+SQL_CHUNK_DEDUP = f"""
     WITH t AS (
       SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
     chunks AS (
@@ -392,7 +398,9 @@ CHUNK_TOKENS = 8
     FROM documents d
     LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
     LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
-    """)
+    """
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup with document reconstruction — the
     paragraph/line-level dedup every large corpus build runs (Lee et
@@ -533,4 +541,77 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return T.paragraph_dedup(
         fan_out(docs.select("doc_id", "text")), delim=" "
+    )
+
+
+#: CDC boundary parameters for the registered query (expected chunk
+#: length ~= divisor tokens; window = trailing tokens hashed)
+CDC_WINDOW = 3
+CDC_DIVISOR = 8
+
+_SQL_CDC_CUT = (
+    f"(('0x' || substr(md5(array_to_string("
+    f"w[greatest(1, i - {CDC_WINDOW} + 1):i], ' ')), 1, 8))::UBIGINT)"
+    f" % {CDC_DIVISOR} = 0"
+)
+
+
+@register("q_cdc_chunk_dedup", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    cutd AS (
+      SELECT doc_id, w,
+             list_filter(range(1, len(w)), i -> {_SQL_CDC_CUT}) AS cuts
+      FROM t WHERE len(w) > 0),
+    chunked AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(cuts) + 2),
+               j -> array_to_string(
+                      w[list_concat([1], list_transform(cuts, c -> c + 1))[j]
+                        :list_concat(cuts, [len(w)])[j]], ' ')) AS chunks
+      FROM cutd),
+    chunks AS (
+      SELECT doc_id, i AS pos, chunks[i] AS chunk
+      FROM chunked, unnest(generate_series(1, len(chunks))) AS u(i)),
+    kept AS (
+      SELECT doc_id, pos, chunk FROM (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, pos) AS rn
+        FROM chunks) r WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(chunks) AS n_chunks FROM chunked)
+    SELECT d.doc_id,
+           CAST(coalesce(t2.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup with CONTENT-DEFINED boundaries — the
+    shift-robust successor of the retired q_chunk_dedup (fixed
+    windows miss every shared chunk after an insertion; CDC
+    boundaries resynchronize, the property
+    tests/test_properties.py::test_cdc_chunk_dedup_survives_prefix_insertion
+    plants and proves). Boundary hash is the PORTABLE md5-prefix int
+    (the oracle recomputes identical cuts with DuckDB list lambdas);
+    chunk identity still travels as two salted xxhash64s, which the
+    oracle verifies by deduping the chunk strings directly.
+
+    Scale shape inherited from the fixed-window form and plan-locked
+    in test_cdc_chunk_dedup_text_never_shuffles: boundaries, chunks
+    and hash pairs are per-row array expressions; only the slim
+    (id, idx, h1, h2) relation reaches the keep-first window; the
+    rebuild joins kept indexes back to a re-chunked scan."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return T.cdc_chunk_dedup(
+        fan_out(docs.select("doc_id", "text")),
+        hash_window=CDC_WINDOW,
+        divisor=CDC_DIVISOR,
     )

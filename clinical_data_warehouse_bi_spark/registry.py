@@ -89,7 +89,6 @@ _CHECK_ORDER = [
     # relation — and q_text_stats — witness: q_quality_score carries
     # the token-count leg; both keep full oracle comparisons in
     # tests/test_retired_parity.py)
-    "q_chunk_dedup",
     "q_fuzzy_match",
     # round-8 additions (slots freed by retiring q_insert_if_absent —
     # witness: q_anti_new_dates's anti-join insert shape — and
@@ -131,6 +130,12 @@ _CHECK_ORDER = [
     # tests/test_retired_parity.py)
     "q_bm25_topk",
     "q_expectations",
+    # round-8 additions, part 6 (slot freed by retiring q_chunk_dedup
+    # — witness: q_cdc_chunk_dedup runs the identical slim keep-first
+    # window + rebuild machinery over content-defined boundaries; the
+    # fixed-window form keeps its full oracle comparison in
+    # tests/test_retired_parity.py plus its idempotence property test)
+    "q_cdc_chunk_dedup",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",

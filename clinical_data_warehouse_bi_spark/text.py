@@ -544,10 +544,15 @@ def cdc_chunk_dedup(
 
     k, d = int(hash_window), int(divisor)
     toks = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("w"))
+    # boundary hash is PORTABLE md5 (int of the first 8 hex chars) so
+    # the DuckDB oracle can recompute the same cuts — xxhash64 is
+    # engine-specific and stays confined to the chunk-identity pairs
+    # below, which the oracle verifies by deduping chunk STRINGS
     cuts = F.expr(
         f"filter(sequence(1, size(w) - 1),"
-        f" i -> pmod(xxhash64(concat_ws(' ',"
-        f"   slice(w, greatest(1, i - {k} + 1), least({k}, i)))), {d}) = 0)"
+        f" i -> pmod(cast(conv(substring(md5(concat_ws(' ',"
+        f"   slice(w, greatest(1, i - {k} + 1), least({k}, i)))), 1, 8),"
+        f"   16, 10) as bigint), {d}) = 0)"
     )
     chunks = F.expr(
         "zip_with("
@@ -578,10 +583,14 @@ def cdc_chunk_dedup(
     )
     rebuild = F.expr("array_join(transform(kept_pos, p -> __chunks[p]), ' ')")
     return (
-        chunked_docs.join(kept, "__id", "left")
+        toks.select("__id")
+        .join(chunked_docs.select("__id", "__chunks"), "__id", "left")
+        .join(kept, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.size("__chunks").cast("bigint").alias("n_chunks"),
+            F.coalesce(F.size("__chunks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks"),
             F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
             F.when(F.col("kept_pos").isNull(), F.lit(""))
             .otherwise(rebuild)

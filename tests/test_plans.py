@@ -354,9 +354,11 @@ def test_chunk_dedup_text_never_shuffles(spark, sf_dir):
     it exists to parallelize the tokenizer on a one-row-group local
     scan and is a proven no-op on real multi-split scans —
     test_fan_out_noop_when_well_split.)"""
+    from clinical_data_warehouse_bi_spark.queries.dedup import q_chunk_dedup
+
     blocks = [
         b
-        for b in _exchange_blocks(QUERIES["q_chunk_dedup"](spark, sf_dir))
+        for b in _exchange_blocks(q_chunk_dedup(spark, sf_dir))
         if "RoundRobinPartitioning" not in b
     ]
     assert blocks, "expected at least one keyed exchange (keep-first window)"

@@ -23,7 +23,9 @@ from clinical_data_warehouse_bi_spark.queries.core import (
     q_surrogate_key,
 )
 from clinical_data_warehouse_bi_spark.queries.dedup import (
+    SQL_CHUNK_DEDUP,
     SQL_NGRAM_JACCARD,
+    q_chunk_dedup,
     q_ngram_jaccard,
 )
 from clinical_data_warehouse_bi_spark.queries.join_ops import (
@@ -71,6 +73,7 @@ RETIRED = {
     "q_text_stats": (q_text_stats, SQL_TEXT_STATS),
     "q_qa_rowcount_report": (q_qa_rowcount_report, SQL_QA_ROWCOUNT),
     "q_qa_agg_consistency": (q_qa_agg_consistency, SQL_QA_AGG_CONSISTENCY),
+    "q_chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
 }
 
 
