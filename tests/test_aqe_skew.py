@@ -60,3 +60,50 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.set(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", old_advise
         )
+
+
+def test_runtime_bloom_filter_join_engages(spark, tmp_path):
+    """Second half of the runtime-filtering story: Spark's runtime
+    BLOOM FILTER injection (on by default in this build — verified,
+    not assumed) plants a bloom_filter_might_contain predicate on
+    the large scan side of a shuffle join whose other side carries a
+    selective filter — at 100 TB that prunes most of the fact scan's
+    rows before the shuffle. This proves it engages under the
+    session factory's settings, and that the filtered join's result
+    is untouched by the rewrite."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    try:
+        d = str(tmp_path)
+        spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).write.mode("overwrite").parquet(d + "/fact")
+        spark.range(0, 20_000).select(
+            F.col("id").alias("rk"), (F.col("id") % 100).alias("cat")
+        ).write.mode("overwrite").parquet(d + "/dim")
+        fact = spark.read.parquet(d + "/fact")
+        dim = spark.read.parquet(d + "/dim").filter("cat = 7")
+        j = fact.join(dim, F.col("k") == F.col("rk"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        # semantics untouched: k = rk in [7, 107, ...] (cat = 7)
+        got = sorted(r.k for r in j.collect())
+        want = sorted(k for k in range(7, 20_000, 100))
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )

@@ -176,3 +176,40 @@ def test_repetition_metrics_property_vs_python(spark, texts):
         )
         assert got[i][0] == pytest.approx(want_gram), (i, t)
         assert got[i][1] == pytest.approx(want_top), (i, t)
+
+
+def test_pseudonymize_stable_joinable_and_keyed(spark):
+    from clinical_data_warehouse_bi_spark import scrub
+
+    pats = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (None, "carol")], "pid long, name string"
+    )
+    events = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], ["eid", "pid"]
+    )
+    p1 = scrub.pseudonymize(pats, ["pid"], "s3cret")
+    e1 = scrub.pseudonymize(events, ["pid"], "s3cret")
+    # joinability preserved: pseudonymized FK joins line up exactly
+    joined = e1.join(p1, "pid")
+    assert joined.count() == 3
+    assert {r["name"] for r in joined.collect()} == {"alice", "bob"}
+    # deterministic under one secret
+    p2 = scrub.pseudonymize(pats, ["pid"], "s3cret")
+    assert {tuple(r) for r in p1.collect()} == {tuple(r) for r in p2.collect()}
+    # different secret: disjoint token space
+    other = scrub.pseudonymize(pats, ["pid"], "another")
+    t1 = {r["pid"] for r in p1.collect() if r["pid"] is not None}
+    t2 = {r["pid"] for r in other.collect() if r["pid"] is not None}
+    assert t1 and t2 and not (t1 & t2)
+    # nulls stay null, schema/columns unchanged, values are hex tokens
+    assert p1.columns == pats.columns
+    null_row = [r for r in p1.collect() if r["name"] == "carol"][0]
+    assert null_row["pid"] is None
+    assert all(len(t) == 16 and all(c in "0123456789abcdef" for c in t) for t in t1)
+    # no shuffle, no python in the plan
+    from test_plans import physical_plan
+
+    plan = physical_plan(p1)
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    with pytest.raises(ValueError):
+        scrub.pseudonymize(pats, ["pid"], "")
