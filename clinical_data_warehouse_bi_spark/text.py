@@ -648,3 +648,46 @@ def normalize_unicode(
             yield pdf
 
     return docs.mapInPandas(op, schema)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws0",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES priority sampling): each row draws a
+    reproducible uniform u from a PORTABLE md5 of (seed, id) and
+    gets priority u^(1/w); the k highest priorities are the sample —
+    inclusion probability proportional to weight, exactly the
+    quality-weighted subsampling a curated corpus mix runs (keep
+    better docs more often, never deterministically).
+
+    Scale shape: priority is one per-row expression; selection is a
+    TakeOrderedAndProject top-k — no shuffle, no RNG state, and the
+    same (seed, id, weight) always reproduces the same sample on any
+    cluster layout (Spark's rand() cannot promise that across
+    partitionings). Rows with weight <= 0 are excluded; ties at the
+    k boundary break by id. The md5-derived uniform and the pow are
+    IEEE doubles, so a DuckDB twin reproduces the sample exactly
+    (value-checked in tests)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)  # (h+1)/(2^32+1): u in (0, 1], never 0
+    pri = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        docs.where(F.col(weight_col) > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__pri")
+    )

@@ -1445,3 +1445,55 @@ def test_normalize_unicode_folds_and_is_idempotent(spark):
     assert twice == once
     # schema preserved, pure map
     assert T.normalize_unicode(docs).columns == docs.columns
+
+
+def test_weighted_sample_matches_duckdb_twin(spark, sf_dir, duck):
+    """The A-ES priority sample is engine-portable: DuckDB recomputes
+    the identical sample from the same md5-derived uniforms."""
+    docs = read_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", ((F.col("doc_id") % 7) + 1).cast("double").alias("w")
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in T.weighted_sample(weighted, 50, "w").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.execute("""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     pow((('0x' || substr(md5('ws0:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1.0)
+                         / 4294967297.0,
+                         1.0 / ((doc_id % 7) + 1.0)) AS pri
+              FROM documents)
+            ORDER BY pri DESC, doc_id ASC LIMIT 50
+        """).fetchall()
+    )
+    assert got == want
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    """Inclusion frequency tracks weight: across many disjoint seeds,
+    a weight-9 row appears far more often than a weight-1 row."""
+    rows = [(i, 9.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    heavy = light = 0
+    for s in range(15):
+        ids = {r["doc_id"] for r in T.weighted_sample(df, 20, "w", seed=f"s{s}").collect()}
+        heavy += sum(1 for i in ids if i < 10)
+        light += sum(1 for i in ids if i >= 10)
+    # 10 heavy rows at w=9 vs 90 light at w=1: heavy per-row rate
+    # must dominate light per-row rate decisively
+    assert heavy / 10 > 3 * (light / 90)
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -2.0), (4, 5.0), (5, 2.0)], ["doc_id", "w"]
+    )
+    a = sorted(r["doc_id"] for r in T.weighted_sample(df, 3, "w").collect())
+    b = sorted(r["doc_id"] for r in T.weighted_sample(df, 3, "w").collect())
+    assert a == b == sorted(a)
+    assert 2 not in a and 3 not in a  # nonpositive weights excluded
+    assert len(a) == 3
