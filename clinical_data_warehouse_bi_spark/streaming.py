@@ -938,6 +938,8 @@ def expectations_apply_batch(
     trivial for years of batches."""
     from clinical_data_warehouse_bi_spark import qa
 
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
     for e in spec:
         if e["check"] == "unique":
             raise ValueError(
@@ -945,6 +947,9 @@ def expectations_apply_batch(
                 " batches (not per-batch summable); use"
                 " streaming_dedup_ingest for cross-batch key dedup"
             )
+    # the report is compact_expectations' rename-swap target — restore
+    # any interrupted publish before overwriting a partition in it
+    recover_compacted_dir(report_path)
     spark = batch.sparkSession
     tables = {"stream": batch, **(dims or {})}
     contrib = (
@@ -966,6 +971,9 @@ def expectations_apply_batch(
 def read_expectation_totals(spark: SparkSession, report_path: str) -> DataFrame:
     """Exact cumulative data-quality state: per-check violation and
     row totals over every committed batch partition."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(report_path)
     rep = spark.read.parquet(report_path)
     return rep.groupBy("check_name").agg(
         F.sum("violations").cast("bigint").alias("violations"),
@@ -1022,6 +1030,10 @@ def join_view_apply_batch(
     Scale shape: one broadcast join per batch (dim is the small side
     of a star by construction), one partition write. No view-sized
     read, shuffle, or rewrite ever happens on the maintenance path."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    # the view is compact_join_view's rename-swap target
+    recover_compacted_dir(view_path)
     spark = fact_batch.sparkSession
     d = F.broadcast(dim)
     if as_of_col is not None:
@@ -1051,6 +1063,9 @@ def join_view_apply_batch(
 
 def read_join_view(spark: SparkSession, view_path: str) -> DataFrame:
     """The maintained enrichment view (all committed batches)."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(view_path)
     return spark.read.parquet(view_path).drop("batch_id")
 
 

@@ -1203,3 +1203,46 @@ def test_compact_join_view_preserves_rows(spark, tmp_path):
         path, 3, dim, "fk", "k",
     )
     assert S.read_join_view(spark, path).count() == 120
+
+
+def test_new_sinks_recover_interrupted_compaction(spark, tmp_path):
+    """Mid-swap crash (path renamed away, tmp complete): the next
+    apply/read on BOTH new sinks restores the live directory before
+    touching it — the recover_compacted_dir contract the preagg
+    family already honors."""
+    import os
+
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    schema = "fact_id long, fk long"
+    path = str(tmp_path / "view")
+    S.join_view_apply_batch(
+        spark.createDataFrame([(i, 1 + i % 2) for i in range(20)], schema),
+        path, 0, dim, "fk", "k",
+    )
+    want = sorted(map(tuple, S.read_join_view(spark, path).collect()))
+    # simulate the crash window between compaction's two renames
+    os.rename(path, f"{path}.old-compact")
+    assert sorted(map(tuple, S.read_join_view(spark, path).collect())) == want
+    # and a crashed swap followed directly by an apply_batch
+    os.rename(path, f"{path}.old-compact")
+    S.join_view_apply_batch(
+        spark.createDataFrame([(i, 1 + i % 2) for i in range(20, 30)], schema),
+        path, 1, dim, "fk", "k",
+    )
+    assert S.read_join_view(spark, path).count() == 30
+
+    users = spark.createDataFrame([(i,) for i in range(60)], ["uid"])
+    eschema = "event_id long, user_id long, event_type string"
+    dq = str(tmp_path / "dq")
+    S.expectations_apply_batch(
+        spark.createDataFrame(_exp_rows(0, 50), eschema), dq, 0,
+        _exp_spec(), {"users": users},
+    )
+    before = sorted(map(tuple, S.read_expectation_totals(spark, dq).collect()))
+    os.rename(dq, f"{dq}.old-compact")
+    assert (
+        sorted(map(tuple, S.read_expectation_totals(spark, dq).collect()))
+        == before
+    )
