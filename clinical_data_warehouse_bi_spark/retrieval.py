@@ -321,7 +321,11 @@ def _write_postings_batch(
     import os
     import shutil
 
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
     postings_root = os.path.join(path, "postings")
+    # the postings root is bm25_index_compact's rename-swap target
+    recover_compacted_dir(postings_root)
     target = os.path.join(postings_root, f"batch={batch_id}")
     tmp = os.path.join(postings_root, f".tmp-batch-{batch_id}")
     if os.path.isdir(target):
@@ -425,8 +429,11 @@ def bm25_index_search(
     import json
     import os
 
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    recover_compacted_dir(os.path.join(path, "postings"))
     with open(os.path.join(path, BM25_INDEX_META)) as f:
         n_buckets = json.load(f)["n_buckets"]
     n_docs, sum_dl = _index_stats(path)
@@ -452,3 +459,49 @@ def bm25_index_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def bm25_index_compact(spark, path: str) -> dict:
+    """Roll every committed postings batch into ONE base batch (the
+    maintenance op that bounds a long-running ingest's directory
+    count and merges small per-batch files): union the postings,
+    rewrite partitioned by tb under a staged root, carry the SUMMED
+    batch stats into the staged base batch, and publish with the
+    shared crash-safe swap (io.recover_compacted_dir sibling names —
+    search/append recover an interrupted swap before touching the
+    index). Run in the single-writer window between micro-batches,
+    after their offsets commit: a batch replayed AFTER compaction
+    removed its directory would re-append (the compact_preagg
+    contract, stated not hidden)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    postings_root = os.path.join(path, "postings")
+    recover_compacted_dir(postings_root)
+    n_docs, sum_dl = _index_stats(path)
+    before = len(glob.glob(os.path.join(postings_root, "batch=*")))
+    rows = (
+        spark.read.parquet(postings_root)
+        .select("term", "doc_id", "tf", "dl", "tb")
+        .localCheckpoint()
+    )
+    n_rows = rows.count()
+    tmp = f"{postings_root}.tmp-compact"
+    old = f"{postings_root}.old-compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    base = os.path.join(tmp, "batch=base")
+    rows.write.mode("overwrite").partitionBy("tb").parquet(base)
+    with open(os.path.join(base, BM25_BATCH_STATS), "w") as f:
+        json.dump({"n_docs": n_docs, "sum_dl": sum_dl}, f)
+    os.rename(postings_root, old)
+    os.rename(tmp, postings_root)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "batches_before": before,
+        "batches_after": len(glob.glob(os.path.join(postings_root, "batch=*"))),
+    }

@@ -382,3 +382,46 @@ def test_corpus_card_matches_duckdb_ground_truth(spark, sf_dir, duck, tmp_path):
     with open(out) as f:
         assert json.load(f) == card
     assert os.path.basename(out).startswith("_")
+
+
+def test_bm25_index_compaction_round_trip(spark, sf_dir, tmp_path):
+    """Compaction rolls every batch into one base dir with summed
+    stats; the served relation is unchanged, a mid-swap crash is
+    recovered by the next search, and ingest continues cleanly."""
+    import os
+
+    docs, first, second = _index_corpus(spark, sf_dir)
+    path = str(tmp_path / "bm25_idx")
+    retrieval.bm25_index_build(first, path, n_buckets=8)
+    retrieval.bm25_index_append(second, path, "b1")
+    terms = ["hash", "join"]
+    before = sorted(
+        (r["doc_id"], r["score"])
+        for r in retrieval.bm25_index_search(spark, path, terms, 100_000).collect()
+    )
+    res = retrieval.bm25_index_compact(spark, path)
+    assert res["batches_before"] == 2 and res["batches_after"] == 1
+    after = sorted(
+        (r["doc_id"], r["score"])
+        for r in retrieval.bm25_index_search(spark, path, terms, 100_000).collect()
+    )
+    assert after == before
+    # mid-swap crash: live postings renamed away, recovery restores
+    roots = os.path.join(path, "postings")
+    os.rename(roots, f"{roots}.old-compact")
+    again = sorted(
+        (r["doc_id"], r["score"])
+        for r in retrieval.bm25_index_search(spark, path, terms, 100_000).collect()
+    )
+    assert again == before
+    # post-compaction ingest still works and serves
+    extra = spark.createDataFrame(
+        [(90_000, "hash join hash join fresh appended doc")],
+        ["doc_id", "text"],
+    )
+    assert retrieval.bm25_index_append(extra, path, "b2") is True
+    served = {
+        r["doc_id"]
+        for r in retrieval.bm25_index_search(spark, path, terms, 100_000).collect()
+    }
+    assert 90_000 in served
