@@ -107,3 +107,73 @@ def resample_fill(
         "n_obs",
         filled.alias("value"),
     )
+
+
+def ewma_anomalies(
+    obs: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+    k_sigma: float = 3.0,
+    warmup: int = 3,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with residual
+    anomaly flags — the monitoring primitive a metrics pipeline runs
+    over every (key, time, value) stream: a point is anomalous when
+    its deviation from the PRE-POINT forecast exceeds ``k_sigma``
+    times the EW deviation estimate (the standard EWMA control
+    chart). The first ``warmup`` points per key are never flagged
+    (no stable baseline yet).
+
+    Scale shape (funnel_steps' fold idiom): ONE exchange on the key,
+    each key's series folds linearly inside a single parsed
+    aggregate() expression carrying O(1) state (ewma, ewd, n) plus
+    the emitted rows — no self-joins, no per-iteration passes, no
+    recursive SQL. Per-key memory is the key's own series (the same
+    contract as collect_list sessionization); keys are independent
+    so a hot key bounds only its own task.
+
+    Returns (key, ts, value, ewma, dev, is_anomaly) — ewma/dev are
+    the PRE-point estimates the decision used (round-trip
+    reproducible by a driver-side loop; property-tested)."""
+    a = float(alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    ev = obs.select(
+        F.col(key_col).alias("__k"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(val_col).cast("double").alias("v")
+        ).alias("e"),
+    )
+    arr = ev.groupBy("__k").agg(F.sort_array(F.collect_list("e")).alias("a"))
+    fold = (
+        "aggregate(a,"
+        " named_struct("
+        "   'ewma', cast(0.0 as double), 'ewd', cast(0.0 as double),"
+        "   'n', 0,"
+        "   'out', cast(array() as"
+        "     array<struct<ts:timestamp,v:double,ewma:double,dev:double,an:boolean>>)),"
+        " (st, x) -> named_struct("
+        f"   'ewma', IF(st.n = 0, x.v, {a} * x.v + {1.0 - a} * st.ewma),"
+        f"   'ewd', IF(st.n = 0, 0.0d,"
+        f"             {a} * abs(x.v - st.ewma) + {1.0 - a} * st.ewd),"
+        "   'n', st.n + 1,"
+        "   'out', concat(st.out, array(named_struct("
+        "     'ts', x.ts, 'v', x.v,"
+        "     'ewma', IF(st.n = 0, cast(null as double), st.ewma),"
+        "     'dev', IF(st.n = 0, cast(null as double), st.ewd),"
+        f"    'an', st.n >= {int(warmup)}"
+        f"          AND abs(x.v - st.ewma) > {float(k_sigma)} * st.ewd"
+        "          AND st.ewd > 0.0d)))"
+        " )).out"
+    )
+    flat = arr.select(F.col("__k"), F.explode(F.expr(fold)).alias("r"))
+    return flat.select(
+        F.col("__k").alias(key_col),
+        F.col("r.ts").alias(ts_col),
+        F.col("r.v").alias(val_col),
+        F.col("r.ewma").alias("ewma"),
+        F.col("r.dev").alias("dev"),
+        F.col("r.an").alias("is_anomaly"),
+    )

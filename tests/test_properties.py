@@ -1497,3 +1497,66 @@ def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
     assert a == b == sorted(a)
     assert 2 not in a and 3 not in a  # nonpositive weights excluded
     assert len(a) == 3
+
+
+def test_ewma_anomalies_matches_python_model(spark):
+    """The distributed fold reproduces a driver-side EWMA control
+    chart point-for-point (pre-point estimates, warmup, flags)."""
+    import datetime as dt
+
+    rows = []
+    series = {
+        1: [10.0, 10.2, 9.9, 10.1, 10.0, 50.0, 10.1, 9.8],  # one spike
+        2: [5.0, 5.1, 4.9, 5.05, 5.0, 5.1],                 # calm
+    }
+    for k, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append((k, dt.datetime(2024, 1, 1 + i), v))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    from clinical_data_warehouse_bi_spark import timeseries as TS
+
+    got = {
+        (r["user_id"], r["ts"]): (r["ewma"], r["dev"], r["is_anomaly"])
+        for r in TS.ewma_anomalies(df, alpha=0.3, k_sigma=3.0, warmup=3).collect()
+    }
+    a = 0.3
+    for k, vs in series.items():
+        ewma = ewd = None
+        n = 0
+        for i, v in enumerate(vs):
+            ts = dt.datetime(2024, 1, 1 + i)
+            g_ewma, g_dev, g_an = got[(k, ts)]
+            if n == 0:
+                assert g_ewma is None and g_dev is None and g_an is False
+                ewma, ewd = v, 0.0
+            else:
+                assert abs(g_ewma - ewma) < 1e-12
+                assert abs(g_dev - ewd) < 1e-12
+                want_an = n >= 3 and ewd > 0 and abs(v - ewma) > 3.0 * ewd
+                assert g_an == want_an, (k, i)
+                ewma, ewd = (
+                    a * v + (1 - a) * ewma,
+                    a * abs(v - ewma) + (1 - a) * ewd,
+                )
+            n += 1
+    # the spike (and only the spike) flags in series 1; calm never
+    flags = {(k, t) for (k, t), (_, _, an) in got.items() if an}
+    assert flags == {(1, dt.datetime(2024, 1, 6))}
+
+
+def test_ewma_anomalies_single_key_exchange(spark, sf_dir):
+    """One keyed exchange (the groupBy collect), nothing else."""
+    from test_plans import _exchange_blocks
+
+    from clinical_data_warehouse_bi_spark import timeseries as TS
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("event_id").cast("double").alias("value")
+    )
+    blocks = [
+        b
+        for b in _exchange_blocks(TS.ewma_anomalies(ev))
+        if "RoundRobinPartitioning" not in b
+    ]
+    assert len(blocks) == 1
