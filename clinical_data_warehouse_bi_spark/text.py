@@ -582,21 +582,24 @@ def cdc_chunk_dedup(
         )
     )
     rebuild = F.expr("array_join(transform(kept_pos, p -> __chunks[p]), ' ')")
-    return (
-        toks.select("__id")
-        .join(chunked_docs.select("__id", "__chunks"), "__id", "left")
-        .join(kept, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce(F.size("__chunks"), F.lit(0))
-            .cast("bigint")
-            .alias("n_chunks"),
-            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
-            F.when(F.col("kept_pos").isNull(), F.lit(""))
-            .otherwise(rebuild)
-            .alias("clean_text"),
-        )
+    nonempty = chunked_docs.join(kept, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.size("__chunks").cast("bigint").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.when(F.col("kept_pos").isNull(), F.lit(""))
+        .otherwise(rebuild)
+        .alias("clean_text"),
     )
+    # token-less docs contribute fixed literals — a union, never a
+    # join (joining the chunk-bearing relation back to the full doc
+    # set invites a corpus-sized broadcast of chunk text)
+    empty = toks.filter(F.size("w") == 0).select(
+        F.col("__id").alias(id_col),
+        F.lit(0).cast("bigint").alias("n_chunks"),
+        F.lit(0).cast("bigint").alias("n_kept"),
+        F.lit("").alias("clean_text"),
+    )
+    return nonempty.unionByName(empty)
 
 
 def normalize_unicode(
