@@ -484,3 +484,36 @@ ranked_{lvl} AS (SELECT __vk, __vci, {pc}, __pv,
   FROM rows_{lvl}),
 resolved_{lvl} AS (SELECT {shint}s.__vk, s.name, s.which, s.t, r.__pv AS val
   FROM {small_view} s JOIN ranked_{lvl} r ON {on_r})"""
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact interpolated percentiles PER GROUP — the grouped
+    companion of exact_percentiles_distributed: one row per group
+    with a q_<pct> column per requested quantile.
+
+    Uses Spark's exact `percentile` aggregate (JVM-side, linear
+    interpolation — the same definition as DuckDB's quantile_cont,
+    so results cross-check to the rounding digit). State per group
+    is that group's value list on one executor: the right tool when
+    groups are plentiful and individually bounded (per-customer,
+    per-day). For ONE giant group, use
+    exact_percentiles_distributed, whose state is bounded histograms
+    — that trade is the module's whole design note.
+
+    Values are rounded (default 6 dp) because interpolation divides
+    doubles — the last ulp is not cross-engine stable."""
+    if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError("quantiles must be fractions in [0, 1]")
+    aggs = [
+        F.expr(
+            f"round(percentile({value_col}, {q!r}), {int(round_to)})"
+        ).alias(f"q_{str(q).replace('.', '_')}")
+        for q in quantiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

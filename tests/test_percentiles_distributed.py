@@ -231,3 +231,45 @@ def test_distributed_special_output_names(spark):
     }
     assert rows["a"] == (4.0, 2.5)
     assert rows["b"] == (10.0, 10.0)
+
+
+def test_grouped_percentiles_match_duckdb_quantile_cont(spark, duck, sf_dir):
+    """Exact per-group interpolated percentiles == DuckDB's
+    quantile_cont for every group, at the rounding digit."""
+    from clinical_data_warehouse_bi_spark.io import load_tables
+    from clinical_data_warehouse_bi_spark.percentiles import grouped_percentiles
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    got = {
+        r["l_returnflag"]: (r["q_0_5"], r["q_0_9"], r["q_0_99"])
+        for r in grouped_percentiles(
+            li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99]
+        ).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute("""
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 6),
+                   round(quantile_cont(l_extendedprice, 0.9), 6),
+                   round(quantile_cont(l_extendedprice, 0.99), 6)
+            FROM lineitem GROUP BY l_returnflag
+        """).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-6, (k, got[k], want[k])
+
+
+def test_grouped_percentiles_rejects_bad_quantiles(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import load_tables
+    from clinical_data_warehouse_bi_spark.percentiles import grouped_percentiles
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        grouped_percentiles(li, ["l_returnflag"], "l_quantity", [1.5])
+    with _pt.raises(ValueError):
+        grouped_percentiles(li, ["l_returnflag"], "l_quantity", [])
