@@ -544,3 +544,26 @@ def corpus_card(
         with open(out_path, "w") as f:
             json.dump(card, f, indent=2, sort_keys=True)
     return card
+
+
+def schema_drift(baseline: DataFrame, current: DataFrame) -> DataFrame:
+    """Schema-level drift between two snapshots of a table: one row
+    per changed column — added, removed, or type_changed — the check
+    that runs BEFORE drift_report's value-level PSI (a feed that
+    silently renamed or retyped a column should fail loudly, not
+    skew a histogram). Pure metadata comparison: zero jobs."""
+    b = dict(baseline.dtypes)
+    c = dict(current.dtypes)
+    rows = []
+    for col in sorted(set(b) | set(c)):
+        if col not in c:
+            rows.append((col, "removed", b[col], None))
+        elif col not in b:
+            rows.append((col, "added", None, c[col]))
+        elif b[col] != c[col]:
+            rows.append((col, "type_changed", b[col], c[col]))
+    spark = baseline.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "column string, change string, baseline_type string, current_type string",
+    )

@@ -299,3 +299,60 @@ def pseudonymize(
         )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out
+
+
+def date_shift(
+    df: DataFrame,
+    entity_col: str,
+    date_cols: list[str],
+    secret: str,
+    max_days: int = 30,
+) -> DataFrame:
+    """Per-entity date shifting — the OTHER standard clinical
+    de-identification transform next to pseudonymize (HIPAA
+    safe-harbor practice): every date/timestamp column moves by a
+    STABLE per-entity offset in [-max_days, +max_days], derived from
+    md5(secret || ':' || entity). One entity, one offset — so
+    intervals BETWEEN a patient's events are preserved exactly
+    (length-of-stay, time-to-readmission stay analyzable), while
+    calendar linkage to external records is broken; the same secret
+    reproduces the same shift across every table an entity appears
+    in, so cross-table date arithmetic still lines up.
+
+    Per-row JVM expression (md5 + conv + date/timestamp add): no
+    shuffle, no UDF, schema preserved. Null entities shift by the
+    offset of the literal string 'None' (deterministic, documented)
+    rather than erroring a full-corpus pass."""
+    if not secret:
+        raise ValueError("date_shift requires a non-empty secret")
+    if max_days <= 0:
+        raise ValueError("max_days must be positive")
+    span = 2 * max_days + 1
+    offset = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(secret),
+                        F.lit(":"),
+                        F.coalesce(F.col(entity_col).cast("string"), F.lit("None")),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % span
+        - max_days
+    )
+    out = df
+    for c in date_cols:
+        dt = dict(out.dtypes)[c]
+        if dt.startswith("timestamp"):
+            shifted = F.col(c) + F.make_dt_interval(days=offset)
+        else:
+            shifted = F.date_add(F.col(c), offset.cast("int"))
+        out = out.withColumn(c, shifted)
+    return out

