@@ -249,3 +249,52 @@ def test_zordered_fact_layout_prunes_point_probes(spark, tmp_path_factory):
     ).first()
     hz, hp = h(fact), h(rebuilt["dwh"]["fact_disorder_events"])
     assert (hz.h, hz.n) == (hp.h, hp.n)
+
+
+def test_deidentified_release_preserves_analytics(pipeline):
+    """The clinical release composition: pseudonymize patient and
+    admission ids, date-shift event times per patient — then verify
+    (a) referential joins still line up on the pseudonyms, (b)
+    within-patient event intervals are EXACTLY preserved (the
+    analytic property de-identified research data must keep), and
+    (c) no raw id survives into the released fact."""
+    from clinical_data_warehouse_bi_spark import scrub
+
+    _, _, dwh = pipeline
+    fact = dwh["fact_disorder_events"]
+    raw_pids = {r["patient_id"] for r in fact.select("patient_id").distinct().collect()}
+
+    released = scrub.date_shift(
+        fact, "patient_id", ["event_datetime"], "relkey", max_days=30
+    )
+    released = scrub.pseudonymize(released, ["patient_id", "admission_id"], "relkey")
+    pat_dim = scrub.pseudonymize(
+        dwh["dim_patients"], ["patient_id"], "relkey"
+    )
+
+    # (a) the released fact joins its released dim exactly as before
+    assert (
+        released.join(pat_dim, "patient_id").count()
+        == fact.join(dwh["dim_patients"], "patient_id").count()
+    )
+    # (b) per-patient event intervals survive the shift exactly
+    import datetime as dt
+
+    raw_sp = (
+        fact.groupBy("patient_id")
+        .agg(
+            (F.max("event_datetime") - F.min("event_datetime")).alias("span")
+        )
+        .collect()
+    )
+    rel_spans = sorted(
+        r["span"] for r in released.groupBy("patient_id")
+        .agg((F.max("event_datetime") - F.min("event_datetime")).alias("span"))
+        .collect()
+    )
+    assert sorted(r["span"] for r in raw_sp) == rel_spans
+    # (c) no raw numeric id appears in the released key columns
+    rel_pids = {
+        r["patient_id"] for r in released.select("patient_id").distinct().collect()
+    }
+    assert not ({str(p) for p in raw_pids} & rel_pids)
