@@ -449,3 +449,61 @@ def compact_parquet_dir(
     shutil.rmtree(old, ignore_errors=True)
     files_after = len(glob.glob(os.path.join(path, "*.parquet")))
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
+def write_sized(
+    df,
+    path: str,
+    target_mb: int = 256,
+    sample_rows: int = 10_000,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write parquet with files sized toward ``target_mb`` — the
+    third file-size lever next to compact_parquet_dir (after the
+    fact) and coalesce (fixed count): measure the ACTUAL on-disk
+    bytes/row by writing a bounded sample to a dot-prefixed scratch
+    dir (in-memory plan statistics over-estimate parquet by the
+    whole compression factor, so they cannot target disk size), then
+    let the writer split files by ``maxRecordsPerFile`` (every task
+    splits its own output at the right row count, no shuffle).
+    maxRecordsPerFile can only SPLIT — when the input has more
+    partitions than the target file count, a shuffle-free coalesce
+    merges down first (row count via one count job, the price of
+    merging; skipped under partitionBy, where per-partition-value
+    file counts are data-dependent).
+
+    The sample's compression ratio stands in for the full data's
+    (documented approximation — a skewed tail column can still
+    deviate); the scratch dir is removed in all paths. Returns
+    {"bytes_per_row", "records_per_file", "n_files"}."""
+    import glob
+    import math
+    import shutil
+
+    scratch = os.path.join(os.path.dirname(path) or ".", ".write-sized-sample")
+    shutil.rmtree(scratch, ignore_errors=True)
+    try:
+        sample = df.limit(int(sample_rows))
+        sample.write.mode("overwrite").parquet(scratch)
+        files = glob.glob(os.path.join(scratch, "*.parquet"))
+        nbytes = sum(os.path.getsize(f) for f in files)
+        nrows = sample.sparkSession.read.parquet(scratch).count()
+        if nrows == 0:
+            raise ValueError("write_sized: empty input")
+        bpr = max(nbytes / nrows, 1e-6)
+        rpf = max(1, int(math.floor(target_mb * 1024 * 1024 / bpr)))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    out = df
+    if not partition_by:
+        total = df.count()
+        want_files = max(1, math.ceil(total / rpf))
+        if want_files < out.rdd.getNumPartitions():
+            out = out.coalesce(want_files)
+    writer = out.write.mode("overwrite").option("maxRecordsPerFile", rpf)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    n_files = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return {"bytes_per_row": bpr, "records_per_file": rpf, "n_files": n_files}

@@ -210,3 +210,34 @@ def test_compact_parquet_dir_crash_recovery(spark, tmp_path):
     recover_compacted_dir(path)
     got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
     assert got == expect
+
+
+def test_write_sized_targets_file_size(spark, tmp_path):
+    """Files land near the byte target: a small target splits the
+    write into many bounded files, a large one collapses it; content
+    identical either way."""
+    import glob
+    import os
+
+    from clinical_data_warehouse_bi_spark.io import write_sized
+
+    df = spark.range(0, 60_000).select(
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad1"),
+        F.sha2((F.col("id") + 1).cast("string"), 256).alias("pad2"),
+    )
+    small = str(tmp_path / "small")
+    res = write_sized(df, small, target_mb=1)
+    files = glob.glob(os.path.join(small, "*.parquet"))
+    assert res["n_files"] == len(files) >= 3
+    # every file within ~2x of target (sample-ratio approximation)
+    for f in files:
+        assert os.path.getsize(f) <= 2 * 1024 * 1024
+    assert spark.read.parquet(small).count() == 60_000
+
+    big = str(tmp_path / "big")
+    res2 = write_sized(df, big, target_mb=512)
+    assert res2["n_files"] < res["n_files"]
+    assert spark.read.parquet(big).count() == 60_000
+    # scratch dir cleaned up
+    assert not glob.glob(str(tmp_path / ".write-sized-sample*"))
