@@ -370,3 +370,105 @@ def fuzzy_blocked_pairs(
             "edit_dist",
         )
     )
+
+
+def interval_overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval-OVERLAP join (two interval sets, numeric/epoch
+    bounds): match every (L, R) pair with
+    ``L.lo <= R.hi AND R.lo <= L.hi`` — the clinical shape
+    range_join_binned's point-in-interval cannot express (care-unit
+    stays x medication windows, admission episodes x lab batching
+    windows; the reference's BETWEEN joins are the degenerate
+    zero-length-left case).
+
+    Same binning construction, both sides exploded: each interval
+    maps to every bin it touches, the equi-join keys on the bin id,
+    the true overlap predicate rides as a post-filter — never a
+    nested loop. A pair overlapping k shared bins would appear k
+    times, so the join takes only the pair's FIRST shared bin
+    (bin = greatest of the two lo-bins), which each true pair
+    produces exactly once: dedup by construction, no distinct
+    needed. Cost: each side inflates by ~len/bin_width + 1; pick
+    bin_width near the median interval length."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    b = int(bin_width)
+
+    def bins(df, lo, hi, side):
+        return df.select(
+            F.struct(*[F.col(c) for c in df.columns]).alias(f"_{side}"),
+            F.col(lo).alias(f"_{side}lo"),
+            F.col(hi).alias(f"_{side}hi"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / b).cast("bigint"),
+                    F.floor(F.col(hi) / b).cast("bigint"),
+                )
+            ).alias(f"_{side}bin"),
+        )
+
+    lb = bins(left, left_lo, left_hi, "l")
+    rb = bins(right, right_lo, right_hi, "r")
+    joined = lb.join(
+        rb,
+        (F.col("_lbin") == F.col("_rbin"))
+        & (F.col("_llo") <= F.col("_rhi"))
+        & (F.col("_rlo") <= F.col("_lhi"))
+        # first-shared-bin guard: exactly one bin per true pair
+        & (
+            F.col("_lbin")
+            == F.greatest(
+                F.floor(F.col("_llo") / b).cast("bigint"),
+                F.floor(F.col("_rlo") / b).cast("bigint"),
+            )
+        ),
+    )
+    return joined.select("_l.*", "_r.*")
+
+
+def survivorship(
+    df: DataFrame,
+    key_col: str,
+    rules: dict[str, str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Golden-record survivorship — the merge step after entity
+    resolution (fuzzy_blocked_pairs/dedup clusters assign the key;
+    this collapses each cluster to ONE record by per-column rule):
+
+        'first_non_null'  first by ``order_col`` with a value
+        'max' / 'min'     extreme value in the cluster
+        'longest'         longest string (ties: first by order)
+
+    ONE aggregation per cluster key — every rule compiles to
+    max_by/min_by/min/max aggregate expressions, so the merge is a
+    single shuffle regardless of how many columns have rules (the
+    MDM-tool behavior, built from public primitives)."""
+    order_col = order_col or key_col
+    aggs = []
+    for c, rule in rules.items():
+        if rule == "first_non_null":
+            e = F.expr(
+                f"min_by({c}, IF({c} IS NULL, NULL, {order_col}))"
+            )
+        elif rule == "max":
+            e = F.max(c)
+        elif rule == "min":
+            e = F.min(c)
+        elif rule == "longest":
+            e = F.expr(
+                f"max_by({c}, IF({c} IS NULL, NULL,"
+                f" named_struct('l', length({c}), 'o', -{order_col})))"
+            )
+        else:
+            raise ValueError(f"unknown survivorship rule: {rule}")
+        aggs.append(e.alias(c))
+    return df.groupBy(key_col).agg(*aggs)

@@ -1560,3 +1560,114 @@ def test_ewma_anomalies_single_key_exchange(spark, sf_dir):
         if "RoundRobinPartitioning" not in b
     ]
     assert len(blocks) == 1
+
+
+@settings(**SETTINGS)
+@given(
+    li=st.lists(st.tuples(st.integers(0, 40), st.integers(0, 12)), min_size=0, max_size=10),
+    ri=st.lists(st.tuples(st.integers(0, 40), st.integers(0, 12)), min_size=0, max_size=10),
+    width=st.sampled_from([1, 4, 9, 16]),
+)
+def test_interval_overlap_join_equals_brute_force(spark, li, ri, width):
+    """Binned interval-overlap join == the O(L x R) predicate, every
+    true pair exactly once, for any bin width."""
+    l_df = spark.createDataFrame(
+        [Row(lid=i, llo=lo, lhi=lo + ln) for i, (lo, ln) in enumerate(li)] or [],
+        "lid int, llo int, lhi int",
+    )
+    r_df = spark.createDataFrame(
+        [Row(rid=i, rlo=lo, rhi=lo + ln) for i, (lo, ln) in enumerate(ri)] or [],
+        "rid int, rlo int, rhi int",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in joins.interval_overlap_join_binned(
+            l_df, r_df, "llo", "lhi", "rlo", "rhi", width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (llo, lln) in enumerate(li)
+        for j, (rlo, rln) in enumerate(ri)
+        if llo <= rlo + rln and rlo <= llo + lln
+    )
+    assert got == want
+
+
+def test_interval_overlap_join_is_not_nested_loop(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lid"),
+        F.col("user_id").alias("llo"),
+        (F.col("user_id") + 5).alias("lhi"),
+    )
+    rv = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("rid"),
+        F.col("user_id").alias("rlo"),
+        (F.col("user_id") + 3).alias("rhi"),
+    )
+    from test_plans import physical_plan
+
+    plan = physical_plan(
+        joins.interval_overlap_join_binned(ev, rv, "llo", "lhi", "rlo", "rhi", 8)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survivorship_rules(spark):
+    rows = [
+        # cluster 1: three partial records, order by rec_id
+        (1, 1, None, "Bob", 170, "b@x.io"),
+        (1, 2, "Robert", "B", 172, None),
+        (1, 3, "Rob", None, 168, "robert@corp.example"),
+        # cluster 2: single record
+        (2, 4, "Ada", "Ada L", 160, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster long, rec_id long, name string, nick string,"
+        " height long, email string"
+    )
+    got = {
+        r["cluster"]: r
+        for r in joins.survivorship(
+            df,
+            "cluster",
+            {
+                "name": "first_non_null",
+                "nick": "longest",
+                "height": "max",
+                "email": "first_non_null",
+            },
+            order_col="rec_id",
+        ).collect()
+    }
+    assert got[1]["name"] == "Robert"       # first record with a name
+    assert got[1]["nick"] == "Bob"          # longest string wins
+    assert got[1]["height"] == 172
+    assert got[1]["email"] == "b@x.io"      # earliest non-null
+    assert got[2]["name"] == "Ada"
+    # one row per cluster; unknown rule rejected
+    assert len(got) == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        joins.survivorship(df, "cluster", {"name": "median"})
+
+
+def test_survivorship_single_aggregation(spark, sf_dir):
+    from test_plans import _exchange_blocks
+
+    df = read_table(spark, sf_dir, "customer")
+    blocks = [
+        b
+        for b in _exchange_blocks(
+            joins.survivorship(
+                df.withColumn("cluster", F.col("c_custkey") % 100),
+                "cluster",
+                {"c_name": "longest", "c_acctbal": "max"},
+                order_col="c_custkey",
+            )
+        )
+        if "RoundRobinPartitioning" not in b
+    ]
+    assert len(blocks) == 1  # one shuffle, however many rules
