@@ -1157,3 +1157,94 @@ def compact_join_view(
         "rows": rows,
         "partitions_after": len(glob.glob(os.path.join(view_path, "batch_id=*"))),
     }
+
+
+def streaming_ewma_anomalies(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+    k_sigma: float = 3.0,
+    warmup: int = 3,
+) -> DataFrame:
+    """Streaming EWMA control chart — the stateful face of
+    timeseries.ewma_anomalies: per key, carry (ewma, ewd, n) across
+    micro-batches via applyInPandasWithState (O(1) doubles per key,
+    the smallest state any operator here holds) and emit one row per
+    observation with the pre-point estimates and the anomaly flag.
+    The metrics-pipeline deployment shape: a batch recompute scores
+    history, THIS scores the live stream with identical decisions
+    (batch==stream equivalence is the test).
+
+    Same in-order contract as streaming_funnel: points are processed
+    in timestamp order within a batch and batches arrive in
+    event-time order per key. Unified API: a batch frame degrades to
+    the batch fold."""
+    if not stream.isStreaming:
+        from clinical_data_warehouse_bi_spark.timeseries import ewma_anomalies
+
+        return ewma_anomalies(
+            stream, key_col, ts_col, val_col, alpha, k_sigma, warmup
+        )
+
+    from pyspark.sql.types import BooleanType, DoubleType, IntegerType
+
+    a = float(alpha)
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField(ts_col, TimestampType()),
+            StructField(val_col, DoubleType()),
+            StructField("ewma", DoubleType()),
+            StructField("dev", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ewma", DoubleType()),
+            StructField("ewd", DoubleType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ewma, ewd, n = state.get
+            n = int(n)
+        else:
+            ewma, ewd, n = 0.0, 0.0, 0
+        pts = []
+        for pdf in pdfs:
+            for ts, v in zip(pdf[ts_col], pdf[val_col]):
+                pts.append((ts, float(v)))
+        pts.sort(key=lambda p: p[0])
+        out = []
+        for ts, v in pts:
+            if n == 0:
+                out.append((key[0], ts, v, None, None, False))
+                ewma, ewd = v, 0.0
+            else:
+                an = bool(
+                    n >= warmup and ewd > 0.0 and abs(v - ewma) > k_sigma * ewd
+                )
+                out.append((key[0], ts, v, ewma, ewd, an))
+                ewma, ewd = (
+                    a * v + (1 - a) * ewma,
+                    a * abs(v - ewma) + (1 - a) * ewd,
+                )
+            n += 1
+        state.update((float(ewma), float(ewd), int(n)))
+        yield pd.DataFrame(
+            out,
+            columns=[key_col, ts_col, val_col, "ewma", "dev", "is_anomaly"],
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1246,3 +1246,70 @@ def test_new_sinks_recover_interrupted_compaction(spark, tmp_path):
         sorted(map(tuple, S.read_expectation_totals(spark, dq).collect()))
         == before
     )
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """Two drained micro-batches of per-key metrics produce the same
+    rows (pre-point estimates + flags) as the batch EWMA fold over
+    the full series — the stateful operator carries (ewma, ewd, n)
+    across the batch boundary exactly."""
+    import datetime as dt
+
+    from clinical_data_warehouse_bi_spark import timeseries as TS
+
+    def mk(lo, hi):
+        rows = []
+        for k in (1, 2):
+            for i in range(lo, hi):
+                v = 10.0 + (i % 3) * 0.1 if not (k == 1 and i == 9) else 99.0
+                rows.append((k, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), v))
+        return rows
+
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(mk(0, 6), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        streaming.streaming_ewma_anomalies(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(mk(6, 12), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["ts"]): (r["ewma"], r["dev"], r["is_anomaly"])
+        for r in spark.read.parquet(out).collect()
+    }
+    full = spark.createDataFrame(mk(0, 12), schema)
+    want = {
+        (r["user_id"], r["ts"]): (r["ewma"], r["dev"], r["is_anomaly"])
+        for r in TS.ewma_anomalies(full).collect()
+    }
+    assert set(got) == set(want)
+    for kk in want:
+        gw, ww = got[kk], want[kk]
+        assert gw[2] == ww[2], kk
+        for a, b in zip(gw[:2], ww[:2]):
+            assert (a is None and b is None) or abs(a - b) < 1e-9, kk
+    # the planted spike flags in the streamed output
+    assert any(
+        an for (k, _), (_, _, an) in got.items() if k == 1
+    ) and not any(an for (k, _), (_, _, an) in got.items() if k == 2)
+    # unified API: a batch frame degrades to the batch fold
+    batch_same = streaming.streaming_ewma_anomalies(full)
+    assert {
+        (r["user_id"], r["ts"]) for r in batch_same.collect()
+    } == set(want)
