@@ -3,15 +3,27 @@ reference is pure batch; README.md:151 lists real-time decision
 support as future work — this module is that extension, Spark-first).
 
 Operators:
-- windowed_counts: watermarked tumbling-window aggregation
-- sessionized: session_window aggregation (gap-based)
-- enrich: stream-static broadcast dim join (the streaming version of
-  the star schema's concept lookup)
-- running_user_state: custom stateful operator via
-  applyInPandasWithState (per-user cumulative counters)
+- windowed_counts / sessionized: watermarked tumbling- and
+  session-window aggregation
+- enrich / stream_stream_interval_join: stream-static broadcast dim
+  join and time-bounded stream-stream join
+- running_user_state / streaming_funnel / streaming_ewma_anomalies:
+  custom stateful operators via applyInPandasWithState (per-user
+  counters, ordered-sequence funnel, EWMA control chart)
 - scd2_apply_changes / streaming_scd2: incremental SCD2 dimension
-  maintenance from a CDC stream (foreachBatch merge; the streaming
-  face of q_scd2_dim, r6)
+  maintenance from a CDC stream (crash-safe rename-swap sink)
+- dedup_events / dedup_ingest_batch / streaming_dedup_ingest /
+  near_dup_ingest_batch / streaming_near_dup (+
+  compact_pairs_distinct): exact and MinHash-LSH dedup ingest
+  against persistent indexes, replay-safe
+- streaming_vector_ingest / streaming_bm25_ingest: exactly-once
+  appends into the persisted IVF-PQ and BM25 indexes
+- preagg_apply_batch / expectations_apply_batch /
+  join_view_apply_batch (+ read_* and compact_* for each):
+  exactly-once incremental maintenance of the BI pre-aggregate, the
+  data-quality totals, and the broadcast-join enrichment view — all
+  via batch-id dynamic partition overwrite with the shared
+  crash-safe compaction swap
 
 All operators take/return DataFrames so they compose identically in
 batch mode (Spark's unified API): the batch oracle-checked
