@@ -152,3 +152,76 @@ def quality_filter(
     scored = predict_proba(featurize_documents(docs, text_col), w)
     keep = scored.where(F.col("proba") >= F.lit(threshold)).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi")
+
+
+def train_test_split(
+    df: DataFrame, test_frac: float, id_col: str = "doc_id", seed: str = "cv0"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, test) split by a portable md5-derived
+    uniform on (seed, id) — layout-independent and reproducible
+    across sessions/clusters, the property randomSplit does not give
+    (it re-rolls per partition layout). Same hash family as
+    text.weighted_sample / q_stratified_sample."""
+    if not (0.0 < test_frac < 1.0):
+        raise ValueError("test_frac must be in (0, 1)")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    test = df.where(u < F.lit(test_frac))
+    train = df.where(u >= F.lit(test_frac))
+    return train, test
+
+
+def auc(
+    scored: DataFrame, proba_col: str = "proba", label_col: str = "label"
+) -> float:
+    """Exact ROC-AUC, distributed (the Mann-Whitney U form with the
+    standard tie correction: average ranks per tied score): a
+    distributed range-partitioned sort + keys.zip_index_key's
+    shuffle-free dense ranking — never a single-partition window —
+    then one aggregation over per-score groups. Driver sees three
+    scalars."""
+    from clinical_data_warehouse_bi_spark.keys import zip_index_key
+
+    slim = scored.select(
+        F.col(proba_col).alias("__s"), F.col(label_col).cast("double").alias("__y")
+    )
+    ranked = zip_index_key(slim.orderBy(F.col("__s").asc()), "__rank")
+    per_score = ranked.groupBy("__s").agg(
+        F.avg("__rank").alias("__ar"),
+        F.sum("__y").alias("__np"),
+        F.count("*").alias("__n"),
+    )
+    row = per_score.agg(
+        F.sum(F.col("__ar") * F.col("__np")).alias("rsum"),
+        F.sum("__np").alias("np"),
+        F.sum("__n").alias("n"),
+    ).first()
+    n_pos = float(row["np"] or 0.0)
+    n_neg = float(row["n"]) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("auc needs both classes present")
+    u = float(row["rsum"]) - n_pos * (n_pos + 1.0) / 2.0
+    return u / (n_pos * n_neg)
+
+
+def threshold_for_keep_rate(
+    scored: DataFrame, keep_rate: float, proba_col: str = "proba"
+) -> float:
+    """The probability cutoff that keeps ~``keep_rate`` of the corpus
+    (one approxQuantile pass) — how a production quality filter is
+    actually tuned: pick the budget, derive the threshold from the
+    scored distribution (the CCNet recipe), not the other way
+    round."""
+    if not (0.0 < keep_rate < 1.0):
+        raise ValueError("keep_rate must be in (0, 1)")
+    return scored.approxQuantile(proba_col, [1.0 - keep_rate], 0.001)[0]

@@ -102,3 +102,78 @@ def test_quality_filter_end_to_end(spark, sf_dir):
     kept = classifier.quality_filter(docs, w, threshold=0.5)
     assert kept.columns == docs.columns
     assert 0 < kept.count() < n
+
+
+def test_auc_matches_numpy_reference_with_ties(spark):
+    """Exact tie-corrected AUC vs an independent numpy Mann-Whitney
+    implementation, on scores with heavy ties."""
+    rng = np.random.default_rng(11)
+    scores = np.round(rng.uniform(0, 1, 300), 1)  # ties everywhere
+    labels = (rng.uniform(0, 1, 300) < scores).astype(float)
+    if labels.sum() in (0, len(labels)):  # safety for the fixed seed
+        labels[0], labels[1] = 0.0, 1.0
+    df = spark.createDataFrame(
+        [(float(s), float(y)) for s, y in zip(scores, labels)],
+        "proba double, label double",
+    )
+    got = classifier.auc(df)
+    # numpy reference: average ranks (1-based) over sorted scores
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores))
+    sorted_scores = scores[order]
+    i = 0
+    pos = 1
+    while i < len(scores):
+        j = i
+        while j < len(scores) and sorted_scores[j] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j]] = (pos + pos + (j - i) - 1) / 2.0
+        pos += j - i
+        i = j
+    n_pos = labels.sum()
+    n_neg = len(labels) - n_pos
+    u = ranks[labels == 1].sum() - n_pos * (n_pos + 1) / 2
+    want = u / (n_pos * n_neg)
+    assert abs(got - want) < 1e-9
+    # degenerate extremes
+    perfect = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0)], "proba double, label double"
+    )
+    assert classifier.auc(perfect) == 1.0
+    inverted = spark.createDataFrame(
+        [(0.9, 0.0), (0.1, 1.0)], "proba double, label double"
+    )
+    assert classifier.auc(inverted) == 0.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        classifier.auc(
+            spark.createDataFrame([(0.5, 1.0)], "proba double, label double")
+        )
+
+
+def test_split_is_deterministic_and_disjoint(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    tr1, te1 = classifier.train_test_split(docs, 0.25)
+    tr2, te2 = classifier.train_test_split(docs, 0.25)
+    a1 = {r["doc_id"] for r in te1.collect()}
+    a2 = {r["doc_id"] for r in te2.collect()}
+    assert a1 == a2
+    t1 = {r["doc_id"] for r in tr1.collect()}
+    assert not (a1 & t1)
+    n = docs.count()
+    assert len(a1) + len(t1) == n
+    assert 0.15 < len(a1) / n < 0.35  # near the requested fraction
+    # a different seed draws a different test set
+    _, te3 = classifier.train_test_split(docs, 0.25, seed="cv1")
+    assert {r["doc_id"] for r in te3.collect()} != a1
+
+
+def test_threshold_for_keep_rate(spark):
+    rows = [(float(i) / 100.0,) for i in range(100)]
+    df = spark.createDataFrame(rows, "proba double")
+    t = classifier.threshold_for_keep_rate(df, 0.2)
+    kept = df.where(F.col("proba") >= t).count()
+    assert 15 <= kept <= 25
