@@ -1671,3 +1671,94 @@ def test_survivorship_single_aggregation(spark, sf_dir):
         if "RoundRobinPartitioning" not in b
     ]
     assert len(blocks) == 1  # one shuffle, however many rules
+
+
+def test_interval_overlap_join_matches_duckdb_on_events(spark, sf_dir, duck):
+    """Overlap join on REAL event-derived intervals vs DuckDB's
+    brute-force theta join — the at-scale-shape result equals the
+    O(L x R) ground truth exactly."""
+    got = sorted(
+        (r.lid, r.rid)
+        for r in joins.interval_overlap_join_binned(
+            read_table(spark, sf_dir, "events")
+            .where(F.col("event_id") < 300)
+            .select(
+                F.col("event_id").alias("lid"),
+                (F.col("user_id") * 3).alias("llo"),
+                (F.col("user_id") * 3 + F.col("event_id") % 7).alias("lhi"),
+            ),
+            read_table(spark, sf_dir, "events")
+            .where((F.col("event_id") >= 300) & (F.col("event_id") < 600))
+            .select(
+                F.col("event_id").alias("rid"),
+                (F.col("user_id") * 3 + 2).alias("rlo"),
+                (F.col("user_id") * 3 + 2 + F.col("event_id") % 5).alias("rhi"),
+            ),
+            "llo", "lhi", "rlo", "rhi", 4,
+        ).collect()
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in duck.execute("""
+            WITH l AS (SELECT event_id AS lid, user_id*3 AS llo,
+                              user_id*3 + event_id % 7 AS lhi
+                       FROM events WHERE event_id < 300),
+                 r AS (SELECT event_id AS rid, user_id*3 + 2 AS rlo,
+                              user_id*3 + 2 + event_id % 5 AS rhi
+                       FROM events WHERE event_id >= 300 AND event_id < 600)
+            SELECT lid, rid FROM l, r
+            WHERE llo <= rhi AND rlo <= lhi
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_er_to_golden_record_composition(spark):
+    """The full MDM path: fuzzy pairs -> connected components ->
+    survivorship — three planted patient spellings collapse to ONE
+    golden record with the right field survivors."""
+    from clinical_data_warehouse_bi_spark import graph
+
+    recs = [
+        # one real patient, three spellings, partial fields
+        (1, "jon smith", "1990", None, "j@x.io"),
+        (2, "john smith", "1990", "Boston", None),
+        (3, "jhn smith", "1990", "Boston MA", None),
+        # a distinct patient in the same block
+        (4, "mary smith", "1990", "Salem", "m@x.io"),
+        # and one in another block
+        (5, "li wei", "1985", "Quincy", None),
+    ]
+    df = spark.createDataFrame(
+        recs, "rec_id long, name string, birth_year string,"
+        " city string, email string"
+    )
+    pairs = joins.fuzzy_blocked_pairs(
+        df, "rec_id", "name", ["birth_year"], max_dist=2
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = graph.connected_components(
+        edges, vertices=df.select(F.col("rec_id").alias("id"))
+    )
+    clustered = df.join(
+        comp.select(F.col("id").alias("rec_id"), "component"), "rec_id"
+    )
+    golden = {
+        r["component"]: r
+        for r in joins.survivorship(
+            clustered,
+            "component",
+            {"name": "first_non_null", "city": "longest",
+             "email": "first_non_null"},
+            order_col="rec_id",
+        ).collect()
+    }
+    assert len(golden) == 3  # {1,2,3} merged; 4 and 5 alone
+    merged = golden[1]
+    assert merged["name"] == "jon smith"      # first record's spelling
+    assert merged["city"] == "Boston MA"      # longest city string
+    assert merged["email"] == "j@x.io"
+    assert golden[4]["name"] == "mary smith"
+    assert golden[5]["name"] == "li wei"
