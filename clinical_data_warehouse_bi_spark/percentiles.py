@@ -517,3 +517,33 @@ def grouped_percentiles(
         for q in quantiles
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+) -> DataFrame:
+    """Clamp numeric columns to their [lo_q, hi_q] quantile bounds —
+    the outlier-capping step a feature pipeline runs before training
+    statistics (a single fat-finger lab value must not own the
+    scaler). ONE approxQuantile pass computes every column's bounds
+    (O(cols) driver scalars); the clamp is per-row
+    greatest/least — no shuffle, schema preserved, nulls pass
+    through."""
+    if not (0.0 <= lo_q < hi_q <= 1.0):
+        raise ValueError("need 0 <= lo_q < hi_q <= 1")
+    bounds = df.approxQuantile(cols, [lo_q, hi_q], 0.001)
+    out = df
+    for c, (lo, hi) in zip(cols, bounds):
+        # greatest/least IGNORE nulls (they would clamp a null to the
+        # bound) — keep nulls null explicitly
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi)),
+            ),
+        )
+    return out
