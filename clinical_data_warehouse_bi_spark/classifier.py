@@ -225,3 +225,65 @@ def threshold_for_keep_rate(
     if not (0.0 < keep_rate < 1.0):
         raise ValueError("keep_rate must be in (0, 1)")
     return scored.approxQuantile(proba_col, [1.0 - keep_rate], 0.001)[0]
+
+
+def standardize(
+    df: DataFrame,
+    *,
+    features_col: str = "features",
+    skip_dims: tuple[int, ...] = (0,),
+    eps: float = 1e-9,
+) -> tuple[DataFrame, dict]:
+    """Z-score the feature vectors (x - mean) / std per dimension —
+    the conditioning step that keeps full-batch GD's single learning
+    rate honest when feature scales differ by orders of magnitude.
+    Reuses similarity.covariance_stats' one-pass batch-partial sweep
+    (mean and std arrive together; the vectors never shuffle); the
+    scaling itself is a per-row array expression with the mean/std
+    vectors inlined as literals — no UDF, no join. ``skip_dims``
+    defaults to (0,): the bias dimension must stay 1.0, not become
+    0/0. Returns (scaled_df, {"mean", "std"}) so the SAME transform
+    replays on serving-time data (train/serve skew is the classic
+    failure this guards)."""
+    from clinical_data_warehouse_bi_spark.similarity import covariance_stats
+
+    stats = covariance_stats(df, vec_col=features_col)
+    mean = stats["mean"]
+    std = np.sqrt(np.maximum(np.diag(stats["cov"]), 0.0)) + eps
+    keep = set(skip_dims)
+    mean_l = ", ".join(
+        "0.0" if i in keep else repr(float(m)) for i, m in enumerate(mean)
+    )
+    std_l = ", ".join(
+        "1.0" if i in keep else repr(float(s)) for i, s in enumerate(std)
+    )
+    expr = (
+        f"zip_with({features_col}, "
+        f" zip_with(array({mean_l}), array({std_l}),"
+        f"          (m, s) -> named_struct('m', m, 's', s)),"
+        f" (x, ms) -> (x - ms.m) / ms.s)"
+    )
+    out = df.withColumn(features_col, F.expr(expr))
+    return out, {"mean": mean, "std": std}
+
+
+def apply_standardize(
+    df: DataFrame, stats: dict, *, features_col: str = "features",
+    skip_dims: tuple[int, ...] = (0,),
+) -> DataFrame:
+    """Replay a fitted standardization on new data (serving path)."""
+    mean, std = stats["mean"], stats["std"]
+    keep = set(skip_dims)
+    mean_l = ", ".join(
+        "0.0" if i in keep else repr(float(m)) for i, m in enumerate(mean)
+    )
+    std_l = ", ".join(
+        "1.0" if i in keep else repr(float(s)) for i, s in enumerate(std)
+    )
+    expr = (
+        f"zip_with({features_col}, "
+        f" zip_with(array({mean_l}), array({std_l}),"
+        f"          (m, s) -> named_struct('m', m, 's', s)),"
+        f" (x, ms) -> (x - ms.m) / ms.s)"
+    )
+    return df.withColumn(features_col, F.expr(expr))

@@ -177,3 +177,38 @@ def test_threshold_for_keep_rate(spark):
     t = classifier.threshold_for_keep_rate(df, 0.2)
     kept = df.where(F.col("proba") >= t).count()
     assert 15 <= kept <= 25
+
+
+def test_standardize_zero_mean_unit_std_and_replays(spark):
+    df, x, y = _planted(spark, n=300)
+    scaled, stats = classifier.standardize(df)
+    mat = np.array(
+        [r["features"] for r in scaled.orderBy("doc_id").collect()],
+        dtype=np.float64,
+    )
+    # bias untouched; other dims ~N(0, 1)
+    assert np.allclose(mat[:, 0], 1.0)
+    assert np.allclose(mat[:, 1:].mean(axis=0), 0.0, atol=1e-9)
+    assert np.allclose(mat[:, 1:].std(axis=0), 1.0, atol=1e-3)
+    # the fitted transform replays identically on the same data
+    replayed = classifier.apply_standardize(df, stats)
+    mat2 = np.array(
+        [r["features"] for r in replayed.orderBy("doc_id").collect()]
+    )
+    assert np.allclose(mat, mat2)
+    # training on standardized features still recovers the signal
+    labeled = scaled.join(
+        df.select("doc_id", F.col("label").alias("lab")), "doc_id"
+    ).select("doc_id", "features", F.col("lab").alias("label"))
+    w = classifier.train_logreg(labeled, n_iter=40, lr=1.0)
+    acc = (
+        classifier.predict_proba(labeled, w)
+        .select(
+            ((F.col("proba") >= 0.5).cast("double") == F.col("label"))
+            .cast("double")
+            .alias("hit")
+        )
+        .agg(F.avg("hit"))
+        .first()[0]
+    )
+    assert acc >= 0.95
