@@ -305,37 +305,19 @@ def expectation_report(
     unique_specs: dict[str, list[list[str]]] = {}
     reports: list[DataFrame] = []
 
-    def lit_sql(v) -> str:
-        return _sq(v) if isinstance(v, str) else repr(v)
+    # row-expression flags come from the builder shared with
+    # observe_expectations, so inline and dedicated reports can never
+    # drift apart
+    _ROW_KINDS = ("not_null", "accepted_range", "accepted_values")
+    _collect_row_flags(
+        [e for e in spec if e["check"] in _ROW_KINDS], per_table_flags
+    )
 
     for e in spec:
         kind = e["check"]
-        if kind == "not_null":
-            t, c = e["table"], e["column"]
-            per_table_flags.setdefault(t, []).append(
-                (f"not_null:{t}.{c}", f"{c} IS NULL")
-            )
-        elif kind == "accepted_range":
-            t, c = e["table"], e["column"]
-            conds = []
-            if e.get("lo") is not None:
-                conds.append(f"{c} < {lit_sql(e['lo'])}")
-            if e.get("hi") is not None:
-                conds.append(f"{c} > {lit_sql(e['hi'])}")
-            cond = " OR ".join(conds) if conds else "FALSE"
-            per_table_flags.setdefault(t, []).append(
-                (f"accepted_range:{t}.{c}", f"{c} IS NOT NULL AND ({cond})")
-            )
-        elif kind == "accepted_values":
-            t, c = e["table"], e["column"]
-            vals = ", ".join(lit_sql(v) for v in e["values"])
-            per_table_flags.setdefault(t, []).append(
-                (
-                    f"accepted_values:{t}.{c}",
-                    f"{c} IS NOT NULL AND {c} NOT IN ({vals})",
-                )
-            )
-        elif kind == "unique":
+        if kind in _ROW_KINDS:
+            continue
+        if kind == "unique":
             t, cols = e["table"], e["columns"]
             unique_specs.setdefault(t, []).append(cols)
         elif kind == "referential":
@@ -567,3 +549,88 @@ def schema_drift(baseline: DataFrame, current: DataFrame) -> DataFrame:
         rows,
         "column string, change string, baseline_type string, current_type string",
     )
+
+
+def observe_expectations(
+    df: DataFrame, spec: list[dict], name: str = "expectations"
+):
+    """ZERO-extra-pass data-quality: attach the suite's
+    row-expression checks (not_null / accepted_range /
+    accepted_values) to a DataFrame as a Spark Observation — the
+    violation counters ride whatever action the pipeline runs next,
+    so a 100 TB transform gets its quality report for free instead
+    of paying expectation_report's dedicated scan. Aggregating,
+    join-key-dependent, or cross-table checks (unique, referential,
+    cross_sum) cannot ride a row stream; route those through
+    expectation_report.
+
+    Returns (df_with_observation, observation); after ANY action on
+    the returned frame, ``observation.get`` yields
+    {check_name: violations, "__total_rows": n}. The check
+    expressions are the SAME SQL-text flags the batch compiler
+    emits, so inline and dedicated reports can never disagree."""
+    from pyspark.sql import Observation
+
+    allowed = {"not_null", "accepted_range", "accepted_values"}
+    bad = [e["check"] for e in spec if e["check"] not in allowed]
+    if bad:
+        raise ValueError(
+            f"observe_expectations supports row-expression checks only"
+            f" ({sorted(allowed)}); got {bad} — use expectation_report"
+        )
+    tables = {e["table"] for e in spec}
+    if len(tables) != 1:
+        raise ValueError(
+            "observe_expectations rides ONE DataFrame; the spec names"
+            f" tables {sorted(tables)}"
+        )
+    flags: list = []
+    # reuse the compiler's flag-building by running the shared spec
+    # loop in flag-collection mode
+    t = next(iter(tables))
+    probe: dict[str, list] = {}
+    _collect_row_flags(spec, probe)
+    name_flags = probe[t]
+    obs = Observation(name)
+    exprs = [
+        F.expr(f"sum(CAST(({flag}) AS BIGINT))").alias(nm)
+        for nm, flag in name_flags
+    ] + [F.expr("count(*)").alias("__total_rows")]
+    return df.observe(obs, *exprs), obs
+
+
+def _collect_row_flags(spec: list[dict], per_table_flags: dict) -> None:
+    """The row-expression half of expectation_report's compiler,
+    shared so inline observation and the dedicated report build
+    IDENTICAL flag SQL."""
+
+    def lit_sql(v) -> str:
+        return _sq(v) if isinstance(v, str) else repr(v)
+
+    for e in spec:
+        kind = e["check"]
+        if kind == "not_null":
+            t, c = e["table"], e["column"]
+            per_table_flags.setdefault(t, []).append(
+                (f"not_null:{t}.{c}", f"{c} IS NULL")
+            )
+        elif kind == "accepted_range":
+            t, c = e["table"], e["column"]
+            conds = []
+            if e.get("lo") is not None:
+                conds.append(f"{c} < {lit_sql(e['lo'])}")
+            if e.get("hi") is not None:
+                conds.append(f"{c} > {lit_sql(e['hi'])}")
+            cond = " OR ".join(conds) if conds else "FALSE"
+            per_table_flags.setdefault(t, []).append(
+                (f"accepted_range:{t}.{c}", f"{c} IS NOT NULL AND ({cond})")
+            )
+        elif kind == "accepted_values":
+            t, c = e["table"], e["column"]
+            vals = ", ".join(lit_sql(v) for v in e["values"])
+            per_table_flags.setdefault(t, []).append(
+                (
+                    f"accepted_values:{t}.{c}",
+                    f"{c} IS NOT NULL AND {c} NOT IN ({vals})",
+                )
+            )

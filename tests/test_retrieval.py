@@ -425,3 +425,40 @@ def test_bm25_index_compaction_round_trip(spark, sf_dir, tmp_path):
         for r in retrieval.bm25_index_search(spark, path, terms, 100_000).collect()
     }
     assert 90_000 in served
+
+
+def test_observe_expectations_rides_an_action_for_free(spark, sf_dir):
+    """Inline observation: the violation counters equal the dedicated
+    expectation_report's, collected from the SAME action the
+    pipeline was running anyway (no extra scan)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    spec = [
+        {"check": "not_null", "table": "lineitem", "column": "l_quantity"},
+        {"check": "accepted_range", "table": "lineitem",
+         "column": "l_quantity", "lo": 1.0, "hi": 50.0},
+        {"check": "accepted_values", "table": "lineitem",
+         "column": "l_returnflag", "values": ["A", "N", "R"]},
+    ]
+    observed, obs = qa.observe_expectations(t["lineitem"], spec)
+    n = observed.count()  # the pipeline's own action
+    got = obs.get
+    want = {
+        r["check_name"]: r["violations"]
+        for r in qa.expectation_report(t, spec).collect()
+    }
+    assert got["__total_rows"] == n
+    for nm, v in want.items():
+        assert got[nm] == v, nm
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        qa.observe_expectations(
+            t["lineitem"],
+            [{"check": "unique", "table": "lineitem", "columns": ["l_orderkey"]}],
+        )
+    with _pt.raises(ValueError):
+        qa.observe_expectations(
+            t["lineitem"],
+            spec + [{"check": "not_null", "table": "orders", "column": "o_custkey"}],
+        )
