@@ -694,3 +694,91 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-source boilerplate LINE removal (the CCNet/web-corpus
+    cleaning step this module lacked between repetition_filter's
+    whole-doc drop and chunk_dedup's cross-doc dedup): a line that
+    appears in more than ``min_frac`` of a source's documents is
+    navigation/header/footer furniture, not content — strip it from
+    every document of that source, preserving the order of the
+    surviving lines. Sources with fewer than ``min_docs`` documents
+    are left untouched (a 2-doc source would flag half its prose).
+
+    Scale shape (the chunk-dedup discipline): lines leave the scan
+    as (source, md5-pair, doc) — line TEXT never shuffles; the
+    boilerplate relation is per-source distinct-doc counts vs the
+    source's doc count (two slim aggregations); the rebuild
+    re-splits the documents map-side and drops positions whose hash
+    pair is in the (broadcast) boilerplate set. Returns the input
+    schema with ``text_col`` rewritten and an ``n_removed_lines``
+    column appended."""
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError("min_frac must be in (0, 1]")
+    lines = F.expr(f"filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0)")
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("__src"),
+        lines.alias("__lines"),
+    )
+    # slim per-(source, line) distinct-doc counts: hash pairs only
+    hashed = base.select(
+        "__id",
+        "__src",
+        F.explode(
+            F.expr(
+                "transform(__lines,"
+                " x -> named_struct('h1', md5(x), 'h2', md5(concat('b:', x))))"
+            )
+        ).alias("hp"),
+    ).select("__id", "__src", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
+    per_line = hashed.distinct().groupBy("__src", "h1", "h2").agg(
+        F.count("*").alias("n_docs_with")
+    )
+    per_src = base.groupBy("__src").agg(F.count("*").alias("n_docs"))
+    boiler = (
+        per_line.join(F.broadcast(per_src), "__src")
+        .where(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_docs_with") > F.lit(min_frac) * F.col("n_docs"))
+        )
+        .select("__src", "h1", "h2")
+    )
+    # rebuild entirely MAP-SIDE: collapse each source's boilerplate
+    # to a hash set (tiny by construction — furniture lines per
+    # source), broadcast it, and filter each document's own line
+    # array in place. No doc-keyed exchange, no line text in any
+    # shuffle, order preserved trivially.
+    boiler_sets = boiler.groupBy("__src").agg(
+        F.collect_set(F.concat("h1", "h2")).alias("__bl")
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    enriched = docs.withColumn("__lines", lines).withColumn(
+        "__src", F.col(source_col)
+    )
+    return (
+        enriched.join(F.broadcast(boiler_sets), "__src", "left")
+        .withColumn(
+            "__clean_lines",
+            F.expr(
+                "IF(__bl IS NULL, __lines,"
+                " filter(__lines, x -> NOT array_contains("
+                "   __bl, concat(md5(x), md5(concat('b:', x))))))"
+            ),
+        )
+        .select(
+            *out_cols,
+            F.expr("array_join(__clean_lines, '\\n')").alias(text_col),
+            (F.size("__lines") - F.size("__clean_lines"))
+            .cast("bigint")
+            .alias("n_removed_lines"),
+        )
+    )

@@ -1762,3 +1762,51 @@ def test_er_to_golden_record_composition(spark):
     assert merged["email"] == "j@x.io"
     assert golden[4]["name"] == "mary smith"
     assert golden[5]["name"] == "li wei"
+
+
+def test_remove_boilerplate_strips_furniture_only(spark):
+    """A header planted in most docs of one source is stripped from
+    that source; unique content and other sources are untouched;
+    line order survives."""
+    hdr = "SITE NAVIGATION home about contact"
+    rows = [
+        (i, "web", f"{hdr}\narticle body {i}\nunique line {i}")
+        for i in range(8)
+    ]
+    rows.append((8, "web", "no header here\njust content 8"))
+    rows.append((9, "books", f"{hdr}\nbook text 9"))  # small source: kept
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in T.remove_boilerplate(df, min_frac=0.5, min_docs=3).collect()
+    }
+    for i in range(8):
+        assert out[i]["text"] == f"article body {i}\nunique line {i}", i
+        assert out[i]["n_removed_lines"] == 1
+    assert out[8]["text"] == "no header here\njust content 8"
+    assert out[8]["n_removed_lines"] == 0
+    # the 2-doc source is below min_docs: its header is content
+    assert out[9]["text"] == f"{hdr}\nbook text 9"
+    assert out[9]["n_removed_lines"] == 0
+    # schema: original columns + the counter
+    assert set(out[0].asDict()) == {"doc_id", "source", "text", "n_removed_lines"}
+
+
+def test_remove_boilerplate_line_text_never_shuffles(spark, sf_dir):
+    """The counting side shuffles only (source, md5, md5, doc) —
+    line text reaches no keyed exchange."""
+    from test_plans import _exchange_blocks
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    blocks = [
+        b
+        for b in _exchange_blocks(T.remove_boilerplate(docs))
+        if "RoundRobinPartitioning" not in b and "Broadcast" not in b.splitlines()[0]
+    ]
+    assert blocks  # the slim counting aggregations
+    for b in blocks:
+        assert "text#" not in b, b
+        assert "__lines#" not in b, b
+        assert "__clean_lines#" not in b, b
