@@ -505,3 +505,97 @@ def bm25_index_compact(spark, path: str) -> dict:
         "batches_before": before,
         "batches_after": len(glob.glob(os.path.join(postings_root, "batch=*"))),
     }
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    hybrid-retrieval combiner): given ranked lists from different
+    retrievers (BM25 lexical, ANN dense, ...), score each doc
+    sum(1 / (rrf_k + rank_i)) over the lists that ranked it and
+    return the fused top-k. Rank-based, so wildly different score
+    scales (BM25 vs cosine) need no calibration — the reason RRF is
+    the default fusion in production hybrid search.
+
+    Scale shape: each input is already a top-k (bounded); the union
+    is O(lists x k) rows, one groupBy on the doc id, TakeOrdered
+    final. Ties break by doc id, deterministic."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    slim = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double"))).alias(
+                "__c"
+            ),
+        )
+        for r in rankings
+    ]
+    allr = slim[0]
+    for s in slim[1:]:
+        allr = allr.unionByName(s)
+    return (
+        allr.groupBy(id_col)
+        .agg(F.round(F.sum("__c"), 8).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int,
+    *,
+    pool: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval: BM25 top-``pool`` (the
+    shuffle-free single-query path) fused with brute-force cosine
+    top-``pool`` over the embedding table by reciprocal rank. The
+    composition a RAG/curation stack actually serves; each leg keeps
+    its own scale shape and only the two bounded top-k lists meet."""
+    from pyspark.sql import Window
+
+    bm = bm25_topk(docs, query_terms, pool)
+    bm_ranked = bm.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.expr(
+        "aggregate(zip_with(embedding, __q, (a, b) -> a * b),"
+        " 0.0d, (acc, x) -> acc + x)"
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> x * x),"
+        " 0.0d, (acc, x) -> acc + x))"
+    ) * F.expr(
+        "sqrt(aggregate(transform(__q, x -> x * x), 0.0d, (acc, x) -> acc + x))"
+    )
+    dense = (
+        embeddings.withColumn("__q", qarr)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / nrm).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(pool)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+            ),
+        )
+    )
+    return rrf_fuse([bm_ranked, dense], k, rrf_k=rrf_k)

@@ -462,3 +462,50 @@ def test_observe_expectations_rides_an_action_for_free(spark, sf_dir):
             t["lineitem"],
             spec + [{"check": "not_null", "table": "orders", "column": "o_custkey"}],
         )
+
+
+# ------------------------------------------------- hybrid fusion
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(11, 1), (13, 2), (10, 3)], ["doc_id", "rank"])
+    got = {
+        r["doc_id"]: r["rrf_score"]
+        for r in retrieval.rrf_fuse([a, b], k=10, rrf_k=60).collect()
+    }
+    import pytest as _pt
+
+    assert got[10] == _pt.approx(1 / 61 + 1 / 63, abs=1e-8)
+    assert got[11] == _pt.approx(1 / 62 + 1 / 61, abs=1e-8)
+    assert got[12] == _pt.approx(1 / 63, abs=1e-8)
+    assert got[13] == _pt.approx(1 / 62, abs=1e-8)
+    # doc in both lists outranks single-list docs
+    order = [
+        r["doc_id"]
+        for r in retrieval.rrf_fuse([a, b], k=10).orderBy(
+            F.col("rrf_score").desc(), "doc_id"
+        ).collect()
+    ]
+    assert set(order[:2]) == {10, 11}
+    with _pt.raises(ValueError):
+        retrieval.rrf_fuse([], 5)
+
+
+def test_hybrid_topk_combines_both_signals(spark, sf_dir):
+    """The fused list contains k rows drawn from both legs, and a
+    doc that tops BOTH legs tops the fusion."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qvec = [float(r) for r in emb.where("vec_id = 7").first()["embedding"]]
+    fused = retrieval.hybrid_topk(
+        docs, emb, ["hash", "join"], qvec, k=10, pool=30
+    ).collect()
+    assert len(fused) == 10
+    ids = [r["doc_id"] for r in fused]
+    bm_ids = {
+        r["doc_id"] for r in retrieval.bm25_topk(docs, ["hash", "join"], 30).collect()
+    }
+    # vec_id 7 is its own nearest neighbor: rank 1 on the dense leg
+    assert 7 in ids
+    # at least one fused doc came from the lexical leg
+    assert any(i in bm_ids for i in ids)
