@@ -634,3 +634,59 @@ def _collect_row_flags(spec: list[dict], per_table_flags: dict) -> None:
                     f"{c} IS NOT NULL AND {c} NOT IN ({vals})",
                 )
             )
+
+
+def zipf_profile(docs: DataFrame, text_col: str = "text", top_n: int = 1000) -> dict:
+    """Corpus lexical-statistics profile: the Zipf exponent (slope of
+    log-rank vs log-frequency over the ``top_n`` words, least
+    squares) and unigram entropy in bits — the two scalars that
+    flag synthetic/templated corpora (natural language sits near
+    slope -1; a generator with a tiny vocabulary shows a flat slope
+    and low entropy). One distributed word histogram (bpe's
+    word_histogram job) + a bounded driver fit.
+
+    Returns {"zipf_slope", "unigram_entropy_bits", "vocab_size",
+    "n_tokens"}."""
+    import math
+
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark.bpe import word_histogram
+
+    hist = word_histogram(docs, text_col=text_col)
+    totals = hist.agg(
+        F.sum("n").alias("n_tokens"), F.count("*").alias("vocab")
+    ).first()
+    n_tokens = int(totals["n_tokens"] or 0)
+    if n_tokens == 0:
+        raise ValueError("zipf_profile: empty corpus")
+    top = (
+        hist.orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(int(top_n))
+        .collect()
+    )
+    freqs = np.array([r["n"] for r in top], dtype=np.float64)
+    ranks = np.arange(1, len(freqs) + 1, dtype=np.float64)
+    # closed-form least-squares slope (cov/var) — np.polyfit's SVD
+    # path can fail to converge on degenerate (constant-y) inputs
+    lx, ly = np.log(ranks), np.log(freqs)
+    vx = float(((lx - lx.mean()) ** 2).sum())
+    slope = (
+        0.0
+        if vx == 0.0
+        else float(((lx - lx.mean()) * (ly - ly.mean())).sum() / vx)
+    )
+    # exact unigram entropy from the FULL histogram via one more
+    # aggregate (sum p log p needs every word, not just the top)
+    ent_row = hist.agg(
+        F.sum(
+            F.expr(f"(n / {float(n_tokens)!r}) * log2(n / {float(n_tokens)!r})")
+        ).alias("neg_ent")
+    ).first()
+    entropy = -float(ent_row["neg_ent"])
+    return {
+        "zipf_slope": slope,
+        "unigram_entropy_bits": entropy,
+        "vocab_size": int(totals["vocab"]),
+        "n_tokens": n_tokens,
+    }

@@ -509,3 +509,25 @@ def test_hybrid_topk_combines_both_signals(spark, sf_dir):
     assert 7 in ids
     # at least one fused doc came from the lexical leg
     assert any(i in bm_ids for i in ids)
+
+
+def test_zipf_profile_discriminates_natural_vs_degenerate(spark, sf_dir):
+    import math
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nat = qa.zipf_profile(docs)
+    assert nat["n_tokens"] > 0 and nat["vocab_size"] > 10
+    assert nat["zipf_slope"] < 0  # frequency falls with rank
+    # uniform-ish synthetic corpus: near-flat slope, entropy ~ log2(V)
+    flat_docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    flat = qa.zipf_profile(flat_docs)
+    assert abs(flat["zipf_slope"]) < 0.05
+    assert abs(flat["unigram_entropy_bits"] - math.log2(50)) < 1e-6
+    # degenerate one-word corpus: zero entropy
+    one = qa.zipf_profile(
+        spark.createDataFrame([(0, "spam spam spam spam")], ["doc_id", "text"])
+    )
+    assert one["unigram_entropy_bits"] == 0.0 and one["vocab_size"] == 1
