@@ -459,6 +459,7 @@ def corpus_card(
     text_col: str = "text",
     source_col: str | None = "source",
     out_path: str | None = None,
+    lexical: bool = False,
 ) -> dict:
     """The dataset card for a training corpus — the governance
     artifact shipped next to the shards: size, token statistics,
@@ -507,7 +508,14 @@ def corpus_card(
             r[source_col]: r["n"]
             for r in per_doc.groupBy(source_col).agg(F.count("*").alias("n")).collect()
         }
+    lex = (
+        {"lexical": {k: v for k, v in zipf_profile(docs, text_col).items()
+                     if k in ("zipf_slope", "unigram_entropy_bits", "vocab_size")}}
+        if lexical
+        else {}
+    )
     card = {
+        **lex,
         "n_docs": scal["n_docs"],
         "n_tokens": scal["n_tokens"],
         "exact_dup_rate": round(

@@ -531,3 +531,11 @@ def test_zipf_profile_discriminates_natural_vs_degenerate(spark, sf_dir):
         spark.createDataFrame([(0, "spam spam spam spam")], ["doc_id", "text"])
     )
     assert one["unigram_entropy_bits"] == 0.0 and one["vocab_size"] == 1
+
+
+def test_corpus_card_lexical_section(spark, sf_dir, tmp_path):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    card = qa.corpus_card(docs, lexical=True)
+    assert card["lexical"]["zipf_slope"] < 0
+    assert card["lexical"]["unigram_entropy_bits"] > 0
+    assert card["lexical"]["vocab_size"] == qa.zipf_profile(docs)["vocab_size"]
