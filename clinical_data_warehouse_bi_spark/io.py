@@ -507,3 +507,17 @@ def write_sized(
     writer.parquet(path)
     n_files = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     return {"bytes_per_row": bpr, "records_per_file": rpf, "n_files": n_files}
+
+
+def read_evolved(spark, path: str, format: str = "parquet"):
+    """Read an append sink whose batches were written under EVOLVING
+    schemas (a column added mid-stream — the normal life of a
+    long-lived ingest directory): parquet/orc footer schemas are
+    merged across files (``mergeSchema``), so early files surface
+    the late-added columns as NULL instead of the default
+    first-file-wins read silently DROPPING them. Use for schema-
+    drifting sinks only — schema merging reads every file footer, a
+    real cost on millions of files, which is why Spark defaults it
+    off and why the fixed-schema readers here (read_table) never pay
+    it."""
+    return spark.read.option("mergeSchema", "true").format(format).load(path)

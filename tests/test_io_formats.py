@@ -241,3 +241,25 @@ def test_write_sized_targets_file_size(spark, tmp_path):
     assert spark.read.parquet(big).count() == 60_000
     # scratch dir cleaned up
     assert not glob.glob(str(tmp_path / ".write-sized-sample*"))
+
+
+def test_read_evolved_surfaces_late_columns(spark, tmp_path):
+    """Two appended batches with an added column: the default read
+    binds to one file's schema and can silently drop the new column;
+    read_evolved merges footers — every column visible, early rows
+    NULL-filled."""
+    from clinical_data_warehouse_bi_spark.io import read_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = read_evolved(spark, path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    assert rows[1]["v"] == "a" and rows[2]["v"] == "b"
