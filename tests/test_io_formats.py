@@ -263,3 +263,26 @@ def test_read_evolved_surfaces_late_columns(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
     assert rows[1]["v"] == "a" and rows[2]["v"] == "b"
+
+
+def test_write_sized_under_partition_by(spark, tmp_path):
+    """partitionBy path: files split inside each partition dir, rows
+    preserved, no merge-count job attempted."""
+    import glob
+    import os
+
+    from clinical_data_warehouse_bi_spark.io import write_sized
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("grp"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    out = str(tmp_path / "parts")
+    res = write_sized(df, out, target_mb=1, partition_by=["grp"])
+    dirs = glob.glob(os.path.join(out, "grp=*"))
+    assert len(dirs) == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.select("grp").distinct().count() == 3
+    assert res["n_files"] >= 3
