@@ -1164,3 +1164,48 @@ def compact_ivf_pq_index(spark, path: str) -> dict:
         "files_before": files_before,
         "files_after": files(path),
     }
+
+
+def pq_distortion(
+    vectors: DataFrame, codebooks: list[list[list[float]]]
+) -> dict:
+    """Mean PQ quantization distortion over a vector set: encode with
+    the FROZEN codebooks, reconstruct (concatenate the selected
+    codewords), and average ||x - x_hat||^2 — the drift statistic
+    that tells an operator WHEN the persisted index's quantizers
+    need retraining (append_to_ivf_pq_index deliberately freezes
+    them; distribution drift shows up here long before recall decays
+    enough to notice in production). One Arrow-batched pass: each
+    batch reduces to (n, sum squared error) — the covariance_stats
+    idiom; vectors never shuffle.
+
+    Returns {"n", "mse", "rmse"}. Compare against the value recorded
+    at build time: a sustained rise is the rebuild signal."""
+    mats = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(mats)
+    dsub = mats[0].shape[1]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            err = 0.0
+            for sub in range(m):
+                xs = mat[:, sub * dsub : (sub + 1) * dsub]
+                c = mats[sub]
+                d2 = (
+                    np.einsum("ij,ij->i", xs, xs)[:, None]
+                    - 2.0 * xs @ c.T
+                    + np.einsum("ij,ij->i", c, c)[None, :]
+                )
+                err += float(np.maximum(d2.min(axis=1), 0.0).sum())
+            yield pd.DataFrame({"n": [len(mat)], "sse": [err]})
+
+    parts = vectors.select("embedding").mapInPandas(op, "n long, sse double").collect()
+    n = sum(r.n for r in parts)
+    if n == 0:
+        raise ValueError("pq_distortion: empty input")
+    sse = sum(r.sse for r in parts)
+    mse = sse / n
+    return {"n": n, "mse": mse, "rmse": float(np.sqrt(mse))}

@@ -674,3 +674,44 @@ def test_filtered_ivf_pq_search_respects_predicate(spark, tmp_path):
         have = {r.nid for r in got if r.qid == q}
         hits += len(want & have)
     assert hits / (n_queries * topk) >= 0.6  # clustered data: high recall
+
+
+def test_pq_distortion_detects_distribution_drift(spark):
+    """The drift statistic: in-distribution vectors quantize with low
+    error under the frozen codebooks; a shifted distribution's
+    distortion rises decisively — the rebuild signal."""
+    rng = np.random.RandomState(41)
+    k, dims = 4, 16
+    centers = rng.normal(0, 10.0, size=(k, dims))
+
+    def mk(lo, hi, shift=0.0):
+        return [
+            (
+                i,
+                [
+                    float(x)
+                    for x in centers[i % k] + rng.normal(0, 1.0, dims) + shift
+                ],
+            )
+            for i in range(lo, hi)
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(mk(0, 300), schema)
+    books = similarity.train_pq_codebooks(base, m=4, seed=7)
+
+    in_dist = similarity.pq_distortion(
+        spark.createDataFrame(mk(300, 400), schema), books
+    )
+    drifted = similarity.pq_distortion(
+        spark.createDataFrame(mk(300, 400, shift=25.0), schema), books
+    )
+    assert in_dist["n"] == drifted["n"] == 100
+    assert drifted["mse"] > 5 * in_dist["mse"]
+    assert in_dist["rmse"] == np.sqrt(in_dist["mse"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        similarity.pq_distortion(
+            spark.createDataFrame([], schema), books
+        )
