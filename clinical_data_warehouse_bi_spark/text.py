@@ -782,3 +782,37 @@ def remove_boilerplate(
             .alias("n_removed_lines"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal (keep the first
+    occurrence, preserve order) — the third member of the line
+    hygiene family: remove_boilerplate handles cross-doc furniture,
+    chunk/cdc dedup handle cross-doc content, this handles the
+    page that repeats its own navigation or footer inline (a Gopher
+    cleaning rule). Pure per-row array expression: line i survives
+    iff it is the FIRST occurrence (array_position == own index).
+    Quadratic in a document's OWN line count — bounded by page
+    structure, never by corpus size; empty/whitespace lines are
+    dropped like remove_boilerplate does. Adds n_removed_lines."""
+    lines = F.expr(f"filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0)")
+    out_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.withColumn("__lines", lines)
+        .withColumn(
+            "__kept",
+            F.expr(
+                "filter(transform(__lines, (x, i) -> named_struct('t', x, 'i', i)),"
+                " s -> array_position(__lines, s.t) = s.i + 1)"
+            ),
+        )
+        .select(
+            *out_cols,
+            F.expr("array_join(transform(__kept, s -> s.t), '\\n')").alias(text_col),
+            (F.size("__lines") - F.size("__kept")).cast("bigint").alias(
+                "n_removed_lines"
+            ),
+        )
+    )

@@ -1810,3 +1810,26 @@ def test_remove_boilerplate_line_text_never_shuffles(spark, sf_dir):
         assert "text#" not in b, b
         assert "__lines#" not in b, b
         assert "__clean_lines#" not in b, b
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            (1, "one\ntwo\nthree"),
+            (2, "same\nsame\nsame"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in T.dedup_lines(docs).collect()}
+    assert got[0]["text"] == "alpha\nbeta\ngamma"
+    assert got[0]["n_removed_lines"] == 2
+    assert got[1]["text"] == "one\ntwo\nthree"
+    assert got[1]["n_removed_lines"] == 0
+    assert got[2]["text"] == "same" and got[2]["n_removed_lines"] == 2
+    assert got[3]["text"] == "" and got[3]["n_removed_lines"] == 0
+    # pure map: no exchange at all
+    from test_plans import _exchange_blocks
+
+    assert not _exchange_blocks(T.dedup_lines(docs))
