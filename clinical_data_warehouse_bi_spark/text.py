@@ -816,3 +816,99 @@ def dedup_lines(
             ),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """CROSS-document repeated-span removal at n-gram granularity —
+    the sliding-window form of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models
+    Better", public arXiv:2107.06499: remove every later occurrence
+    of a sufficiently long substring shared across the corpus;
+    approximated here on token n-grams so the machinery stays
+    relational). Completes the granularity ladder: doc (corpus
+    clean) > paragraph > chunk/CDC > THIS (any aligned n-token
+    window) > line (within-doc).
+
+    Rule: an n-gram OCCURRENCE (doc, pos) is a removal span iff its
+    content occurs more than ``max_occurrences`` times corpus-wide
+    AND it is not the globally first occurrence (order: doc_id, then
+    position). Every token covered by a removal span is dropped;
+    overlap resolution is removal-wins (a token inside both a kept
+    first-occurrence window and a later repeated window is dropped),
+    which is what makes the rule a pure position-set union —
+    deterministic and SQL-expressible for the oracle.
+
+    Returns (id, n_tokens, n_removed, clean_text).
+
+    Scale shape (the chunk_dedup discipline, one new twist): text
+    never shuffles. The scan reduces each sliding window to two
+    independently-salted xxhash64s, so the only exchanged relation is
+    (id, pos, h1, h2) — 28 bytes per token position. One window
+    partitioning (h1, h2) serves BOTH the keep-first row_number and
+    the corpus-wide count (same exchange, two window functions).
+    Removal positions flow back as a per-doc sorted int array; the
+    rebuild is a per-row filter over a re-tokenized scan. At 100 TB
+    the sliding explode is ~n_tokens rows/doc (vs n_tokens/chunk for
+    chunk_dedup) — the documented cost of window-aligned sensitivity;
+    the shuffle payload stays slim either way."""
+    n = int(ngram)
+    if n < 2:
+        raise ValueError("ngram must be >= 2 (use dedup/corpus_clean for 1)")
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("w"))
+    gram_hashes = F.expr(
+        f"transform("
+        f"  transform(sequence(1, size(w) - {n - 1}),"
+        f"            i -> concat_ws(' ', slice(w, i, {n}))),"
+        f"  s -> struct(xxhash64(s) as h1, xxhash64(s, 'b') as h2))"
+    )
+    grams = (
+        toks.filter(F.size("w") >= n)
+        .select("__id", F.posexplode(gram_hashes).alias("pos", "hp"))
+        .select("__id", "pos", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
+    )
+    part = Window.partitionBy("h1", "h2")
+    marked = grams.select(
+        "__id",
+        "pos",
+        F.row_number().over(part.orderBy("__id", "pos")).alias("rn"),
+        F.count("*").over(part).alias("cnt"),
+    )
+    # removal spans -> per-doc covered token-index set (1-based):
+    # span at 0-based pos covers tokens pos+1 .. pos+n
+    removed = (
+        marked.filter((F.col("cnt") > int(max_occurrences)) & (F.col("rn") > 1))
+        .groupBy("__id")
+        .agg(F.collect_list("pos").alias("spans"))
+        .select(
+            "__id",
+            F.expr(
+                f"array_sort(array_distinct(flatten("
+                f"  transform(spans, p -> sequence(p + 1, p + {n})))))"
+            ).alias("covered"),
+        )
+    )
+    rebuild = F.expr(
+        "array_join(transform("
+        "  filter(sequence(1, size(w)), i -> NOT array_contains(covered, i)),"
+        "  i -> element_at(w, i)), ' ')"
+    )
+    return (
+        toks.join(removed, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("covered"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.when(F.size("w") == 0, F.lit(""))
+            .when(F.col("covered").isNull(), F.expr("concat_ws(' ', w)"))
+            .otherwise(rebuild)
+            .alias("clean_text"),
+        )
+    )

@@ -1,0 +1,146 @@
+"""Cross-document repeated n-gram span removal (text.remove_repeated_spans):
+planted-span semantics, an independent Python reference model on the real
+corpus, edge cases, and the no-text-in-exchange plan discipline."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import text as T
+
+N = 4
+
+
+def _toks(s: str) -> list[str]:
+    return re.findall(r"[a-z0-9]+", s.lower())
+
+
+def _py_model(docs: list[tuple[str, str]], n: int, max_occ: int):
+    """Independent reference: dict-of-ngram occurrence lists, global
+    first kept, later occurrences' covered positions unioned away."""
+    occ: dict[tuple, list[tuple[str, int]]] = {}
+    toks = {d: _toks(t) for d, t in docs}
+    for d, _ in sorted(docs):
+        w = toks[d]
+        for i in range(len(w) - n + 1):
+            occ.setdefault(tuple(w[i : i + n]), []).append((d, i))
+    removed: dict[str, set[int]] = {d: set() for d, _ in docs}
+    for g, places in occ.items():
+        if len(places) <= max_occ:
+            continue
+        for d, p in sorted(places)[1:]:
+            removed[d].update(range(p, p + n))
+    out = {}
+    for d, _ in docs:
+        w = toks[d]
+        kept = [w[i] for i in range(len(w)) if i not in removed[d]]
+        out[d] = (len(w), len(removed[d] & set(range(len(w)))), " ".join(kept))
+    return out
+
+
+def test_planted_repeated_span_removed(spark):
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            ("a", f"alpha bravo {boiler} charlie"),
+            ("b", f"delta {boiler} echo foxtrot"),
+            ("c", "golf hotel india juliet kilo"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.remove_repeated_spans(docs, ngram=5, max_occurrences=1).collect()
+    }
+    # doc a is globally first -> keeps the span verbatim
+    assert "subscribe to our newsletter today" in out["a"]["clean_text"]
+    assert out["a"]["n_removed"] == 0
+    # doc b loses exactly the 5 covered tokens
+    assert "subscribe" not in out["b"]["clean_text"]
+    assert out["b"]["clean_text"] == "delta echo foxtrot"
+    assert out["b"]["n_removed"] == 5
+    # untouched doc passes through
+    assert out["c"]["clean_text"] == "golf hotel india juliet kilo"
+    assert out["c"]["n_removed"] == 0
+
+
+def test_overlap_removal_wins(spark):
+    # doc b repeats a's window shifted by one: the two removal spans
+    # overlap and their union is removed; a token inside BOTH a kept
+    # first-occurrence window and a later repeated window is dropped
+    docs = spark.createDataFrame(
+        [
+            ("a", "p q r s t u"),
+            ("b", "p q r s t u"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.remove_repeated_spans(docs, ngram=3, max_occurrences=1).collect()
+    }
+    assert out["a"]["clean_text"] == "p q r s t u"
+    assert out["b"]["clean_text"] == ""
+    assert out["b"]["n_removed"] == 6
+
+
+def test_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [("e", ""), ("s", "one two"), ("p", "...!!!")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in T.remove_repeated_spans(docs, ngram=4).collect()
+    }
+    assert rows["e"]["clean_text"] == "" and rows["e"]["n_tokens"] == 0
+    # shorter than n: pass-through, normalized join
+    assert rows["s"]["clean_text"] == "one two" and rows["s"]["n_removed"] == 0
+    assert rows["p"]["n_tokens"] == 0
+
+    with pytest.raises(ValueError):
+        T.remove_repeated_spans(docs, ngram=1)
+
+
+def test_matches_python_model_on_corpus(spark, sf_dir):
+    docs_df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    pairs = [(r["doc_id"], r["text"]) for r in docs_df.collect()]
+    expect = _py_model(pairs, N, 1)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in T.remove_repeated_spans(docs_df, ngram=N).collect()
+    }
+    assert got == expect
+
+
+def test_max_occurrences_threshold(spark):
+    # the same tri-gram in 3 docs survives everywhere at max_occ=3,
+    # loses two occurrences at max_occ=1
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z"), ("c", "x y z")],
+        "doc_id string, text string",
+    )
+    lax = T.remove_repeated_spans(docs, ngram=3, max_occurrences=3)
+    assert all(r["n_removed"] == 0 for r in lax.collect())
+    strict = T.remove_repeated_spans(docs, ngram=3, max_occurrences=1)
+    out = {r["doc_id"]: r["n_removed"] for r in strict.collect()}
+    assert out == {"a": 0, "b": 3, "c": 3}
+
+
+def test_no_text_in_exchange(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = T.remove_repeated_spans(docs, ngram=5)._jdf.queryExecution().toString()
+    # every Exchange's output column set must be free of raw text /
+    # token-array columns: only ids, positions, hashes, pos-arrays move
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("\n", 1)[0]
+        assert "text#" not in head and "w#" not in head, head
