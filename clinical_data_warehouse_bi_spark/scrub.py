@@ -356,3 +356,64 @@ def date_shift(
             shifted = F.date_add(F.col(c), offset.cast("int"))
         out = out.withColumn(c, shifted)
     return out
+
+
+def k_anonymity_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Equivalence-class profile for re-identification risk — the
+    quantitative face of the de-identification family (pseudonymize /
+    date_shift transform; THIS measures whether the result is safe to
+    release): group the table by its quasi-identifier columns and
+    report each class's size plus, when a sensitive column is given,
+    its l-diversity (distinct sensitive values inside the class —
+    Sweeney 2002 k-anonymity, Machanavajjhala 2007 l-diversity, both
+    public).
+
+    Returns (quasi_cols..., class_size, l_diversity?) — one row per
+    equivalence class. Scale shape: ONE groupBy on the quasi columns
+    (map-side partial counts; the class relation is orders of
+    magnitude smaller than the input), count-distinct of a single
+    sensitive column inside the same aggregation."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_classes needs at least one quasi column")
+    aggs = [F.count("*").cast("bigint").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).cast("bigint").alias("l_diversity")
+        )
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """One-row release-gate verdict over k_anonymity_classes: the
+    dataset's k-anonymity (min class size), class count, total rows,
+    rows in classes smaller than ``k`` (the re-identifiable
+    population a release at threshold k would expose), and — with a
+    sensitive column — the worst-class l-diversity (1 means some
+    class is attribute-disclosure trivial: every member shares the
+    sensitive value).
+
+    Two aggregations total (classes, then O(#classes) scalars); the
+    driver sees one row. The release rule a pipeline enforces:
+    require k_anonymity >= k AND min_l_diversity >= 2 before a
+    dataset leaves the clinical zone."""
+    classes = k_anonymity_classes(df, quasi_cols, sensitive_col)
+    aggs = [
+        F.min("class_size").cast("bigint").alias("k_anonymity"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("class_size") < int(k), F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        aggs.append(F.min("l_diversity").cast("bigint").alias("min_l_diversity"))
+    return classes.agg(*aggs)

@@ -277,3 +277,99 @@ def test_schema_drift_reports_changes(spark):
         "v": ("type_changed", "double", "int"),
     }
     assert qa.schema_drift(old, old).count() == 0
+
+
+def test_k_anonymity_exact_values(spark):
+    # two quasi columns; classes: (30,'F')x3 / (30,'M')x1 / (40,'F')x2;
+    # diagnosis inside (30,'F') has 2 distinct values, (40,'F') only 1
+    rows = [
+        (30, "F", "flu"),
+        (30, "F", "flu"),
+        (30, "F", "copd"),
+        (30, "M", "flu"),
+        (40, "F", "asthma"),
+        (40, "F", "asthma"),
+    ]
+    df = spark.createDataFrame(rows, "age int, sex string, dx string")
+    classes = {
+        (r["age"], r["sex"]): (r["class_size"], r["l_diversity"])
+        for r in scrub.k_anonymity_classes(df, ["age", "sex"], "dx").collect()
+    }
+    assert classes == {
+        (30, "F"): (3, 2),
+        (30, "M"): (1, 1),
+        (40, "F"): (2, 1),
+    }
+    s = scrub.k_anonymity_summary(df, ["age", "sex"], "dx", k=2).first()
+    assert (
+        s["k_anonymity"],
+        s["n_classes"],
+        s["n_rows"],
+        s["rows_below_k"],
+        s["min_l_diversity"],
+    ) == (1, 3, 6, 1, 1)
+    # without a sensitive column the l columns are absent
+    plain = scrub.k_anonymity_summary(df, ["age"], k=10).first()
+    assert "min_l_diversity" not in plain.asDict()
+    assert (plain["k_anonymity"], plain["rows_below_k"]) == (1, 6)
+    with pytest.raises(ValueError):
+        scrub.k_anonymity_classes(df, [])
+
+
+def test_k_anonymity_matches_duckdb_on_customer(spark, sf_dir, duck):
+    got = {
+        tuple(r)
+        for r in scrub.k_anonymity_classes(
+            read_table(spark, sf_dir, "customer"),
+            ["c_nationkey", "c_mktsegment"],
+            "c_acctbal",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS class_size,
+                   COUNT(DISTINCT c_acctbal) AS l_diversity
+            FROM customer GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == want
+    s = scrub.k_anonymity_summary(
+        read_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        "c_acctbal",
+        k=5,
+    ).first()
+    dk, nc, nr, below, ldiv = duck.execute(
+        """
+        WITH cls AS (
+            SELECT COUNT(*) AS n, COUNT(DISTINCT c_acctbal) AS l
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT MIN(n), COUNT(*), SUM(n),
+               COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0), MIN(l)
+        FROM cls
+        """
+    ).fetchone()
+    assert (
+        s["k_anonymity"],
+        s["n_classes"],
+        s["n_rows"],
+        s["rows_below_k"],
+        s["min_l_diversity"],
+    ) == (dk, nc, nr, below, ldiv)
+
+
+def test_k_anonymity_plan_shape(spark):
+    from test_plans import physical_plan
+
+    df = spark.range(100).selectExpr(
+        "id % 7 AS a", "id % 3 AS b", "id AS sens"
+    )
+    plan = physical_plan(scrub.k_anonymity_classes(df, ["a", "b"], "sens"))
+    # one groupBy: partial agg map-side, a single key exchange, no python
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
