@@ -311,7 +311,7 @@ def test_k_anonymity_exact_values(spark):
     # without a sensitive column the l columns are absent
     plain = scrub.k_anonymity_summary(df, ["age"], k=10).first()
     assert "min_l_diversity" not in plain.asDict()
-    assert (plain["k_anonymity"], plain["rows_below_k"]) == (1, 6)
+    assert (plain["k_anonymity"], plain["rows_below_k"]) == (2, 6)
     with pytest.raises(ValueError):
         scrub.k_anonymity_classes(df, [])
 
