@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "q_embed_near_dup",
     "q_multimodal_features",
     "q_frame_sample",
+    "q_weighted_sample",
+    "q_boilerplate",
+    "q_hybrid_topk",
+    "q_bm25_served",
 ]
 
 
@@ -148,7 +152,21 @@ def main() -> None:
     from clinical_data_warehouse_bi_spark.session import get_spark
 
     spark = get_spark("bench")
-    queries = all_queries()
+    # registry-retired operators stay in the bench for historical
+    # comparability (their library code is live; only their
+    # correctness-gate slot moved to tests/test_retired_parity.py)
+    from clinical_data_warehouse_bi_spark.queries.core import q_approx_stats
+    from clinical_data_warehouse_bi_spark.queries.dedup import q_paragraph_dedup
+    from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
+    from clinical_data_warehouse_bi_spark.queries.windows import q_frame_sample
+
+    queries = {
+        **all_queries(),
+        "q_approx_stats": q_approx_stats,
+        "q_paragraph_dedup": q_paragraph_dedup,
+        "q_range_join": q_range_join,
+        "q_frame_sample": q_frame_sample,
+    }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     # localCheckpoint blocks are NOT CacheManager-registered, so

@@ -443,7 +443,6 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_stats", oracle=None)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch surface in one query (registry cap
     consolidation of the former q_agg_per_order_approx +
@@ -454,7 +453,16 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable, O(accuracy) state per group instead of O(group
     size)). No oracle: sketch estimates are engine-specific (driver
     records the rows-only check); q_agg_per_order and q_percentiles
-    are the exact twins that ARE value-checked."""
+    are the exact twins that ARE value-checked.
+
+    RETIRED from the registry in round 9 (its slot went to the
+    round-8 verdict's named oracle candidates): a rows-only entry
+    carries no value evidence the pytest suite doesn't already —
+    the registered exact twins stay under the hash gate, and
+    tests/test_retired_parity.py now pins every sketch column here
+    against its exact value within the sketches' published error
+    bounds, which is STRONGER than the rows-only check the slot
+    bought."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("total_events"),

@@ -490,7 +490,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_paragraph_dedup", oracle="""
+#: q_paragraph_dedup's DuckDB oracle, preserved after its round-9
+#: registry retirement (slot went to the round-8 verdict's named
+#: candidates; witness: q_cdc_chunk_dedup runs the identical slim
+#: keep-first window + rebuild machinery over content-defined
+#: boundaries — the delimiter-bounded form here is its special
+#: case). The full cross-engine value check stays live in
+#: tests/test_retired_parity.py.
+SQL_PARAGRAPH_DEDUP = """
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     units AS (
@@ -515,7 +522,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
     LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
-    """)
+    """
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-based unit dedup with reconstruction
     (text.paragraph_dedup) — the delimiter-bounded sibling of

@@ -310,13 +310,22 @@ def q_scalar_lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "concept_key")
 
 
-@register("q_range_join", oracle="""
+#: q_range_join's DuckDB oracle, preserved after its round-9
+#: registry retirement (slot went to the round-8 verdict's named
+#: candidates; witnesses: q_asof_next_order keeps the registered
+#: interval-join machinery under the hash gate, and
+#: joins.interval_overlap_join_binned keeps the binned-range family
+#: under hypothesis brute-force equality). The full cross-engine
+#: value check stays live in tests/test_retired_parity.py.
+SQL_RANGE_JOIN = """
     SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey AS window_order
     FROM lineitem l
     JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey < 100) o
       ON l.l_shipdate BETWEEN o.o_orderdate
                           AND o.o_orderdate + INTERVAL 7 DAY
-    """)
+    """
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join (NO equi key): every lineitem shipped within a
     week of each probe order's date. Naive Spark plans this as a

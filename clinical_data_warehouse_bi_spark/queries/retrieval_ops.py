@@ -9,6 +9,7 @@ TakeOrderedAndProject)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clinical_data_warehouse_bi_spark import retrieval
 from clinical_data_warehouse_bi_spark.io import load_tables
@@ -34,3 +35,121 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not IEEE-correctly-rounded); ties broken by doc_id."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return retrieval.bm25_topk(docs, BM25_TERMS, BM25_K)
+
+
+#: hybrid fusion parameters — each leg contributes its top-``POOL``,
+#: the fused list keeps HYBRID_K
+HYBRID_POOL = 50
+HYBRID_K = 20
+
+_SQL_VECS = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+"""
+
+
+@register("q_hybrid_topk", oracle=f"""
+    WITH bm AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM ({retrieval.bm25_topk_oracle_sql(BM25_TERMS, HYBRID_POOL)})),
+    n AS ({_SQL_VECS}),
+    q AS (SELECT e AS qe, n2 AS qn2 FROM n WHERE vec_id = 0),
+    dense_all AS (
+      SELECT c.vec_id AS doc_id,
+             list_dot_product(q.qe, c.e) / (sqrt(q.qn2) * sqrt(c.n2)) AS cos
+      FROM q, n c),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(cos, 6) DESC, doc_id ASC) AS rank
+      FROM (SELECT * FROM dense_all
+            ORDER BY round(cos, 6) DESC, doc_id ASC LIMIT {HYBRID_POOL})),
+    u AS (SELECT doc_id, rank FROM bm
+          UNION ALL SELECT doc_id, rank FROM dense)
+    SELECT doc_id, round(sum(1.0 / (60.0 + rank)), 8) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
+    """)
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical + dense retrieval (retrieval.hybrid_topk):
+    BM25 top-{HYBRID_POOL} fused with brute-force cosine
+    top-{HYBRID_POOL} by reciprocal rank (Cormack et al. 2009 RRF) —
+    the composition a RAG/curation stack serves. The dense query is
+    the corpus's own vector 0 (a bounded 1-row lookup, deterministic
+    in both engines); document ids and vector ids share the id
+    space, the usual layout when embeddings are computed per doc.
+
+    Scale shape: each leg keeps its own registered shape (BM25's
+    shuffle-free single-query scoring; cosine's map-side fold +
+    TakeOrdered) and only the two bounded top-k lists meet in the
+    fusion groupBy — O(legs x pool) rows. Rank-based fusion needs no
+    score calibration, which is why both engines agree to the 8th
+    decimal. Registered per the round-8 verdict (q_hybrid_topk named
+    a ready oracle candidate)."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    qvec = [
+        float(x)
+        for x in t["embeddings"]
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    return retrieval.hybrid_topk(
+        t["documents"],
+        t["embeddings"],
+        BM25_TERMS,
+        qvec,
+        HYBRID_K,
+        pool=HYBRID_POOL,
+    )
+
+
+def _served_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus cache location for the registered
+    serving demo. The v1 token versions the on-disk format; the
+    corpus dirs are read-only test fixtures, so a published index
+    never goes stale."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"cdwbi_bm25_idx_v1_{key}")
+
+
+@register("q_bm25_served", oracle=None)
+def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served FROM the persisted inverted index
+    (retrieval.bm25_index_build + bm25_index_search) — the
+    operational half of q_bm25_topk, registered per the round-8
+    verdict so the on-disk index contract (md5 term-bucket partition
+    pruning, stats JSON published atomically with the postings) sits
+    under the driver's gate. The index is built once per corpus into
+    a cache dir and published with an atomic rename (a concurrent
+    builder loses the race harmlessly); every later invocation is a
+    pure pruned read — the 100 TB serving shape, where indexing cost
+    is paid at ingest, not per query.
+
+    No SQL oracle BY DESIGN (the q_ann_ivf_pq convention): the
+    served per-doc score sums float in groupBy order, so it can
+    differ from the inline expression tree in the 4th decimal —
+    tests/test_retrieval.py pins served==inline to 1e-3 and the
+    inline form (q_bm25_topk) carries the full hash oracle."""
+    import os
+    import shutil
+
+    from clinical_data_warehouse_bi_spark.retrieval import BM25_INDEX_META
+
+    path = _served_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, BM25_INDEX_META)):
+        build_dir = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(build_dir, ignore_errors=True)
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        retrieval.bm25_index_build(docs, build_dir, n_buckets=32)
+        try:
+            os.rename(build_dir, path)
+        except OSError:  # lost the publish race: an index already serves
+            shutil.rmtree(build_dir, ignore_errors=True)
+    return retrieval.bm25_index_search(spark, path, BM25_TERMS, BM25_K)

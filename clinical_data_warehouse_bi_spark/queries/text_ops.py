@@ -484,3 +484,114 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(docs, "source", QUOTA_PER_SOURCE).select(
         "doc_id", "source"
     )
+
+
+#: weighted-sample size for the registered query (small vs the
+#: corpus so the weight signal actually selects)
+WSAMPLE_K = 50
+
+
+@register("q_weighted_sample", oracle=f"""
+    SELECT doc_id, CAST((doc_id % 7) + 1 AS DOUBLE) AS w
+    FROM (
+      SELECT doc_id,
+             pow((('0x' || substr(md5('ws0:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   + 1.0) / 4294967297.0,
+                 1.0 / ((doc_id % 7) + 1.0)) AS pri
+      FROM documents)
+    ORDER BY pri DESC, doc_id ASC LIMIT {WSAMPLE_K}
+    """)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (text.weighted_sample, Efraimidis-Spirakis A-ES priorities) —
+    the quality-weighted subsampling step of a curated corpus mix.
+    The weight is a synthetic (doc_id % 7) + 1 so every weight tier
+    exists; the priority u^(1/w) draws u from a PORTABLE md5 of
+    (seed, id), so the DuckDB oracle reproduces the exact sample —
+    the same IEEE doubles, the same pow, the same top-k.
+
+    Scale shape: priority is one per-row expression and selection is
+    a TakeOrderedAndProject top-k — no shuffle, no RNG state, and
+    the sample is layout-independent (Spark's rand() cannot promise
+    that across partitionings). Registered per the round-8 verdict
+    to move the sampling family's last pytest-only member under the
+    driver's hash gate."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    weighted = docs.select(
+        "doc_id", ((F.col("doc_id") % 7) + 1).cast("double").alias("w")
+    )
+    return T.weighted_sample(weighted, WSAMPLE_K, "w")
+
+
+@register("q_boilerplate", oracle="""
+    WITH staged AS (
+      SELECT doc_id, source,
+             'HEADER ' || source || chr(10) || replace(text, ' ', chr(10)) AS text
+      FROM documents),
+    t AS (
+      SELECT doc_id, source, string_split(text, chr(10)) AS w FROM staged),
+    lines AS (
+      SELECT doc_id, source, i AS pos, w[i+1] AS s
+      FROM t, unnest(generate_series(0, len(w) - 1)) AS u(i)
+      WHERE length(trim(w[i+1])) > 0),
+    per_line AS (
+      SELECT source, s, count(DISTINCT doc_id) AS n_docs_with
+      FROM lines GROUP BY source, s),
+    per_src AS (
+      SELECT source, count(*) AS n_docs FROM staged GROUP BY source),
+    boiler AS (
+      SELECT pl.source, pl.s
+      FROM per_line pl JOIN per_src ps ON ps.source = pl.source
+      WHERE ps.n_docs >= 3 AND pl.n_docs_with > 0.5 * ps.n_docs),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.s
+      FROM lines l
+      LEFT JOIN boiler b ON b.source = l.source AND b.s = l.s
+      WHERE b.s IS NULL),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(s, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT d.doc_id, d.source,
+           coalesce(r.text, '') AS text,
+           CAST(coalesce(t2.n_lines, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_removed_lines
+    FROM staged d
+    LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate line removal (text.remove_boilerplate,
+    the CCNet web-corpus cleaning step): a line appearing in more
+    than half of a source's documents is header/footer furniture —
+    strip it from every document of that source, preserving the
+    order of the surviving lines. The synthetic corpus has no
+    newlines, so the registered staging derives a multi-line text
+    deterministically (a per-source 'HEADER <source>' line — true
+    furniture, present in 100% of the source's docs — followed by
+    the document's words one per line, so common words cross the
+    50% threshold too); the DuckDB oracle recomputes the removal on
+    the line STRINGS, verifying the md5-pair hash shortcut
+    value-for-value.
+
+    Scale shape (plan-locked in tests/test_properties.py): line text
+    never shuffles — lines leave the scan as md5 pairs, the
+    boilerplate relation is two slim per-source aggregations, and
+    the rebuild is a per-row array filter against a broadcast
+    per-source hash set. Registered per the round-8 verdict
+    (q_boilerplate named a ready oracle candidate)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("HEADER "),
+            F.col("source"),
+            F.lit("\n"),
+            F.regexp_replace("text", " ", "\n"),
+        ).alias("text"),
+    )
+    return T.remove_boilerplate(
+        fan_out(staged), min_frac=0.5, min_docs=3
+    )

