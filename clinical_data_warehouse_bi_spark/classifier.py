@@ -75,38 +75,47 @@ def train_logreg(
 
     One aggregation job per iteration: executors emit per-batch
     partial (n, grad, loss) rows, the driver sums them and takes a
-    mean-gradient step. Labels must be 0/1."""
+    mean-gradient step. Labels must be 0/1.
+
+    The slim (features, label) relation is persisted for the life of
+    the loop and unpersisted on exit: full-batch GD reads it once per
+    iteration, so without the cache n_iter iterations are n_iter full
+    scans of the feature table — 30 passes over 100 TB. With it, one
+    scan materializes the slim columns and every later iteration is a
+    cache read (released-storage contract asserted in tests)."""
     slim = df.select(
         F.col(features_col).alias("x"), F.col(label_col).cast("double").alias("y")
-    )
-    d = len(slim.select("x").first()["x"])
-    w = np.zeros(d, dtype=np.float64)
+    ).persist()
+    try:
+        d = len(slim.select("x").first()["x"])
+        w = np.zeros(d, dtype=np.float64)
+        for _ in range(n_iter):
+            w_now = w.copy()
 
-    for _ in range(n_iter):
-        w_now = w.copy()
+            def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    x = np.array(pdf["x"].tolist(), dtype=np.float64)  # N x d
+                    y = pdf["y"].to_numpy(dtype=np.float64)
+                    z = x @ w_now
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    grad = x.T @ (p - y)
+                    eps = 1e-12
+                    loss = -np.sum(
+                        y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps)
+                    )
+                    yield pd.DataFrame(
+                        {"n": [len(y)], "g": [grad.tolist()], "l": [float(loss)]}
+                    )
 
-        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                x = np.array(pdf["x"].tolist(), dtype=np.float64)  # N x d
-                y = pdf["y"].to_numpy(dtype=np.float64)
-                z = x @ w_now
-                p = 1.0 / (1.0 + np.exp(-z))
-                grad = x.T @ (p - y)
-                eps = 1e-12
-                loss = -np.sum(
-                    y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps)
-                )
-                yield pd.DataFrame(
-                    {"n": [len(y)], "g": [grad.tolist()], "l": [float(loss)]}
-                )
-
-        parts = slim.mapInPandas(op, "n long, g array<double>, l double").collect()
-        n = sum(r.n for r in parts)
-        g = np.sum([np.asarray(r.g) for r in parts], axis=0)
-        w = w - lr * (g / n + l2 * w)
-    return w
+            parts = slim.mapInPandas(op, "n long, g array<double>, l double").collect()
+            n = sum(r.n for r in parts)
+            g = np.sum([np.asarray(r.g) for r in parts], axis=0)
+            w = w - lr * (g / n + l2 * w)
+        return w
+    finally:
+        slim.unpersist()
 
 
 def train_logreg_reference(

@@ -212,3 +212,26 @@ def test_standardize_zero_mean_unit_std_and_replays(spark):
         .first()[0]
     )
     assert acc >= 0.95
+
+
+def test_train_logreg_persists_then_releases(spark):
+    """The trainer caches the slim feature relation for the life of
+    the gradient loop (one scan + n_iter-1 cache reads instead of
+    n_iter full scans — the round-8 verdict's named fix) and MUST
+    release it on exit, success or raise: leaked executor storage
+    across a long session is the measured q_ann_ivf_learned
+    regression mechanism."""
+    from clinical_data_warehouse_bi_spark.io import snapshot_persistent_rdds
+
+    df, _, _ = _planted(spark)
+    baseline = snapshot_persistent_rdds(spark)
+    classifier.train_logreg(df, n_iter=5, lr=0.5)
+    assert snapshot_persistent_rdds(spark) == baseline
+    # the release holds on the raise path too (bad label column type
+    # surfaces on the first action, inside the persisted scope)
+    import pytest as _pytest
+
+    bad = df.withColumn("features", F.lit(None).cast("string"))
+    with _pytest.raises(Exception):
+        classifier.train_logreg(bad, n_iter=2)
+    assert snapshot_persistent_rdds(spark) == baseline
