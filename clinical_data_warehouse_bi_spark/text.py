@@ -835,28 +835,41 @@ def remove_repeated_spans(
     clean) > paragraph > chunk/CDC > THIS (any aligned n-token
     window) > line (within-doc).
 
-    Rule: an n-gram OCCURRENCE (doc, pos) is a removal span iff its
-    content occurs more than ``max_occurrences`` times corpus-wide
-    AND it is not the globally first occurrence (order: doc_id, then
-    position). Every token covered by a removal span is dropped;
-    overlap resolution is removal-wins (a token inside both a kept
-    first-occurrence window and a later repeated window is dropped),
-    which is what makes the rule a pure position-set union —
-    deterministic and SQL-expressible for the oracle.
+    Rule: the globally FIRST ``max_occurrences`` occurrences of each
+    n-gram (order: doc_id, then position) are kept; every LATER
+    occurrence is a removal span. Every token covered by a removal
+    span is dropped; overlap resolution is removal-wins (a token
+    inside both a kept occurrence's window and a later repeated
+    window is dropped), which is what makes the rule a pure
+    position-set union — deterministic and SQL-expressible for the
+    oracle.
 
     Returns (id, n_tokens, n_removed, clean_text).
 
-    Scale shape (the chunk_dedup discipline, one new twist): text
-    never shuffles. The scan reduces each sliding window to two
-    independently-salted xxhash64s, so the only exchanged relation is
-    (id, pos, h1, h2) — 28 bytes per token position. One window
-    partitioning (h1, h2) serves BOTH the keep-first row_number and
-    the corpus-wide count (same exchange, two window functions).
-    Removal positions flow back as a per-doc sorted int array; the
-    rebuild is a per-row filter over a re-tokenized scan. At 100 TB
+    Equality caveat: two occurrences are "the same n-gram" iff their
+    (xxhash64(s), xxhash64(s, 'b')) pairs match — same algorithm and
+    seed, differing only in a salt operand, so the two 64-bit values
+    are correlated rather than independent. A collision silently
+    deletes unique text with NO detection path (nothing downstream
+    re-checks the strings); acceptable at this bit-width for corpus
+    cleaning (the cross-engine tests recompute on strings and would
+    surface a systematic collision), but callers who cannot tolerate
+    silent false removal should verify candidates on a sample before
+    rebuilding.
+
+    Scale shape (the chunk_dedup discipline, one new twist): the
+    HEAVY relation never shuffles keyed — the scan reduces each
+    sliding window to two salted xxhash64s, so the keep-first window
+    exchanges only (id, pos, h1, h2), 28 bytes per token position.
+    Token arrays DO move exactly once: the rebuild joins the per-doc
+    removal arrays back to the re-tokenized scan on the doc id —
+    broadcast while ``removed`` fits the threshold, a single
+    doc-id-keyed shuffle of the token arrays at corpus scale (the
+    chunk_dedup rebuild contract; re-tokenizing map-side is still
+    cheaper than carrying text through the hash exchange). At 100 TB
     the sliding explode is ~n_tokens rows/doc (vs n_tokens/chunk for
-    chunk_dedup) — the documented cost of window-aligned sensitivity;
-    the shuffle payload stays slim either way."""
+    chunk_dedup) — the documented cost of window-aligned
+    sensitivity; the hash-exchange payload stays slim either way."""
     n = int(ngram)
     if n < 2:
         raise ValueError("ngram must be >= 2 (use dedup/corpus_clean for 1)")
@@ -879,12 +892,11 @@ def remove_repeated_spans(
         "__id",
         "pos",
         F.row_number().over(part.orderBy("__id", "pos")).alias("rn"),
-        F.count("*").over(part).alias("cnt"),
     )
     # removal spans -> per-doc covered token-index set (1-based):
     # span at 0-based pos covers tokens pos+1 .. pos+n
     removed = (
-        marked.filter((F.col("cnt") > int(max_occurrences)) & (F.col("rn") > 1))
+        marked.filter(F.col("rn") > int(max_occurrences))
         .groupBy("__id")
         .agg(F.collect_list("pos").alias("spans"))
         .select(

@@ -19,8 +19,9 @@ def _toks(s: str) -> list[str]:
 
 
 def _py_model(docs: list[tuple[str, str]], n: int, max_occ: int):
-    """Independent reference: dict-of-ngram occurrence lists, global
-    first kept, later occurrences' covered positions unioned away."""
+    """Independent reference: dict-of-ngram occurrence lists, the
+    globally first max_occ occurrences kept, every later occurrence's
+    covered positions unioned away."""
     occ: dict[tuple, list[tuple[str, int]]] = {}
     toks = {d: _toks(t) for d, t in docs}
     for d, _ in sorted(docs):
@@ -29,9 +30,7 @@ def _py_model(docs: list[tuple[str, str]], n: int, max_occ: int):
             occ.setdefault(tuple(w[i : i + n]), []).append((d, i))
     removed: dict[str, set[int]] = {d: set() for d, _ in docs}
     for g, places in occ.items():
-        if len(places) <= max_occ:
-            continue
-        for d, p in sorted(places)[1:]:
+        for d, p in sorted(places)[max_occ:]:
             removed[d].update(range(p, p + n))
     out = {}
     for d, _ in docs:
@@ -122,7 +121,9 @@ def test_matches_python_model_on_corpus(spark, sf_dir):
 
 def test_max_occurrences_threshold(spark):
     # the same tri-gram in 3 docs survives everywhere at max_occ=3,
-    # loses two occurrences at max_occ=1
+    # loses two occurrences at max_occ=1 — and, the round-8 advice's
+    # distinguishing case, keeps exactly the FIRST TWO at max_occ=2
+    # (the old behavior wrongly collapsed to one survivor)
     docs = spark.createDataFrame(
         [("a", "x y z"), ("b", "x y z"), ("c", "x y z")],
         "doc_id string, text string",
@@ -132,15 +133,50 @@ def test_max_occurrences_threshold(spark):
     strict = T.remove_repeated_spans(docs, ngram=3, max_occurrences=1)
     out = {r["doc_id"]: r["n_removed"] for r in strict.collect()}
     assert out == {"a": 0, "b": 3, "c": 3}
+    two = T.remove_repeated_spans(docs, ngram=3, max_occurrences=2)
+    out2 = {r["doc_id"]: r["n_removed"] for r in two.collect()}
+    assert out2 == {"a": 0, "b": 0, "c": 3}
+    pairs = [("a", "x y z"), ("b", "x y z"), ("c", "x y z")]
+    assert out2 == {
+        d: t[1] for d, t in _py_model(pairs, 3, 2).items()
+    }
 
 
 def test_no_text_in_exchange(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    plan = T.remove_repeated_spans(docs, ngram=5)._jdf.queryExecution().toString()
-    # every Exchange's output column set must be free of raw text /
-    # token-array columns: only ids, positions, hashes, pos-arrays move
+    out = T.remove_repeated_spans(docs, ngram=5)
+    plan = out._jdf.queryExecution().toString()
+    # the round-8 advice's sharpened form: the first line after an
+    # 'Exchange' token is only the partitioning KEY list, so also
+    # assert the keep-first window's hash exchange never becomes a
+    # SortMergeJoin shuffle of the token arrays — the rebuild join
+    # must stay broadcast at test scale (its at-scale doc-id shuffle
+    # is the documented contract, not this plan)
+    assert "SortMergeJoin" not in plan, plan[:2000]
     for seg in plan.split("Exchange")[1:]:
         head = seg.split("\n", 1)[0]
         assert "text#" not in head and "w#" not in head, head
+    # and the formatted plan's Exchange operators must carry no
+    # text/token-array payload in their declared Input schemas (the
+    # payload check the head-line grep above cannot see)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    fplan = buf.getvalue()
+    exchange_inputs = []
+    lines = fplan.splitlines()
+    for i, line in enumerate(lines):
+        if ") Exchange" in line and "Reused" not in line:
+            for follow in lines[i + 1 : i + 6]:
+                if follow.startswith("Input"):
+                    exchange_inputs.append(follow)
+                    break
+    assert exchange_inputs, fplan[:1500]
+    for payload in exchange_inputs:
+        cols = payload.split(":", 1)[1]
+        assert "text#" not in cols and " w#" not in cols, payload
