@@ -1125,40 +1125,44 @@ def compact_ivf_pq_index(spark, path: str) -> dict:
     import os
     import shutil
 
-    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+    from clinical_data_warehouse_bi_spark.io import (
+        maintenance_lock,
+        recover_compacted_dir,
+    )
 
     recover_compacted_dir(path)
-    meta = load_ivf_pq_index(path)
-    files = lambda p: len(  # noqa: E731
-        glob.glob(os.path.join(p, "bucket=*", "*.parquet"))
-    )
-    files_before = files(path)
-    df = spark.read.parquet(path).localCheckpoint()
-    rows = df.count()
-    tmp = f"{path}.tmp-compact"
-    old = f"{path}.old-compact"
-    (
-        df.repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(tmp)
-    )
-    import json
-
-    with open(os.path.join(tmp, INDEX_META), "w") as f:
-        json.dump(
-            {
-                **meta,
-                "centroids": [
-                    [int(c), [float(x) for x in v]]
-                    for c, v in meta["centroids"]
-                ],
-            },
-            f,
+    with maintenance_lock(path):
+        meta = load_ivf_pq_index(path)
+        files = lambda p: len(  # noqa: E731
+            glob.glob(os.path.join(p, "bucket=*", "*.parquet"))
         )
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+        files_before = files(path)
+        df = spark.read.parquet(path).localCheckpoint()
+        rows = df.count()
+        tmp = f"{path}.tmp-compact"
+        old = f"{path}.old-compact"
+        (
+            df.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        import json
+
+        with open(os.path.join(tmp, INDEX_META), "w") as f:
+            json.dump(
+                {
+                    **meta,
+                    "centroids": [
+                        [int(c), [float(x) for x in v]]
+                        for c, v in meta["centroids"]
+                    ],
+                },
+                f,
+            )
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
     return {
         "rows": rows,
         "files_before": files_before,

@@ -764,21 +764,24 @@ def compact_preagg(
 
     from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
 
+    from clinical_data_warehouse_bi_spark.io import maintenance_lock
+
     recover_compacted_dir(synopsis_path)
-    syn = spark.read.parquet(synopsis_path)
-    rolled = (
-        syn.groupBy(group_col, concept_col, source_col)
-        .agg(F.sum("n").alias("n"))
-        .withColumn("batch_id", F.lit(PREAGG_BASE_BATCH).cast("long"))
-        .localCheckpoint()
-    )
-    rows = rolled.count()
-    tmp = f"{synopsis_path}.tmp-compact"
-    old = f"{synopsis_path}.old-compact"
-    rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    os.rename(synopsis_path, old)
-    os.rename(tmp, synopsis_path)
-    shutil.rmtree(old, ignore_errors=True)
+    with maintenance_lock(synopsis_path):
+        syn = spark.read.parquet(synopsis_path)
+        rolled = (
+            syn.groupBy(group_col, concept_col, source_col)
+            .agg(F.sum("n").alias("n"))
+            .withColumn("batch_id", F.lit(PREAGG_BASE_BATCH).cast("long"))
+            .localCheckpoint()
+        )
+        rows = rolled.count()
+        tmp = f"{synopsis_path}.tmp-compact"
+        old = f"{synopsis_path}.old-compact"
+        rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        os.rename(synopsis_path, old)
+        os.rename(tmp, synopsis_path)
+        shutil.rmtree(old, ignore_errors=True)
     return {
         "rows": rows,
         "partitions_after": len(
@@ -1115,24 +1118,27 @@ def compact_expectations(spark: SparkSession, report_path: str) -> dict:
 
     from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
 
+    from clinical_data_warehouse_bi_spark.io import maintenance_lock
+
     recover_compacted_dir(report_path)
-    rep = spark.read.parquet(report_path)
-    rolled = (
-        rep.groupBy("check_name")
-        .agg(
-            F.sum("violations").cast("bigint").alias("violations"),
-            F.sum("total_rows").cast("bigint").alias("total_rows"),
+    with maintenance_lock(report_path):
+        rep = spark.read.parquet(report_path)
+        rolled = (
+            rep.groupBy("check_name")
+            .agg(
+                F.sum("violations").cast("bigint").alias("violations"),
+                F.sum("total_rows").cast("bigint").alias("total_rows"),
+            )
+            .withColumn("batch_id", F.lit(PREAGG_BASE_BATCH).cast("long"))
+            .localCheckpoint()
         )
-        .withColumn("batch_id", F.lit(PREAGG_BASE_BATCH).cast("long"))
-        .localCheckpoint()
-    )
-    rows = rolled.count()
-    tmp = f"{report_path}.tmp-compact"
-    old = f"{report_path}.old-compact"
-    rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    os.rename(report_path, old)
-    os.rename(tmp, report_path)
-    shutil.rmtree(old, ignore_errors=True)
+        rows = rolled.count()
+        tmp = f"{report_path}.tmp-compact"
+        old = f"{report_path}.old-compact"
+        rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        os.rename(report_path, old)
+        os.rename(tmp, report_path)
+        shutil.rmtree(old, ignore_errors=True)
     return {
         "rows": rows,
         "partitions_after": len(glob.glob(os.path.join(report_path, "batch_id=*"))),
@@ -1151,20 +1157,23 @@ def compact_join_view(
 
     from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
 
+    from clinical_data_warehouse_bi_spark.io import maintenance_lock
+
     recover_compacted_dir(view_path)
-    view = spark.read.parquet(view_path).drop("batch_id").withColumn(
-        "batch_id", F.lit(PREAGG_BASE_BATCH).cast("long")
-    )
-    if num_files:
-        view = view.coalesce(int(num_files))
-    rolled = view.localCheckpoint()
-    rows = rolled.count()
-    tmp = f"{view_path}.tmp-compact"
-    old = f"{view_path}.old-compact"
-    rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    os.rename(view_path, old)
-    os.rename(tmp, view_path)
-    shutil.rmtree(old, ignore_errors=True)
+    with maintenance_lock(view_path):
+        view = spark.read.parquet(view_path).drop("batch_id").withColumn(
+            "batch_id", F.lit(PREAGG_BASE_BATCH).cast("long")
+        )
+        if num_files:
+            view = view.coalesce(int(num_files))
+        rolled = view.localCheckpoint()
+        rows = rolled.count()
+        tmp = f"{view_path}.tmp-compact"
+        old = f"{view_path}.old-compact"
+        rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        os.rename(view_path, old)
+        os.rename(tmp, view_path)
+        shutil.rmtree(old, ignore_errors=True)
     return {
         "rows": rows,
         "partitions_after": len(glob.glob(os.path.join(view_path, "batch_id=*"))),
