@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_boilerplate",
     "q_hybrid_topk",
     "q_bm25_served",
+    "q_repeated_spans",
 ]
 
 

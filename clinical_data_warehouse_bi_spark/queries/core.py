@@ -212,7 +212,14 @@ def q_regex_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sentinel_timestamps", oracle="""
+#: q_sentinel_timestamps' DuckDB oracle, preserved after its round-9
+#: registry retirement (slot went to q_repeated_spans, the round-8
+#: verdict's item 6; witnesses: q_calendar_dim keeps the F-function
+#: family under the hash gate and q_scalar_lookup_default the
+#: COALESCE-default shape — the P7 CASE-sentinel expression itself
+#: keeps this full cross-engine value check live in
+#: tests/test_retired_parity.py).
+SQL_SENTINEL_TIMESTAMPS = """
     WITH raw AS (
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 7 = 0 THEN NULL
@@ -227,7 +234,9 @@ def q_regex_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN TIMESTAMP '2999-12-31 23:59:59'
                      ELSE CAST(raw_ts AS TIMESTAMP) END AS VARCHAR) AS disch_ts
     FROM raw
-    """)
+    """
+
+
 def q_sentinel_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/F1/F5 — CASE WHEN NULL-or-blank -> sentinel timestamp else
     cast (Stage_area.sql:41-48, 62-69). The nullable/blank raw column

@@ -624,3 +624,68 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_window=CDC_WINDOW,
         divisor=CDC_DIVISOR,
     )
+
+
+#: registered repeated-span parameters: 5-gram windows, keep only the
+#: globally first occurrence of a repeated window
+SPAN_N = 5
+SPAN_MAX_OCC = 1
+
+
+@register("q_repeated_spans", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, s, array_to_string(w[s:s+{SPAN_N - 1}], ' ') AS g
+      FROM t, unnest(generate_series(1, len(w) - {SPAN_N - 1})) AS u(s)
+      WHERE len(w) >= {SPAN_N}),
+    marked AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+      FROM grams),
+    cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM marked, unnest(generate_series(s, s + {SPAN_N - 1})) AS v(p)
+      WHERE rn > {SPAN_MAX_OCC}),
+    idx AS (
+      SELECT doc_id, i, w[i] AS tok
+      FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+    rebuilt AS (
+      SELECT i.doc_id, string_agg(i.tok, ' ' ORDER BY i.i) AS clean_text
+      FROM idx i
+      LEFT JOIN cov c ON c.doc_id = i.doc_id AND c.p = i.i
+      WHERE c.p IS NULL
+      GROUP BY i.doc_id),
+    nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM t
+    LEFT JOIN nrem ON nrem.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram SPAN removal
+    (text.remove_repeated_spans, the arXiv:2107.06499 shape) — the
+    finest cross-document rung of the dedup granularity ladder: any
+    window of {SPAN_N} aligned tokens that repeats corpus-wide keeps
+    only its globally first occurrence; every token covered by a
+    later occurrence is dropped and each document is rebuilt from
+    its survivors. Registered per the round-8 verdict (item 6): the
+    operator needs no portable-hash surgery because the DuckDB
+    oracle recomputes the removal on the n-gram STRINGS themselves
+    (the q_paragraph_dedup construction), verifying the salted
+    xxhash64 shortcut value-for-value.
+
+    Scale shape (plan-locked in tests/test_repeated_spans.py): only
+    the slim (id, pos, h1, h2) relation reaches the keep-first
+    window; the rebuild joins per-doc removal arrays back to a
+    re-tokenized scan — broadcast here, one doc-id-keyed exchange at
+    corpus scale."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return T.remove_repeated_spans(
+        fan_out(docs.select("doc_id", "text")),
+        ngram=SPAN_N,
+        max_occurrences=SPAN_MAX_OCC,
+    )

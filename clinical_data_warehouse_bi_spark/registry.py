@@ -151,6 +151,12 @@ _CHECK_ORDER = [
     "q_boilerplate",
     "q_hybrid_topk",
     "q_bm25_served",
+    # round-9 additions, part 2 (slot freed by retiring
+    # q_sentinel_timestamps — witnesses: q_calendar_dim carries the
+    # registered F-function family and q_scalar_lookup_default the
+    # COALESCE-default shape; the CASE-sentinel expression keeps its
+    # full oracle comparison in tests/test_retired_parity.py)
+    "q_repeated_spans",
     # heavyweight / scale-critical operators
     "q_agg_per_order",
     "q_pricing_summary",
@@ -175,7 +181,6 @@ _CHECK_ORDER = [
     "q_scalar_lookup_default",
     "q_qa_orphan_report",
     "q_regex_numeric_parse",
-    "q_sentinel_timestamps",
     "q_calendar_dim",
     # trivial tail: empty since round 8 (q_dup_probe retired last —
     # witness: pipeline QA duplicate probes + TakeOrderedAndProject

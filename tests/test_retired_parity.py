@@ -15,10 +15,12 @@ import pytest
 from clinical_data_warehouse_bi_spark.queries.core import (
     SQL_DUP_PROBE,
     SQL_KEYWORD_FILTER,
+    SQL_SENTINEL_TIMESTAMPS,
     SQL_STRATIFIED_SAMPLE,
     SQL_SURROGATE_KEY,
     q_dup_probe,
     q_keyword_filter,
+    q_sentinel_timestamps,
     q_stratified_sample,
     q_surrogate_key,
 )
@@ -86,6 +88,7 @@ RETIRED = {
     "q_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "q_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "q_range_join": (q_range_join, SQL_RANGE_JOIN),
+    "q_sentinel_timestamps": (q_sentinel_timestamps, SQL_SENTINEL_TIMESTAMPS),
 }
 
 
