@@ -30,7 +30,42 @@ def main() -> None:
     names = sys.argv[2:] or BENCH_QUERIES
     spark = get_spark("bench-compare")
     con = duck_con(sf_dir)
-    queries, oracles = all_queries(), all_oracles()
+    # registry-retired operators stay comparable: resolve their
+    # functions and preserved oracle SQL directly (bench.py keeps
+    # them in the headline set for historical continuity)
+    from clinical_data_warehouse_bi_spark.queries.core import (
+        q_approx_stats,
+        q_sentinel_timestamps,
+        SQL_SENTINEL_TIMESTAMPS,
+    )
+    from clinical_data_warehouse_bi_spark.queries.dedup import (
+        SQL_PARAGRAPH_DEDUP,
+        q_paragraph_dedup,
+    )
+    from clinical_data_warehouse_bi_spark.queries.join_ops import (
+        SQL_RANGE_JOIN,
+        q_range_join,
+    )
+    from clinical_data_warehouse_bi_spark.queries.windows import (
+        SQL_FRAME_SAMPLE,
+        q_frame_sample,
+    )
+
+    queries = {
+        **all_queries(),
+        "q_approx_stats": q_approx_stats,
+        "q_sentinel_timestamps": q_sentinel_timestamps,
+        "q_paragraph_dedup": q_paragraph_dedup,
+        "q_range_join": q_range_join,
+        "q_frame_sample": q_frame_sample,
+    }
+    oracles = {
+        **all_oracles(),
+        "q_sentinel_timestamps": SQL_SENTINEL_TIMESTAMPS,
+        "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "q_range_join": SQL_RANGE_JOIN,
+        "q_frame_sample": SQL_FRAME_SAMPLE,
+    }
     rows = []
     for name in names:
         fn = queries[name]

@@ -118,7 +118,28 @@ def main() -> None:
     )
 
     big_dir = replicate(spark, factor)
-    queries = all_queries()
+    # registry-retired operators remain probe-able via direct import
+    # (the bench.py convention)
+    from clinical_data_warehouse_bi_spark.queries.core import (
+        q_approx_stats,
+        q_sentinel_timestamps,
+    )
+    from clinical_data_warehouse_bi_spark.queries.dedup import (
+        q_chunk_dedup,
+        q_paragraph_dedup,
+    )
+    from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
+    from clinical_data_warehouse_bi_spark.queries.windows import q_frame_sample
+
+    queries = {
+        **all_queries(),
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_paragraph_dedup": q_paragraph_dedup,
+        "q_approx_stats": q_approx_stats,
+        "q_sentinel_timestamps": q_sentinel_timestamps,
+        "q_range_join": q_range_join,
+        "q_frame_sample": q_frame_sample,
+    }
     baseline = snapshot_persistent_rdds(spark)
     rows = []
     for name in names:
