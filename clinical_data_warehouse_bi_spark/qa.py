@@ -698,3 +698,71 @@ def zipf_profile(docs: DataFrame, text_col: str = "text", top_n: int = 1000) -> 
         "vocab_size": int(totals["vocab"]),
         "n_tokens": n_tokens,
     }
+
+
+def pivot_report(
+    df: DataFrame,
+    rows: list[str],
+    pivot_col: str,
+    pivot_values: list,
+    aggs: dict[str, str],
+) -> DataFrame:
+    """BI pivot: one wide row per ``rows`` key with one aggregate
+    column per (pivot value x agg) — the cross-tab every BI frontend
+    asks a warehouse for (the reference's DBeaver dashboards pivot
+    the pre-agg exactly this way; the complement of q_rollup's
+    grouping-set grain ladder). ``aggs`` maps value column ->
+    aggregate name (sum/count/avg/min/max); output columns are
+    ``{pivot_value}_{agg}_{col}``.
+
+    ``pivot_values`` is REQUIRED, not discovered: explicit values
+    keep the schema data-independent and bound the column set (every
+    pivot value is a physical column — a high-cardinality pivot
+    belongs in q_rollup's tall form instead).
+
+    Deliberately NOT DataFrame.pivot: Spark's pivotfirst plans TWO
+    exchanges (pre-aggregate on (rows, pivot_col), then re-group on
+    rows). Conditional aggregation — agg(sum(when(p = v, x))) per
+    value — is the same relation in ONE pass: one map-side partial
+    aggregate keyed on ``rows``, one exchange, exactly the cost of
+    the tall aggregate (plan-locked in tests). This is also
+    literally the DuckDB CASE-WHEN oracle shape, so the cross-engine
+    twin test pins values expression-for-expression.
+
+    Round-10 registration candidate (value-checked in
+    tests/test_properties.py)."""
+    if not pivot_values:
+        raise ValueError("pivot_values must be explicit and bounded")
+    agg_exprs = []
+    for col, how in aggs.items():
+        if how not in ("sum", "count", "avg", "min", "max"):
+            raise ValueError(f"unsupported agg: {how}")
+        for v in pivot_values:
+            gated = F.when(F.col(pivot_col) == F.lit(v), F.col(col))
+            agg_exprs.append(
+                getattr(F, how)(gated).alias(f"{v}_{how}_{col}")
+            )
+    return df.groupBy(*rows).agg(*agg_exprs)
+
+
+def unpivot_report(
+    df: DataFrame,
+    ids: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Inverse of pivot_report: melt wide metric columns back to the
+    tall (id, metric, value) form the storage layer and q_rollup's
+    grouping sets want. Pure projection (Spark's native unpivot /
+    stack) — each input row expands to len(value_cols) rows map-side,
+    NO shuffle, no type surprises (values are cast to a common
+    type by Spark's unpivot contract)."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    return df.unpivot(
+        [F.col(c) for c in ids],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

@@ -1833,3 +1833,81 @@ def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     from test_plans import _exchange_blocks
 
     assert not _exchange_blocks(T.dedup_lines(docs))
+
+
+def test_pivot_report_matches_duckdb_case_twin(spark, sf_dir, duck):
+    """qa.pivot_report round-10 registration candidate: the DuckDB
+    CASE-WHEN aggregation is the oracle shape; values match exactly
+    (sums of decimal-backed doubles agree after the cast discipline)."""
+    from clinical_data_warehouse_bi_spark import qa
+
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in qa.pivot_report(
+            li, ["l_returnflag"], "l_linestatus", ["F", "O"], {"qty": "sum"}
+        ).collect()
+    }
+    want = {
+        r[0]: r
+        for r in duck.execute("""
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'F'
+                            THEN CAST(l_quantity AS DOUBLE) END) AS f_sum,
+                   sum(CASE WHEN l_linestatus = 'O'
+                            THEN CAST(l_quantity AS DOUBLE) END) AS o_sum
+            FROM lineitem GROUP BY l_returnflag
+        """).fetchall()
+    }
+    assert set(got) == set(want)
+    for k, g in got.items():
+        for i, c in ((1, "F_sum_qty"), (2, "O_sum_qty")):
+            a, b = want[k][i], g[c]
+            assert (a is None and b is None) or abs(a - b) < 1e-6, (k, c, a, b)
+
+
+def test_pivot_report_single_exchange_plan(spark, sf_dir):
+    """Pivot must cost exactly the tall aggregate's one groupBy
+    exchange — explicit values fold the pivot into the aggregate
+    expressions, no distinct-discovery job, no second shuffle."""
+    from clinical_data_warehouse_bi_spark import qa
+    from test_plans import physical_plan
+
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    plan = physical_plan(
+        qa.pivot_report(
+            li, ["l_returnflag"], "l_linestatus", ["F", "O"], {"l_quantity": "sum"}
+        )
+    )
+    assert plan.count("Exchange") == 1, plan[:1200]
+
+
+def test_pivot_unpivot_roundtrip_and_guards(spark):
+    from clinical_data_warehouse_bi_spark import qa
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+        ["k", "p", "v"],
+    )
+    wide = qa.pivot_report(df, ["k"], "p", ["x", "y"], {"v": "sum"})
+    assert set(wide.columns) == {"k", "x_sum_v", "y_sum_v"}
+    tall = qa.unpivot_report(wide, ["k"], ["x_sum_v", "y_sum_v"])
+    got = {(r["k"], r["metric"]): r["value"] for r in tall.collect()}
+    assert got[("a", "x_sum_v")] == 1.0 and got[("a", "y_sum_v")] == 2.0
+    assert got[("b", "x_sum_v")] == 3.0 and got[("b", "y_sum_v")] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        qa.pivot_report(df, ["k"], "p", [], {"v": "sum"})
+    with _pytest.raises(ValueError):
+        qa.pivot_report(df, ["k"], "p", ["x"], {"v": "median"})
+    with _pytest.raises(ValueError):
+        qa.unpivot_report(wide, ["k"], [])
