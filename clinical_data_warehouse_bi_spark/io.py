@@ -197,6 +197,63 @@ def read_source(
     return reader.load(path)
 
 
+def read_raw_files(
+    spark: SparkSession,
+    path: str,
+    mode: str = "binary",
+    glob: str | None = None,
+    recursive: bool = True,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-FILE corpus ingest — the missing first mile between a
+    bucket of scraped/exported files and the engine's `documents`
+    shape (every tabular source goes through read_source; this is
+    for the files that aren't a table yet):
+
+    - ``mode="binary"``: Spark's binaryFile source, one row per file
+      with (path, modificationTime, length, content BINARY) — the
+      multimodal ingest shape (multimodal.py's decoders consume the
+      opaque content column behind their fences). The source pushes
+      filters on path/modificationTime/length down to the FILE
+      LISTING, so ``max_bytes`` (compiled to a length predicate)
+      skips oversized blobs without ever reading their bytes —
+      plan-asserted in tests.
+    - ``mode="text"``: one row per file with the WHOLE file as a
+      string (path, text) — document-per-file corpora. Not
+      splittable (a file is one task): right for many small docs,
+      wrong for a few huge ones — use "lines" there.
+    - ``mode="lines"``: spark.read.text + input_file_name(), one row
+      per line (path, text) — splittable, the scale path for large
+      line-oriented files.
+
+    ``glob`` maps to pathGlobFilter (listing-time pruning, e.g.
+    '*.txt'); ``recursive`` to recursiveFileLookup. Use
+    attach-style helpers downstream to derive stable ids (e.g.
+    xxhash64(path)) — paths, not positions, are the stable identity
+    of file-born rows."""
+    if mode not in ("binary", "text", "lines"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if mode == "binary":
+        reader = spark.read.format("binaryFile")
+    elif mode == "text":
+        reader = spark.read.format("text").option("wholetext", "true")
+    else:
+        reader = spark.read.format("text")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    if mode == "binary":
+        if max_bytes is not None:
+            df = df.where(F.col("length") <= int(max_bytes))
+        return df
+    out = df.select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+    return out
+
+
 def write_sink(
     df: DataFrame,
     path: str,

@@ -286,3 +286,55 @@ def test_write_sized_under_partition_by(spark, tmp_path):
     assert back.count() == 20_000
     assert back.select("grp").distinct().count() == 3
     assert res["n_files"] >= 3
+
+
+def test_read_raw_files_modes(spark, tmp_path):
+    """io.read_raw_files: the raw-file first mile. One row per file
+    (binary/text), one row per line (lines); glob + recursion prune
+    at listing time."""
+    from clinical_data_warehouse_bi_spark.io import read_raw_files
+
+    root = tmp_path / "corpus"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("alpha one\nalpha two")
+    (root / "sub" / "b.txt").write_text("bravo")
+    (root / "c.bin").write_bytes(b"\x00\x01\x02\x03")
+
+    txt = read_raw_files(spark, str(root), mode="text", glob="*.txt")
+    rows = {r["path"].rsplit("/", 1)[-1]: r["text"] for r in txt.collect()}
+    assert rows == {"a.txt": "alpha one\nalpha two", "b.txt": "bravo"}
+
+    lines = read_raw_files(spark, str(root), mode="lines", glob="*.txt")
+    assert sorted(r["text"] for r in lines.collect()) == [
+        "alpha one", "alpha two", "bravo",
+    ]
+
+    flat = read_raw_files(spark, str(root), mode="text", glob="*.txt",
+                          recursive=False)
+    assert {r["path"].rsplit("/", 1)[-1] for r in flat.collect()} == {"a.txt"}
+
+    binary = read_raw_files(spark, str(root), mode="binary", glob="*.bin")
+    b = binary.collect()
+    assert len(b) == 1 and bytes(b[0]["content"]) == b"\x00\x01\x02\x03"
+    assert b[0]["length"] == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_raw_files(spark, str(root), mode="warc")
+
+
+def test_read_raw_files_binary_length_pushdown(spark, tmp_path):
+    """max_bytes compiles to a length predicate the binaryFile source
+    pushes to the file listing — oversized blobs are skipped without
+    reading a byte (the 100 TB guard for poison files)."""
+    from clinical_data_warehouse_bi_spark.io import read_raw_files
+
+    root = tmp_path / "blobs"
+    root.mkdir()
+    (root / "small.bin").write_bytes(b"x" * 10)
+    (root / "big.bin").write_bytes(b"y" * 1000)
+    df = read_raw_files(spark, str(root), mode="binary", max_bytes=100)
+    assert [r["length"] for r in df.collect()] == [10]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "length" in plan.split("PushedFilters")[1][:200], plan[:1500]
