@@ -466,3 +466,25 @@ def test_resample_fill_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\(([^#,]+)[#,]", plan))
     assert keys == {"__k"}, keys
+
+
+def test_weighted_sample_is_takeordered_no_exchange(spark, sf_dir):
+    """q_weighted_sample: the A-ES priority top-k must compile to one
+    TakeOrderedAndProject over the scan — no shuffle, no global sort
+    (the layout-independence claim is only true if selection never
+    depends on a partitioning)."""
+    plan = physical_plan(QUERIES["q_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_hybrid_topk_no_heavy_exchange(spark, sf_dir):
+    """q_hybrid_topk: document text and embedding arrays must never
+    enter a keyed exchange — the BM25 leg scores shuffle-free, the
+    dense leg is a map-side fold + TakeOrdered, and only the two
+    bounded top-k lists meet in the fusion groupBy."""
+    plan = physical_plan(QUERIES["q_hybrid_topk"](spark, sf_dir))
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("\n", 1)[0]
+        assert "text#" not in head and "embedding#" not in head, head
+    assert "CartesianProduct" not in plan
