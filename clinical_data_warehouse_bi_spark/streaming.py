@@ -492,6 +492,40 @@ def dedup_ingest_batch(
     )
 
 
+def read_text_file_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    wholetext: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of io.read_raw_files for text: each file
+    dropped into ``path`` becomes rows of a micro-batch —
+    document-per-file when ``wholetext`` (one row per file), one row
+    per line otherwise (the splittable shape for big files). Output
+    is (doc_id, path, text) with doc_id = xxhash64(path): a stable,
+    layout-independent identity for file-born documents, so the
+    exactly-once/dedup sinks downstream (streaming_dedup_ingest,
+    streaming_bm25_ingest, ...) key on something a re-listed file
+    reproduces. ``glob`` prunes at listing time; combined with the
+    content-fingerprint dedup of dedup_ingest_batch this is the full
+    drop-a-file-in-a-bucket corpus ingest story, exercised e2e in
+    tests."""
+    reader = spark.readStream.format("text").option(
+        "wholetext", "true" if wholetext else "false"
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    df = reader.load(path)
+    return df.select(
+        F.xxhash64(F.input_file_name()).alias("doc_id"),
+        F.input_file_name().alias("path"),
+        F.col("value").alias("text"),
+    )
+
+
 def streaming_dedup_ingest(
     docs: DataFrame,
     corpus_path: str,

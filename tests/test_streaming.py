@@ -1313,3 +1313,37 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     assert {
         (r["user_id"], r["ts"]) for r in batch_same.collect()
     } == set(want)
+
+
+def test_text_file_drop_ingest_end_to_end(spark, tmp_path):
+    """The full drop-a-file corpus ingest story: .txt files land in a
+    directory, read_text_file_stream turns each into a document
+    (doc_id = xxhash64(path)), and streaming_dedup_ingest keeps the
+    corpus exact-deduped by CONTENT across drops — duplicate files
+    under new names never re-enter."""
+    drop = tmp_path / "dropbox"
+    drop.mkdir()
+    corpus = str(tmp_path / "corpus")
+    (drop / "a.txt").write_text("alpha document body")
+    (drop / "b.txt").write_text("alpha document body")  # dup content
+    (drop / "notes.md").write_text("ignored by glob")
+
+    stream = streaming.read_text_file_stream(spark, str(drop), glob="*.txt")
+    q = streaming.streaming_dedup_ingest(
+        stream, corpus, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(corpus).count() == 1
+        # second drop: one new doc + one more duplicate under a new name
+        (drop / "c.txt").write_text("bravo body")
+        (drop / "d.txt").write_text("alpha document body")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(corpus).collect()
+    assert sorted(r["text"] for r in rows) == [
+        "alpha document body", "bravo body",
+    ]
+    # identity is the path hash: stable and distinct per file
+    assert len({r["doc_id"] for r in rows}) == 2
