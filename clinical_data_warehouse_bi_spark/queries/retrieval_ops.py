@@ -108,15 +108,20 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _served_index_path(sf_dir: str) -> str:
     """Deterministic per-corpus cache location for the registered
-    serving demo. The v1 token versions the on-disk format; the
-    corpus dirs are read-only test fixtures, so a published index
-    never goes stale."""
+    serving demo. retrieval.BM25_FORMAT_VERSION participates in the
+    cache key, so a postings-layout change can never serve a
+    stale-format directory; the corpus dirs are read-only test
+    fixtures, so content never goes stale."""
     import hashlib
     import os
     import tempfile
 
+    from clinical_data_warehouse_bi_spark.retrieval import BM25_FORMAT_VERSION
+
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"cdwbi_bm25_idx_v1_{key}")
+    return os.path.join(
+        tempfile.gettempdir(), f"cdwbi_bm25_idx_{BM25_FORMAT_VERSION}_{key}"
+    )
 
 
 @register("q_bm25_served", oracle=None)

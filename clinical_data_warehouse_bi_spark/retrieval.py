@@ -295,6 +295,10 @@ def bm25_batch_topk(
 
 BM25_INDEX_META = "_index_meta.json"
 BM25_BATCH_STATS = "_batch_stats.json"
+#: bump when the postings layout/schema changes — cache locations
+#: (q_bm25_served) key on it so a new build can never serve an
+#: old-format directory
+BM25_FORMAT_VERSION = "v1"
 
 
 def _term_bucket_py(term: str, n_buckets: int) -> int:
