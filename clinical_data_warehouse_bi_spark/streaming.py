@@ -98,13 +98,25 @@ def windowed_counts(
     stream: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per event_type. Late rows
-    beyond the watermark are dropped; state is bounded — the only
-    correct shape for an unbounded 100TB/day stream."""
+    """Watermarked windowed counts per event_type — tumbling by
+    default, SLIDING (hopping) when ``slide`` < ``window`` is given:
+    each event lands in window/slide overlapping windows (the moving
+    BI view: "events in the trailing hour, every 10 minutes").
+    Late rows beyond the watermark are dropped; state is bounded by
+    watermark x (window/slide) open windows per key — the only
+    correct shape for an unbounded 100TB/day stream. Sliding
+    multiplies state and output by the overlap factor, which is the
+    documented price of the smoother series; for overlap factors
+    beyond ~10 prefer aggregating tumbling panes of ``slide`` width
+    and summing window/slide panes at read time."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), "event_type")
+        .groupBy(win, "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("window.start").alias("window_start"),

@@ -1347,3 +1347,36 @@ def test_text_file_drop_ingest_end_to_end(spark, tmp_path):
     ]
     # identity is the path hash: stable and distinct per file
     assert len({r["doc_id"] for r in rows}) == 2
+
+
+def test_sliding_windowed_counts_matches_batch(spark, stream_dir, batch_events):
+    """Sliding (hopping) windows: stream totals equal the batch dual
+    computed from first principles — every event counted once per
+    overlapping window (window / slide = 2 here)."""
+    stream = streaming.read_event_stream(spark, stream_dir)
+    q = streaming.run_to_memory(
+        streaming.windowed_counts(
+            stream, window="2 hours", slide="1 hour", watermark="60 days"
+        ),
+        "slide_counts",
+        output_mode="complete",
+    )
+    _drain(q)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    # batch dual: an event at hour h belongs to the windows starting
+    # at h-1 and h (2h window hopping every 1h)
+    import collections
+
+    want: dict = collections.Counter()
+    for r in batch_events.select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).collect():
+        for back in (0, 1):
+            ws = r["h"] - __import__("datetime").timedelta(hours=back)
+            want[(ws, r["event_type"])] += 1
+    assert got == dict(want)
+    # every event appears in exactly window/slide = 2 windows
+    assert sum(got.values()) == 2 * batch_events.count()
