@@ -924,3 +924,82 @@ def remove_repeated_spans(
             .alias("clean_text"),
         )
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most-frequent token n-grams with occurrence and
+    document frequencies — the diagnostic that TUNES the dedup
+    family (which spans will remove_repeated_spans hit? which lines
+    is remove_boilerplate about to strip? is the corpus templated?).
+    Returns (ngram, n_occ, n_docs) ordered by (n_occ DESC, ngram
+    ASC), limited to k — a deterministic total order an oracle
+    reproduces.
+
+    Scale shape (the no-text-in-exchange discipline applied to a
+    frequency report): the counting aggregation exchanges only the
+    salted 64-bit hash PAIR of each window — n-gram strings never
+    enter the count shuffle. The k-th occurrence count is ONE scalar
+    collect off the slim count relation; only hash pairs at or above
+    it (a superset of the true top-k, ties included) get their
+    strings recovered — map-side re-derivation joined against the
+    BROADCAST candidate counts, then the final (n_occ, ngram) sort
+    over that bounded relation. A direct groupBy on the string would
+    shuffle corpus-scale text for a k-row answer."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be positive")
+    toks = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("w"))
+    # guard short docs explicitly: Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]) instead of returning empty, unlike SQL generate_series
+    gram_expr = (
+        f"CASE WHEN size(w) >= {n} THEN"
+        f" transform(sequence(1, size(w) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {n})))"
+        f" ELSE cast(array() AS array<string>) END"
+    )
+    hashed = toks.select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform({gram_expr},"
+                f" s -> struct(xxhash64(s) as h1, xxhash64(s, 'b') as h2))"
+            )
+        ).alias("hp"),
+    ).select("__id", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
+    counts = hashed.groupBy("h1", "h2").agg(
+        F.count("*").alias("n_occ"), F.count_distinct("__id").alias("n_docs")
+    )
+    kth_rows = (
+        counts.select("n_occ")
+        .orderBy(F.col("n_occ").desc())
+        .limit(k)
+        .agg(F.min("n_occ"))
+        .collect()
+    )
+    kth = kth_rows[0][0]
+    if kth is None:
+        return docs.sparkSession.createDataFrame(
+            [], "ngram string, n_occ bigint, n_docs bigint"
+        )
+    cand = counts.where(F.col("n_occ") >= int(kth))
+    strings = (
+        toks.select(F.explode(F.expr(gram_expr)).alias("ngram"))
+        .select(
+            "ngram",
+            F.expr("xxhash64(ngram)").alias("h1"),
+            F.expr("xxhash64(ngram, 'b')").alias("h2"),
+        )
+        .join(F.broadcast(cand), ["h1", "h2"])
+        .groupBy("ngram")
+        .agg(F.first("n_occ").alias("n_occ"), F.first("n_docs").alias("n_docs"))
+    )
+    return (
+        strings.orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
+        .limit(k)
+        .select("ngram", "n_occ", "n_docs")
+    )

@@ -1911,3 +1911,58 @@ def test_pivot_unpivot_roundtrip_and_guards(spark):
         qa.pivot_report(df, ["k"], "p", ["x"], {"v": "median"})
     with _pytest.raises(ValueError):
         qa.unpivot_report(wide, ["k"], [])
+
+
+def test_top_ngrams_matches_duckdb_and_never_shuffles_text(spark, sf_dir, duck):
+    """text.top_ngrams (round-10 registration candidate): exact
+    (ngram, n_occ, n_docs) agreement with DuckDB's direct
+    string-grouped top-k, and the counting exchange carries only the
+    hash pair — n-gram strings reach no count shuffle."""
+    from clinical_data_warehouse_bi_spark import text as T2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r["ngram"], r["n_occ"], r["n_docs"])
+        for r in T2.top_ngrams(docs, n=3, k=50).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute("""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     array_to_string(w[i:i+2], ' ') AS ngram
+              FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i))
+            SELECT ngram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+            FROM g GROUP BY ngram
+            ORDER BY n_occ DESC, ngram ASC LIMIT 50
+        """).fetchall()
+    ]
+    assert got == want
+    # plan: the CORPUS-SIZED counting aggregation exchanges on the
+    # hash pair (h1 leads the key), never on the gram string; the
+    # one ngram-keyed exchange is the final group over the BOUNDED
+    # candidate relation (>= kth-count hash pairs only), after the
+    # broadcast candidate join
+    plan = T2.top_ngrams(docs, n=3, k=5)._jdf.queryExecution().toString()
+    heads = [
+        seg.split("\n", 1)[0]
+        for seg in plan.split("Exchange hashpartitioning")[1:]
+    ]
+    assert any(h.startswith("(h1#") for h in heads), heads
+    assert not any("text#" in h or " w#" in h for h in heads), heads
+
+
+def test_top_ngrams_edges(spark):
+    from clinical_data_warehouse_bi_spark import text as T2
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert T2.top_ngrams(empty, n=3, k=5).count() == 0
+    short = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert T2.top_ngrams(short, n=5, k=3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T2.top_ngrams(short, n=0, k=3)
