@@ -311,3 +311,54 @@ def test_png_decode_size_fence():
     )
     with pytest.raises(ValueError, match="PIL branch"):
         multimodal.decode_media(blob, "image/png", real_decode=True)
+
+
+def test_audio_spectrogram_matches_numpy_reference(spark):
+    """audio_spectrogram: sample-for-sample equality with a
+    driver-side numpy reference on real 16-bit WAVs; a pure sine's
+    energy peaks in the right FFT bin; short blobs yield zero
+    frames."""
+    sr, n_fft, hop = 16000, 256, 128
+    t = np.arange(sr // 2) / sr  # 0.5 s
+    sine = (10_000 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.int16)
+    noise = (np.random.default_rng(3).integers(-500, 500, sr // 4)).astype(
+        np.int16
+    )
+    short = np.zeros(10, dtype=np.int16)
+    meta = {
+        "media_type": "audio", "width": 0, "height": 0,
+        "sample_rate": sr, "duration_s": 0.5,
+    }
+    rows = [
+        (1, bytearray(_wav_encode(sine, sr)), meta),
+        (2, bytearray(_wav_encode(noise, sr)), meta),
+        (3, bytearray(_wav_encode(short, sr)), meta),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id bigint, content binary, media_meta struct<media_type: string,"
+        " width: int, height: int, sample_rate: int, duration_s: double>",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.audio_spectrogram(media, n_fft=n_fft, hop=hop).collect()
+    }
+
+    win = np.hanning(n_fft)
+    for doc_id, samples in ((1, sine), (2, noise)):
+        pcm = samples.astype(np.float64)
+        n_frames = 1 + (pcm.size - n_fft) // hop
+        idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+        want = np.abs(np.fft.rfft(pcm[idx] * win[None, :], axis=1))
+        g = got[doc_id]
+        assert (g["n_frames"], g["n_bins"]) == (n_frames, n_fft // 2 + 1)
+        assert np.allclose(np.array(g["spectrogram"]), want.ravel(), atol=1e-9)
+    # the sine's dominant bin is f * n_fft / sr = 16
+    spec = np.array(got[1]["spectrogram"]).reshape(got[1]["n_frames"], -1)
+    assert int(spec.sum(axis=0)[1:].argmax()) + 1 == round(1000.0 * n_fft / sr)
+    assert got[3]["n_frames"] == 0 and got[3]["spectrogram"] == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.audio_spectrogram(media, n_fft=1)
