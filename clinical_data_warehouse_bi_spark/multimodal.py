@@ -393,3 +393,69 @@ def audio_spectrogram(
             " spectrogram array<double>"
         ),
     )
+
+
+def image_patches(
+    media: DataFrame,
+    patch: int = 16,
+) -> DataFrame:
+    """ViT-style patchification over PNG blobs — the image-side twin
+    of frame_sample_plan/audio_spectrogram in the multimodal
+    preprocessing family: decode each image, drop the partial right/
+    bottom edges (the standard crop-to-multiple), split into
+    non-overlapping ``patch`` x ``patch`` tiles, and emit ONE ROW
+    PER PATCH: (doc_id, patch_row, patch_col, n_channels, pixels)
+    with the (patch x patch x channels) tile flattened row-major
+    into array<double> — the token sequence an image encoder
+    consumes, in relational form (sequence order = (patch_row,
+    patch_col), the raster scan).
+
+    Scale shape: one Arrow-batched mapInPandas pass; the reshape is
+    a numpy stride view (no per-pixel Python); each blob expands to
+    (h//patch) x (w//patch) rows map-side — the same controlled
+    explode as frame sampling, and image bytes never shuffle. Images
+    smaller than one patch yield no rows (count them upstream via
+    media_meta before cropping if that matters)."""
+    if patch < 1:
+        raise ValueError("patch must be positive")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                img = _decode_png(bytes(blob))
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                h, w, c = img.shape
+                ph, pw = h // patch, w // patch
+                if ph and pw:
+                    tiles = (
+                        img[: ph * patch, : pw * patch, :]
+                        .reshape(ph, patch, pw, patch, c)
+                        .transpose(0, 2, 1, 3, 4)
+                    )
+                    for r in range(ph):
+                        for q in range(pw):
+                            rows.append(
+                                {
+                                    "doc_id": doc_id,
+                                    "patch_row": r,
+                                    "patch_col": q,
+                                    "n_channels": c,
+                                    "pixels": tiles[r, q]
+                                    .astype(np.float64)
+                                    .ravel()
+                                    .tolist(),
+                                }
+                            )
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "patch_row", "patch_col", "n_channels", "pixels",
+            ])
+
+    return media.mapInPandas(
+        op,
+        schema=(
+            "doc_id bigint, patch_row int, patch_col int, n_channels int,"
+            " pixels array<double>"
+        ),
+    )

@@ -362,3 +362,33 @@ def test_audio_spectrogram_matches_numpy_reference(spark):
 
     with _pytest.raises(ValueError):
         multimodal.audio_spectrogram(media, n_fft=1)
+
+
+def test_image_patches_exact_tiles(spark):
+    """image_patches: every tile's pixels equal the numpy slice of
+    the source image; partial edges are cropped; sub-patch images
+    yield no rows."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)  # crops to 8x12
+    tiny = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(_png_encode(img))),
+        (2, bytearray(_png_encode(tiny))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {
+        (r["doc_id"], r["patch_row"], r["patch_col"]): r
+        for r in multimodal.image_patches(media, patch=4).collect()
+    }
+    assert {k[0] for k in got} == {1}
+    assert len(got) == 2 * 3  # 8//4 x 12//4
+    for (_, r, q), row in got.items():
+        want = img[r * 4 : r * 4 + 4, q * 4 : q * 4 + 4, :]
+        assert row["n_channels"] == 3
+        assert np.array_equal(
+            np.array(row["pixels"]).reshape(4, 4, 3), want.astype(np.float64)
+        )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.image_patches(media, patch=0)
