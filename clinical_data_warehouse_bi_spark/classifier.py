@@ -296,3 +296,54 @@ def apply_standardize(
         f" (x, ms) -> (x - ms.m) / ms.s)"
     )
     return df.withColumn(features_col, F.expr(expr))
+
+
+def calibration_table(
+    scored: DataFrame,
+    proba_col: str = "proba",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram data for a trained quality filter: assign
+    every prediction to one of ``n_bins`` equal-width probability
+    bins and report, per bin, the count, the mean predicted
+    probability, the empirical positive rate, and the bin's additive
+    Brier contribution — the table that says WHETHER the scores the
+    corpus filter thresholds on mean what they claim (an
+    over-confident classifier passes AUC checks and still mis-sizes
+    every keep-rate budget).
+
+    Scale shape: one groupBy on the bin id — n_bins keys, map-side
+    partial aggregation, one tiny exchange; sums, never per-row
+    state. Returns (bin, lo, hi, n, mean_pred, frac_pos,
+    brier_sum) ordered by bin; global Brier = sum(brier_sum) /
+    sum(n), a driver-side fold over n_bins rows."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be positive")
+    p = F.col(proba_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        scored.select(b.alias("bin"), p.alias("__p"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("__p").alias("mean_pred"),
+            F.avg("__y").alias("frac_pos"),
+            F.sum((F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y"))).alias(
+                "brier_sum"
+            ),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / n_bins).alias("lo"),
+            ((F.col("bin") + 1).cast("double") / n_bins).alias("hi"),
+            "n",
+            "mean_pred",
+            "frac_pos",
+            "brier_sum",
+        )
+        .orderBy("bin")
+    )

@@ -235,3 +235,32 @@ def test_train_logreg_persists_then_releases(spark):
     with _pytest.raises(Exception):
         classifier.train_logreg(bad, n_iter=2)
     assert snapshot_persistent_rdds(spark) == baseline
+
+
+def test_calibration_table_matches_numpy(spark):
+    """calibration_table: bin counts, means, empirical rates, and
+    Brier contributions all equal the numpy computation; edge
+    p = 1.0 lands in the last bin."""
+    rng = np.random.default_rng(5)
+    p = np.round(rng.uniform(0, 1, 500), 6)
+    p[:3] = [0.0, 1.0, 0.999999]
+    y = (rng.uniform(0, 1, 500) < p).astype(float)  # calibrated-ish
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(p, y)], ["proba", "label"]
+    )
+    got = classifier.calibration_table(df, n_bins=10).collect()
+    bins = np.minimum((p * 10).astype(int), 9)
+    assert sum(r["n"] for r in got) == 500
+    for r in got:
+        m = bins == r["bin"]
+        assert r["n"] == int(m.sum())
+        assert abs(r["mean_pred"] - p[m].mean()) < 1e-9
+        assert abs(r["frac_pos"] - y[m].mean()) < 1e-9
+        assert abs(r["brier_sum"] - ((p[m] - y[m]) ** 2).sum()) < 1e-9
+        assert abs(r["lo"] - r["bin"] / 10) < 1e-12
+    total_brier = sum(r["brier_sum"] for r in got) / 500
+    assert abs(total_brier - ((p - y) ** 2).mean()) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        classifier.calibration_table(df, n_bins=0)
