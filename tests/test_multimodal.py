@@ -392,3 +392,34 @@ def test_image_patches_exact_tiles(spark):
 
     with _pytest.raises(ValueError):
         multimodal.image_patches(media, patch=0)
+
+
+def test_audio_logmel_matches_numpy_reference(spark):
+    """audio_logmel: filterbank rows sum triangularly and the framed
+    log-mel equals the driver-side numpy composition exactly."""
+    sr, n_fft, hop, n_mels = 16000, 256, 128, 23
+    fb = multimodal.mel_filterbank(n_mels, n_fft, sr)
+    assert fb.shape == (n_mels, n_fft // 2 + 1)
+    assert (fb >= 0).all() and fb.sum() > 0
+    # every filter is unimodal with a peak of at most 1
+    assert fb.max() <= 1.0 + 1e-12
+
+    t = np.arange(sr // 2) / sr
+    sine = (10_000 * np.sin(2 * np.pi * 800.0 * t)).astype(np.int16)
+    media = spark.createDataFrame(
+        [(7, bytearray(_wav_encode(sine, sr)))], "doc_id bigint, content binary"
+    )
+    got = multimodal.audio_logmel(
+        media, n_fft=n_fft, hop=hop, n_mels=n_mels, sample_rate=sr
+    ).first()
+    pcm = sine.astype(np.float64)
+    n_frames = 1 + (pcm.size - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    power = np.abs(np.fft.rfft(pcm[idx] * np.hanning(n_fft)[None, :], axis=1)) ** 2
+    want = np.log(power @ fb.T + 1e-10)
+    assert (got["n_frames"], got["n_mels"]) == (n_frames, n_mels)
+    assert np.allclose(np.array(got["logmel"]), want.ravel(), atol=1e-9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.mel_filterbank(0, n_fft, sr)
