@@ -660,3 +660,21 @@ def read_evolved(spark, path: str, format: str = "parquet"):
     off and why the fixed-schema readers here (read_table) never pay
     it."""
     return spark.read.option("mergeSchema", "true").format(format).load(path)
+
+
+def raw_to_documents(
+    raw: DataFrame, path_col: str = "path", text_col: str = "text"
+) -> DataFrame:
+    """Adapt read_raw_files/read_text_file_stream output to the
+    engine's `documents` shape: doc_id = xxhash64(path) (stable,
+    layout-independent — file identity, not row position), source =
+    the parent directory name (the per-source knob quota_sample /
+    remove_boilerplate key on), n_chars. Pure projection; every text
+    operator downstream (dedup, quality, BM25, ...) runs unchanged."""
+    return raw.select(
+        F.xxhash64(F.col(path_col)).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.element_at(F.split(F.col(path_col), "/"), -2).alias("source"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        F.col(path_col).alias("path"),
+    )

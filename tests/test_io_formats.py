@@ -338,3 +338,27 @@ def test_read_raw_files_binary_length_pushdown(spark, tmp_path):
     assert [r["length"] for r in df.collect()] == [10]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "length" in plan.split("PushedFilters")[1][:200], plan[:1500]
+
+
+def test_raw_to_documents_adapter(spark, tmp_path):
+    from clinical_data_warehouse_bi_spark.io import raw_to_documents, read_raw_files
+
+    root = tmp_path / "corpus"
+    (root / "wiki").mkdir(parents=True)
+    (root / "web").mkdir()
+    (root / "wiki" / "a.txt").write_text("alpha body")
+    (root / "web" / "b.txt").write_text("bravo body text")
+    docs = raw_to_documents(read_raw_files(spark, str(root), mode="text", glob="*.txt"))
+    rows = {r["source"]: r for r in docs.collect()}
+    assert set(rows) == {"wiki", "web"}
+    assert rows["wiki"]["text"] == "alpha body"
+    assert rows["wiki"]["n_chars"] == 10
+    assert rows["web"]["n_chars"] == 15
+    assert len({r["doc_id"] for r in rows.values()}) == 2
+    # identity is stable across re-reads
+    again = raw_to_documents(
+        read_raw_files(spark, str(root), mode="text", glob="*.txt")
+    )
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in rows.values()
+    }

@@ -373,3 +373,25 @@ def test_k_anonymity_plan_shape(spark):
     # one groupBy: partial agg map-side, a single key exchange, no python
     assert plan.count("Exchange") == 1
     assert "EvalPython" not in plan
+
+
+def test_pii_report_counts_and_scrub_zeroes_it(spark):
+    from clinical_data_warehouse_bi_spark import scrub as S
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c@d.org, ssn 123-45-6789"),
+            (2, "call 555-123-4567 tomorrow"),
+            (3, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {r["pii_type"]: (r["n_matches"], r["n_docs"]) for r in S.pii_report(df).collect()}
+    assert rep["email"] == (2, 1)
+    assert rep["ssn"] == (1, 1)
+    assert rep["phone"][0] >= 1 and rep["phone"][1] == 1
+    assert rep["card"] == (0, 0)
+    # after scrubbing, the report is all zeros (the release gate)
+    clean = df.select("doc_id", S.scrub_pii("text").alias("text"))
+    after = S.pii_report(clean).collect()
+    assert all(r["n_matches"] == 0 and r["n_docs"] == 0 for r in after)
