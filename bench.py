@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "q_hybrid_topk",
     "q_bm25_served",
     "q_repeated_spans",
+    "q_pivot_report",
+    "q_top_ngrams",
 ]
 
 
@@ -156,9 +158,13 @@ def main() -> None:
     # registry-retired operators stay in the bench for historical
     # comparability (their library code is live; only their
     # correctness-gate slot moved to tests/test_retired_parity.py)
-    from clinical_data_warehouse_bi_spark.queries.core import q_approx_stats
+    from clinical_data_warehouse_bi_spark.queries.core import (
+        q_agg_per_order,
+        q_approx_stats,
+    )
     from clinical_data_warehouse_bi_spark.queries.dedup import q_paragraph_dedup
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
+    from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
     from clinical_data_warehouse_bi_spark.queries.windows import q_frame_sample
 
     queries = {
@@ -167,6 +173,8 @@ def main() -> None:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_range_join": q_range_join,
         "q_frame_sample": q_frame_sample,
+        "q_agg_per_order": q_agg_per_order,
+        "q_cosine_topk": q_cosine_topk,
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -26,17 +26,24 @@ from clinical_data_warehouse_bi_spark.registry import register
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_agg_per_order",
-    oracle="""
+#: q_agg_per_order's DuckDB oracle, preserved after its round-9
+#: registry retirement (slot went to q_pivot_report, named a ready
+#: candidate in SURVEY.md's round-9 log; witness: q_pricing_summary
+#: keeps the A1/A2 group-aggregate + COUNT(DISTINCT) machinery under
+#: the hash gate on the same lineitem grain — the per-admission
+#: collect_set form itself keeps this full cross-engine value check
+#: live in tests/test_retired_parity.py, and the query stays in the
+#: bench set / 64x scale probes for historical comparability).
+SQL_AGG_PER_ORDER = """
     SELECT l_orderkey AS admission_id,
            count(*) AS total_events,
            count(DISTINCT l_partkey) AS distinct_concepts,
            count(DISTINCT l_returnflag) AS distinct_sources
     FROM lineitem
     GROUP BY l_orderkey
-    """,
-)
+    """
+
+
 def q_agg_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 — `agg_disorders_per_admission` (DWH.sql:203-210):
     COUNT(*) + 2x COUNT(DISTINCT) grouped by admission, mapped to

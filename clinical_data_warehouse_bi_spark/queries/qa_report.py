@@ -273,3 +273,72 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
     return qa.expectation_report(t, EXPECTATION_SPEC)
+
+
+# ---------------------------------------------------------------------------
+# BI pivot (cross-tab) — qa.pivot_report under the hash gate
+# ---------------------------------------------------------------------------
+
+#: explicit pivot values (pivot_report requires a bounded, declared
+#: value set — the schema must be data-independent)
+PIVOT_FLAGS = ["A", "N", "R"]
+
+
+def _pivot_oracle() -> str:
+    cols = []
+    for v in PIVOT_FLAGS:
+        cols.append(
+            f"sum(CASE WHEN l_returnflag = '{v}' THEN l_quantity END)"
+            f" AS {v}_sum_l_quantity"
+        )
+        cols.append(
+            f"max(CASE WHEN l_returnflag = '{v}' THEN l_extendedprice END)"
+            f" AS {v}_max_l_extendedprice"
+        )
+        cols.append(
+            f"count(CASE WHEN l_returnflag = '{v}' THEN l_orderkey END)"
+            f" AS {v}_count_l_orderkey"
+        )
+    return (
+        "SELECT year(l_shipdate) AS year_num,"
+        " month(l_shipdate) AS month_num, "
+        + ", ".join(cols)
+        + " FROM lineitem GROUP BY 1, 2"
+    )
+
+
+@register("q_pivot_report", oracle=_pivot_oracle())
+def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI cross-tab (qa.pivot_report): one row per ship-month, one
+    aggregate column per (return flag x measure) — the pivot every
+    BI frontend asks of the reference's pre-agg (DWH.sql:203-210
+    grain, presented wide; the complement of q_rollup's grouping-set
+    ladder).
+
+    Scale shape: deliberately NOT DataFrame.pivot — Spark's
+    pivotfirst plans TWO exchanges (pre-aggregate on (rows, pivot),
+    re-group on rows) where conditional aggregation
+    (agg(sum(when(p = v, x))) per declared value) is the same
+    relation in ONE map-side-partial pass, plan-locked in
+    tests/test_properties.py. The oracle is the literal CASE-WHEN twin,
+    so the hash gate pins every cell expression-for-expression.
+    Measures chosen parity-exact: l_quantity is integral (sums exact
+    in double at any parallelism), max and count are order-free."""
+    from clinical_data_warehouse_bi_spark import qa
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    d = li.select(
+        F.year("l_shipdate").alias("year_num"),
+        F.month("l_shipdate").alias("month_num"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        "l_orderkey",
+    )
+    return qa.pivot_report(
+        d,
+        ["year_num", "month_num"],
+        "l_returnflag",
+        PIVOT_FLAGS,
+        {"l_quantity": "sum", "l_extendedprice": "max", "l_orderkey": "count"},
+    )

@@ -55,7 +55,17 @@ def _dot_expr(a: str, b: str) -> Column:
     )
 
 
-@register("q_cosine_topk", oracle=f"""
+#: q_cosine_topk's DuckDB oracle, preserved after its round-9
+#: registry retirement (slot went to q_top_ngrams, named a ready
+#: candidate in SURVEY.md's round-9 log; witnesses: q_hybrid_topk's
+#: dense leg keeps a registered brute-force cosine top-k under the
+#: hash gate — the fold form whose numerics the GEMM path was proved
+#: equal to for six straight rounds — q_embed_near_dup keeps the
+#: registered embedding-cosine family, and q_ann_ivf_learned /
+#: q_ann_ivf_pq the ANN tier. The Arrow/GEMM path itself keeps this
+#: full cross-engine value check live in tests/test_retired_parity.py
+#: and stays in the bench set / scale probes.)
+SQL_COSINE_TOPK = f"""
     WITH n AS ({_SQL_VECS}),
     q AS (SELECT vec_id AS qid, e AS qe, n2 AS qn2 FROM n
           WHERE vec_id < {N_QUERIES}),
@@ -68,7 +78,9 @@ def _dot_expr(a: str, b: str) -> Column:
                                     ORDER BY round(cos, 6) DESC, nid ASC) AS rank
           FROM p)
     WHERE rank <= {TOP_K}
-    """)
+    """
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: each of the first
     {N_QUERIES} vectors against the whole table, scored by the

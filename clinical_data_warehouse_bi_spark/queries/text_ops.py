@@ -595,3 +595,45 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.remove_boilerplate(
         fan_out(staged), min_frac=0.5, min_docs=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram frequency diagnostic — text.top_ngrams under the gate
+# ---------------------------------------------------------------------------
+
+#: top-ngrams parameters (n-gram width, report size)
+NGRAM_N = 3
+NGRAM_K = 100
+
+
+@register("q_top_ngrams", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+{NGRAM_N - 1}], ' ') AS ngram
+      FROM t, unnest(generate_series(1, len(w) - {NGRAM_N - 1})) AS u(i)
+      WHERE len(w) >= {NGRAM_N}),
+    c AS (
+      SELECT ngram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY ngram)
+    SELECT ngram, n_occ, n_docs
+    FROM c ORDER BY n_occ DESC, ngram ASC LIMIT {NGRAM_K}
+    """)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent token {NGRAM_N}-grams
+    (text.top_ngrams) — the diagnostic that tunes the dedup family
+    (which spans will remove_repeated_spans hit, which lines is
+    remove_boilerplate about to strip, is the corpus templated).
+    Deterministic total order (n_occ DESC, ngram ASC) LIMIT
+    {NGRAM_K}.
+
+    Scale shape (no-text-in-exchange applied to a frequency report):
+    the corpus-sized counting aggregation exchanges only each
+    window's salted xxhash64 PAIR; strings are re-derived map-side
+    for the >=k-th-count candidates only and joined against the
+    BROADCAST candidate counts. The oracle recomputes the report on
+    the n-gram strings themselves, so the hash gate proves the
+    salted-pair shortcut value-for-value (the q_repeated_spans
+    construction)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return T.top_ngrams(fan_out(docs), n=NGRAM_N, k=NGRAM_K)

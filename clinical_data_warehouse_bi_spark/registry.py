@@ -157,8 +157,17 @@ _CHECK_ORDER = [
     # COALESCE-default shape; the CASE-sentinel expression keeps its
     # full oracle comparison in tests/test_retired_parity.py)
     "q_repeated_spans",
+    # round-9 additions, part 3 (slots freed by retiring
+    # q_agg_per_order — witness: q_pricing_summary keeps the A1/A2
+    # group-aggregate + COUNT(DISTINCT) machinery on the same
+    # lineitem grain — and q_cosine_topk — witnesses: q_hybrid_topk's
+    # dense leg keeps a registered brute-force cosine top-k,
+    # q_embed_near_dup the embedding-cosine family, q_ann_ivf_* the
+    # ANN tier; both retirees keep full oracle comparisons in
+    # tests/test_retired_parity.py and stay in the bench set)
+    "q_pivot_report",
+    "q_top_ngrams",
     # heavyweight / scale-critical operators
-    "q_agg_per_order",
     "q_pricing_summary",
     "q_percentiles",
     "q_rollup",
@@ -170,7 +179,6 @@ _CHECK_ORDER = [
     "q_corpus_clean",
     "q_quality_score",
     "q_token_budget",
-    "q_cosine_topk",
     "q_embed_near_dup",
     "q_join_lookup_cast",
     "q_join_normalized",

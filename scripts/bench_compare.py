@@ -34,9 +34,11 @@ def main() -> None:
     # functions and preserved oracle SQL directly (bench.py keeps
     # them in the headline set for historical continuity)
     from clinical_data_warehouse_bi_spark.queries.core import (
+        SQL_AGG_PER_ORDER,
+        SQL_SENTINEL_TIMESTAMPS,
+        q_agg_per_order,
         q_approx_stats,
         q_sentinel_timestamps,
-        SQL_SENTINEL_TIMESTAMPS,
     )
     from clinical_data_warehouse_bi_spark.queries.dedup import (
         SQL_PARAGRAPH_DEDUP,
@@ -45,6 +47,10 @@ def main() -> None:
     from clinical_data_warehouse_bi_spark.queries.join_ops import (
         SQL_RANGE_JOIN,
         q_range_join,
+    )
+    from clinical_data_warehouse_bi_spark.queries.similarity import (
+        SQL_COSINE_TOPK,
+        q_cosine_topk,
     )
     from clinical_data_warehouse_bi_spark.queries.windows import (
         SQL_FRAME_SAMPLE,
@@ -58,6 +64,8 @@ def main() -> None:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_range_join": q_range_join,
         "q_frame_sample": q_frame_sample,
+        "q_agg_per_order": q_agg_per_order,
+        "q_cosine_topk": q_cosine_topk,
     }
     oracles = {
         **all_oracles(),
@@ -65,6 +73,8 @@ def main() -> None:
         "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "q_range_join": SQL_RANGE_JOIN,
         "q_frame_sample": SQL_FRAME_SAMPLE,
+        "q_agg_per_order": SQL_AGG_PER_ORDER,
+        "q_cosine_topk": SQL_COSINE_TOPK,
     }
     rows = []
     for name in names:

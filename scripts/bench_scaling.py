@@ -121,6 +121,7 @@ def main() -> None:
     # registry-retired operators remain probe-able via direct import
     # (the bench.py convention)
     from clinical_data_warehouse_bi_spark.queries.core import (
+        q_agg_per_order,
         q_approx_stats,
         q_sentinel_timestamps,
     )
@@ -129,6 +130,7 @@ def main() -> None:
         q_paragraph_dedup,
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
+    from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
     from clinical_data_warehouse_bi_spark.queries.windows import q_frame_sample
 
     queries = {
@@ -139,6 +141,8 @@ def main() -> None:
         "q_sentinel_timestamps": q_sentinel_timestamps,
         "q_range_join": q_range_join,
         "q_frame_sample": q_frame_sample,
+        "q_agg_per_order": q_agg_per_order,
+        "q_cosine_topk": q_cosine_topk,
     }
     baseline = snapshot_persistent_rdds(spark)
     rows = []

@@ -13,11 +13,13 @@ from __future__ import annotations
 import pytest
 
 from clinical_data_warehouse_bi_spark.queries.core import (
+    SQL_AGG_PER_ORDER,
     SQL_DUP_PROBE,
     SQL_KEYWORD_FILTER,
     SQL_SENTINEL_TIMESTAMPS,
     SQL_STRATIFIED_SAMPLE,
     SQL_SURROGATE_KEY,
+    q_agg_per_order,
     q_dup_probe,
     q_keyword_filter,
     q_sentinel_timestamps,
@@ -48,8 +50,10 @@ from clinical_data_warehouse_bi_spark.queries.qa_report import (
 )
 from clinical_data_warehouse_bi_spark.queries.similarity import (
     SQL_ANN_IVF_NPROBE,
+    SQL_COSINE_TOPK,
     SQL_EMBED_QUANTIZE,
     q_ann_ivf_nprobe,
+    q_cosine_topk,
     q_embed_quantize,
 )
 from clinical_data_warehouse_bi_spark.queries.windows import (
@@ -89,6 +93,10 @@ RETIRED = {
     "q_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "q_range_join": (q_range_join, SQL_RANGE_JOIN),
     "q_sentinel_timestamps": (q_sentinel_timestamps, SQL_SENTINEL_TIMESTAMPS),
+    # round-9 retirements, part 3 (slots went to q_pivot_report and
+    # q_top_ngrams, the round-9 survey log's named candidates)
+    "q_agg_per_order": (q_agg_per_order, SQL_AGG_PER_ORDER),
+    "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
 }
 
 
