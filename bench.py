@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q_repeated_spans",
     "q_pivot_report",
     "q_top_ngrams",
+    "q_grouped_percentiles",
 ]
 
 
@@ -162,7 +163,10 @@ def main() -> None:
         q_agg_per_order,
         q_approx_stats,
     )
-    from clinical_data_warehouse_bi_spark.queries.dedup import q_paragraph_dedup
+    from clinical_data_warehouse_bi_spark.queries.dedup import (
+        q_minhash_lsh_pairs,
+        q_paragraph_dedup,
+    )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
     from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
     from clinical_data_warehouse_bi_spark.queries.windows import q_frame_sample
@@ -175,6 +179,7 @@ def main() -> None:
         "q_frame_sample": q_frame_sample,
         "q_agg_per_order": q_agg_per_order,
         "q_cosine_topk": q_cosine_topk,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -592,6 +592,37 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_grouped_percentiles", oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS q_0_5,
+           quantile_cont(value, 0.9)  AS q_0_9,
+           quantile_cont(value, 0.99) AS q_0_99
+    FROM events GROUP BY event_type
+    """)
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles PER GROUP via
+    percentiles.grouped_percentiles — the grouped companion of the
+    registered q_percentiles (which carries the bounded-state
+    distributed refinement for ONE giant continuous group). Here the
+    groups are plentiful and individually bounded (per event type),
+    so Spark's exact JVM `percentile` aggregate — the same
+    linear-interpolation definition as DuckDB's quantile_cont, hence
+    bit-identical on the same doubles — is the right plan: ONE
+    shuffle, per-group state proportional to that group's values on
+    one executor. ``round_to=None`` keeps the raw bit-equal doubles
+    for the hash compare (rounding is the one step whose last-ulp
+    behaviour is engine-specific).
+
+    Reference analogue: the BI summary surface (DWH.sql:203-210),
+    generalised to arbitrary grouping columns."""
+    from clinical_data_warehouse_bi_spark.percentiles import grouped_percentiles
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return grouped_percentiles(
+        ev, ["event_type"], "value", [0.5, 0.9, 0.99], round_to=None
+    )
+
+
 #: stratified-sampling rates per event_type (training-mix shaping:
 #: downsample the abundant strata, keep the rare ones whole)
 SAMPLE_RATES = {

@@ -63,7 +63,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_minhash_lsh_pairs", oracle=_SQL_LSH_PAIRS)
+#: q_minhash_lsh_pairs' DuckDB oracle, preserved after its round-9
+#: registry retirement (slot went to q_grouped_percentiles) — the
+#: cross-engine value check survives in tests/test_retired_parity.py.
+SQL_MINHASH_LSH_PAIRS = _SQL_LSH_PAIRS
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs: band the 16-hash signature into
     4 bands x 4 rows, bucket-join on (band_id, band-signature md5),
@@ -77,7 +82,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable) is this query's first stage; the former
     standalone q_minhash_signatures entry was retired as subsumed
     (registry cap consolidation) — text.minhash_signatures remains
-    the narrow API."""
+    the narrow API.
+
+    Round-9 registry retirement (cap is 50; slot went to
+    q_grouped_percentiles): the registered q_lsh_near_dup is a strict
+    SUPERSET of this query — its oracle's pairs CTE is _SQL_LSH_PAIRS
+    verbatim and its Spark side runs the identical
+    minhash_wide -> lsh_band_signatures_wide -> lsh_candidate_pairs
+    chain before the exact-Jaccard verify stage. The candidates-only
+    form keeps its own full oracle comparison in
+    tests/test_retired_parity.py against SQL_MINHASH_LSH_PAIRS."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return T.lsh_candidate_pairs(T.lsh_band_signatures_wide(T.minhash_wide(docs)))
 

@@ -167,13 +167,19 @@ _CHECK_ORDER = [
     # tests/test_retired_parity.py and stay in the bench set)
     "q_pivot_report",
     "q_top_ngrams",
+    # round-9 additions, part 4 (slot freed by retiring
+    # q_minhash_lsh_pairs — witness: q_lsh_near_dup is its strict
+    # superset: the same minhash -> band -> candidate-pairs chain and
+    # an oracle whose pairs CTE is _SQL_LSH_PAIRS verbatim; the
+    # candidates-only form keeps its full oracle comparison in
+    # tests/test_retired_parity.py)
+    "q_grouped_percentiles",
     # heavyweight / scale-critical operators
     "q_pricing_summary",
     "q_percentiles",
     "q_rollup",
     "q_json_extract",
     "q_multi_source_union",
-    "q_minhash_lsh_pairs",
     "q_lsh_near_dup",
     "q_simhash_pairs",
     "q_corpus_clean",

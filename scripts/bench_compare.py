@@ -41,7 +41,9 @@ def main() -> None:
         q_sentinel_timestamps,
     )
     from clinical_data_warehouse_bi_spark.queries.dedup import (
+        SQL_MINHASH_LSH_PAIRS,
         SQL_PARAGRAPH_DEDUP,
+        q_minhash_lsh_pairs,
         q_paragraph_dedup,
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import (
@@ -66,9 +68,11 @@ def main() -> None:
         "q_frame_sample": q_frame_sample,
         "q_agg_per_order": q_agg_per_order,
         "q_cosine_topk": q_cosine_topk,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     }
     oracles = {
         **all_oracles(),
+        "q_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "q_sentinel_timestamps": SQL_SENTINEL_TIMESTAMPS,
         "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "q_range_join": SQL_RANGE_JOIN,

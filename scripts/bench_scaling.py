@@ -127,6 +127,7 @@ def main() -> None:
     )
     from clinical_data_warehouse_bi_spark.queries.dedup import (
         q_chunk_dedup,
+        q_minhash_lsh_pairs,
         q_paragraph_dedup,
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
@@ -143,6 +144,7 @@ def main() -> None:
         "q_frame_sample": q_frame_sample,
         "q_agg_per_order": q_agg_per_order,
         "q_cosine_topk": q_cosine_topk,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     }
     baseline = snapshot_persistent_rdds(spark)
     rows = []

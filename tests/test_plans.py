@@ -27,10 +27,18 @@ def optimized_plan(df) -> str:
 QUERIES = all_queries()
 
 # registry-retired in round 9; their plan contracts stay locked here
+from clinical_data_warehouse_bi_spark.queries.core import q_agg_per_order  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.dedup import q_paragraph_dedup  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join  # noqa: E402
+from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk  # noqa: E402
 
-QUERIES = {**QUERIES, "q_paragraph_dedup": q_paragraph_dedup, "q_range_join": q_range_join}
+QUERIES = {
+    **QUERIES,
+    "q_paragraph_dedup": q_paragraph_dedup,
+    "q_range_join": q_range_join,
+    "q_agg_per_order": q_agg_per_order,
+    "q_cosine_topk": q_cosine_topk,
+}
 
 
 def test_keyword_filter_pushdown(spark, sf_dir):

@@ -28,9 +28,11 @@ from clinical_data_warehouse_bi_spark.queries.core import (
 )
 from clinical_data_warehouse_bi_spark.queries.dedup import (
     SQL_CHUNK_DEDUP,
+    SQL_MINHASH_LSH_PAIRS,
     SQL_NGRAM_JACCARD,
     SQL_PARAGRAPH_DEDUP,
     q_chunk_dedup,
+    q_minhash_lsh_pairs,
     q_ngram_jaccard,
     q_paragraph_dedup,
 )
@@ -97,6 +99,9 @@ RETIRED = {
     # q_top_ngrams, the round-9 survey log's named candidates)
     "q_agg_per_order": (q_agg_per_order, SQL_AGG_PER_ORDER),
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    # round-9 retirements, part 4 (slot went to q_grouped_percentiles;
+    # witness: q_lsh_near_dup supersets the whole candidate chain)
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
 }
 
 
