@@ -395,3 +395,145 @@ def test_pii_report_counts_and_scrub_zeroes_it(spark):
     clean = df.select("doc_id", S.scrub_pii("text").alias("text"))
     after = S.pii_report(clean).collect()
     assert all(r["n_matches"] == 0 and r["n_docs"] == 0 for r in after)
+
+
+# ------------------------------------------------- dp_release
+
+
+def _dp_duck_twin(duck, epsilon: float, secret: str, k_min: float):
+    """Independent DuckDB recomputation of dp_release's count
+    release over events.event_type: the SAME md5-keyed inverse-CDF
+    Laplace noise via the nibble-strpos hash (the
+    q_stratified_sample oracle construction)."""
+    space = 16 ** 7
+    key = f"'{secret}' || chr(1) || CAST(event_type AS VARCHAR) || chr(2) || 'count'"
+    nibble = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({key}), {i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(1, 8)
+    )
+    b = 1.0 / epsilon
+    return duck.execute(f"""
+        WITH g AS (
+          SELECT event_type, count(*)::DOUBLE AS n FROM events GROUP BY 1
+        ), noised AS (
+          SELECT event_type, n,
+                 ({nibble}) / {space}.0 - 0.5 AS u
+          FROM g
+        )
+        SELECT event_type,
+               n + (-{b} * sign(u) * ln(greatest(1.0 - 2.0 * abs(u),
+                                                 1.0 / {space}.0)))
+                 AS count_noisy
+        FROM noised
+        WHERE n + (-{b} * sign(u) * ln(greatest(1.0 - 2.0 * abs(u),
+                                                1.0 / {space}.0))) >= {k_min}
+        ORDER BY event_type
+    """).fetchall()
+
+
+def test_dp_release_matches_duckdb_twin(spark, sf_dir, duck):
+    ev = read_table(spark, sf_dir, "events")
+    got = sorted(
+        (r["event_type"], round(r["count_noisy"], 6))
+        for r in scrub.dp_release(
+            ev, ["event_type"], epsilon=0.5, secret="s3cr3t", k_min=3.0
+        ).collect()
+    )
+    want = [
+        (t, round(v, 6))
+        for t, v in _dp_duck_twin(duck, 0.5, "s3cr3t", 3.0)
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_dp_release_deterministic_and_secret_sensitive(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    a = scrub.dp_release(ev, ["event_type"], 1.0, "k1").collect()
+    b = scrub.dp_release(ev, ["event_type"], 1.0, "k1").collect()
+    c = scrub.dp_release(ev, ["event_type"], 1.0, "k2").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r["count_noisy"] for r in a} != {r["count_noisy"] for r in c}
+
+
+def test_dp_release_noise_scale_is_laplace(spark):
+    # ~4000 single-row groups: mean |noise| estimates b within a few
+    # percent (std of the estimator is b/sqrt(n) ~ 1.6%); the sign
+    # split is ~half/half. Checks the inverse CDF, not just hashing.
+    n = 4000
+    df = spark.range(n).withColumn("g", F.col("id").cast("string"))
+    eps = 0.25  # b = 4
+    out = scrub.dp_release(df, ["g"], eps, "scale-test").select(
+        (F.col("count_noisy") - F.lit(1.0)).alias("noise")
+    ).collect()
+    noises = [r["noise"] for r in out]
+    assert len(noises) == n
+    b = 1.0 / eps
+    mean_abs = sum(abs(x) for x in noises) / n
+    assert abs(mean_abs - b) / b < 0.10
+    pos = sum(1 for x in noises if x > 0)
+    assert 0.45 < pos / n < 0.55
+
+
+def test_dp_release_epsilon_splits_across_statistics(spark):
+    # with a sum requested, the count's budget halves -> its noise
+    # scale doubles (same keyed uniforms, so the ratio is EXACTLY 2)
+    n = 500
+    df = spark.range(n).withColumn("g", F.col("id").cast("string")).withColumn(
+        "v", F.lit(1.0)
+    )
+    only = {
+        r["g"]: r["count_noisy"] - 1.0
+        for r in scrub.dp_release(df, ["g"], 1.0, "split").collect()
+    }
+    both = {
+        r["g"]: r["count_noisy"] - 1.0
+        for r in scrub.dp_release(
+            df, ["g"], 1.0, "split", value_col="v", value_high=1.0
+        ).collect()
+    }
+    for g, x in only.items():
+        if abs(x) > 1e-12:
+            assert abs(both[g] / x - 2.0) < 1e-9
+
+
+def test_dp_release_sum_clamps_before_noising(spark):
+    # huge epsilon -> noise ~ 0; out-of-bound values must enter the
+    # sum clamped to [0, 10]
+    rows = [("a", -5.0), ("a", 3.0), ("a", 25.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = scrub.dp_release(
+        df, ["g"], 1e9, "clamp", value_col="v", value_high=10.0
+    ).collect()[0]
+    assert out["count"] == 3
+    assert abs(out["sum_v"] - (0.0 + 3.0 + 10.0)) < 1e-3
+
+
+def test_dp_release_suppresses_on_noisy_threshold(spark):
+    # huge epsilon -> noisy count ~ true count: a k_min=5 release
+    # keeps only the big group
+    rows = [("big", 1)] * 9 + [("small", 1)] * 2
+    df = spark.createDataFrame(rows, "g string, x int")
+    kept = scrub.dp_release(df, ["g"], 1e9, "thr", k_min=5.0).collect()
+    assert [r["g"] for r in kept] == ["big"]
+    assert kept[0]["count"] == 9
+
+
+def test_dp_release_single_exchange_plan(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = scrub.dp_release(ev, ["event_type"], 1.0, "plan")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_dp_release_rejects_bad_inputs(spark):
+    df = spark.range(3).withColumn("g", F.lit("x"))
+    with pytest.raises(ValueError):
+        scrub.dp_release(df, ["g"], 0.0, "s")
+    with pytest.raises(ValueError):
+        scrub.dp_release(df, ["g"], 1.0, "")
+    with pytest.raises(ValueError):
+        scrub.dp_release(df, ["g"], 1.0, "s", value_col="id")
+    with pytest.raises(ValueError):
+        scrub.dp_release(df, ["g"], 1.0, "s", value_col="id",
+                         value_low=5.0, value_high=1.0)
