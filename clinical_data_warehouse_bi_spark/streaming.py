@@ -1315,3 +1315,231 @@ def streaming_ewma_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------ heavy hitters
+
+HH_BASE_BATCH = -1
+
+
+def heavy_hitters_apply_batch(
+    batch: DataFrame,
+    synopsis_path: str,
+    batch_id: int,
+    key_col: str,
+    k: int = 256,
+) -> None:
+    """One micro-batch of EXACTLY-ONCE mergeable heavy-hitter
+    maintenance (Misra-Gries-family truncated summaries; merging
+    per-batch summaries with per-batch error budgets is the
+    Agarwal et al. 2013 'Mergeable Summaries' construction).
+
+    Per batch: ONE distributed groupBy counts the batch's keys;
+    only the TOP-k keys are stored, each row carrying the batch's
+    ``threshold`` — the (k+1)-th largest count, which upper-bounds
+    what any UNSTORED key could have accumulated in this batch
+    (threshold <= n_batch/(k+1) by the pigeonhole: k+1 keys each
+    have at least that many rows). Storage per batch is <= k rows
+    however large the batch: the state is bounded by design, which
+    is the whole point at 100 TB — an exact per-key count table
+    would be corpus-sized.
+
+    Driver traffic is O(k) per batch (the top-(k+1) rows come back
+    via TakeOrderedAndProject to stamp the threshold literal) —
+    bounded and documented, the same class as the registry's top-n
+    histogram collects.
+
+    Exactly-once: dynamic overwrite of the batch's OWN batch_id
+    partition (the preagg_apply_batch contract) — replay after any
+    crash point rewrites identical content, no index, no anti-join.
+
+    Row schema: (key string, n long, slack long, threshold long,
+    batch_id long). Live batches write slack=0; ``slack`` exists so
+    compaction can fold per-key upper-bound looseness into the base
+    partition (see compact_heavy_hitters)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    spark = batch.sparkSession
+    recover_compacted_dir(synopsis_path)
+    counts = batch.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(k + 1).collect()
+    threshold = int(top[k]["n"]) if len(top) > k else 0
+    stored = [(r["key"], int(r["n"])) for r in top[:k]]
+    contrib = spark.createDataFrame(
+        [(key, n, 0, threshold, int(batch_id)) for key, n in stored],
+        "key string, n long, slack long, threshold long, batch_id long",
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(mode_key)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        contrib.write.mode("overwrite").partitionBy("batch_id").parquet(
+            synopsis_path
+        )
+    finally:
+        spark.conf.set(mode_key, before)
+
+
+def read_heavy_hitters(spark: SparkSession, synopsis_path: str) -> DataFrame:
+    """Derive per-key frequency BOUNDS from the synopsis:
+    (key, n_lower, n_upper) plus the dataset-wide ``unseen_upper``
+    (same value on every row): no key absent from the report can
+    have a true count above it.
+
+    lower(key)  = sum of stored counts.
+    upper(key)  = lower + stored slack + the thresholds of every
+                  batch the key was NOT stored in (it could have
+                  hidden just under each of those batches' cuts).
+    unseen_upper = sum of ALL batch thresholds.
+
+    Plan: the synopsis is k x batches rows — orders of magnitude
+    smaller than the stream; one groupBy plus a broadcast of the
+    per-batch threshold relation (batches rows)."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(synopsis_path)
+    return _hh_bounds(spark.read.parquet(synopsis_path))
+
+
+def _hh_bounds(syn: DataFrame) -> DataFrame:
+    """Bound derivation over an already-loaded synopsis relation —
+    split out so compact_heavy_hitters can reuse it INSIDE its own
+    maintenance lock (read_heavy_hitters' recover guard would
+    correctly refuse to run there)."""
+    # max, not first: within a live batch every row carries the same
+    # threshold, but the compacted base partition stamps its budget
+    # on ONE row and 0 elsewhere (first() would be nondeterministic)
+    meta = syn.groupBy("batch_id").agg(F.max("threshold").alias("threshold"))
+    total_threshold = meta.agg(
+        F.coalesce(F.sum("threshold"), F.lit(0)).alias("t")
+    ).collect()[0]["t"]
+    # presence credit comes from the BATCH's threshold (broadcast
+    # meta join), never the row's own threshold column — compacted
+    # base rows carry 0 there while the base budget lives on one
+    # marker row, and a key present in the base must still be
+    # credited the full base budget (its residual looseness is
+    # already folded into its slack)
+    per_key = (
+        syn.join(
+            F.broadcast(meta.withColumnRenamed("threshold", "__bt")),
+            "batch_id",
+        )
+        .groupBy("key")
+        .agg(
+            F.sum("n").alias("n_lower"),
+            F.sum("slack").alias("__slack"),
+            F.sum("__bt").alias("__present_threshold"),
+        )
+    )
+    return (
+        per_key.filter(F.col("key").isNotNull())  # empty-base marker row
+        .select(
+            "key",
+            "n_lower",
+            (
+                F.col("n_lower")
+                + F.col("__slack")
+                + (F.lit(int(total_threshold)) - F.col("__present_threshold"))
+            ).alias("n_upper"),
+            F.lit(int(total_threshold)).alias("unseen_upper"),
+        )
+    )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    synopsis_path: str,
+    key_col: str,
+    k: int = 256,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain the heavy-hitter synopsis from a stream — returns
+    the started StreamingQuery (foreachBatch over
+    heavy_hitters_apply_batch, the exactly-once sink family)."""
+    writer = events.writeStream.foreachBatch(
+        lambda b, bid: heavy_hitters_apply_batch(
+            b, synopsis_path, bid, key_col, k
+        )
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def compact_heavy_hitters(
+    spark: SparkSession,
+    synopsis_path: str,
+    keep: int = 1024,
+) -> dict:
+    """Roll the synopsis's batch partitions into ONE base partition
+    of at most ``keep`` keys, preserving bound VALIDITY (bounds may
+    only loosen, never understate an upper or overstate a lower):
+
+    - kept key:   n = its lower bound, slack = upper - lower (the
+                  per-key looseness, folded into the row so future
+                  reads need no per-batch presence history),
+                  threshold = 0 on all but one row.
+    - the base partition's single threshold budget = max(sum of all
+      old thresholds, max dropped key's upper) — any key that is
+      unseen OR was dropped here is still correctly upper-bounded.
+
+    Dropping the per-batch presence history is what keeps the base
+    bounded; the price is that post-compaction bounds are looser
+    for keys that were present in most batches. Run with
+    keep >> the expected heavy-hitter count.
+
+    Crash-safe rename-swap under the shared maintenance lock (the
+    compact_preagg protocol); same single-writer window."""
+    import glob
+
+    from clinical_data_warehouse_bi_spark.io import (
+        maintenance_lock,
+        recover_compacted_dir,
+    )
+
+    if keep <= 0:
+        raise ValueError("keep must be positive")
+    recover_compacted_dir(synopsis_path)
+    with maintenance_lock(synopsis_path):
+        # one bounded collect: the synopsis holds <= k x batches keys
+        # by construction (that bound is the operator's contract)
+        rows = _hh_bounds(spark.read.parquet(synopsis_path)).orderBy(
+            F.desc("n_lower"), F.asc("key")
+        ).collect()
+        unseen = int(rows[0]["unseen_upper"]) if rows else 0
+        kept, dropped_upper = rows[:keep], 0
+        if len(rows) > keep:
+            dropped_upper = max(int(r["n_upper"]) for r in rows[keep:])
+        budget = max(unseen, dropped_upper)
+        out = [
+            (
+                r["key"],
+                int(r["n_lower"]),
+                int(r["n_upper"]) - int(r["n_lower"]),
+                budget if i == 0 else 0,
+                HH_BASE_BATCH,
+            )
+            for i, r in enumerate(kept)
+        ]
+        if not out:
+            out = [(None, 0, 0, budget, HH_BASE_BATCH)]
+        rolled = spark.createDataFrame(
+            out, "key string, n long, slack long, threshold long, batch_id long"
+        )
+        tmp = f"{synopsis_path}.tmp-compact"
+        old = f"{synopsis_path}.old-compact"
+        rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        os.rename(synopsis_path, old)
+        os.rename(tmp, synopsis_path)
+        shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": len(out),
+        "unseen_budget": budget,
+        "partitions_after": len(
+            glob.glob(os.path.join(synopsis_path, "batch_id=*"))
+        ),
+    }
