@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_pivot_report",
     "q_top_ngrams",
     "q_grouped_percentiles",
+    "q_readmission_gap",
 ]
 
 
@@ -169,7 +170,10 @@ def main() -> None:
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
     from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
-    from clinical_data_warehouse_bi_spark.queries.windows import q_frame_sample
+    from clinical_data_warehouse_bi_spark.queries.windows import (
+        q_frame_sample,
+        q_scd2_dim,
+    )
 
     queries = {
         **all_queries(),
@@ -180,6 +184,7 @@ def main() -> None:
         "q_agg_per_order": q_agg_per_order,
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_scd2_dim": q_scd2_dim,
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

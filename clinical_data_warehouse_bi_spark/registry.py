@@ -71,7 +71,6 @@ _CHECK_ORDER = [
     # round-5 additions
     "q_ann_ivf_learned",
     "q_pack_sequences",
-    "q_scd2_dim",
     # round-6 additions (slot freed by retiring q_simhash — witness:
     # q_simhash_pairs persists the identical _simhash_fingerprints
     # relation and its oracle's fp CTE is _SQL_SIMHASH verbatim)
@@ -174,6 +173,14 @@ _CHECK_ORDER = [
     # candidates-only form keeps its full oracle comparison in
     # tests/test_retired_parity.py)
     "q_grouped_percentiles",
+    # round-9 additions, part 5 (slot freed by retiring q_scd2_dim —
+    # witness: q_scd2_asof is its strict superset: it calls
+    # q_scd2_dim directly and its oracle embeds the same lag ->
+    # change-filter -> lead CTE chain verbatim before the as-of
+    # probe; the build keeps its full oracle comparison in
+    # tests/test_retired_parity.py against SQL_SCD2_DIM, which also
+    # keeps the retired q_surrogate_key's W1 witness value-checked)
+    "q_readmission_gap",
     # heavyweight / scale-critical operators
     "q_pricing_summary",
     "q_percentiles",

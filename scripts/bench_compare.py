@@ -55,6 +55,8 @@ def main() -> None:
         q_cosine_topk,
     )
     from clinical_data_warehouse_bi_spark.queries.windows import (
+        SQL_SCD2_DIM,
+        q_scd2_dim,
         SQL_FRAME_SAMPLE,
         q_frame_sample,
     )
@@ -69,10 +71,12 @@ def main() -> None:
         "q_agg_per_order": q_agg_per_order,
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_scd2_dim": q_scd2_dim,
     }
     oracles = {
         **all_oracles(),
         "q_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "q_scd2_dim": SQL_SCD2_DIM,
         "q_sentinel_timestamps": SQL_SENTINEL_TIMESTAMPS,
         "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "q_range_join": SQL_RANGE_JOIN,

@@ -132,7 +132,10 @@ def main() -> None:
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
     from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
-    from clinical_data_warehouse_bi_spark.queries.windows import q_frame_sample
+    from clinical_data_warehouse_bi_spark.queries.windows import (
+        q_frame_sample,
+        q_scd2_dim,
+    )
 
     queries = {
         **all_queries(),
@@ -145,6 +148,7 @@ def main() -> None:
         "q_agg_per_order": q_agg_per_order,
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_scd2_dim": q_scd2_dim,
     }
     baseline = snapshot_persistent_rdds(spark)
     rows = []

@@ -31,6 +31,7 @@ from clinical_data_warehouse_bi_spark.queries.core import q_agg_per_order  # noq
 from clinical_data_warehouse_bi_spark.queries.dedup import q_paragraph_dedup  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk  # noqa: E402
+from clinical_data_warehouse_bi_spark.queries.windows import q_scd2_dim  # noqa: E402
 
 QUERIES = {
     **QUERIES,
@@ -38,6 +39,7 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_agg_per_order": q_agg_per_order,
     "q_cosine_topk": q_cosine_topk,
+    "q_scd2_dim": q_scd2_dim,
 }
 
 

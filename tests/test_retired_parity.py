@@ -60,8 +60,10 @@ from clinical_data_warehouse_bi_spark.queries.similarity import (
 )
 from clinical_data_warehouse_bi_spark.queries.windows import (
     SQL_FRAME_SAMPLE,
+    SQL_SCD2_DIM,
     SQL_WINDOW_TUMBLING,
     q_frame_sample,
+    q_scd2_dim,
     q_window_tumbling,
 )
 from clinical_data_warehouse_bi_spark.queries.text_ops import (
@@ -102,6 +104,10 @@ RETIRED = {
     # round-9 retirements, part 4 (slot went to q_grouped_percentiles;
     # witness: q_lsh_near_dup supersets the whole candidate chain)
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    # round-9 retirements, part 5 (slot went to q_readmission_gap;
+    # witness: q_scd2_asof calls q_scd2_dim and embeds its oracle CTE
+    # chain verbatim)
+    "q_scd2_dim": (q_scd2_dim, SQL_SCD2_DIM),
 }
 
 
