@@ -1543,3 +1543,192 @@ def compact_heavy_hitters(
             glob.glob(os.path.join(synopsis_path, "batch_id=*"))
         ),
     }
+
+
+# -------------------------------------------- quantile synopsis
+
+QS_BASE_BATCH = -1
+
+
+def quantile_synopsis_apply_batch(
+    batch: DataFrame,
+    synopsis_path: str,
+    batch_id: int,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    key_cols: list[str] | None = None,
+) -> None:
+    """One micro-batch of EXACTLY-ONCE mergeable quantile-synopsis
+    maintenance: a fixed equi-width histogram over [lo, hi) with
+    ``n_bins`` bins, optionally per key — the p50/p99 dashboard's
+    streaming state.
+
+    Equi-width histograms are the simplest member of the mergeable-
+    summary family and the only one here with LOSSLESS merge: bin
+    counts add, so any number of batches (and any compaction) yields
+    the IDENTICAL histogram a single pass would have built — no
+    bound loosening, unlike the heavy-hitter synopsis. The price is
+    a fixed domain: the caller declares [lo, hi] (latency floors and
+    SLO ceilings are known in practice); out-of-range values CLAMP
+    into the edge bins, which biases edge quantiles toward the
+    domain boundary — pick bounds that contain the mass you query.
+
+    Quantile error is deterministic: the true quantile lies inside
+    the reported bin, so |estimate - truth| <= (hi-lo)/n_bins.
+
+    Scale shape: ONE batch-proportional groupBy to <= n_bins rows
+    per key; state per batch is bounded by keys x n_bins however
+    large the batch. Exactly-once via the batch_id dynamic partition
+    overwrite (the preagg_apply_batch contract)."""
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    spark = batch.sparkSession
+    recover_compacted_dir(synopsis_path)
+    keys = list(key_cols or [])
+    width = (float(hi) - float(lo)) / n_bins
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col).cast("double") - F.lit(float(lo)))
+                / F.lit(width)
+            ).cast("int"),
+        ),
+    )
+    contrib = (
+        batch.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(mode_key)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        contrib.write.mode("overwrite").partitionBy("batch_id").parquet(
+            synopsis_path
+        )
+    finally:
+        spark.conf.set(mode_key, before)
+
+
+def read_quantiles(
+    spark: SparkSession,
+    synopsis_path: str,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Derive quantile estimates from the histogram synopsis: one
+    row per key with a column per requested quantile (q_0_5 etc.,
+    the grouped_percentiles naming), each within (hi-lo)/n_bins of
+    the true quantile by construction.
+
+    Estimator: the q-th quantile's target rank is q*(n-1)+1 (the
+    same linear-interpolation rank percentile_cont uses); the
+    estimate interpolates INSIDE the covering bin between its edges
+    by the rank's position among that bin's counts.
+
+    Plan: merge = groupBy (key, bin) sum over the synopsis (keys x
+    bins x batches rows — tiny); cumulative window per key; one
+    conditional aggregation emits every quantile in a single pass.
+    Three exchanges over a bounded relation, none corpus-sized."""
+    if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError("quantiles must be fractions in [0, 1]")
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(synopsis_path)
+    keys = list(key_cols or [])
+    width = (float(hi) - float(lo)) / n_bins
+    syn = spark.read.parquet(synopsis_path)
+    merged = syn.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin") if keys \
+        else Window.orderBy("bin")
+    cum = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.max(F.col("cum")).over(
+            Window.partitionBy(*[F.col(k) for k in keys]) if keys
+            else Window.partitionBy()
+        )
+    )
+    aggs = []
+    for q in quantiles:
+        rank = F.lit(float(q)) * (F.col("total") - 1) + 1  # 1-based
+        cond = (F.col("cum") >= rank) & (F.col("cum") - F.col("n") < rank)
+        within = (rank - (F.col("cum") - F.col("n")) - 1) / F.col("n")
+        est = F.lit(float(lo)) + (F.col("bin") + within) * F.lit(width)
+        name = f"q_{str(q).replace('.', '_')}"
+        aggs.append(F.max(F.when(cond, est)).alias(name))
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def streaming_quantiles(
+    events: DataFrame,
+    synopsis_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    key_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain the quantile synopsis from a stream (foreachBatch
+    over quantile_synopsis_apply_batch)."""
+    writer = events.writeStream.foreachBatch(
+        lambda b, bid: quantile_synopsis_apply_batch(
+            b, synopsis_path, bid, value_col, lo, hi, n_bins, key_cols
+        )
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def compact_quantile_synopsis(
+    spark: SparkSession,
+    synopsis_path: str,
+    key_cols: list[str] | None = None,
+) -> dict:
+    """Roll the synopsis's batch partitions into ONE base partition
+    by summing bin counts — LOSSLESS: reads before and after
+    compaction are bit-identical (the histogram merge has no
+    information to lose, unlike compact_heavy_hitters' budget).
+    Crash-safe rename-swap under the shared maintenance lock."""
+    import glob
+
+    from clinical_data_warehouse_bi_spark.io import (
+        maintenance_lock,
+        recover_compacted_dir,
+    )
+
+    keys = list(key_cols or [])
+    recover_compacted_dir(synopsis_path)
+    with maintenance_lock(synopsis_path):
+        syn = spark.read.parquet(synopsis_path)
+        rolled = (
+            syn.groupBy(*keys, "bin")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("batch_id", F.lit(QS_BASE_BATCH).cast("long"))
+            .localCheckpoint()
+        )
+        rows = rolled.count()
+        tmp = f"{synopsis_path}.tmp-compact"
+        old = f"{synopsis_path}.old-compact"
+        rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        os.rename(synopsis_path, old)
+        os.rename(tmp, synopsis_path)
+        shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": rows,
+        "partitions_after": len(
+            glob.glob(os.path.join(synopsis_path, "batch_id=*"))
+        ),
+    }
