@@ -1966,3 +1966,60 @@ def test_top_ngrams_edges(spark):
 
     with _pytest.raises(ValueError):
         T2.top_ngrams(short, n=0, k=3)
+
+
+# ------------------------------------------------ benford_profile
+
+
+def test_benford_matches_duckdb_on_lineitem(spark, sf_dir, duck):
+    from clinical_data_warehouse_bi_spark import qa
+
+    li = read_table(spark, sf_dir, "lineitem")
+    got = sorted(
+        (r["digit"], r["n"], round(r["observed_p"], 9))
+        for r in qa.benford_profile(li, "l_extendedprice").collect()
+    )
+    want = sorted(
+        (d, n, round(p, 9))
+        for d, n, p in duck.execute("""
+            WITH v AS (
+              SELECT floor(abs(CAST(l_extendedprice AS DOUBLE))
+                     / pow(10, floor(log10(abs(CAST(l_extendedprice AS DOUBLE))))))
+                     ::INT AS digit
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND abs(CAST(l_extendedprice AS DOUBLE)) > 0)
+            SELECT digit, count(*) AS n,
+                   count(*) / sum(count(*)) OVER () AS p
+            FROM v GROUP BY digit
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_benford_discriminates_natural_from_uniform(spark):
+    from clinical_data_warehouse_bi_spark import qa
+
+    import random
+
+    rng = random.Random(17)
+    natural = [(10 ** rng.uniform(0, 5),) for _ in range(20000)]
+    uniform = [(float(rng.randint(1000, 9999)),) for _ in range(20000)]
+
+    def mad(rows):
+        df = spark.createDataFrame(rows, "v double")
+        out = qa.benford_profile(df, "v").collect()
+        return sum(r["abs_dev"] for r in out) / len(out)
+
+    assert mad(natural) < 0.01        # log-uniform IS Benford
+    assert mad(uniform) > 0.04        # flat digits are not
+
+
+def test_benford_excludes_zero_null_and_uses_abs(spark):
+    from clinical_data_warehouse_bi_spark import qa
+
+    df = spark.createDataFrame(
+        [(0.0,), (None,), (-314.0,), (0.0072,)], "v double"
+    )
+    rows = {r["digit"]: r["n"] for r in qa.benford_profile(df, "v").collect()}
+    assert rows == {3: 1, 7: 1}
