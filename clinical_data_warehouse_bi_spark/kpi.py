@@ -122,24 +122,28 @@ def readmission_flags(
     the chain (unknown order) and are returned with NULL gap/flag;
     they are excluded from BOTH sides of the lead, not just masked
     afterwards, so an unknown-admit row never becomes some other
-    row's phantom "next admission". Overlapping admissions (next
-    admit before this discharge — transfer artifacts) yield a
-    negative gap and are NOT counted as readmissions."""
+    row's phantom "next admission". The exclusion rides the window
+    key itself — partition by (patient, admit-is-unknown) — so the
+    unknown rows pass through in the SAME single scan and single
+    exchange instead of a filter/union pair that would read the
+    input twice (an unknown row's lead is another unknown row,
+    whose NULL admit makes gap and flag NULL). Overlapping
+    admissions (next admit before this discharge — transfer
+    artifacts) yield a negative gap and are NOT counted as
+    readmissions."""
     admit = _desentinel(admit_col)
     disch = _desentinel(disch_col)
     based = adm.withColumn("__admit", admit).withColumn("__disch", disch)
-    known = based.filter(F.col("__admit").isNotNull())
-    unknown = based.filter(F.col("__admit").isNull())
 
-    w = Window.partitionBy(patient_col).orderBy(
-        F.col("__admit").asc(), F.col(admission_col).asc()
-    )
+    w = Window.partitionBy(
+        patient_col, F.col("__admit").isNull()
+    ).orderBy(F.col("__admit").asc(), F.col(admission_col).asc())
     gap = (
         (F.unix_timestamp(F.lead("__admit").over(w))
          - F.unix_timestamp(F.col("__disch")))
         / F.lit(_SECONDS_PER_HOUR * _HOURS_PER_DAY)
     )
-    flagged = known.withColumn("days_to_readmit", gap).withColumn(
+    flagged = based.withColumn("days_to_readmit", gap).withColumn(
         "readmitted",
         F.when(
             F.col("days_to_readmit").isNotNull(),
@@ -147,10 +151,7 @@ def readmission_flags(
             & (F.col("days_to_readmit") <= F.lit(float(within_days))),
         ),
     )
-    passthrough = unknown.withColumn(
-        "days_to_readmit", F.lit(None).cast("double")
-    ).withColumn("readmitted", F.lit(None).cast("boolean"))
-    return flagged.unionByName(passthrough).drop("__admit", "__disch")
+    return flagged.drop("__admit", "__disch")
 
 
 def readmission_rate(
