@@ -678,3 +678,115 @@ def raw_to_documents(
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
         F.col(path_col).alias("path"),
     )
+
+
+class HistoryCompactedError(RuntimeError):
+    """Raised by read_as_of when the requested historical point
+    predates a compaction — the batch partitions it would need were
+    folded into the base partition and no longer exist separately."""
+
+
+def list_batches(spark: SparkSession, path: str) -> list[int]:
+    """Batch ids present in a batch_id-partitioned exactly-once sink
+    (negative = a compaction base partition). Listing-level only —
+    reads directory names, no data files."""
+    import glob as _glob
+
+    recover_compacted_dir(path)
+    out = []
+    for p in _glob.glob(os.path.join(path, "batch_id=*")):
+        with contextlib.suppress(ValueError):
+            out.append(int(os.path.basename(p).split("=", 1)[1]))
+    return sorted(out)
+
+
+def read_as_of(spark: SparkSession, path: str, through_batch: int) -> DataFrame:
+    """Historical (time-travel) read of a batch_id-partitioned
+    exactly-once sink: the rows contributed by batches
+    ``<= through_batch`` — the state a reader would have derived had
+    it run just after that batch committed. Works on every sink in
+    the family (preagg, expectations, heavy hitters, quantile
+    synopsis, join views): their batch partitions are immutable
+    once written, so history IS the partition set.
+
+    Scale shape: batch_id is a PARTITION column, so the filter
+    prunes at the listing level — an as-of read touches only the
+    partitions it returns, never the full sink (plan-asserted in
+    tests).
+
+    Compaction contract: compaction deliberately folds history into
+    one base partition to bound the read side — after it, points at
+    or before the fold are unanswerable. If a base partition
+    (negative batch_id) exists, this raises HistoryCompactedError
+    naming the trade instead of silently returning a mixture of
+    "all history" (the base) and "some history" (the filter) that
+    equals neither. Readers that want current state compose base +
+    live partitions via the family's own read_* functions."""
+    batches = list_batches(spark, path)
+    if any(b < 0 for b in batches):
+        raise HistoryCompactedError(
+            f"{path} has a compacted base partition; batches folded into it "
+            "cannot be separated, so as-of reads are only valid on the "
+            "uncompacted window. Read current state via the sink family's "
+            "read_* function instead."
+        )
+    return spark.read.parquet(path).filter(
+        F.col("batch_id") <= int(through_batch)
+    )
+
+
+def temperature_mix_rates(
+    sizes: list[float], alpha: float, budget: float
+) -> list[float]:
+    """Per-source keep-rates for a temperature-weighted training
+    mixture: target share p_i ∝ n_i^alpha (the multilingual-LM
+    exponent-smoothing practice — alpha < 1 upweights rare sources,
+    alpha=1 is proportional, alpha=0 uniform), scaled to a total
+    ``budget`` of rows and water-filled: a source whose target
+    exceeds its size caps at rate 1 and its unmet share is
+    redistributed over the uncapped sources' temperature weights
+    until the budget is exactly allocated (or everything caps).
+
+    Driver-side pure arithmetic over O(sources) scalars — sizes come
+    from the caller (one count per source, or the catalog). Feed the
+    result straight into mix_sources."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if any(s < 0 for s in sizes) or not sizes:
+        raise ValueError("sizes must be non-negative and non-empty")
+    rates = [0.0] * len(sizes)
+    live = [i for i, s in enumerate(sizes) if s > 0]
+    remaining = float(budget)
+    while live and remaining > 1e-12:
+        weights = {i: sizes[i] ** alpha for i in live}
+        total_w = sum(weights.values())
+        targets = {i: remaining * weights[i] / total_w for i in live}
+        capped = [i for i in live if targets[i] >= sizes[i] * (1 - rates[i])]
+        if not capped:
+            for i in live:
+                rates[i] += targets[i] / sizes[i]
+            return rates
+        for i in capped:
+            remaining -= sizes[i] * (1 - rates[i])
+            rates[i] = 1.0
+        live = [i for i in live if i not in capped]
+    return rates
+
+
+def temperature_mix(
+    sources: list[DataFrame],
+    id_col: str,
+    alpha: float,
+    budget: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-weighted mixture of corpora: counts each source
+    (O(sources) actions — metadata-cheap next to the training read
+    itself), derives water-filled keep-rates via
+    temperature_mix_rates, and samples with mix_sources'
+    deterministic hash threshold (replay-stable, engine-portable)."""
+    sizes = [float(df.count()) for df in sources]
+    rates = temperature_mix_rates(sizes, alpha, budget)
+    return mix_sources(list(zip(sources, rates)), id_col, seed=seed)

@@ -151,3 +151,50 @@ def test_rejects_bad_k(spark, tmp_path):
         streaming.heavy_hitters_apply_batch(df, str(tmp_path / "x"), 0, "k", k=0)
     with pytest.raises(ValueError):
         streaming.compact_heavy_hitters(spark, str(tmp_path / "x"), keep=0)
+
+
+# --------------------------------------- as-of (time-travel) reads
+
+
+def test_read_as_of_reconstructs_each_historical_state(spark, built):
+    from clinical_data_warehouse_bi_spark import io
+
+    path, batches, _ = built
+    assert io.list_batches(spark, path) == [0, 1, 2, 3]
+    for t in range(4):
+        got = io.read_as_of(spark, path, t)
+        truth_t = Counter(x for rows in batches[: t + 1] for x in rows)
+        # re-derive bounds from only the visible partitions
+        syn_keys = {r["key"] for r in got.collect()}
+        assert syn_keys  # non-empty at every point
+        # every visible contribution is <= that point's true count
+        per_key = {
+            r["key"]: r["n"]
+            for r in got.groupBy("key").agg(F.sum("n").alias("n")).collect()
+        }
+        for key, n in per_key.items():
+            assert n <= truth_t[key]
+
+
+def test_read_as_of_prunes_partitions(spark, built):
+    from clinical_data_warehouse_bi_spark import io
+
+    path, _, _ = built
+    df = io.read_as_of(spark, path, 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the batch_id predicate must reach the scan's PARTITION filters
+    # (listing-level pruning), not survive as a post-scan Filter
+    assert "PartitionFilters" in plan and "batch_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    assert df.select("batch_id").distinct().count() == 2
+
+
+def test_read_as_of_refuses_compacted_history(spark, built):
+    from clinical_data_warehouse_bi_spark import io
+
+    path, _, _ = built
+    streaming.compact_heavy_hitters(spark, path, keep=16)
+    assert io.list_batches(spark, path) == [streaming.HH_BASE_BATCH]
+    with pytest.raises(io.HistoryCompactedError):
+        io.read_as_of(spark, path, 2)
