@@ -362,3 +362,61 @@ def test_raw_to_documents_adapter(spark, tmp_path):
     assert {r["doc_id"] for r in again.collect()} == {
         r["doc_id"] for r in rows.values()
     }
+
+
+def test_temperature_mix_rates_exact():
+    from clinical_data_warehouse_bi_spark.io import temperature_mix_rates
+
+    # alpha=1: proportional allocation
+    assert temperature_mix_rates([9000, 1000], 1.0, 2000) == [0.2, 0.2]
+    # alpha=0.5: sqrt smoothing -> shares (0.75, 0.25) of the budget
+    r = temperature_mix_rates([9000, 1000], 0.5, 2000)
+    assert abs(r[0] - 1500 / 9000) < 1e-12 and abs(r[1] - 500 / 1000) < 1e-12
+    # budget exceeding the corpus: everything kept
+    assert temperature_mix_rates([9000, 1000], 0.5, 20000) == [1.0, 1.0]
+    # water-fill: uniform wants 2500 each, the small source caps at
+    # its 100 rows and the remainder flows to the big one
+    assert temperature_mix_rates([100, 10000], 0.0, 5000) == [1.0, 0.49]
+    # empty source stays at 0 without dividing by zero
+    assert temperature_mix_rates([0, 1000], 0.5, 500) == [0.0, 0.5]
+
+
+def test_temperature_mix_rates_rejections():
+    import pytest as _pytest
+
+    from clinical_data_warehouse_bi_spark.io import temperature_mix_rates
+
+    with _pytest.raises(ValueError):
+        temperature_mix_rates([10], -0.1, 5)
+    with _pytest.raises(ValueError):
+        temperature_mix_rates([10], 0.5, 0)
+    with _pytest.raises(ValueError):
+        temperature_mix_rates([], 0.5, 5)
+
+
+def test_temperature_mix_end_to_end(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import read_table, temperature_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    big = docs.filter(F.col("doc_id") % 10 != 0)    # ~90%
+    small = docs.filter(F.col("doc_id") % 10 == 0)  # ~10%
+    n_big, n_small = big.count(), small.count()
+    budget = (n_big + n_small) * 0.3
+    mixed = temperature_mix([big, small], "doc_id", alpha=0.5, budget=budget)
+    by_src = {
+        r["__source"]: r["n"]
+        for r in mixed.groupBy("__source").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+
+    w = [math.sqrt(n_big), math.sqrt(n_small)]
+    want = [budget * wi / sum(w) for wi in w]
+    # hash-threshold sampling: binomial-ish tolerance around target
+    for i in (0, 1):
+        assert abs(by_src[i] - want[i]) < 4 * math.sqrt(want[i]) + 5, (
+            i, by_src[i], want[i],
+        )
+    # deterministic replay
+    again = temperature_mix([big, small], "doc_id", alpha=0.5, budget=budget)
+    assert sorted(r["doc_id"] for r in mixed.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in again.select("doc_id").collect())
