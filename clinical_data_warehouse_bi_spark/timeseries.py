@@ -177,3 +177,121 @@ def ewma_anomalies(
         F.col("r.dev").alias("dev"),
         F.col("r.an").alias("is_anomaly"),
     )
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_days: int,
+    aggs: tuple[str, ...] = ("avg", "sum", "count"),
+) -> DataFrame:
+    """Trailing time-window aggregates per row — the 7-day moving
+    average / trailing-sum report (the BI companion of resample_fill:
+    that densifies the axis, this smooths along it). For each input
+    row: the aggregate of ``value_col`` over the SAME KEY's rows in
+    (ts - window_days, ts], expressed as a RANGE window frame so the
+    engine keeps a sliding frame, not a self-join.
+
+    Scale shape: ONE exchange on the key columns; the RANGE frame is
+    evaluated in a single pass over each key's sorted run (Spark's
+    WindowExec maintains the sliding frame incrementally — the naive
+    interval self-join this replaces is O(rows x window) and was the
+    documented reject). Per-key state is the frame's rows, bounded
+    by the window span, not the history.
+
+    RANGE frames need a numeric ordering key: ts is cast to epoch
+    seconds internally; output keeps the original column.
+
+    Emits <agg>_<window_days>d columns, e.g. avg_7d."""
+    if window_days <= 0:
+        raise ValueError("window_days must be positive")
+    allowed = {"avg", "sum", "count", "min", "max"}
+    bad = set(aggs) - allowed
+    if bad:
+        raise ValueError(f"unsupported aggs: {sorted(bad)}")
+    span = int(window_days) * 86400
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy(F.unix_timestamp(F.col(ts_col)).cast("long"))
+        .rangeBetween(-(span - 1), 0)
+    )
+    out = df
+    for a in aggs:
+        col = F.count(F.lit(1)) if a == "count" else getattr(F, a)(
+            F.col(value_col)
+        )
+        out = out.withColumn(f"{a}_{window_days}d", col.over(w))
+    return out
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion_pred,
+    model: str = "last_touch",
+    lookback_days: int | None = None,
+) -> DataFrame:
+    """Marketing/journey attribution: credit each CONVERSION event
+    to a touch channel — ``last_touch`` (the touch nearest before
+    the conversion) or ``first_touch`` (the journey's opener) —
+    the BI report behind every acquisition dashboard.
+
+    ``conversion_pred`` is a Column predicate marking conversion
+    rows; every other row is a touch. ``lookback_days`` limits how
+    far back a credited touch may be (None = unbounded journey).
+
+    Returns one row per conversion: (user, conversion ts, credited
+    channel, touch ts) — NULL channel when no touch qualifies.
+
+    Scale shape: ONE user-keyed exchange; both models are a single
+    window pass over each user's timeline (running last-touch via
+    last_value(ignorenulls) over touches-so-far; first-touch via
+    first_value), never a per-conversion self-join against the touch
+    history (that join is O(conversions x touches) on power users —
+    the skew trap)."""
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError("model must be last_touch or first_touch")
+    base = events.withColumn("__conv", conversion_pred)
+    order = [F.unix_timestamp(F.col(ts_col)).cast("long"), F.col("__conv").cast("int")]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ch = F.when(~F.col("__conv"), F.col(channel_col))
+    touch_ts = F.when(~F.col("__conv"), F.col(ts_col))
+    if model == "last_touch":
+        ch = F.last(touch_ch, ignorenulls=True).over(w)
+        tts = F.last(touch_ts, ignorenulls=True).over(w)
+    else:
+        ch = F.first(touch_ch, ignorenulls=True).over(w)
+        tts = F.first(touch_ts, ignorenulls=True).over(w)
+    out = (
+        base.withColumn("credited_channel", ch)
+        .withColumn("touch_ts", tts)
+        .filter(F.col("__conv"))
+        .select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).alias("conversion_ts"),
+            "credited_channel",
+            "touch_ts",
+        )
+    )
+    if lookback_days is not None:
+        horizon = int(lookback_days) * 86400
+        out = out.withColumn(
+            "credited_channel",
+            F.when(
+                F.unix_timestamp("conversion_ts") - F.unix_timestamp("touch_ts")
+                <= horizon,
+                F.col("credited_channel"),
+            ),
+        ).withColumn(
+            "touch_ts",
+            F.when(F.col("credited_channel").isNotNull(), F.col("touch_ts")),
+        )
+    return out

@@ -2023,3 +2023,188 @@ def test_benford_excludes_zero_null_and_uses_abs(spark):
     )
     rows = {r["digit"]: r["n"] for r in qa.benford_profile(df, "v").collect()}
     assert rows == {3: 1, 7: 1}
+
+
+# ------------------------------------ rolling_aggregate / attribution
+
+
+def test_rolling_aggregate_matches_duckdb(spark, sf_dir, duck):
+    from clinical_data_warehouse_bi_spark.timeseries import rolling_aggregate
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    got = sorted(
+        (r["user_id"], str(r["ts"]), round(r["avg_7d"], 9), r["count_7d"],
+         round(r["sum_7d"], 6))
+        for r in rolling_aggregate(
+            ev, ["user_id"], "ts", "value", 7, aggs=("avg", "sum", "count")
+        ).collect()
+    )
+    want = sorted(
+        (u, str(t), round(a, 9), c, round(s, 6))
+        for u, t, a, c, s in duck.execute("""
+            SELECT user_id, ts,
+                   avg(value) OVER w AS avg_7d,
+                   count(*)   OVER w AS count_7d,
+                   sum(value) OVER w AS sum_7d
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                         RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_rolling_aggregate_single_exchange(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.timeseries import rolling_aggregate
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = rolling_aggregate(ev, ["user_id"], "ts", "value", 7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan  # sliding frame, never a self-join
+
+
+def test_rolling_aggregate_rejects_bad_inputs(spark, sf_dir):
+    import pytest
+
+    from clinical_data_warehouse_bi_spark.timeseries import rolling_aggregate
+
+    ev = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        rolling_aggregate(ev, ["user_id"], "ts", "value", 0)
+    with pytest.raises(ValueError):
+        rolling_aggregate(ev, ["user_id"], "ts", "value", 7, aggs=("median",))
+
+
+def _attribution_python(rows, model, lookback_days=None):
+    """Independent per-user model: rows = (user, ts_epoch, channel,
+    is_conv); same-timestamp touches sort before conversions."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, ch, conv in rows:
+        by_user[u].append((t, 1 if conv else 0, ch))
+    out = []
+    for u, items in by_user.items():
+        items.sort(key=lambda x: (x[0], x[1]))
+        touches = []
+        for t, conv, ch in items:
+            if not conv:
+                touches.append((t, ch))
+                continue
+            pick = None
+            if touches:
+                pick = touches[-1] if model == "last_touch" else touches[0]
+            if pick is not None and lookback_days is not None and \
+                    t - pick[0] > lookback_days * 86400:
+                pick = None
+            out.append((u, t, pick[1] if pick else None,
+                        pick[0] if pick else None))
+    return sorted(out)
+
+
+def test_attribution_matches_python_model(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.timeseries import attribution
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    rows = [
+        (r["user_id"], int(r["ts"].timestamp()), r["event_type"],
+         r["event_type"] == "purchase")
+        for r in ev.collect()
+    ]
+    for model in ("last_touch", "first_touch"):
+        got = sorted(
+            (r["user"], int(r["conversion_ts"].timestamp()),
+             r["credited_channel"],
+             int(r["touch_ts"].timestamp()) if r["touch_ts"] else None)
+            for r in attribution(
+                ev, "user_id", "ts", "event_type",
+                F.col("event_type") == "purchase", model=model,
+            ).collect()
+        )
+        want = _attribution_python(rows, model)
+        assert got == want and len(got) > 0
+
+
+def test_attribution_lookback_voids_stale_credit(spark):
+    from clinical_data_warehouse_bi_spark.timeseries import attribution
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "ad", False),
+        (1, "2024-03-01 00:00:00", "buy", True),   # 60d later: void
+        (2, "2024-01-01 00:00:00", "ad", False),
+        (2, "2024-01-05 00:00:00", "buy", True),   # in window
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string, conv boolean"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["user"]: r["credited_channel"]
+        for r in attribution(
+            df, "user_id", "ts", "event_type", F.col("conv"),
+            lookback_days=30,
+        ).collect()
+    }
+    assert out == {1: None, 2: "ad"}
+
+
+def test_attribution_single_exchange(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.timeseries import attribution
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    out = attribution(
+        ev, "user_id", "ts", "event_type",
+        F.col("event_type") == "purchase",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+# ----------------------------------------------- outlier_report
+
+
+def test_outlier_report_matches_numpy(spark):
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark import qa
+
+    rng = np.random.default_rng(5)
+    clean = rng.normal(50, 5, 400)
+    planted = np.array([500.0, -400.0, 51.0])
+    vals = np.concatenate([clean, planted])
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    out = {
+        round(r["v"], 9): (r["modified_z"], r["is_outlier"])
+        for r in qa.outlier_report(df, "v").collect()
+    }
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(vals - med)))
+    for v in vals:
+        z_want = 0.6745 * (v - med) / mad
+        z_got, flag = out[round(float(v), 9)]
+        assert abs(z_got - z_want) < 1e-9
+        assert flag == (abs(z_want) > 3.5)
+    assert out[500.0][1] and out[-400.0][1] and not out[51.0][1]
+
+
+def test_outlier_report_grouped_and_degenerate(spark):
+    from clinical_data_warehouse_bi_spark import qa
+
+    rows = (
+        [("a", float(v)) for v in range(100)] + [("a", 10000.0)]
+        # degenerate group: MAD 0 (all identical but one)
+        + [("b", 7.0)] * 10 + [("b", 99.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = qa.outlier_report(df, "v", group_cols=["g"])
+    a = {r["v"]: r["is_outlier"] for r in out.filter("g = 'a'").collect()}
+    assert a[10000.0] is True and a[50.0] is False
+    b = {r["v"]: (r["modified_z"], r["is_outlier"])
+         for r in out.filter("g = 'b'").collect()}
+    assert b[7.0] == (None, False)     # MAD 0: at the median
+    assert b[99.0] == (None, True)     # MAD 0: differs from median
