@@ -807,3 +807,60 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
         "expected_p",
         F.abs(F.col("observed_p") - F.col("expected_p")).alias("abs_dev"),
     )
+
+
+def outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flags via the modified z-score
+    (Iglewicz & Hoaglin 1993): 0.6745 * (x - median) / MAD, flagged
+    beyond ``threshold`` (their recommended 3.5). Mean/std outlier
+    rules break exactly when needed most — the outliers inflate the
+    std that is supposed to catch them; median/MAD have a 50%
+    breakdown point.
+
+    Returns the input plus (modified_z double, is_outlier boolean);
+    rows in groups with MAD = 0 (over half the group identical) get
+    NULL z and are flagged only if x != median — the documented
+    degenerate case, not an error.
+
+    Scale shape: two grouped exact-percentile aggregations (median,
+    then MAD) and two keyed joins back, all on the group columns —
+    per-group state is that group's values on one executor (the
+    grouped_percentiles trade; for ONE giant continuous group use
+    percentiles.exact_percentiles_distributed to get the median with
+    bounded state instead). No UDF anywhere."""
+    keys = list(group_cols or [])
+    gkey = [F.col(k) for k in keys] if keys else [F.lit(1).alias("__g")]
+    join_on = keys if keys else ["__g"]
+    base = df if keys else df.withColumn("__g", F.lit(1))
+
+    med = base.groupBy(*gkey).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = base.join(med, join_on)
+    mad = (
+        with_med.withColumn(
+            "__absdev", F.abs(F.col(value_col) - F.col("__med"))
+        )
+        .groupBy(*[F.col(k) for k in join_on])
+        .agg(F.expr("percentile(__absdev, 0.5)").alias("__mad"))
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
+    )
+    flagged = (
+        with_med.join(mad, join_on)
+        .withColumn("modified_z", z)
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("__mad") > 0, F.abs(F.col("modified_z")) > threshold)
+            .otherwise(F.col(value_col) != F.col("__med")),
+        )
+        .drop("__med", "__mad")
+    )
+    return flagged.drop("__g") if not keys else flagged
