@@ -1003,3 +1003,86 @@ def top_ngrams(
         .limit(k)
         .select("ngram", "n_occ", "n_docs")
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style document chunking: split each document into
+    token-windowed chunks of ``chunk_tokens`` whitespace tokens with
+    ``overlap_tokens`` carried between neighbors — the
+    retrieval-granularity prep step between a raw corpus and a
+    passage index (chunk, embed/index, retrieve, cite back to the
+    parent via (doc_id, chunk_idx, token span)).
+
+    Chunk boundaries are DETERMINISTIC functions of the token
+    sequence (stride = chunk - overlap), so re-chunking a corpus is
+    idempotent and chunk ids are stable across runs — the property
+    every downstream exactly-once index append relies on.
+
+    Semantics pinned by tests: every token of every document appears
+    in at least one chunk; consecutive chunks share exactly
+    ``overlap_tokens`` tokens (except a shorter final chunk); a
+    document shorter than one chunk yields itself; empty/null text
+    yields no chunks. Chunk text joins tokens with single spaces
+    (tokenization-normalized, the retrieval tokenizer's view).
+
+    Scale shape: pure per-row array expressions — tokenize once,
+    slice per chunk via sequence + transform — ZERO exchanges, no
+    UDF; the explode multiplies rows by ceil(tokens/stride), never
+    by the quadratic all-pairs a join-based windowing would. The
+    short-input guard wraps sequence() because Spark's
+    sequence(1, 0) DESCENDS instead of returning empty (the
+    top_ngrams lesson)."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap_tokens
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "\\s+").alias(
+            "__w"
+        ),
+    ).withColumn(
+        "__w", F.filter("__w", lambda t: t != "")
+    ).withColumn("__n", F.size("__w"))
+    # number of chunks: 1 + ceil(max(n - chunk, 0) / stride) for n>0
+    n_chunks = F.when(
+        F.col("__n") <= 0, F.lit(0)
+    ).otherwise(
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.col("__n") - F.lit(chunk_tokens), F.lit(0))
+            / F.lit(stride)
+        ).cast("int")
+    )
+    chunked = (
+        toks.withColumn("__k", n_chunks)
+        .filter(F.col("__k") > 0)
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), F.col("__k") - 1)),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("token_start"),
+            F.least(
+                F.col("chunk_idx") * stride + chunk_tokens, F.col("__n")
+            ).alias("token_end"),
+            F.array_join(
+                F.slice(
+                    "__w",
+                    F.col("chunk_idx") * stride + 1,
+                    F.lit(chunk_tokens),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    return chunked

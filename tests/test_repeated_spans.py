@@ -180,3 +180,118 @@ def test_no_text_in_exchange(spark, sf_dir):
     for payload in exchange_inputs:
         cols = payload.split(":", 1)[1]
         assert "text#" not in cols and " w#" not in cols, payload
+
+
+# --------------------------------------------------- chunk_text
+
+
+def _chunks_py(text, chunk=256, overlap=32):
+    w = [t for t in (text or "").split() if t]
+    if not w:
+        return []
+    stride = chunk - overlap
+    import math
+
+    k = 1 + math.ceil(max(len(w) - chunk, 0) / stride)
+    return [
+        (i, i * stride, min(i * stride + chunk, len(w)),
+         " ".join(w[i * stride: i * stride + chunk]))
+        for i in range(k)
+    ]
+
+
+def test_chunk_text_matches_python_model(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.text import chunk_text
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["token_start"], r["token_end"],
+         r["chunk_text"])
+        for r in chunk_text(docs, 64, 16).collect()
+    )
+    want = sorted(
+        (r["doc_id"], i, s, e, t)
+        for r in docs.select("doc_id", "text").collect()
+        for i, s, e, t in _chunks_py(r["text"], 64, 16)
+    )
+    assert got == want and len(got) > 0
+
+
+def test_chunk_text_overlap_and_coverage(spark):
+    from clinical_data_warehouse_bi_spark.text import chunk_text
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"].split())
+        for r in chunk_text(df, 40, 10).collect()
+    )
+    # stride 30: chunks at 0, 30, 60, 90(..100)
+    assert [i for i, _ in rows] == [0, 1, 2]
+    assert rows[0][1][-10:] == rows[1][1][:10]     # exact overlap
+    assert rows[1][1][-10:] == rows[2][1][:10]
+    covered = set()
+    for _, toks in rows:
+        covered.update(toks)
+    assert covered == {f"w{i}" for i in range(100)}  # every token kept
+
+
+def test_chunk_text_short_and_empty_docs(spark):
+    from clinical_data_warehouse_bi_spark.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "just three tokens"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_text(df, 40, 10).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["chunk_text"] == "just three tokens"
+    assert rows[0]["token_end"] == 3
+
+
+def test_chunk_text_no_exchange(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.text import chunk_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = chunk_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_chunk_text_rejections(spark):
+    import pytest as _pytest
+
+    from clinical_data_warehouse_bi_spark.text import chunk_text
+
+    with _pytest.raises(ValueError):
+        chunk_text(None, 0, 0)
+    with _pytest.raises(ValueError):
+        chunk_text(None, 10, 10)
+
+
+def test_chunks_feed_the_persisted_bm25_index(spark, sf_dir, tmp_path):
+    """RAG composition: documents -> overlapping chunks -> persisted
+    BM25 index over chunks -> search returns the planted chunk and
+    maps back to (doc_id, chunk_idx, token span)."""
+    from clinical_data_warehouse_bi_spark import retrieval
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.text import chunk_text
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    marker = "zqxjkwombat"
+    planted = docs.sparkSession.createDataFrame(
+        [(999_999, " ".join(["filler"] * 70) + f" {marker} trailing words")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_text(
+        docs.select("doc_id", "text").unionByName(planted), 64, 16
+    ).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    path = str(tmp_path / "bm25_chunks")
+    retrieval.bm25_index_build(chunks, path)
+    hits = retrieval.bm25_index_search(spark, path, [marker], k=3).collect()
+    assert hits and hits[0]["doc_id"] // 10000 == 999_999
+    assert hits[0]["doc_id"] % 10000 == 1  # marker sits in chunk 1 (token 70)
