@@ -572,3 +572,43 @@ def dp_release(
         + ([F.col(f"sum_{value_col}")] if value_col is not None else [])
     )
     return kept.select(*out_cols)
+
+
+def suppress_to_k(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Enforce k-anonymity by suppression: drop every row whose
+    quasi-identifier equivalence class has fewer than ``k`` members
+    — the enforcement half of the measurement the k_anonymity family
+    provides (measure -> suppress -> re-measure green is the release
+    loop; Sweeney 2002's suppression baseline, the fallback when
+    generalization hierarchies aren't defined for the columns).
+
+    Returns (released, report): the surviving rows unchanged, and a
+    one-row report (rows_in, rows_released, rows_suppressed,
+    classes_suppressed). The released frame satisfies
+    k_anonymity_summary(released, quasi_cols).k_anonymity >= k by
+    construction (asserted in tests).
+
+    Scale shape: one groupBy on the quasi columns (the class
+    relation is orders of magnitude smaller than the input) and one
+    keyed join back — the class side is the small side and AQE
+    broadcasts it when it fits; no window over the full table (a
+    count-over-partition window would sort-shuffle every row's full
+    width instead of joining slim class keys)."""
+    if k < 2:
+        raise ValueError("k must be at least 2 to mean anything")
+    classes = k_anonymity_classes(df, quasi_cols)
+    keep = classes.filter(F.col("class_size") >= int(k)).select(*quasi_cols)
+    released = df.join(keep, quasi_cols, "inner")
+    n_in = df.count()
+    n_out = released.count()
+    n_classes_dropped = classes.filter(F.col("class_size") < int(k)).count()
+    report = df.sparkSession.createDataFrame(
+        [(n_in, n_out, n_in - n_out, n_classes_dropped)],
+        "rows_in long, rows_released long, rows_suppressed long, "
+        "classes_suppressed long",
+    )
+    return released, report

@@ -537,3 +537,40 @@ def test_dp_release_rejects_bad_inputs(spark):
     with pytest.raises(ValueError):
         scrub.dp_release(df, ["g"], 1.0, "s", value_col="id",
                          value_low=5.0, value_high=1.0)
+
+
+# ------------------------------------------------ suppress_to_k
+
+
+def test_suppress_to_k_release_loop(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    # nation classes at sf0.001 span 3..13 rows (median 5): k=6
+    # genuinely suppresses some classes and releases others
+    quasi = ["c_nationkey"]
+    before = scrub.k_anonymity_summary(cust, quasi, k=6).collect()[0]
+    released, report = scrub.suppress_to_k(cust, quasi, k=6)
+    rep = report.collect()[0]
+    after = scrub.k_anonymity_summary(released, quasi, k=6).collect()[0]
+    # the release loop: measure -> suppress -> re-measure green
+    assert 0 < rep["rows_released"] < rep["rows_in"]  # a true mix
+    assert after["k_anonymity"] >= 6
+    assert after["rows_below_k"] == 0
+    assert rep["rows_in"] == before["n_rows"]
+    assert rep["rows_released"] + rep["rows_suppressed"] == rep["rows_in"]
+    assert rep["rows_suppressed"] == before["rows_below_k"]
+
+
+def test_suppress_to_k_exact_rows(spark):
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("c", 6)]
+    df = spark.createDataFrame(rows, "g string, x int")
+    released, report = scrub.suppress_to_k(df, ["g"], k=2)
+    got = sorted((r["g"], r["x"]) for r in released.collect())
+    assert got == [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5)]
+    rep = report.collect()[0]
+    assert (rep["rows_suppressed"], rep["classes_suppressed"]) == (1, 1)
+    with pytest.raises(ValueError):
+        scrub.suppress_to_k(df, ["g"], k=1)
