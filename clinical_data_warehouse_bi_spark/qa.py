@@ -864,3 +864,70 @@ def outlier_report(
         .drop("__med", "__mad")
     )
     return flagged.drop("__g") if not keys else flagged
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+) -> dict:
+    """Join/aggregation skew diagnostic for a prospective shuffle
+    key: the numbers that decide between a plain hash join, a
+    broadcast, AQE skew-split, or explicit salting BEFORE a 100 TB
+    job discovers the hot key the slow way.
+
+    Returns a dict of scalars plus the top-N keys:
+    - n_rows, n_keys, avg_rows_per_key
+    - max_key_rows, max_key_share (the hot key's fraction)
+    - p99_key_rows (approx), hhi (Herfindahl concentration,
+      sum of squared key shares: 1/n_keys = uniform, 1 = one key;
+      EXACT and distributive — a decile/Gini approximation goes
+      blind precisely when one hot key hides among millions)
+    - suggested_salt: ceil(max_key_rows / avg_rows_per_key) capped
+      at 256 — the replication factor that would level the hot key
+      to roughly average, 1 = no salting needed
+    - top_keys: [(key..., n), ...] the N heaviest keys
+
+    Scale shape: ONE groupBy to the per-key histogram (map-side
+    partials), then scalar aggregates + a TakeOrdered top-N over
+    that histogram — the histogram relation (n_keys rows) is the
+    only thing beyond the scan, and only N rows + a dozen scalars
+    reach the driver."""
+    import math
+
+    if not key_cols:
+        raise ValueError("skew_report needs at least one key column")
+    hist = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    hist = hist.persist()
+    try:
+        stats = hist.agg(
+            F.sum("__n").alias("rows"),
+            F.count(F.lit(1)).alias("keys"),
+            F.max("__n").alias("mx"),
+            F.expr("approx_percentile(__n, 0.99)").alias("p99"),
+            F.avg("__n").alias("avg"),
+            F.sum(F.col("__n").cast("double") * F.col("__n")).alias("sq"),
+        ).first()
+        top = [
+            (*[r[c] for c in key_cols], r["__n"])
+            for r in hist.orderBy(F.desc("__n")).limit(top_n).collect()
+        ]
+    finally:
+        hist.unpersist()
+    n_rows, n_keys = stats["rows"], stats["keys"]
+    avg = stats["avg"]
+    return {
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "avg_rows_per_key": avg,
+        "max_key_rows": stats["mx"],
+        "max_key_share": (stats["mx"] / n_rows) if n_rows else None,
+        "p99_key_rows": stats["p99"],
+        "hhi": (stats["sq"] / (n_rows * n_rows)) if n_rows else None,
+        "suggested_salt": min(256, max(1, math.ceil(stats["mx"] / avg)))
+        if avg
+        else 1,
+        "top_keys": top,
+    }

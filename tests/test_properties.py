@@ -2208,3 +2208,43 @@ def test_outlier_report_grouped_and_degenerate(spark):
          for r in out.filter("g = 'b'").collect()}
     assert b[7.0] == (None, False)     # MAD 0: at the median
     assert b[99.0] == (None, True)     # MAD 0: differs from median
+
+
+# --------------------------------------------------- skew_report
+
+
+def test_skew_report_exact_scalars(spark):
+    from clinical_data_warehouse_bi_spark import qa
+
+    rows = [("hot", i) for i in range(80)] + [
+        (f"k{j}", j) for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, x int")
+    rep = qa.skew_report(df, ["k"], top_n=3)
+    assert rep["n_rows"] == 100 and rep["n_keys"] == 21
+    assert rep["max_key_rows"] == 80
+    assert abs(rep["max_key_share"] - 0.8) < 1e-12
+    assert rep["top_keys"][0] == ("hot", 80)
+    assert len(rep["top_keys"]) == 3
+    # hot key is ~17x the mean (100/21): salting suggested
+    import math
+
+    assert rep["suggested_salt"] == min(256, math.ceil(80 / (100 / 21)))
+    # HHI: (80^2 + 20*1)/100^2 = 0.642, exact
+    assert abs(rep["hhi"] - 0.642) < 1e-12
+
+
+def test_skew_report_uniform_keys_need_no_salt(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark import qa
+
+    ev = read_table(spark, sf_dir, "events")
+    rep = qa.skew_report(ev, ["user_id"])
+    assert rep["suggested_salt"] <= 4  # organic per-user counts
+    # zipf-ish organic activity: effective keys 1/hhi >> 1, no
+    # single dominating user
+    assert rep["hhi"] < 0.2 and rep["max_key_share"] < 0.2
+    assert rep["n_rows"] == ev.count()
+    import pytest
+
+    with pytest.raises(ValueError):
+        qa.skew_report(ev, [])
