@@ -1732,3 +1732,140 @@ def compact_quantile_synopsis(
             glob.glob(os.path.join(synopsis_path, "batch_id=*"))
         ),
     }
+
+
+# ------------------------------------------------ census synopsis
+
+
+def census_apply_batch(
+    batch: DataFrame,
+    synopsis_path: str,
+    batch_id: int,
+    unit_col: str = "careunit_id",
+    patient_col: str = "patient_id",
+    in_col: str = "intime",
+    out_col: str = "outtime",
+    max_days: int = 365,
+) -> None:
+    """One micro-batch of EXACTLY-ONCE daily-census maintenance —
+    the streaming twin of kpi.daily_census (transfers stream in,
+    the bed-occupancy report stays current).
+
+    Distinct-patient census is NOT additive across batches (the
+    same patient-day can arrive in two batches via overlapping or
+    corrected stays), so the synopsis stores the DISTINCT
+    (unit, day, patient) triples each batch contributes and the
+    read side counts distinct over synopsis KEYS — the
+    read_preagg/collect_set design note: a stored FINAL census
+    could never repair a re-observed patient-day; the key synopsis
+    always can.
+
+    Batch work: the same guarded map-side interval-to-day explode
+    as the batch operator (max_days fences sentinel/open intervals
+    — kpi.daily_census's ~400k-rows-per-bad-row trap) + ONE
+    distinct on the slim triple. Exactly-once via the batch_id
+    dynamic-partition overwrite contract."""
+    from clinical_data_warehouse_bi_spark import kpi as _kpi
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    spark = batch.sparkSession
+    recover_compacted_dir(synopsis_path)
+    tin = _kpi._desentinel(in_col)
+    tout = _kpi._desentinel(out_col)
+    if max_days <= 0:
+        raise ValueError("max_days must be positive")
+    bounded = (
+        batch.withColumn("__in", F.to_date(tin))
+        .withColumn("__out", F.to_date(tout))
+        .filter(
+            F.col("__in").isNotNull()
+            & F.col("__out").isNotNull()
+            & (F.col("__out") >= F.col("__in"))
+            & (F.datediff("__out", "__in") <= F.lit(int(max_days)))
+        )
+    )
+    contrib = (
+        bounded.select(
+            F.col(unit_col).alias("unit"),
+            F.col(patient_col).alias("patient"),
+            F.explode(F.sequence("__in", "__out")).alias("census_date"),
+        )
+        .distinct()
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(mode_key)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        contrib.write.mode("overwrite").partitionBy("batch_id").parquet(
+            synopsis_path
+        )
+    finally:
+        spark.conf.set(mode_key, before)
+
+
+def read_census(spark: SparkSession, synopsis_path: str) -> DataFrame:
+    """Derive the current daily census from the synopsis: distinct
+    patients per (unit, day) over synopsis keys — exact across any
+    number of batches including re-observed patient-days. Matches
+    kpi.daily_census's census column on the union of all batches
+    (the batch==stream dual the tests pin); stay_rows is a
+    per-batch-arrival notion and deliberately not derived here."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(synopsis_path)
+    syn = spark.read.parquet(synopsis_path)
+    return syn.groupBy("unit", "census_date").agg(
+        F.countDistinct("patient").alias("census")
+    )
+
+
+def streaming_census(
+    stays: DataFrame,
+    synopsis_path: str,
+    checkpoint_dir: str | None = None,
+    **cols,
+):
+    """Maintain the census synopsis from a transfers stream
+    (foreachBatch over census_apply_batch)."""
+    writer = stays.writeStream.foreachBatch(
+        lambda b, bid: census_apply_batch(b, synopsis_path, bid, **cols)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def compact_census(spark: SparkSession, synopsis_path: str) -> dict:
+    """Roll the census synopsis into ONE base partition of distinct
+    (unit, day, patient) triples — LOSSLESS (distinct-over-keys has
+    nothing to lose); the shared crash-safe swap protocol."""
+    import glob
+
+    from clinical_data_warehouse_bi_spark.io import (
+        maintenance_lock,
+        recover_compacted_dir,
+    )
+
+    recover_compacted_dir(synopsis_path)
+    with maintenance_lock(synopsis_path):
+        syn = spark.read.parquet(synopsis_path)
+        rolled = (
+            syn.select("unit", "patient", "census_date")
+            .distinct()
+            .withColumn("batch_id", F.lit(PREAGG_BASE_BATCH).cast("long"))
+            .localCheckpoint()
+        )
+        rows = rolled.count()
+        tmp = f"{synopsis_path}.tmp-compact"
+        old = f"{synopsis_path}.old-compact"
+        rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        os.rename(synopsis_path, old)
+        os.rename(tmp, synopsis_path)
+        shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": rows,
+        "partitions_after": len(
+            glob.glob(os.path.join(synopsis_path, "batch_id=*"))
+        ),
+    }
