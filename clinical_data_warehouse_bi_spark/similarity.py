@@ -1264,3 +1264,70 @@ def _frechet_from_stats(sa: dict, sb: dict, eps: float = 1e-9) -> float:
     wi = np.clip(np.linalg.eigvalsh(inner), 0.0, None)
     tr_sqrt = float(np.sqrt(wi).sum())
     return diff + float(np.trace(ca) + np.trace(cb)) - 2.0 * tr_sqrt
+
+
+def mine_hard_negatives(
+    vectors: DataFrame,
+    labels: DataFrame,
+    anchors: list[tuple[int, list[float]]],
+    k: int = 5,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor, the ``k`` nearest-by-cosine vectors whose label
+    DIFFERS from the anchor's — the negatives that sit closest to
+    the decision boundary, which is where contrastive pairs earn
+    their gradient (random negatives are trivially separable; the
+    standard in-batch-negatives upgrade, public practice from DPR /
+    sentence-transformers training).
+
+    ``anchors`` follows the cosine_topk_numpy queries convention: a
+    bounded driver-side [(id, vector)] list. Search goes through the
+    same GEMM path with ``k * oversample`` depth so that k survivors
+    remain AFTER the different-label filter (an anchor whose
+    neighborhood is label-pure beyond that depth returns fewer than
+    k — by design, those negatives would not be hard).
+
+    Returns (anchor_id, neg_id, cosine, rank) with rank 1..k per
+    anchor.
+
+    Scale shape: the vector table never shuffles (GEMM partials —
+    the cosine_topk_numpy plan); the label joins run with the TINY
+    candidate relation (<= anchors x k x oversample rows) broadcast
+    against the corpus-sized labels — labels are never broadcast,
+    never collected. The per-anchor re-rank windows over that same
+    tiny relation."""
+    if k <= 0 or oversample <= 0:
+        raise ValueError("k and oversample must be positive")
+    cands = cosine_topk_numpy(vectors, anchors, k * oversample).withColumnRenamed(
+        "rank", "__srank"
+    )
+    # cands: (qid, nid, __srank, cosine) — the search rank carries the
+    # GEMM path's full-precision total order through the label filter
+    # (re-sorting by the 4dp display cosine would reorder near-ties)
+    lab = labels.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lab")
+    )
+    anchor_lab = lab.withColumnRenamed("__lab", "__anchor_lab")
+    neigh_lab = lab.withColumnRenamed("__lab", "__neigh_lab")
+    tagged = (
+        F.broadcast(cands)
+        .join(anchor_lab, cands["qid"] == anchor_lab["__lid"])
+        .drop("__lid")
+        .join(neigh_lab, cands["nid"] == neigh_lab["__lid"])
+        .drop("__lid")
+        .filter(F.col("__anchor_lab") != F.col("__neigh_lab"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("__srank"))
+    return (
+        tagged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("qid").alias("anchor_id"),
+            F.col("nid").alias("neg_id"),
+            "cosine",
+            "rank",
+        )
+    )

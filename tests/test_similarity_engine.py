@@ -715,3 +715,61 @@ def test_pq_distortion_detects_distribution_drift(spark):
         similarity.pq_distortion(
             spark.createDataFrame([], schema), books
         )
+
+
+# --------------------------------------------- mine_hard_negatives
+
+
+def test_mine_hard_negatives_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.similarity import mine_hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(300)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    # synthetic labels: 4 classes by id hash
+    labels_py = {int(i): int(i) % 4 for i in ids}
+    labels = spark.createDataFrame(
+        [(int(i), labels_py[int(i)]) for i in ids], "vec_id long, label int"
+    )
+    anchors = [(int(ids[j]), mat[j].tolist()) for j in range(5)]
+
+    got = {}
+    out = mine_hard_negatives(emb, labels, anchors, k=4, oversample=8)
+    for r in out.collect():
+        got.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["neg_id"], r["cosine"])
+        )
+
+    norms = np.linalg.norm(mat, axis=1)
+    for aid, avec in anchors:
+        sims = (mat @ np.array(avec)) / (norms * np.linalg.norm(avec))
+        # the GEMM path's total order: round(cos, 6) desc, id asc
+        order = np.lexsort((ids, -np.round(sims, 6)))
+        # brute force: walk the SEARCH top-k*oversample, then filter
+        # by label (the operator's documented two-stage semantics)
+        search = [
+            int(ids[j]) for j in order if int(ids[j]) != aid
+        ][: 4 * 8]
+        want = [
+            n for n in search if labels_py[n] != labels_py[aid]
+        ][:4]
+        got_ids = [n for _, n, _ in sorted(got.get(aid, []))]
+        assert got_ids == want, (aid, got_ids, want)
+        # every returned negative really is cross-label
+        for n in got_ids:
+            assert labels_py[n] != labels_py[aid]
+
+
+def test_mine_hard_negatives_rejections(spark, sf_dir):
+    import pytest
+
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark.similarity import mine_hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        mine_hard_negatives(emb, emb, [(0, [0.0])], k=0)
