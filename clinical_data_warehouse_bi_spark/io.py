@@ -790,3 +790,112 @@ def temperature_mix(
     sizes = [float(df.count()) for df in sources]
     rates = temperature_mix_rates(sizes, alpha, budget)
     return mix_sources(list(zip(sources, rates)), id_col, seed=seed)
+
+
+def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Per-shard manifest of a training-shard directory: one row per
+    parquet file with its row count and an ORDER-INDEPENDENT content
+    fingerprint — sum over rows of xxhash64(all columns), carried in
+    decimal(38,0) so the aggregation is exact (a bigint sum would
+    wrap or, under ANSI, error) and reduced mod 2^63 at the end.
+
+    Scale shape: ONE distributed aggregation grouped by
+    input_file_name(); the fingerprint is distributive (map-side
+    partials), rows never reach the driver, no per-file driver-side
+    reads. Order independence is the point: a shard re-written by a
+    different partitioning of the same rows fingerprints identically
+    at the dataset level (sum is commutative), so the manifest
+    detects CONTENT changes, not layout changes."""
+    df = spark.read.parquet(path)
+    h = F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.pmod(
+                F.sum(h),
+                # 2^63 as a decimal literal: the plain int overflows
+                # py4j's long conversion
+                F.lit("9223372036854775808").cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("fingerprint"),
+        )
+        .select(
+            F.regexp_extract("__file", r"([^/]+)$", 1).alias("shard"),
+            "rows",
+            "fingerprint",
+        )
+    )
+
+
+def write_dataset_manifest(
+    spark: SparkSession,
+    path: str,
+    extra: dict | None = None,
+) -> dict:
+    """Dataset-release packaging: computes dataset_manifest over the
+    shard directory and writes ``_MANIFEST.json`` inside it (the
+    underscore prefix keeps it invisible to Spark's file index —
+    a plain name would be picked up as a parquet part and break
+    every later read of the directory) — shard
+    list (name, rows, fingerprint), dataset totals (row count and
+    the order/layout-independent dataset fingerprint = sum of shard
+    fingerprints mod 2^63), the schema, and any caller ``extra``
+    (mixture weights, dedup stats, source card) — the file a
+    consumer checks before training and an auditor diffs between
+    releases. Returns the manifest dict.
+
+    The manifest is written atomically (tmp + rename) so a crashed
+    writer never leaves a half manifest next to good shards."""
+    import json
+
+    shards = sorted(
+        (r["shard"], r["rows"], r["fingerprint"])
+        for r in dataset_manifest(spark, path).collect()
+    )
+    total_rows = sum(r for _, r, _ in shards)
+    dataset_fp = sum(f for _, _, f in shards) % (2**63)
+    manifest = {
+        "shards": [
+            {"shard": s, "rows": r, "fingerprint": f} for s, r, f in shards
+        ],
+        "total_rows": total_rows,
+        "dataset_fingerprint": dataset_fp,
+        "schema": spark.read.parquet(path).schema.jsonValue(),
+        "extra": extra or {},
+    }
+    tmp = os.path.join(path, "._MANIFEST.json.tmp")
+    final = os.path.join(path, "_MANIFEST.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    os.replace(tmp, final)
+    return manifest
+
+
+def verify_dataset_manifest(spark: SparkSession, path: str) -> dict:
+    """Re-derive the manifest and compare against _MANIFEST.json:
+    returns {"ok": bool, "mismatches": [...]} naming every shard
+    whose rows or fingerprint moved, plus shards added/removed —
+    the consumer-side integrity gate before a training run."""
+    import json
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        recorded = json.load(fh)
+    current = {
+        r["shard"]: (r["rows"], r["fingerprint"])
+        for r in dataset_manifest(spark, path).collect()
+    }
+    mismatches = []
+    seen = set()
+    for s in recorded["shards"]:
+        seen.add(s["shard"])
+        cur = current.get(s["shard"])
+        if cur is None:
+            mismatches.append({"shard": s["shard"], "problem": "missing"})
+        elif cur != (s["rows"], s["fingerprint"]):
+            mismatches.append({"shard": s["shard"], "problem": "changed"})
+    for name in sorted(set(current) - seen):
+        mismatches.append({"shard": name, "problem": "added"})
+    return {"ok": not mismatches, "mismatches": mismatches}

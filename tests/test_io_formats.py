@@ -420,3 +420,39 @@ def test_temperature_mix_end_to_end(spark, sf_dir):
     again = temperature_mix([big, small], "doc_id", alpha=0.5, budget=budget)
     assert sorted(r["doc_id"] for r in mixed.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_dataset_manifest_roundtrip_and_tamper(spark, sf_dir, tmp_path):
+    from clinical_data_warehouse_bi_spark.io import (
+        read_table,
+        verify_dataset_manifest,
+        write_dataset_manifest,
+    )
+
+    path = str(tmp_path / "release")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(path)
+    man = write_dataset_manifest(spark, path, extra={"mixture": {"web": 1.0}})
+    assert man["total_rows"] == docs.count()
+    assert len(man["shards"]) == 4
+    assert man["extra"]["mixture"] == {"web": 1.0}
+    # spark can still read the directory (manifest is _-prefixed)
+    assert spark.read.parquet(path).count() == man["total_rows"]
+    # consumer-side verification passes untouched
+    assert verify_dataset_manifest(spark, path)["ok"]
+    # layout independence: same rows, different sharding -> same
+    # dataset fingerprint (per-shard ones legitimately differ)
+    path2 = str(tmp_path / "release2")
+    spark.read.parquet(path).select("doc_id", "text").repartition(7).write.parquet(path2)
+    man2 = write_dataset_manifest(spark, path2)
+    assert man2["dataset_fingerprint"] == man["dataset_fingerprint"]
+    assert man2["total_rows"] == man["total_rows"]
+    # tamper: drop a shard -> named mismatch
+    import glob
+    import os
+
+    victim = glob.glob(os.path.join(path, "part-*"))[0]
+    os.remove(victim)
+    v = verify_dataset_manifest(spark, path)
+    assert not v["ok"]
+    assert any(m["problem"] == "missing" for m in v["mismatches"])
