@@ -329,3 +329,43 @@ def test_streaming_census_replay_and_compaction(spark, dims, tmp_path):
     info = streaming.compact_census(spark, path)
     assert info["partitions_after"] == 1
     assert snap() == before
+
+
+def test_daily_census_on_lineitem_matches_duckdb(spark, sf_dir, duck):
+    """Round-10 registration candidate pre-staged with its oracle:
+    the SAME kpi.daily_census code on driver tables — "active
+    shipments per supplier-day" over a deterministic handling
+    window (ship date + linenumber days)."""
+    from clinical_data_warehouse_bi_spark.io import read_table
+    from clinical_data_warehouse_bi_spark import kpi
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("careunit_id"),
+        F.col("l_orderkey").alias("patient_id"),
+        F.col("l_shipdate").cast("timestamp").alias("intime"),
+        (
+            F.col("l_shipdate") + F.make_dt_interval(days=F.col("l_linenumber"))
+        ).cast("timestamp").alias("outtime"),
+    )
+    got = _rows(
+        kpi.daily_census(li, max_days=30),
+        ["unit", "census_date", "census", "stay_rows"],
+    )
+    want = sorted(
+        ((u, d, c, s) for u, d, c, s in duck.execute("""
+            WITH days AS (
+              SELECT l_suppkey AS unit, l_orderkey AS pat,
+                     unnest(generate_series(
+                       CAST(l_shipdate AS DATE),
+                       CAST(l_shipdate + l_linenumber * INTERVAL 1 DAY AS DATE),
+                       INTERVAL 1 DAY))::DATE AS census_date
+              FROM lineitem)
+            SELECT unit, census_date,
+                   count(DISTINCT pat) AS census, count(*) AS stay_rows
+            FROM days GROUP BY 1, 2
+        """).fetchall()),
+        key=_key,
+    )
+    got = [(u, str(d), c, s) for u, d, c, s in got]
+    want = [(u, str(d), c, s) for u, d, c, s in want]
+    assert got == want and len(got) > 1000
