@@ -255,3 +255,122 @@ def unigram_encode(
     return docs.select(id_col, text_col).mapInPandas(
         op, f"{id_col} long, pieces array<string>, n_pieces int"
     )
+
+
+def _nbest(word: str, logp: dict[str, float], max_len: int, n: int):
+    """N-best segmentations by total log-prob (beam over the exact
+    DP lattice: per position keep the n best (score, backpointer)
+    pairs — exact n-best for an additive score)."""
+    best: list[list[tuple[float, int, int, str]]] = [[(0.0, -1, -1, "")]] + [
+        [] for _ in range(len(word))
+    ]
+    for i in range(1, len(word) + 1):
+        cands = []
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = -100.0
+                else:
+                    continue
+            for rank, (s, _, _, _) in enumerate(best[j]):
+                cands.append((s + lp, j, rank, piece))
+        cands.sort(key=lambda x: (-x[0], x[3]))
+        best[i] = cands[:n]
+    out = []
+    for s, j, rank, piece in best[len(word)]:
+        pieces = [piece]
+        while j > 0:
+            s2, j2, rank2, piece2 = best[j][rank]
+            pieces.append(piece2)
+            j, rank = j2, rank2
+        out.append((s, list(reversed(pieces))))
+    return out
+
+
+def unigram_encode_sampled(
+    docs: DataFrame,
+    logp: dict[str, float],
+    alpha: float = 0.2,
+    seed: str = "sr0",
+    n_best: int = 8,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Subword-regularization encoding (Kudo 2018 §3): sample a
+    segmentation from the n-best lattice with probability
+    ∝ P(seg)^alpha instead of always taking the Viterbi path —
+    the training-time augmentation that makes models robust to
+    tokenization ambiguity, and the capability that motivates a
+    probabilistic vocabulary over BPE's merge table.
+
+    Sampling is DETERMINISTIC per (seed, doc, word occurrence):
+    the uniform comes from md5, the repo's replay rule — re-running
+    an epoch with the same seed reproduces the same token stream
+    exactly (epoch diversity = vary the seed), so downstream shard
+    writes stay idempotent. alpha -> inf degenerates to Viterbi;
+    alpha = 0 samples uniformly over the n-best.
+
+    Same plan shape as unigram_encode: Arrow-batched, vocabulary
+    closure-broadcast, nothing shuffles. The per-batch cache keys on
+    the WORD ONLY for the n-best lattice (expensive part); the
+    per-occurrence draw stays occurrence-unique."""
+    import hashlib
+
+    import pandas as pd
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    vocab = dict(logp)
+    mpl = int(max_piece_len)
+    nb = int(n_best)
+
+    def op(batches):
+        for pdf in batches:
+            lattice_cache: dict[str, list] = {}
+            out_pieces = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                pieces: list[str] = []
+                for occ, w in enumerate(_tokens_py_mirror(text)):
+                    cands = lattice_cache.get(w)
+                    if cands is None:
+                        cands = _nbest(w, vocab, mpl, nb)
+                        lattice_cache[w] = cands
+                    if len(cands) == 1:
+                        pieces.extend(cands[0][1])
+                        continue
+                    scores = [s * alpha for s, _ in cands]
+                    m = max(scores)
+                    weights = [math.exp(s - m) for s in scores]
+                    total = sum(weights)
+                    u = (
+                        int(
+                            hashlib.md5(
+                                f"{seed}:{doc_id}:{occ}:{w}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        / 16**8
+                    ) * total
+                    acc = 0.0
+                    pick = len(cands) - 1  # float-sum guard: default last
+                    for idx, wgt in enumerate(weights):
+                        acc += wgt
+                        if u < acc:
+                            pick = idx
+                            break
+                    pieces.extend(cands[pick][1])
+                out_pieces.append(pieces)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": out_pieces,
+                    "n_pieces": [len(p) for p in out_pieces],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        op, f"{id_col} long, pieces array<string>, n_pieces int"
+    )

@@ -129,3 +129,60 @@ def test_rejects_tiny_vocab(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         unigram.train_unigram(docs, vocab_size=1)
+
+
+def test_nbest_contains_viterbi_and_is_sorted():
+    logp = {"a": -2.0, "b": -2.0, "ab": -1.0, "ba": -1.5, "aba": -1.2}
+    for w in ("ababa", "aabb", "ba", "abab"):
+        cands = unigram._nbest(w, logp, 3, 6)
+        # round trip on every candidate, scores non-increasing
+        for s, segs in cands:
+            assert "".join(segs) == w
+            assert abs(s - sum(logp.get(p, -100.0) for p in segs)) < 1e-12
+        scores = [s for s, _ in cands]
+        assert scores == sorted(scores, reverse=True)
+        # the best equals Viterbi's score
+        vit = unigram._viterbi(w, logp, 3)
+        assert abs(scores[0] - sum(logp.get(p, -100.0) for p in vit)) < 1e-12
+        # n-best paths are distinct
+        assert len({tuple(p) for _, p in cands}) == len(cands)
+
+
+def test_sampled_encode_reproducible_and_diverse(spark):
+    rows = [(i, "ababa " * 20) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    logp = {"a": math.log(0.2), "b": math.log(0.2), "ab": math.log(0.3),
+            "ba": math.log(0.2), "aba": math.log(0.1)}
+    one = {r["doc_id"]: r["pieces"]
+           for r in unigram.unigram_encode_sampled(
+               docs, logp, alpha=0.3, seed="e1").collect()}
+    two = {r["doc_id"]: r["pieces"]
+           for r in unigram.unigram_encode_sampled(
+               docs, logp, alpha=0.3, seed="e1").collect()}
+    other = {r["doc_id"]: r["pieces"]
+             for r in unigram.unigram_encode_sampled(
+                 docs, logp, alpha=0.3, seed="e2").collect()}
+    assert one == two                         # same seed: exact replay
+    assert one != other                       # new epoch seed: new stream
+    # round trip holds for every sampled segmentation
+    for pieces in one.values():
+        assert "".join(pieces) == "ababa" * 20
+    # diversity: across 40 docs x 20 occurrences, multiple distinct
+    # segmentations of the same word appear
+    segs = {tuple(p) for pieces in one.values() for p in [pieces[:3]]}
+    assert len(segs) >= 2
+
+
+def test_sampled_encode_high_alpha_degenerates_to_viterbi(spark):
+    rows = [(1, "ababa ababa")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    logp = {"a": math.log(0.2), "b": math.log(0.2), "ab": math.log(0.3),
+            "ba": math.log(0.2), "aba": math.log(0.1)}
+    out = unigram.unigram_encode_sampled(
+        docs, logp, alpha=50.0, seed="x").collect()[0]["pieces"]
+    vit = unigram._viterbi("ababa", logp, 8)
+    assert out == vit + vit
+    import pytest
+
+    with pytest.raises(ValueError):
+        unigram.unigram_encode_sampled(docs, logp, alpha=-1.0)
