@@ -295,3 +295,83 @@ def attribution(
             F.when(F.col("credited_channel").isNotNull(), F.col("touch_ts")),
         )
     return out
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    season: str = "dow",
+    baseline_n: int = 4,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Seasonality-aware anomaly flags: compare each observation to
+    the trailing mean of its OWN seasonal slot (same weekday / same
+    hour), then score residuals with the robust modified z-score —
+    the dashboard rule that catches "this Monday is wrong" without
+    paging on the fact that Mondays always spike (a season-blind
+    EWMA alarms every weekend; the weekday baseline is the classic
+    seasonal-naive forecast).
+
+    ``season``: 'dow' (day-of-week) or 'hour'. Baseline = MEDIAN of
+    the previous ``baseline_n`` observations in the same (key,
+    slot) — median, not mean, because a mean baseline is poisoned
+    by the very anomaly it just flagged and then re-flags the next
+    ``baseline_n`` healthy periods as "low" (observed in testing;
+    the robust baseline echoes nothing). Spark refuses aggregate
+    ``median`` over a window FRAME, so the median is computed
+    exactly from the frame's collect_list (array_sort + middle
+    element(s)) — ``baseline_n`` is a small constant, so the
+    per-row array is bounded. Rows with no history yet get NULL
+    baseline/flag (no cold-start false alarms).
+
+    Scale shape: ONE exchange keyed on (key, slot) for the trailing
+    frame — per-slot state is ``baseline_n`` rows; residual scoring
+    joins the per-key median/MAD of residuals (qa.outlier_report's
+    construction: two grouped percentile aggs over the slim residual
+    relation). No UDF, no self-join.
+
+    Emits: baseline (double), residual (double), modified_z
+    (double), is_anomaly (boolean)."""
+    if season == "dow":
+        slot = F.dayofweek(F.col(ts_col))
+    elif season == "hour":
+        slot = F.hour(F.col(ts_col))
+    else:
+        raise ValueError("season must be 'dow' or 'hour'")
+    if baseline_n <= 0:
+        raise ValueError("baseline_n must be positive")
+
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols], slot)
+        .orderBy(F.unix_timestamp(F.col(ts_col)).cast("long"))
+        .rowsBetween(-baseline_n, -1)
+    )
+    hist = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(hist)
+    med = F.when(
+        n > 0,
+        (
+            F.element_at(hist, ((n + 1) / 2).cast("int"))
+            + F.element_at(hist, (n / 2 + 1).cast("int"))
+        )
+        / 2.0,
+    )
+    based = df.withColumn("baseline", med).withColumn(
+        "residual", F.col(value_col) - F.col("baseline")
+    )
+    from clinical_data_warehouse_bi_spark.qa import outlier_report
+
+    scored = outlier_report(
+        based.filter(F.col("residual").isNotNull()),
+        "residual",
+        group_cols=key_cols,
+        threshold=threshold,
+    ).withColumnRenamed("is_outlier", "is_anomaly")
+    cold = (
+        based.filter(F.col("residual").isNull())
+        .withColumn("modified_z", F.lit(None).cast("double"))
+        .withColumn("is_anomaly", F.lit(None).cast("boolean"))
+    )
+    return scored.unionByName(cold)

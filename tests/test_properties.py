@@ -2248,3 +2248,53 @@ def test_skew_report_uniform_keys_need_no_salt(spark, sf_dir):
 
     with pytest.raises(ValueError):
         qa.skew_report(ev, [])
+
+
+# ---------------------------------------------- seasonal_anomalies
+
+
+def test_seasonal_anomalies_flags_broken_weekday_only(spark):
+    from datetime import datetime, timedelta
+
+    from clinical_data_warehouse_bi_spark.timeseries import seasonal_anomalies
+
+    # 20 weeks of daily data: Mondays always 100, other days 10 —
+    # a season-blind rule would flag every Monday; the weekday
+    # baseline must flag ONLY the one broken Monday (value 500)
+    base = datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for d in range(140):
+        ts = base + timedelta(days=d)
+        v = 100.0 if ts.weekday() == 0 else 10.0
+        if d == 105:  # a Monday (105 = 15 weeks exactly)
+            v = 500.0
+        rows.append(("k", ts.strftime("%Y-%m-%d %H:%M:%S"), v))
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = seasonal_anomalies(df, ["k"], "ts", "v", baseline_n=4).collect()
+    flagged = [str(r["ts"]) for r in out if r["is_anomaly"]]
+    assert flagged == ["2024-04-15 00:00:00"]  # day 105 only
+    # normal Mondays score near zero residual against their slot
+    normal_mondays = [
+        r for r in out
+        if r["baseline"] is not None and r["v"] == 100.0 and not r["is_anomaly"]
+    ]
+    assert normal_mondays and all(
+        abs(r["residual"]) < 1e-9 for r in normal_mondays
+    )
+
+
+def test_seasonal_anomalies_cold_start_is_null(spark):
+    from clinical_data_warehouse_bi_spark.timeseries import seasonal_anomalies
+
+    rows = [("k", "2024-01-01 00:00:00", 5.0), ("k", "2024-01-02 00:00:00", 6.0)]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = seasonal_anomalies(df, ["k"], "ts", "v").collect()
+    assert all(r["baseline"] is None and r["is_anomaly"] is None for r in out)
+    import pytest
+
+    with pytest.raises(ValueError):
+        seasonal_anomalies(df, ["k"], "ts", "v", season="month")
