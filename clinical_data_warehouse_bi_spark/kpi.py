@@ -237,3 +237,55 @@ def daily_census(
             F.count(F.lit(1)).alias("stay_rows"),
         )
     )
+
+
+def mortality_rate(
+    adm: DataFrame,
+    patients: DataFrame,
+    group_cols: list[str],
+    patient_col: str = "patient_id",
+    admit_col: str = "admittime",
+    disch_col: str = "dischtime",
+    dod_col: str = "dod",
+) -> DataFrame:
+    """In-hospital mortality rate per group — with LOS, readmission
+    and census, the fourth KPI on every clinical BI dashboard: an
+    admission counts as an in-hospital death when the patient's
+    date of death falls inside [admit, discharge] (date grain —
+    dod is a date; both endpoints are truncated to dates so a
+    death on the discharge DAY counts, the standard convention).
+
+    Eligible = admissions with known admit AND discharge (an open
+    or unknown stay has no outcome yet — the readmission_rate
+    eligibility discipline). Sentinel timestamps are NULLed first.
+
+    Scale shape: ONE keyed join (patients is the smaller relation
+    and carries only (patient_id, dod) into it — AQE broadcasts it
+    when it fits) + ONE group exchange for the conditional
+    aggregate. No window needed: death-in-interval is a per-row
+    predicate."""
+    admit = F.to_date(_desentinel(admit_col))
+    disch = F.to_date(_desentinel(disch_col))
+    dod = F.to_date(F.col("__dod"))
+    slim = patients.select(
+        F.col(patient_col).alias("__pid"), F.col(dod_col).alias("__dod")
+    )
+    joined = adm.join(slim, F.col(patient_col) == F.col("__pid"), "left")
+    eligible = (admit.isNotNull() & disch.isNotNull()).cast("int")
+    died = (
+        dod.isNotNull() & admit.isNotNull() & disch.isNotNull()
+        & (dod >= admit) & (dod <= disch)
+    ).cast("int")
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.sum(eligible).alias("n_eligible"),
+            F.sum(died * eligible).alias("n_deaths"),
+        )
+        .withColumn(
+            "mortality_rate",
+            F.when(
+                F.col("n_eligible") > 0, F.col("n_deaths") / F.col("n_eligible")
+            ),
+        )
+    )

@@ -19,8 +19,9 @@ def dims(spark):
     stage = build_staging(make_sources(spark, n_patients=80, seed=77))
     adm = stage["dim_admissions"].cache()
     prov = stage["dim_provider"].cache()
-    adm.count(), prov.count()
-    return {"adm": adm, "prov": prov}
+    pat = stage["dim_patients"].cache()
+    adm.count(), prov.count(), pat.count()
+    return {"adm": adm, "prov": prov, "pat": pat}
 
 
 @pytest.fixture(scope="module")
@@ -369,3 +370,77 @@ def test_daily_census_on_lineitem_matches_duckdb(spark, sf_dir, duck):
     got = [(u, str(d), c, s) for u, d, c, s in got]
     want = [(u, str(d), c, s) for u, d, c, s in want]
     assert got == want and len(got) > 1000
+
+
+# -------------------------------------------------- mortality
+
+
+def test_mortality_rate_exact_semantics(spark):
+    adm_rows = [
+        # death inside the stay
+        (1, 100, "EMERGENCY", "2024-03-01 08:00:00", "2024-03-10 17:00:00"),
+        # death on the discharge DAY (counts: date grain)
+        (2, 101, "EMERGENCY", "2024-03-01 08:00:00", "2024-03-05 09:00:00"),
+        # death after discharge (does not count)
+        (3, 102, "ELECTIVE", "2024-03-01 08:00:00", "2024-03-02 10:00:00"),
+        # survivor
+        (4, 103, "ELECTIVE", "2024-03-01 08:00:00", "2024-03-03 10:00:00"),
+        # open stay (sentinel discharge): not eligible
+        (5, 104, "URGENT", "2024-03-01 08:00:00", kpi.SENTINEL_HIGH),
+    ]
+    adm = spark.createDataFrame(
+        adm_rows,
+        "patient_id int, admission_id int, admission_type string, "
+        "admittime string, dischtime string",
+    ).withColumn("admittime", F.to_timestamp("admittime")).withColumn(
+        "dischtime", F.to_timestamp("dischtime")
+    )
+    pats = spark.createDataFrame(
+        [(1, "2024-03-05"), (2, "2024-03-05"), (3, "2024-04-01"),
+         (4, None), (5, "2024-03-02")],
+        "patient_id int, dod string",
+    )
+    out = {
+        r["admission_type"]: (r["n_eligible"], r["n_deaths"],
+                              r["mortality_rate"])
+        for r in kpi.mortality_rate(adm, pats, ["admission_type"]).collect()
+    }
+    assert out["EMERGENCY"] == (2, 2, 1.0)
+    assert out["ELECTIVE"] == (2, 0, 0.0)
+    assert out["URGENT"] == (0, 0, None)  # open stay: no outcome yet
+
+
+def test_mortality_rate_matches_duckdb_on_dims(spark, dims, duck_dims):
+    stage_pat = dims["pat"]
+    duck_dims.register(
+        "pat_raw",
+        stage_pat.select(
+            "patient_id", F.col("dod").cast("string").alias("dod_s")
+        ).toPandas(),
+    )
+    got = sorted(
+        (r["admission_type"], r["n_eligible"], r["n_deaths"])
+        for r in kpi.mortality_rate(
+            dims["adm"], stage_pat, ["admission_type"]
+        ).collect()
+    )
+    want = sorted(duck_dims.execute("""
+        WITH a AS (
+          SELECT admission_type,
+                 CASE WHEN admittime IN (TIMESTAMP '1900-01-01 00:00:00',
+                                         TIMESTAMP '2999-12-31 23:59:59')
+                      THEN NULL ELSE CAST(admittime AS DATE) END AS ad,
+                 CASE WHEN dischtime IN (TIMESTAMP '1900-01-01 00:00:00',
+                                         TIMESTAMP '2999-12-31 23:59:59')
+                      THEN NULL ELSE CAST(dischtime AS DATE) END AS dd,
+                 CAST(p.dod_s AS DATE) AS dod
+          FROM adm LEFT JOIN pat_raw p USING (patient_id))
+        SELECT admission_type,
+               count(*) FILTER (WHERE ad IS NOT NULL AND dd IS NOT NULL)
+                 AS n_eligible,
+               count(*) FILTER (WHERE ad IS NOT NULL AND dd IS NOT NULL
+                                AND dod IS NOT NULL
+                                AND dod >= ad AND dod <= dd) AS n_deaths
+        FROM a GROUP BY 1
+    """).fetchall())
+    assert got == want and len(got) == 3
