@@ -176,3 +176,43 @@ def test_training_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert set(got) == set(inline)
     for d, s in inline.items():
         assert abs(got[d] - s) < 1e-3
+
+
+def test_release_packaging_pipeline(spark, sf_dir, tmp_path):
+    """Composition: the round-9 continuation's release stages end to
+    end — temperature-weighted source mixing -> RAG chunking ->
+    sharded sink -> manifest -> consumer-side verification."""
+    from clinical_data_warehouse_bi_spark.io import (
+        temperature_mix,
+        verify_dataset_manifest,
+        write_dataset_manifest,
+    )
+    from clinical_data_warehouse_bi_spark.text import chunk_text
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = docs.filter(F.col("doc_id") % 5 != 0)
+    small = docs.filter(F.col("doc_id") % 5 == 0)
+    budget = docs.count() * 0.4
+
+    mixed = temperature_mix([big, small], "doc_id", alpha=0.5, budget=budget)
+    n_mixed = mixed.count()
+    assert 0 < n_mixed < docs.count()
+
+    chunks = chunk_text(mixed, chunk_tokens=96, overlap_tokens=16)
+    assert chunks.count() >= n_mixed  # every doc yields >= 1 chunk
+
+    out = str(tmp_path / "release")
+    chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_text"),
+    ).repartition(3).write.parquet(out)
+
+    man = write_dataset_manifest(
+        spark, out, extra={"alpha": 0.5, "chunk_tokens": 96}
+    )
+    assert man["total_rows"] == chunks.count()
+    assert verify_dataset_manifest(spark, out)["ok"]
+    # the release is consumable: schema + rows readable as written
+    back = spark.read.parquet(out)
+    assert back.count() == man["total_rows"]
+    assert set(back.columns) == {"chunk_id", "chunk_text"}
