@@ -1869,3 +1869,98 @@ def compact_census(spark: SparkSession, synopsis_path: str) -> dict:
             glob.glob(os.path.join(synopsis_path, "batch_id=*"))
         ),
     }
+
+
+def streaming_attribution(
+    stream: DataFrame,
+    conversion_types: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    model: str = "last_touch",
+) -> DataFrame:
+    """Streaming first/last-touch attribution — the stateful face of
+    timeseries.attribution: per user, maintain the journey's opening
+    touch and most recent touch across micro-batches
+    (applyInPandasWithState, state = two (ts, channel) pairs — O(1)
+    per user regardless of journey length); every conversion event
+    emits one credited row as it arrives, instead of a nightly batch
+    join over the full touch history.
+
+    Ordering contract: events are processed in timestamp order
+    WITHIN each batch and batches are assumed to arrive in
+    event-time order per user — the streaming_funnel contract; a
+    disordered source feeds through a watermarked sort or uses the
+    batch operator.
+
+    Unified API: a batch frame degrades to timeseries.attribution
+    (same semantics, window form). Same-timestamp touch-then-convert
+    resolves touch first, both forms."""
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError("model must be last_touch or first_touch")
+    if not stream.isStreaming:
+        from clinical_data_warehouse_bi_spark.timeseries import attribution
+
+        return attribution(
+            stream, user_col, ts_col, type_col,
+            F.col(type_col).isin(list(conversion_types)), model=model,
+        )
+
+    out_schema = StructType(
+        [
+            StructField("user", LongType()),
+            StructField("conversion_ts", TimestampType()),
+            StructField("credited_channel", StringType()),
+            StructField("touch_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_us", LongType()),
+            StructField("first_ch", StringType()),
+            StructField("last_us", LongType()),
+            StructField("last_ch", StringType()),
+        ]
+    )
+    conv = set(conversion_types)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            f_us, f_ch, l_us, l_ch = state.get
+        else:
+            f_us, f_ch, l_us, l_ch = None, None, None, None
+        ev = []
+        for pdf in pdfs:
+            us = pdf[ts_col].astype("int64") // 1000
+            ev.extend(zip(us.tolist(), pdf[type_col].tolist()))
+        # touch (0) sorts before conversion (1) at equal timestamps
+        ev.sort(key=lambda x: (x[0], 1 if x[1] in conv else 0))
+        out = {"user": [], "conversion_ts": [], "credited_channel": [],
+               "touch_ts": []}
+        for ts_us, et in ev:
+            if et in conv:
+                pick_us, pick_ch = (
+                    (f_us, f_ch) if model == "first_touch" else (l_us, l_ch)
+                )
+                out["user"].append(key[0])
+                out["conversion_ts"].append(pd.Timestamp(ts_us, unit="us"))
+                out["credited_channel"].append(pick_ch)
+                out["touch_ts"].append(
+                    pd.Timestamp(pick_us, unit="us")
+                    if pick_us is not None
+                    else pd.NaT
+                )
+            else:
+                if f_us is None:
+                    f_us, f_ch = ts_us, et
+                l_us, l_ch = ts_us, et
+        state.update((f_us, f_ch, l_us, l_ch))
+        yield pd.DataFrame(out)
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1380,3 +1380,67 @@ def test_sliding_windowed_counts_matches_batch(spark, stream_dir, batch_events):
     assert got == dict(want)
     # every event appears in exactly window/slide = 2 windows
     assert sum(got.values()) == 2 * batch_events.count()
+
+
+def test_streaming_attribution_matches_batch_dual(spark, tmp_path):
+    """Stream==batch duality for last- and first-touch attribution:
+    two drains over a file source equal timeseries.attribution on
+    the union (the streaming_funnel ordering contract)."""
+    schema = "user_id long, event_type string, ts timestamp"
+    from datetime import datetime as dt
+
+    d = lambda i: dt(2024, 3, 1, i)  # noqa: E731
+    batch1 = [
+        (1, "ad", d(1)), (1, "email", d(2)), (1, "purchase", d(3)),
+        (2, "purchase", d(1)),                    # conversion, no touch
+        (3, "ad", d(2)),
+    ]
+    batch2 = [
+        (1, "social", d(4)), (1, "purchase", d(5)),  # cross-batch journey
+        (3, "purchase", d(6)),                       # touch arrived batch 1
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    for model in ("last_touch", "first_touch"):
+        stream = spark.readStream.schema(schema).parquet(src + "")
+        out = streaming.streaming_attribution(
+            stream, ["purchase"], model=model
+        )
+        q = streaming.run_to_memory(out, f"attr_{model}", output_mode="append")
+        try:
+            q.processAllAvailable()
+            if model == "last_touch":  # write batch2 once, first loop
+                spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r["user"], str(r["conversion_ts"]), r["credited_channel"],
+             str(r["touch_ts"]))
+            for r in spark.sql(f"SELECT * FROM attr_{model}").collect()
+        )
+        want_df = streaming.streaming_attribution(  # batch degradation
+            spark.createDataFrame(batch1 + batch2, schema),
+            ["purchase"], model=model,
+        )
+        want = sorted(
+            (r["user"], str(r["conversion_ts"]), r["credited_channel"],
+             str(r["touch_ts"]))
+            for r in want_df.collect()
+        )
+        assert got == want, (model, got, want)
+        # spot semantics: user 1's second conversion credits
+        # last=social / first=ad; user 2 has no touch
+        by_user = {}
+        for u, cts, ch, tts in got:
+            by_user.setdefault(u, []).append(ch)
+        assert by_user[2] == [None]
+        if model == "last_touch":
+            assert by_user[1] == ["email", "social"]
+        else:
+            assert by_user[1] == ["ad", "ad"]
