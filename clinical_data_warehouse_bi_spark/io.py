@@ -781,13 +781,34 @@ def temperature_mix(
     alpha: float,
     budget: float,
     seed: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Temperature-weighted mixture of corpora: counts each source
-    (O(sources) actions — metadata-cheap next to the training read
-    itself), derives water-filled keep-rates via
+    """Temperature-weighted mixture of corpora: sizes each source
+    (O(sources) scalar aggregations — metadata-cheap next to the
+    training read itself), derives water-filled keep-rates via
     temperature_mix_rates, and samples with mix_sources'
-    deterministic hash threshold (replay-stable, engine-portable)."""
-    sizes = [float(df.count()) for df in sources]
+    deterministic hash threshold (replay-stable, engine-portable).
+
+    ``weight_col``: measure sources and the budget in the SUM of a
+    column (e.g. a token count) instead of rows — the unit LLM
+    mixture specs are actually written in. Sampling stays row-level
+    by document hash, so the kept TOKEN mass matches the budget in
+    expectation (exactly proportional when doc lengths are
+    independent of the hash, which a content-independent id hash
+    guarantees); the alternative — packing documents to an exact
+    token budget — is a sequential knapsack, not a per-row filter,
+    and belongs to pack_sequences downstream."""
+    if weight_col is None:
+        sizes = [float(df.count()) for df in sources]
+    else:
+        sizes = [
+            float(
+                df.agg(
+                    F.coalesce(F.sum(weight_col), F.lit(0)).alias("s")
+                ).first()["s"]
+            )
+            for df in sources
+        ]
     rates = temperature_mix_rates(sizes, alpha, budget)
     return mix_sources(list(zip(sources, rates)), id_col, seed=seed)
 

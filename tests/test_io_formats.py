@@ -456,3 +456,26 @@ def test_dataset_manifest_roundtrip_and_tamper(spark, sf_dir, tmp_path):
     v = verify_dataset_manifest(spark, path)
     assert not v["ok"]
     assert any(m["problem"] == "missing" for m in v["mismatches"])
+
+
+def test_temperature_mix_token_budget(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark.io import read_table, temperature_mix
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", "\\s+"))
+    )
+    big = docs.filter(F.col("doc_id") % 10 != 0)
+    small = docs.filter(F.col("doc_id") % 10 == 0)
+    tok_total = docs.agg(F.sum("n_tok")).first()[0]
+    budget = tok_total * 0.3
+    mixed = temperature_mix(
+        [big, small], "doc_id", alpha=1.0, budget=budget, weight_col="n_tok"
+    )
+    kept_tok = mixed.agg(F.sum("n_tok")).first()[0]
+    # alpha=1, token-measured: kept token mass ~ budget. The draw is
+    # a FIXED function of the id hash; at 500 docs (mean 56 tokens,
+    # sd 26) one relative sigma is ~7.5%, so bound at ~3-4 sigma —
+    # the estimator concentrates as 1/sqrt(docs) at corpus scale.
+    assert abs(kept_tok - budget) / budget < 0.25
+    assert mixed.filter("__source = 0").count() > 0
+    assert mixed.filter("__source = 1").count() > 0
