@@ -1964,3 +1964,104 @@ def streaming_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_seasonal_residuals(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season: str = "dow",
+    baseline_n: int = 4,
+) -> DataFrame:
+    """Streaming twin of timeseries.seasonal_anomalies' baseline
+    stage: per (key, seasonal slot), maintain the last ``baseline_n``
+    observations (applyInPandasWithState — O(baseline_n) doubles per
+    slot) and emit each arriving value with its trailing same-slot
+    MEDIAN baseline and residual, exactly as the batch window
+    computes them (two-drain duality pinned by test).
+
+    Flagging stays with the caller (a fixed residual threshold
+    streaming-side, or the batch operator's MAD score in the nightly
+    sweep): the modified z-score needs the key's FULL residual
+    distribution, which is a batch property by definition.
+
+    Ordering contract: the streaming_funnel rule — in-order per key
+    across batches, sorted within each batch."""
+    if season == "dow":
+        slot_expr = F.dayofweek(F.col(ts_col))
+    elif season == "hour":
+        slot_expr = F.hour(F.col(ts_col))
+    else:
+        raise ValueError("season must be 'dow' or 'hour'")
+    if baseline_n <= 0:
+        raise ValueError("baseline_n must be positive")
+    if not stream.isStreaming:
+        from clinical_data_warehouse_bi_spark.timeseries import (
+            seasonal_anomalies,
+        )
+
+        return seasonal_anomalies(
+            stream, [key_col], ts_col, value_col,
+            season=season, baseline_n=baseline_n,
+        ).select(key_col, ts_col, value_col, "baseline", "residual")
+
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("baseline", DoubleType()),
+            StructField("residual", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("vals", ArrayType(DoubleType()))])
+    n_keep = int(baseline_n)
+
+    def _median(vals):
+        if not vals:
+            return None
+        s = sorted(vals)
+        n = len(s)
+        return (s[(n - 1) // 2] + s[n // 2]) / 2.0
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        vals = list(state.get[0] or []) if state.exists else []
+        rows = {key_col: [], ts_col: [], value_col: [],
+                "baseline": [], "residual": []}
+        ev = []
+        for pdf in pdfs:
+            ev.extend(zip(pdf[ts_col].tolist(), pdf[value_col].tolist()))
+        ev.sort(key=lambda x: x[0])
+        orig_key = key[0].split("\x01")[0]  # strip the slot suffix
+        for ts, v in ev:
+            base = _median(vals)
+            rows[key_col].append(orig_key)
+            rows[ts_col].append(ts)
+            rows[value_col].append(float(v))
+            rows["baseline"].append(base)
+            rows["residual"].append(None if base is None else float(v) - base)
+            vals.append(float(v))
+            if len(vals) > n_keep:
+                vals = vals[-n_keep:]
+        state.update((vals,))
+        yield pd.DataFrame(rows)
+
+    slotted = stream.withColumn("__slot", slot_expr)
+    return (
+        slotted.withColumn(
+            "__skey",
+            F.concat_ws("\x01", F.col(key_col).cast("string"),
+                        F.col("__slot").cast("string")),
+        )
+        .groupBy("__skey")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

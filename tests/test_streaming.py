@@ -1444,3 +1444,51 @@ def test_streaming_attribution_matches_batch_dual(spark, tmp_path):
             assert by_user[1] == ["email", "social"]
         else:
             assert by_user[1] == ["ad", "ad"]
+
+
+def test_streaming_seasonal_residuals_match_batch(spark, tmp_path):
+    """Two-drain duality: streaming same-slot median baselines equal
+    timeseries.seasonal_anomalies' window on the union."""
+    from datetime import datetime as dt
+    from datetime import timedelta
+
+    schema = "k string, ts timestamp, v double"
+    base = dt(2024, 1, 1)
+    rows = []
+    for d in range(42):
+        ts = base + timedelta(days=d)
+        v = 100.0 if ts.weekday() == 0 else 10.0 + (d % 3)
+        rows.append(("k", ts, v))
+    cut = 28
+    src = str(tmp_path / "sevents")
+    spark.createDataFrame(rows[:cut], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming.streaming_seasonal_residuals(stream, "k", "ts", "v")
+    q = streaming.run_to_memory(out, "seasonal_stream", output_mode="append")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[cut:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        str(r["ts"]): (r["baseline"], r["residual"])
+        for r in spark.sql("SELECT * FROM seasonal_stream").collect()
+    }
+    batch = streaming.streaming_seasonal_residuals(  # batch degradation
+        spark.createDataFrame(rows, schema), "k", "ts", "v"
+    )
+    want = {
+        str(r["ts"]): (r["baseline"], r["residual"]) for r in batch.collect()
+    }
+    assert got == want and len(got) == 42
+    # a warm Monday's baseline is the median of prior Mondays = 100
+    warm_mondays = [
+        v for ts, v in got.items()
+        if v[0] is not None and got[ts][1] == 0.0 and v[0] == 100.0
+    ]
+    assert warm_mondays
