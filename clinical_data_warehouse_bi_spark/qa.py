@@ -931,3 +931,48 @@ def skew_report(
         else 1,
         "top_keys": top,
     }
+
+
+def freshness_report(
+    df: DataFrame,
+    ts_col: str,
+    as_of,
+    source_col: str | None = None,
+    recent_hours: int = 24,
+) -> DataFrame:
+    """Data-freshness audit for an event-time table: per source (or
+    one row overall), the newest and oldest event, the lag from
+    ``as_of`` to the newest event in hours, and the row count inside
+    the trailing ``recent_hours`` window — the first thing an
+    on-call checks when a dashboard flatlines (is the pipeline
+    stale, or is the world quiet?).
+
+    ``as_of`` is an EXPLICIT timestamp (string or datetime), never
+    now(): deterministic reports, replayable tests, and no
+    wall-clock skew between driver and data (the repo's
+    reproducibility rule).
+
+    ONE fused aggregation — min/max/conditional-count share the
+    single scan; no window, no second pass."""
+    if recent_hours <= 0:
+        raise ValueError("recent_hours must be positive")
+    ref = F.lit(as_of).cast("timestamp")
+    keys = [F.col(source_col)] if source_col else []
+    lag_h = (
+        (F.unix_timestamp(ref) - F.unix_timestamp(F.max(F.col(ts_col))))
+        / 3600.0
+    )
+    recent = F.sum(
+        (
+            F.col(ts_col)
+            >= ref - F.make_dt_interval(hours=F.lit(int(recent_hours)))
+        ).cast("long")
+    )
+    out = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts_col).alias("oldest"),
+        F.max(ts_col).alias("newest"),
+        lag_h.alias("lag_hours"),
+        recent.alias(f"rows_last_{recent_hours}h"),
+    )
+    return out

@@ -2298,3 +2298,97 @@ def test_seasonal_anomalies_cold_start_is_null(spark):
 
     with pytest.raises(ValueError):
         seasonal_anomalies(df, ["k"], "ts", "v", season="month")
+
+
+# ----------------------------------------------- freshness_report
+
+
+def test_freshness_report_matches_duckdb(spark, sf_dir, duck):
+    from clinical_data_warehouse_bi_spark import qa
+
+    ev = read_table(spark, sf_dir, "events")
+    as_of = "2025-01-01 00:00:00"
+    got = sorted(
+        (r["event_type"], r["n_rows"], str(r["oldest"]), str(r["newest"]),
+         round(r["lag_hours"], 6), r["rows_last_24h"])
+        for r in qa.freshness_report(
+            ev, "ts", as_of, source_col="event_type"
+        ).collect()
+    )
+    want = sorted(
+        (t, n, str(o), str(nw), round(lg, 6), rc)
+        for t, n, o, nw, lg, rc in duck.execute(f"""
+            SELECT event_type, count(*) AS n_rows,
+                   min(ts) AS oldest, max(ts) AS newest,
+                   date_diff('second', max(ts),
+                             TIMESTAMP '{as_of}') / 3600.0 AS lag_hours,
+                   count(*) FILTER (
+                     WHERE ts >= TIMESTAMP '{as_of}' - INTERVAL 24 HOURS
+                   ) AS recent
+            FROM events GROUP BY 1
+        """).fetchall()
+    )
+    assert got == want and len(got) == 5
+
+
+def test_freshness_report_single_aggregation(spark, sf_dir):
+    from clinical_data_warehouse_bi_spark import qa
+
+    ev = read_table(spark, sf_dir, "events")
+    out = qa.freshness_report(ev, "ts", "2025-01-01 00:00:00",
+                              source_col="event_type")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        qa.freshness_report(ev, "ts", "2025-01-01", recent_hours=0)
+
+
+# --------------------------------------- chunk_text property sweep
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_chunk_texts = st.lists(
+    st.text(alphabet="ab c\n\t", min_size=0, max_size=120),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(_chunk_texts, st.integers(2, 12), st.integers(0, 6))
+def test_chunk_text_properties(spark, texts, chunk, overlap):
+    from clinical_data_warehouse_bi_spark.text import chunk_text
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_text(df, chunk, overlap).collect()
+    stride = chunk - overlap
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        got = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert got == []
+            continue
+        # coverage: concatenating non-overlap prefixes rebuilds the doc
+        rebuilt = []
+        for j, r in enumerate(got):
+            ch = r["chunk_text"].split()
+            rebuilt.extend(ch if j == 0 else ch[overlap:])
+            assert r["token_start"] == r["chunk_idx"] * stride
+            assert r["token_end"] - r["token_start"] == len(ch)
+        assert rebuilt == toks, (t, chunk, overlap)
