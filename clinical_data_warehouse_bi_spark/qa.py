@@ -827,43 +827,61 @@ def outlier_report(
     NULL z and are flagged only if x != median — the documented
     degenerate case, not an error.
 
-    Scale shape: two grouped exact-percentile aggregations (median,
-    then MAD) and two keyed joins back, all on the group columns —
-    per-group state is that group's values on one executor (the
-    grouped_percentiles trade; for ONE giant continuous group use
-    percentiles.exact_percentiles_distributed to get the median with
-    bounded state instead). No UDF anywhere."""
+    Scale shape (grouped): the median and MAD ride ONE window
+    exchange partitioned by the group columns — the second window
+    reuses the first's partitioning, there is no join back, and
+    NULL-valued group keys form their own group exactly as groupBy
+    would (an equality join back would silently drop them).
+    Per-group state is that group's values on one executor (the
+    grouped_percentiles trade). Keyless: the two scalars come from
+    global aggregates broadcast-joined back, so the full rows never
+    move (a global window would drag every column to one partition;
+    for bounded-state exact global percentiles see
+    percentiles.exact_percentiles_distributed). No UDF anywhere."""
     keys = list(group_cols or [])
-    gkey = [F.col(k) for k in keys] if keys else [F.lit(1).alias("__g")]
-    join_on = keys if keys else ["__g"]
-    base = df if keys else df.withColumn("__g", F.lit(1))
-
-    med = base.groupBy(*gkey).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
-    )
-    with_med = base.join(med, join_on)
-    mad = (
-        with_med.withColumn(
-            "__absdev", F.abs(F.col(value_col) - F.col("__med"))
-        )
-        .groupBy(*[F.col(k) for k in join_on])
-        .agg(F.expr("percentile(__absdev, 0.5)").alias("__mad"))
-    )
     z = F.when(
         F.col("__mad") > 0,
         F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
     )
-    flagged = (
-        with_med.join(mad, join_on)
-        .withColumn("modified_z", z)
-        .withColumn(
-            "is_outlier",
-            F.when(F.col("__mad") > 0, F.abs(F.col("modified_z")) > threshold)
-            .otherwise(F.col(value_col) != F.col("__med")),
+    flag = F.when(
+        F.col("__mad") > 0, F.abs(F.col("modified_z")) > threshold
+    ).otherwise(F.col(value_col) != F.col("__med"))
+
+    if not keys:
+        base = df.withColumn("__g", F.lit(1))
+        med = base.groupBy("__g").agg(
+            F.expr(f"percentile({value_col}, 0.5)").alias("__med")
         )
+        with_med = base.join(F.broadcast(med), "__g")
+        mad = (
+            with_med.withColumn(
+                "__absdev", F.abs(F.col(value_col) - F.col("__med"))
+            )
+            .groupBy("__g")
+            .agg(F.expr("percentile(__absdev, 0.5)").alias("__mad"))
+        )
+        return (
+            with_med.join(F.broadcast(mad), "__g")
+            .withColumn("modified_z", z)
+            .withColumn("is_outlier", flag)
+            .drop("__med", "__mad", "__g")
+        )
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn(
+            "__med", F.expr(f"percentile({value_col}, 0.5)").over(w)
+        )
+        .withColumn(
+            "__mad",
+            F.expr(
+                f"percentile(abs({value_col} - __med), 0.5)"
+            ).over(w),
+        )
+        .withColumn("modified_z", z)
+        .withColumn("is_outlier", flag)
         .drop("__med", "__mad")
     )
-    return flagged.drop("__g") if not keys else flagged
 
 
 def skew_report(

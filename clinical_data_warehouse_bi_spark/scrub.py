@@ -597,12 +597,27 @@ def suppress_to_k(
     keyed join back — the class side is the small side and AQE
     broadcasts it when it fits; no window over the full table (a
     count-over-partition window would sort-shuffle every row's full
-    width instead of joining slim class keys)."""
+    width instead of joining slim class keys). The join back is
+    NULL-SAFE (<=>): k_anonymity_classes counts the all-NULL (and
+    partly-NULL) quasi combinations as classes, so enforcement must
+    apply the same >= k rule to them — a plain equality join would
+    silently suppress every NULL-valued class regardless of size,
+    making rows_suppressed disagree with classes_suppressed."""
     if k < 2:
         raise ValueError("k must be at least 2 to mean anything")
+    from functools import reduce as _reduce
+
     classes = k_anonymity_classes(df, quasi_cols)
-    keep = classes.filter(F.col("class_size") >= int(k)).select(*quasi_cols)
-    released = df.join(keep, quasi_cols, "inner")
+    keep = classes.filter(F.col("class_size") >= int(k)).select(
+        *[F.col(c).alias(f"__keep_{c}") for c in quasi_cols]
+    )
+    cond = _reduce(
+        lambda a, b: a & b,
+        [df[c].eqNullSafe(keep[f"__keep_{c}"]) for c in quasi_cols],
+    )
+    released = df.join(keep, cond, "inner").drop(
+        *[f"__keep_{c}" for c in quasi_cols]
+    )
     n_in = df.count()
     n_out = released.count()
     n_classes_dropped = classes.filter(F.col("class_size") < int(k)).count()

@@ -241,8 +241,12 @@ def attribution(
     the BI report behind every acquisition dashboard.
 
     ``conversion_pred`` is a Column predicate marking conversion
-    rows; every other row is a touch. ``lookback_days`` limits how
-    far back a credited touch may be (None = unbounded journey).
+    rows; every other row is a touch. ``lookback_days`` is a window
+    filter: only touches within that many days BEFORE the conversion
+    are eligible, so ``first_touch`` credits the EARLIEST touch
+    inside the window (not the journey opener, which may be stale)
+    and ``last_touch`` the nearest one inside it (None = unbounded
+    journey).
 
     Returns one row per conversion: (user, conversion ts, credited
     channel, touch ts) — NULL channel when no touch qualifies.
@@ -250,18 +254,31 @@ def attribution(
     Scale shape: ONE user-keyed exchange; both models are a single
     window pass over each user's timeline (running last-touch via
     last_value(ignorenulls) over touches-so-far; first-touch via
-    first_value), never a per-conversion self-join against the touch
-    history (that join is O(conversions x touches) on power users —
-    the skew trap)."""
+    first_value; the lookback swaps the rows frame for a RANGE frame
+    over epoch seconds — same single pass), never a per-conversion
+    self-join against the touch history (that join is
+    O(conversions x touches) on power users — the skew trap)."""
     if model not in ("last_touch", "first_touch"):
         raise ValueError("model must be last_touch or first_touch")
     base = events.withColumn("__conv", conversion_pred)
-    order = [F.unix_timestamp(F.col(ts_col)).cast("long"), F.col("__conv").cast("int")]
-    w = (
-        Window.partitionBy(user_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    if lookback_days is None:
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(epoch, F.col("__conv").cast("int"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        # RANGE frame: eligible touches are those within the horizon
+        # before each row's own timestamp. The frame includes same-ts
+        # rows (conversions carry NULL touch columns, so only genuine
+        # same-second touches — already eligible under the rows frame
+        # — contribute).
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(epoch)
+            .rangeBetween(-int(lookback_days) * 86400, 0)
+        )
     touch_ch = F.when(~F.col("__conv"), F.col(channel_col))
     touch_ts = F.when(~F.col("__conv"), F.col(ts_col))
     if model == "last_touch":
@@ -270,7 +287,7 @@ def attribution(
     else:
         ch = F.first(touch_ch, ignorenulls=True).over(w)
         tts = F.first(touch_ts, ignorenulls=True).over(w)
-    out = (
+    return (
         base.withColumn("credited_channel", ch)
         .withColumn("touch_ts", tts)
         .filter(F.col("__conv"))
@@ -281,20 +298,6 @@ def attribution(
             "touch_ts",
         )
     )
-    if lookback_days is not None:
-        horizon = int(lookback_days) * 86400
-        out = out.withColumn(
-            "credited_channel",
-            F.when(
-                F.unix_timestamp("conversion_ts") - F.unix_timestamp("touch_ts")
-                <= horizon,
-                F.col("credited_channel"),
-            ),
-        ).withColumn(
-            "touch_ts",
-            F.when(F.col("credited_channel").isNotNull(), F.col("touch_ts")),
-        )
-    return out
 
 
 def seasonal_anomalies(

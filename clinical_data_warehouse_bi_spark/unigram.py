@@ -171,6 +171,17 @@ def train_unigram(
             single = {p: lp for p, lp in logp.items() if len(p) == 1}
             if len(logp) <= vocab_size:
                 break
+            if not multi:
+                # Every surviving piece is a protected single char:
+                # pruning can make no further progress, so a
+                # vocab_size below the corpus alphabet would loop
+                # forever. Surface the impossibility instead.
+                raise ValueError(
+                    f"vocab_size={vocab_size} is smaller than the "
+                    f"corpus alphabet ({len(single)} single-char "
+                    "pieces, which are never pruned); raise "
+                    "vocab_size above the alphabet size"
+                )
             n_drop = max(
                 1, min(len(multi), int(len(multi) * prune_frac),
                        len(logp) - vocab_size)

@@ -2092,12 +2092,13 @@ def _attribution_python(rows, model, lookback_days=None):
             if not conv:
                 touches.append((t, ch))
                 continue
+            eligible = touches
+            if lookback_days is not None:
+                horizon = lookback_days * 86400
+                eligible = [p for p in touches if t - p[0] <= horizon]
             pick = None
-            if touches:
-                pick = touches[-1] if model == "last_touch" else touches[0]
-            if pick is not None and lookback_days is not None and \
-                    t - pick[0] > lookback_days * 86400:
-                pick = None
+            if eligible:
+                pick = eligible[-1] if model == "last_touch" else eligible[0]
             out.append((u, t, pick[1] if pick else None,
                         pick[0] if pick else None))
     return sorted(out)
@@ -2148,6 +2149,28 @@ def test_attribution_lookback_voids_stale_credit(spark):
         ).collect()
     }
     assert out == {1: None, 2: "ad"}
+
+
+def test_attribution_first_touch_lookback_is_window_filter(spark):
+    """lookback + first_touch credits the EARLIEST touch inside the
+    window, not the (stale) journey opener — the window-filter
+    semantics the docstring pins."""
+    from clinical_data_warehouse_bi_spark.timeseries import attribution
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "tv", False),    # opener, stale
+        (1, "2024-02-20 00:00:00", "ad", False),    # in window
+        (1, "2024-02-25 00:00:00", "email", False), # in window, later
+        (1, "2024-03-01 00:00:00", "buy", True),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string, conv boolean"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = attribution(
+        df, "user_id", "ts", "event_type", F.col("conv"),
+        model="first_touch", lookback_days=30,
+    ).collect()
+    assert len(out) == 1 and out[0]["credited_channel"] == "ad"
 
 
 def test_attribution_single_exchange(spark, sf_dir):
@@ -2208,6 +2231,26 @@ def test_outlier_report_grouped_and_degenerate(spark):
          for r in out.filter("g = 'b'").collect()}
     assert b[7.0] == (None, False)     # MAD 0: at the median
     assert b[99.0] == (None, True)     # MAD 0: differs from median
+
+
+def test_outlier_report_null_group_key_kept(spark):
+    """Rows with a NULL group-key value form their own group (as
+    groupBy would) instead of being silently dropped by an equality
+    join back — no row loss, and the NULL group gets its own
+    median/MAD."""
+    from clinical_data_warehouse_bi_spark import qa
+
+    rows = (
+        [(None, float(v)) for v in range(50)] + [(None, 9999.0)]
+        + [("a", 5.0), ("a", 6.0), ("a", 7.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = qa.outlier_report(df, "v", group_cols=["g"])
+    assert out.count() == len(rows)  # every input row survives
+    nulls = {r["v"]: r["is_outlier"]
+             for r in out.filter(F.col("g").isNull()).collect()}
+    assert len(nulls) == 51
+    assert nulls[9999.0] is True and nulls[25.0] is False
 
 
 # --------------------------------------------------- skew_report

@@ -576,6 +576,32 @@ def test_suppress_to_k_exact_rows(spark):
         scrub.suppress_to_k(df, ["g"], k=1)
 
 
+def test_suppress_to_k_null_class_follows_same_rule(spark):
+    """NULL quasi-identifier values form an equivalence class like
+    any other: a NULL class of size >= k is RELEASED (null-safe join
+    back), one below k is suppressed — and rows_suppressed stays
+    consistent with classes_suppressed either way."""
+    rows = [
+        (None, 1), (None, 2), (None, 3),   # NULL class, size 3
+        ("a", 4), ("a", 5),                # size 2
+        ("b", 6),                          # size 1: suppressed
+    ]
+    df = spark.createDataFrame(rows, "g string, x int")
+    released, report = scrub.suppress_to_k(df, ["g"], k=2)
+    got = sorted(
+        ((r["g"], r["x"]) for r in released.collect()),
+        key=lambda t: t[1],
+    )
+    assert got == [(None, 1), (None, 2), (None, 3), ("a", 4), ("a", 5)]
+    rep = report.collect()[0]
+    assert (rep["rows_suppressed"], rep["classes_suppressed"]) == (1, 1)
+    # and with k above the NULL class size, it is suppressed AND counted
+    released3, report3 = scrub.suppress_to_k(df, ["g"], k=4)
+    rep3 = report3.collect()[0]
+    assert released3.count() == 0
+    assert (rep3["rows_suppressed"], rep3["classes_suppressed"]) == (6, 3)
+
+
 def test_decontaminate_release_loop(spark, sf_dir):
     from clinical_data_warehouse_bi_spark.io import read_table
 

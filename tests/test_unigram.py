@@ -131,6 +131,19 @@ def test_rejects_tiny_vocab(spark):
         unigram.train_unigram(docs, vocab_size=1)
 
 
+def test_vocab_below_alphabet_raises_instead_of_hanging(spark):
+    """Protected single chars can never be pruned, so a vocab_size
+    below the corpus alphabet used to spin the prune loop forever;
+    it must surface a ValueError once only singles remain."""
+    # 26 + 10 = 36 distinct single-char words > vocab_size=32, and
+    # no multi-char piece exists to prune at all
+    alphabet = " ".join("abcdefghijklmnopqrstuvwxyz0123456789")
+    rows = [(1, alphabet)] * 5
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="alphabet"):
+        unigram.train_unigram(docs, vocab_size=32, min_count=1)
+
+
 def test_nbest_contains_viterbi_and_is_sorted():
     logp = {"a": -2.0, "b": -2.0, "ab": -1.0, "ba": -1.5, "aba": -1.2}
     for w in ("ababa", "aabb", "ba", "abab"):
