@@ -88,6 +88,20 @@ def load_tables(
     return {name: read_table(spark, sf_dir, name) for name in names}
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Exact row count from the parquet FOOTER — a driver-side
+    metadata read, no Spark job (the count every engine's
+    count(*)-over-parquet shortcut uses). None when the footer is
+    unreadable — callers fall back to whatever job they were
+    avoiding."""
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:  # noqa: BLE001 — unreadable/absent file
+        return None
+
+
 def parquet_numeric_bounds(
     path: str, columns: list[str]
 ) -> dict[str, tuple[float, float]] | None:

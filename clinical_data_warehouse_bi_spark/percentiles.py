@@ -123,6 +123,8 @@ def exact_percentiles_distributed(
     refine_cap: int = REFINE_CAP,
     bounds: dict[str, tuple[float, float]] | None = None,
     checkpointer: Callable[[DataFrame], DataFrame] | None = None,
+    n_rows: int | None = None,
+    native_rows_max: int = 4_000_000,
 ) -> DataFrame:
     """Exact interpolated percentiles per group, fully distributed.
 
@@ -146,6 +148,18 @@ def exact_percentiles_distributed(
     forces the bucketed refinement (how the equivalence tests pin
     that path).
 
+    ``n_rows``: the input's exact total row count when the caller
+    knows it for free (e.g. io.parquet_num_rows' footer read). The
+    value->count buffer Spark's native `percentile` keeps per group
+    is bounded by that group's rows, so when the WHOLE input is
+    below ``native_rows_max`` the buffers cannot be an OOM risk
+    whatever the distinct structure — the single-job native path is
+    taken with NO probe job at all. At 100 TB the count is far above
+    the gate and the bucketed refinement runs as before; the gate
+    buys back the multi-job overhead exactly where it is pure
+    overhead. ``native_distinct_max=0`` still forces the bucketed
+    path (how the equivalence tests pin it), overriding this gate.
+
     ``checkpointer``: how per-level located-target relations truncate
     lineage; default ``localCheckpoint(eager=False)`` (fast, not
     executor-loss tolerant — see module docstring)."""
@@ -154,6 +168,29 @@ def exact_percentiles_distributed(
     checkpoints: list[DataFrame] = []
     cols = list(specs)
     names = [name for c in cols for _, name in specs[c]]
+
+    if (
+        n_rows is not None
+        and native_distinct_max
+        and n_rows <= native_rows_max
+    ):
+        n_aggs = [
+            F.expr(f"percentile({c}, {pfrac})").alias(name)
+            for c in cols
+            for pfrac, name in specs[c]
+        ]
+        # Pre-partition by the key so Catalyst elides the aggregate's
+        # own exchange and the percentile runs SINGLE-phase: the
+        # two-phase form serializes each task's full value buffer
+        # into the shuffle (percentile has no compact partial state),
+        # which measured ~1.5x slower than shuffling the slim rows
+        # once. Row-gated, so the few-groups reducer bottleneck this
+        # would create at scale cannot arise here.
+        slim = df.select(
+            F.col(key), *[F.col(c) for c in cols]
+        ).repartition(df.sparkSession.sparkContext.defaultParallelism,
+                      F.col(key))
+        return slim.groupBy(F.col(key)).agg(*n_aggs)
 
     if bounds is not None and all(c in bounds for c in cols):
         live = list(range(len(cols)))

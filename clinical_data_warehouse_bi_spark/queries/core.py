@@ -569,18 +569,22 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: the BI summary surface (DWH.sql:203-210)."""
     import os
 
-    from clinical_data_warehouse_bi_spark.io import parquet_numeric_bounds
+    from clinical_data_warehouse_bi_spark.io import (
+        parquet_num_rows,
+        parquet_numeric_bounds,
+    )
     from clinical_data_warehouse_bi_spark.percentiles import (
         exact_percentiles_distributed,
     )
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    # global min/max from the parquet footers — a driver metadata
-    # read, replacing the probe job's full scan (None -> probe runs)
-    bounds = parquet_numeric_bounds(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        ["l_quantity", "l_extendedprice"],
-    )
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    # global min/max and the exact row count from the parquet
+    # footers — driver metadata reads, no job (None -> probe runs).
+    # Small inputs route to the single-job native aggregate (its
+    # value->count buffers cannot OOM below the row gate); at scale
+    # the bounded-state bucketed refinement runs as before.
+    bounds = parquet_numeric_bounds(path, ["l_quantity", "l_extendedprice"])
     return exact_percentiles_distributed(
         li,
         "l_returnflag",
@@ -589,6 +593,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice": [(0.5, "median_price")],
         },
         bounds=bounds,
+        n_rows=parquet_num_rows(path),
     )
 
 

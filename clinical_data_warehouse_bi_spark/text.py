@@ -943,17 +943,30 @@ def top_ngrams(
 
     Scale shape (the no-text-in-exchange discipline applied to a
     frequency report): the counting aggregation exchanges only the
-    salted 64-bit hash PAIR of each window — n-gram strings never
-    enter the count shuffle. The k-th occurrence count is ONE scalar
-    collect off the slim count relation; only hash pairs at or above
-    it (a superset of the true top-k, ties included) get their
-    strings recovered — map-side re-derivation joined against the
-    BROADCAST candidate counts, then the final (n_occ, ngram) sort
-    over that bounded relation. A direct groupBy on the string would
-    shuffle corpus-scale text for a k-row answer."""
+    salted 64-bit hash PAIR of each window plus a count — n-gram
+    strings never enter the count shuffle, and the corpus-sized pass
+    carries NO doc ids (n_docs is computed later, over candidate
+    occurrences only, so the corpus pass needs no Expand/distinct
+    machinery). The slim count relation is materialized once
+    (persist/unpersist contained here — the answer is bounded at k
+    rows, so the final sort-limit is collected inside and returned
+    as a local relation): job 1 computes the k-th occurrence
+    threshold off the cached counts; job 2 re-derives strings
+    map-side for the >= k-th-count candidates only (ties included, a
+    superset of the true top-k), joins them against the BROADCAST
+    candidate counts, counts distinct doc ids per surviving gram,
+    and TakeOrdered-collects the k-row answer. Token arrays are
+    deliberately NOT cached: columnar-encoding an array<string>
+    relation costs more than re-running the tokenizer (measured, see
+    the module header). A direct groupBy on the string would shuffle
+    corpus-scale text for a k-row answer."""
     if n < 1 or k < 1:
         raise ValueError("n and k must be positive")
-    toks = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("w"))
+    spark = docs.sparkSession
+    schema = "ngram string, n_occ bigint, n_docs bigint"
+    toks = docs.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("w")
+    )
     # guard short docs explicitly: Spark's sequence(1, 0) DESCENDS
     # ([1, 0]) instead of returning empty, unlike SQL generate_series
     gram_expr = (
@@ -962,47 +975,61 @@ def top_ngrams(
         f" i -> concat_ws(' ', slice(w, i, {n})))"
         f" ELSE cast(array() AS array<string>) END"
     )
+    counts = _ngram_hash_counts(toks, gram_expr).persist()
+    try:
+        kth_rows = (
+            counts.select("n_occ")
+            .orderBy(F.col("n_occ").desc())
+            .limit(k)
+            .agg(F.min("n_occ"))
+            .collect()
+        )
+        kth = kth_rows[0][0]
+        if kth is None:
+            return spark.createDataFrame([], schema)
+        cand = counts.where(F.col("n_occ") >= int(kth))
+        rows = (
+            toks.select(
+                "__id", F.explode(F.expr(gram_expr)).alias("ngram")
+            )
+            .select(
+                "__id",
+                "ngram",
+                F.expr("xxhash64(ngram)").alias("h1"),
+                F.expr("xxhash64(ngram, 'b')").alias("h2"),
+            )
+            .join(F.broadcast(cand), ["h1", "h2"])
+            .groupBy("ngram")
+            .agg(
+                F.first("n_occ").alias("n_occ"),
+                F.count_distinct("__id").alias("n_docs"),
+            )
+            .orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
+            .limit(k)
+            .select("ngram", "n_occ", "n_docs")
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def _ngram_hash_counts(toks: DataFrame, gram_expr: str) -> DataFrame:
+    """(h1, h2, n_occ) per n-gram window: the counting aggregation
+    whose exchange carries only the salted hash pair plus a count —
+    the corpus-scale half of top_ngrams, factored out so plan tests
+    can assert the no-text-in-exchange shape directly. Doc ids stay
+    OUT of this pass (no distinct/Expand over the corpus); n_docs is
+    resolved later over candidate occurrences only."""
     hashed = toks.select(
-        "__id",
         F.explode(
             F.expr(
                 f"transform({gram_expr},"
                 f" s -> struct(xxhash64(s) as h1, xxhash64(s, 'b') as h2))"
             )
         ).alias("hp"),
-    ).select("__id", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
-    counts = hashed.groupBy("h1", "h2").agg(
-        F.count("*").alias("n_occ"), F.count_distinct("__id").alias("n_docs")
-    )
-    kth_rows = (
-        counts.select("n_occ")
-        .orderBy(F.col("n_occ").desc())
-        .limit(k)
-        .agg(F.min("n_occ"))
-        .collect()
-    )
-    kth = kth_rows[0][0]
-    if kth is None:
-        return docs.sparkSession.createDataFrame(
-            [], "ngram string, n_occ bigint, n_docs bigint"
-        )
-    cand = counts.where(F.col("n_occ") >= int(kth))
-    strings = (
-        toks.select(F.explode(F.expr(gram_expr)).alias("ngram"))
-        .select(
-            "ngram",
-            F.expr("xxhash64(ngram)").alias("h1"),
-            F.expr("xxhash64(ngram, 'b')").alias("h2"),
-        )
-        .join(F.broadcast(cand), ["h1", "h2"])
-        .groupBy("ngram")
-        .agg(F.first("n_occ").alias("n_occ"), F.first("n_docs").alias("n_docs"))
-    )
-    return (
-        strings.orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
-        .limit(k)
-        .select("ngram", "n_occ", "n_docs")
-    )
+    ).select(F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
+    return hashed.groupBy("h1", "h2").agg(F.count("*").alias("n_occ"))
 
 
 def chunk_text(

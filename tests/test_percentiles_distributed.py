@@ -56,6 +56,39 @@ def test_distributed_matches_builtin(spark, sf_dir):
         assert got == want  # bit-exact, not approx
 
 
+def test_row_gated_native_path(spark, sf_dir):
+    """n_rows below native_rows_max routes to the single-job,
+    single-phase native aggregate (no probe, no bucketed jobs) and
+    returns the same values; native_distinct_max=0 still overrides
+    the gate to the bucketed path."""
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    specs = {"l_quantity": [(0.5, "median_qty")]}
+    want = _as_map(
+        li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty")
+        ),
+        "l_returnflag",
+        ["median_qty"],
+    )
+    gated = exact_percentiles_distributed(
+        li, "l_returnflag", specs, n_rows=li.count()
+    )
+    # single-phase shape: ONE exchange (the key repartition, elided
+    # by the aggregate), no ObjectHashAggregate partial/final pair
+    # separated by an exchange of serialized buffers
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert _as_map(gated, "l_returnflag", ["median_qty"]) == want
+    # override: distinct gate 0 forces the bucketed refinement even
+    # when the row gate would allow native
+    forced = exact_percentiles_distributed(
+        li, "l_returnflag", specs, native_distinct_max=0, n_rows=100
+    )
+    assert _as_map(forced, "l_returnflag", ["median_qty"]) == want
+
+
 def test_distributed_high_cardinality_groups(spark):
     """>= 10^4 groups through the bucketed path — the regime where the
     round-3 driver merge was the bottleneck. The distributed form's

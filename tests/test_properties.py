@@ -1941,18 +1941,38 @@ def test_top_ngrams_matches_duckdb_and_never_shuffles_text(spark, sf_dir, duck):
         """).fetchall()
     ]
     assert got == want
-    # plan: the CORPUS-SIZED counting aggregation exchanges on the
-    # hash pair (h1 leads the key), never on the gram string; the
-    # one ngram-keyed exchange is the final group over the BOUNDED
-    # candidate relation (>= kth-count hash pairs only), after the
-    # broadcast candidate join
+    # plan: the CORPUS-SIZED counting aggregation (now materialized
+    # once inside top_ngrams) exchanges on the hash pair (h1 leads
+    # the key), never on the gram string
+    toks = docs.select(
+        F.col("doc_id").alias("__id"), T2.tokens("text").alias("w")
+    )
+    gram_expr = (
+        "CASE WHEN size(w) >= 3 THEN"
+        " transform(sequence(1, size(w) - 2),"
+        " i -> concat_ws(' ', slice(w, i, 3)))"
+        " ELSE cast(array() AS array<string>) END"
+    )
+    cplan = (
+        T2._ngram_hash_counts(toks, gram_expr)
+        ._jdf.queryExecution().toString()
+    )
+    cheads = [
+        seg.split("\n", 1)[0]
+        for seg in cplan.split("Exchange hashpartitioning")[1:]
+    ]
+    assert any(h.startswith("(h1#") for h in cheads), cheads
+    assert not any("text#" in h or " w#" in h for h in cheads), cheads
+    # and the RETURNED plan (the string-recovery scan): its only
+    # ngram-keyed exchange groups the BOUNDED candidate join output;
+    # raw text / token arrays enter no exchange
     plan = T2.top_ngrams(docs, n=3, k=5)._jdf.queryExecution().toString()
     heads = [
         seg.split("\n", 1)[0]
         for seg in plan.split("Exchange hashpartitioning")[1:]
     ]
-    assert any(h.startswith("(h1#") for h in heads), heads
     assert not any("text#" in h or " w#" in h for h in heads), heads
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
 
 
 def test_top_ngrams_edges(spark):
