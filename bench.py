@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "q_top_ngrams",
     "q_grouped_percentiles",
     "q_readmission_gap",
+    "q_daily_census",
+    "q_rolling_aggregate",
+    "q_dp_release",
+    "q_ann_ivf_pq_served",
 ]
 
 
@@ -170,8 +174,16 @@ def main() -> None:
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
     from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
+    from clinical_data_warehouse_bi_spark.queries.similarity import (
+        q_ann_ivf_learned,
+    )
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        q_quota_sample,
+    )
     from clinical_data_warehouse_bi_spark.queries.windows import (
+        q_cohort_retention,
         q_frame_sample,
+        q_funnel_steps,
         q_scd2_dim,
     )
 
@@ -185,6 +197,10 @@ def main() -> None:
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_scd2_dim": q_scd2_dim,
+        "q_funnel_steps": q_funnel_steps,
+        "q_cohort_retention": q_cohort_retention,
+        "q_quota_sample": q_quota_sample,
+        "q_ann_ivf_learned": q_ann_ivf_learned,
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -89,14 +89,25 @@ def load_tables(
 
 
 def parquet_num_rows(path: str) -> int | None:
-    """Exact row count from the parquet FOOTER — a driver-side
+    """Exact row count from the parquet FOOTER(s) — a driver-side
     metadata read, no Spark job (the count every engine's
-    count(*)-over-parquet shortcut uses). None when the footer is
-    unreadable — callers fall back to whatever job they were
-    avoiding."""
+    count(*)-over-parquet shortcut uses). Handles both a single file
+    and a Spark-written directory of part files (footers summed).
+    None when a footer is unreadable — callers fall back to whatever
+    job they were avoiding."""
     try:
+        import glob as _glob
+        import os as _os
+
         import pyarrow.parquet as pq
 
+        if _os.path.isdir(path):
+            parts = _glob.glob(_os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            return sum(
+                int(pq.ParquetFile(p).metadata.num_rows) for p in parts
+            )
         return int(pq.ParquetFile(path).metadata.num_rows)
     except Exception:  # noqa: BLE001 — unreadable/absent file
         return None

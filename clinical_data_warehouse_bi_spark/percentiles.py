@@ -124,7 +124,7 @@ def exact_percentiles_distributed(
     bounds: dict[str, tuple[float, float]] | None = None,
     checkpointer: Callable[[DataFrame], DataFrame] | None = None,
     n_rows: int | None = None,
-    native_rows_max: int = 4_000_000,
+    native_rows_max: int = 16_000_000,
 ) -> DataFrame:
     """Exact interpolated percentiles per group, fully distributed.
 
@@ -153,6 +153,8 @@ def exact_percentiles_distributed(
     value->count buffer Spark's native `percentile` keeps per group
     is bounded by that group's rows, so when the WHOLE input is
     below ``native_rows_max`` the buffers cannot be an OOM risk
+    (the 16M default caps the worst case - one giant group - at
+    ~128 MB of doubles on one executor)
     whatever the distinct structure — the single-job native path is
     taken with NO probe job at all. At 100 TB the count is far above
     the gate and the bucketed refinement runs as before; the gate

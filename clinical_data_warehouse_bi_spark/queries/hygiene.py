@@ -222,3 +222,86 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return lm.perplexity(fan_out(docs.select("doc_id", "text")))
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release — scrub.dp_release under the hash
+# gate (round-10 registration per the round-9 verdict: the privacy
+# family is the likeliest clinical-compliance surface)
+# ---------------------------------------------------------------------------
+
+#: release parameters for the registered demo: epsilon and the noisy
+#: suppression threshold (groups whose NOISED count < k are dropped)
+DP_EPSILON = 0.5
+DP_SECRET = "cdwbi-dp-demo"
+DP_K_MIN = 3.0
+
+#: the md5-nibble uniform-draw construction shared with the Spark
+#: side (scrub._laplace_noise): 7 hex nibbles -> u in [0,1) -> -0.5,
+#: then inverse-CDF Laplace with the same floor guard
+_DP_SPACE = 16 ** 7
+
+
+def _dp_oracle() -> str:
+    key = (
+        f"'{DP_SECRET}' || chr(1) || CAST(event_type AS VARCHAR)"
+        " || chr(2) || 'count'"
+    )
+    nibble = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({key}), {i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(1, 8)
+    )
+    b = 1.0 / DP_EPSILON
+    noise = (
+        f"(-{b} * sign(u) * ln(greatest(1.0 - 2.0 * abs(u),"
+        f" 1.0 / {_DP_SPACE}.0)))"
+    )
+    return f"""
+    WITH g AS (
+      SELECT event_type, count(*)::DOUBLE AS n FROM events GROUP BY 1
+    ), noised AS (
+      SELECT event_type, n, ({nibble}) / {_DP_SPACE}.0 - 0.5 AS u FROM g
+    )
+    SELECT event_type,
+           CAST(CAST(n + {noise} AS DECIMAL(28,6)) AS VARCHAR)
+             AS count_noisy_q
+    FROM noised
+    WHERE n + {noise} >= {DP_K_MIN}
+    """
+
+
+@register("q_dp_release", oracle=_dp_oracle())
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (scrub.dp_release,
+    Laplace mechanism, Dwork et al. 2006) over events.event_type:
+    per-group noisy counts with noisy-threshold suppression — the
+    publish-outside-the-clinical-zone complement of the k-anonymity
+    gate. The noise is DETERMINISTIC KEYED Laplace (md5-nibble
+    uniform draw -> inverse CDF), which is what makes a full
+    cross-engine oracle possible at all — and is itself the release
+    discipline: re-running the release must not hand an attacker a
+    fresh noise sample to average away (scrub.py's design note).
+
+    The compared column is the noisy count quantized to 6 decimals
+    through a decimal cast ON BOTH SIDES: Spark's and DuckDB's ln()
+    may differ in the last ulp, and the driver's comparator hashes
+    raw float repr. The unquantized value keeps its exact-equality
+    DuckDB twin at full double precision in tests/test_scrub.py.
+
+    Scale shape: ONE group exchange (map-side partial counts); the
+    noise is a per-group scalar expression; suppression is a filter
+    on the noised relation. Groups never reach the driver."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    out = scrub.dp_release(
+        ev,
+        ["event_type"],
+        epsilon=DP_EPSILON,
+        secret=DP_SECRET,
+        k_min=DP_K_MIN,
+    )
+    return out.select(
+        "event_type",
+        F.col("count_noisy").cast("decimal(28,6)").cast("string")
+        .alias("count_noisy_q"),
+    )

@@ -336,7 +336,6 @@ def _quantizer_key(spark: SparkSession, sf_dir: str, *params) -> tuple:
     return (spark.sparkContext.applicationId, sf_dir, *params)
 
 
-@register("q_ann_ivf_learned", oracle=None)
 def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a LEARNED index, end-to-end: KMeans centroids
     (similarity.kmeans_ivf_index) bucket every vector, each query
@@ -348,6 +347,17 @@ def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment-only: q_ann_ivf_nprobe keeps deterministic first-N
     centroids for oracle-ability; this is the same search shape
     against centroids the data actually chose.
+
+    Round-10 registry retirement (cap is 50; the slot went to
+    q_ann_ivf_pq_served): this was a rows-only entry, so retirement
+    trades a row-count check for the richer registered tier —
+    q_ann_ivf_pq keeps the learned quantizer + PQ pipeline
+    row-checked and q_ann_ivf_pq_served adds the persisted-index
+    serving contract; the learned-vs-arbitrary recall property and
+    the probe-machinery cross-engine hash check (retired
+    q_ann_ivf_nprobe) stay live in tests/test_similarity_engine.py
+    and tests/test_retired_parity.py. Still benched via direct
+    import (the bench.py convention).
 
     No oracle BY DESIGN: k-means is iterative/seeded, so no portable
     SQL reproduces its centroids; the driver records the rows-only
@@ -625,4 +635,88 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.filter(F.round("cos", 6) >= F.lit(NEAR_DUP_COS))
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )
+
+# ---------------------------------------------------------------------------
+# IVF-PQ served from the persisted index — the vector twin of
+# q_bm25_served (round-10 registration per the round-9 verdict)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus cache location for the registered
+    serving demo (the q_bm25_served convention):
+    similarity.IVF_PQ_FORMAT_VERSION participates in the cache key,
+    so a layout change can never serve a stale-format directory; the
+    corpus dirs are read-only test fixtures, so content never goes
+    stale."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clinical_data_warehouse_bi_spark.similarity import (
+        IVF_PQ_FORMAT_VERSION,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"cdwbi_ivfpq_idx_{IVF_PQ_FORMAT_VERSION}_{key}",
+    )
+
+
+@register("q_ann_ivf_pq_served", oracle=None)
+def q_ann_ivf_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served FROM the persisted IVF-PQ index
+    (similarity.build_ivf_pq_index + search_ivf_pq_index) — the
+    operational half of q_ann_ivf_pq, registered per the round-9
+    verdict so the on-disk VECTOR index contract sits under the
+    driver's gate like q_bm25_served put the text one: bucket=
+    partitioned postings with packed PQ codes, centroids + codebooks
+    as JSON inside the directory committed after the postings, probe
+    restriction executed as PARTITION PRUNING on the bucket=
+    directories (plan-asserted in tests/test_similarity_engine.py),
+    ADC LUT-sum scoring per Arrow batch, and exact re-rank only on
+    the per-query shortlist. The index is built once per corpus into
+    a cache dir and published with an atomic rename (a losing
+    concurrent builder discards harmlessly); every later invocation
+    is a pure pruned read — the 100 TB serving shape, where indexing
+    cost is paid at ingest, not per query.
+
+    No SQL oracle BY DESIGN (the q_ann_ivf_pq convention): the
+    coarse quantizer and PQ codebooks come from seeded iterative
+    Lloyd's, which no portable SQL reproduces. Value-level evidence
+    in tests/test_similarity_engine.py: served == in-memory composed
+    pipeline on the same seeded quantizers, recall >= 0.8 vs brute
+    force on planted clusters, incremental-append searchability, and
+    filtered-search pre-join semantics."""
+    import os
+    import shutil
+
+    from clinical_data_warehouse_bi_spark.similarity import (
+        INDEX_META,
+        build_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+
+    path = _ivf_pq_index_path(sf_dir)
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    if not os.path.exists(os.path.join(path, INDEX_META)):
+        build_dir = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(build_dir, ignore_errors=True)
+        build_ivf_pq_index(
+            emb, build_dir, n_clusters=LEARNED_K, m=PQ_M, seed=LEARNED_SEED
+        )
+        try:
+            os.rename(build_dir, path)
+        except OSError:  # lost the publish race: an index already serves
+            shutil.rmtree(build_dir, ignore_errors=True)
+    return search_ivf_pq_index(
+        spark,
+        path,
+        emb,
+        n_queries=N_QUERIES,
+        nprobe=NPROBE,
+        shortlist=PQ_SHORTLIST,
+        topk=5,
     )

@@ -453,7 +453,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUOTA_PER_SOURCE = 30
 
 
-@register("q_quota_sample", oracle=f"""
+SQL_QUOTA_SAMPLE = f"""
     SELECT doc_id, source FROM (
       SELECT doc_id, source,
              row_number() OVER (
@@ -461,7 +461,9 @@ QUOTA_PER_SOURCE = 30
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       FROM documents) t
     WHERE rn <= {QUOTA_PER_SOURCE}
-    """)
+    """
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota cap (text.quota_sample) — the C4/RefinedWeb
     domain-capping step: keep at most {QUOTA_PER_SOURCE} documents
@@ -470,14 +472,19 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-independent, and reproduced bit-for-bit by the DuckDB
     oracle's identical window).
 
+    Round-10 registry retirement (cap is 50; the slot went to
+    q_dp_release): hash-checked since round 8 on a frozen
+    implementation. Witness: q_weighted_sample keeps the sampling
+    family's md5-priority discipline under the hash gate, and the
+    WindowGroupLimit pre-prune stays plan-locked in
+    tests/test_plans.py. The full oracle comparison stays live in
+    tests/test_retired_parity.py against SQL_QUOTA_SAMPLE;
+    idempotence and cap properties remain hypothesis-tested.
+
     Scale shape: ONE shuffle on the source key, and the rank<=n
     predicate compiles to WindowGroupLimit so every map task
     pre-prunes to n rows per source BEFORE the exchange — a hot
-    domain ships n rows per upstream partition, not its row set
-    (plan-locked in tests/test_plans.py). Registered per the
-    round-8 plan to put the library sampling additions under the
-    driver's hash gate; idempotence and cap properties are
-    hypothesis-tested."""
+    domain ships n rows per upstream partition, not its row set."""
     from clinical_data_warehouse_bi_spark.text import quota_sample
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

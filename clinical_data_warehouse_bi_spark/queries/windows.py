@@ -345,7 +345,7 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
-@register("q_funnel_steps", oracle="""
+SQL_FUNNEL_STEPS = """
     WITH u AS (SELECT DISTINCT user_id FROM events
                WHERE event_type IN ('view','click','purchase')),
     s1 AS (SELECT u.user_id,
@@ -364,7 +364,9 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
                      ELSE 0 END AS INTEGER) AS steps_completed,
            ts1 AS step_1_ts, ts2 AS step_2_ts, ts3 AS step_3_ts
     FROM s3
-    """)
+    """
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (funnel.funnel_steps): per user, the
     earliest-completion timestamps of view -> click -> purchase with
@@ -373,12 +375,14 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregation exists to serve (DWH.sql:203-210), generalized to
     sequences.
 
-    Greedy-on-sorted-events == sequential-min: the DuckDB oracle
-    computes each step as a correlated min STRICTLY after the prior
-    step's completion, verifying the single-fold implementation
-    value-for-value (the same oracle construction as the
-    tests/test_properties.py property; registering it puts the fold
-    under the driver's hash gate per the round-7 advice).
+    Round-10 registry retirement (cap is 50; the slot went to
+    q_daily_census): hash-checked since round 3 on a frozen
+    implementation. Witnesses: the streaming funnel keeps the same
+    fold value-checked batch==stream in tests/test_streaming.py, and
+    q_sessionize carries the registered per-user ordered-timeline
+    machinery (sort + linear fold over one user-keyed exchange). The
+    full oracle comparison stays live in tests/test_retired_parity.py
+    against SQL_FUNNEL_STEPS.
 
     Scale shape: step-type filter is pushed to the scan, ONE shuffle
     on user_id, per-user sort + linear aggregate() fold — no
@@ -389,7 +393,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(ev, FUNNEL_STEPS)
 
 
-@register("q_cohort_retention", oracle="""
+SQL_COHORT_RETENTION = """
     WITH c AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
                FROM events GROUP BY user_id),
     a AS (SELECT DISTINCT e.user_id, c.cohort,
@@ -400,17 +404,23 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month_offset AS INTEGER) AS month_offset,
            count(*) AS n_active
     FROM a GROUP BY 1, 2
-    """)
+    """
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (funnel.cohort_retention) — the other
     canonical ordered-behavior BI rollup next to the funnel: users
     cohorted by first-event period, actives counted per (cohort,
-    offset). DAY granularity registered: the fixture events span ~a
-    month, so the month matrix is a single cell while days exercise
-    a real cohorts x offsets surface (the month form keeps its own
-    DuckDB parity test in tests/test_properties.py). One user-key
-    shuffle (the cohort min reuses it for the join), one
-    single-DISTINCT aggregation, never an Expand.
+    offset).
+
+    Round-10 registry retirement (cap is 50; the slot went to
+    q_rolling_aggregate): hash-checked since round 5 on a frozen
+    implementation. Witnesses: q_readmission_gap carries the
+    registered first-event-then-offset window family on the clinical
+    grain, and the month-granularity form keeps its own DuckDB parity
+    test in tests/test_properties.py. The full oracle comparison
+    stays live in tests/test_retired_parity.py against
+    SQL_COHORT_RETENTION.
 
     Cohort rendered as a plain date STRING: a DATE column reaches
     the comparator as '2024-01-01' from Spark but as a pandas
@@ -512,3 +522,128 @@ def q_readmission_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return kpi.readmission_rate(mapped, ["o_orderpriority"], within_days=30)
+
+
+# ---------------------------------------------------------------------------
+# Daily census — kpi.daily_census under the hash gate (round-10
+# registration per the round-9 verdict: the interval-explode guard is
+# the KPI-pack operator that most needs a driver-gate witness)
+# ---------------------------------------------------------------------------
+
+#: handling-window cap for the census demo (l_linenumber is 1..7, so
+#: 30 caps nothing here — the guard path is exercised by
+#: tests/test_kpi.py's sentinel/explode tests)
+CENSUS_MAX_DAYS = 30
+
+
+@register("q_daily_census", oracle="""
+    WITH days AS (
+      SELECT l_suppkey AS unit, l_orderkey AS pat,
+             unnest(generate_series(
+               CAST(l_shipdate AS DATE),
+               CAST(l_shipdate + l_linenumber * INTERVAL 1 DAY AS DATE),
+               INTERVAL 1 DAY))::DATE AS census_date
+      FROM lineitem)
+    SELECT unit, CAST(census_date AS VARCHAR) AS census_date,
+           count(DISTINCT pat) AS census, count(*) AS stay_rows
+    FROM days GROUP BY 1, 2
+    """)
+def q_daily_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct entities present per (unit, calendar day) via
+    kpi.daily_census — the bed-occupancy / daily-census KPI on its
+    TPC-H analogue: "active shipments per supplier-day" over a
+    deterministic handling window (ship date + linenumber days).
+    The exact module code a clinical deployment runs on stays
+    (tests/test_kpi.py cross-checks that path, overlap semantics,
+    and the sentinel-interval guard against DuckDB); the driver's
+    hash gate pins the explode -> slim-triple distinct aggregation
+    end to end.
+
+    Scale shape: per-row `sequence(to_date(in), to_date(out))`
+    explode — map-side, factor bounded by max_days — then ONE
+    exchange of the slim (unit, day, patient) triple with a
+    map-side-partial distinct aggregate. The max_days guard is the
+    scale contract: one sentinel/open interval would otherwise
+    explode into ~400k rows PER BAD ROW (kpi.py:209-213).
+
+    census_date rendered as a STRING: a DATE column reaches the
+    comparator as '1995-03-15' from Spark but as a pandas midnight
+    timestamp from DuckDB's .df()."""
+    from clinical_data_warehouse_bi_spark import kpi
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    stays = li.select(
+        F.col("l_suppkey").alias("careunit_id"),
+        F.col("l_orderkey").alias("patient_id"),
+        F.col("l_shipdate").cast("timestamp").alias("intime"),
+        (
+            F.col("l_shipdate")
+            + F.make_dt_interval(days=F.col("l_linenumber"))
+        ).cast("timestamp").alias("outtime"),
+    )
+    return kpi.daily_census(stays, max_days=CENSUS_MAX_DAYS).select(
+        "unit",
+        F.col("census_date").cast("string").alias("census_date"),
+        "census",
+        "stay_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-window aggregates — timeseries.rolling_aggregate under
+# the hash gate (round-10 registration: the time-series family's
+# driver-gate witness per the round-9 verdict)
+# ---------------------------------------------------------------------------
+
+#: trailing window width for the registered rolling report
+ROLLING_DAYS = 7
+
+
+@register("q_rolling_aggregate", oracle=f"""
+    SELECT user_id, ts,
+           CAST(CAST(avg(value) OVER w AS DECIMAL(28,9)) AS VARCHAR)
+             AS avg_{ROLLING_DAYS}d_q,
+           CAST(count(*) OVER w AS BIGINT) AS count_{ROLLING_DAYS}d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN {ROLLING_DAYS * 86400 - 1} PRECEDING
+                       AND CURRENT ROW)
+    """)
+def q_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {ROLLING_DAYS}-day moving average / count per event
+    row (timeseries.rolling_aggregate) — the smoothing report of the
+    time-series family (resample_fill densifies the axis; this
+    smooths along it), expressed as a RANGE window frame so the
+    engine keeps a sliding frame, never the O(rows x window)
+    interval self-join.
+
+    avg only (not sum) in the compared output, quantized to 9
+    decimals through a decimal cast ON BOTH SIDES: a trailing-window
+    double aggregate accumulates in engine-specific order and
+    diverges in the last ulp between Spark and DuckDB (observed at
+    sf0.001 row 89), and the driver's comparator hashes raw float
+    repr. The full (avg, sum, count, min, max) surface keeps its
+    rounded DuckDB parity test in tests/test_properties.py.
+
+    Scale shape: ONE exchange on user_id; Spark's WindowExec
+    maintains the sliding RANGE frame incrementally in a single pass
+    over each key's sorted run — per-key state is the frame's rows,
+    bounded by the window span, not the history (plan-locked single
+    exchange + no join in tests/test_properties.py)."""
+    from clinical_data_warehouse_bi_spark.timeseries import rolling_aggregate
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return rolling_aggregate(
+        ev.select("user_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        "value",
+        ROLLING_DAYS,
+        aggs=("avg", "count"),
+    ).select(
+        "user_id",
+        "ts",
+        F.col(f"avg_{ROLLING_DAYS}d").cast("decimal(28,9)").cast("string")
+        .alias(f"avg_{ROLLING_DAYS}d_q"),
+        f"count_{ROLLING_DAYS}d",
+    )

@@ -68,8 +68,11 @@ _CHECK_ORDER = [
     "q_sessionize",
     # round-3 additions
     "q_dedup_clusters",
-    # round-5 additions
-    "q_ann_ivf_learned",
+    # round-5 additions (q_ann_ivf_learned retired round 10 — slot
+    # went to q_ann_ivf_pq_served, the persisted-index serving tier;
+    # witnesses: q_ann_ivf_pq keeps the learned-quantizer pipeline
+    # row-checked, recall/probe properties live in
+    # tests/test_similarity_engine.py + tests/test_retired_parity.py)
     "q_pack_sequences",
     # round-6 additions (slot freed by retiring q_simhash — witness:
     # q_simhash_pairs persists the identical _simhash_fingerprints
@@ -88,12 +91,10 @@ _CHECK_ORDER = [
     # the token-count leg; both keep full oracle comparisons in
     # tests/test_retired_parity.py)
     "q_fuzzy_match",
-    # round-8 additions (slots freed by retiring q_insert_if_absent —
-    # witness: q_anti_new_dates's anti-join insert shape — and
-    # q_surrogate_key — witness: q_scd2_dim's ROW_NUMBER-over-window
-    # machinery; both keep full oracle comparisons in
-    # tests/test_retired_parity.py)
-    "q_funnel_steps",
+    # (q_funnel_steps retired round 10 — slot went to q_daily_census;
+    # witnesses: streaming funnel batch==stream value check +
+    # q_sessionize's registered ordered-timeline machinery; full
+    # oracle comparison in tests/test_retired_parity.py)
     # round-8 additions, part 2 (slot freed by retiring
     # q_semi_valid_fact — witness: q_orphan_cleanup's registered J10
     # keep/drop recompute; full oracle comparison lives in
@@ -115,8 +116,14 @@ _CHECK_ORDER = [
     # q_ann_ivf_pq is quantization's richer registered tier; all
     # three keep full oracle comparisons in
     # tests/test_retired_parity.py)
-    "q_quota_sample",
-    "q_cohort_retention",
+    # (q_quota_sample retired round 10 — slot went to q_dp_release;
+    # witness: q_weighted_sample's registered md5-priority sampling +
+    # the WindowGroupLimit plan lock; full oracle comparison in
+    # tests/test_retired_parity.py. q_cohort_retention retired round
+    # 10 — slot went to q_rolling_aggregate; witnesses:
+    # q_readmission_gap's first-event-offset window family + the
+    # month-form DuckDB parity test; full oracle comparison in
+    # tests/test_retired_parity.py.)
     "q_resample_fill",
     # round-8 additions, part 5 (slots freed by retiring
     # q_qa_rowcount_report — witness: q_expectations' `unique:`
@@ -181,6 +188,15 @@ _CHECK_ORDER = [
     # tests/test_retired_parity.py against SQL_SCD2_DIM, which also
     # keeps the retired q_surrogate_key's W1 witness value-checked)
     "q_readmission_gap",
+    # round-10 additions (slots freed by retiring q_funnel_steps,
+    # q_cohort_retention, q_quota_sample, q_ann_ivf_learned — see the
+    # notes at their old positions above; each SQL-expressible
+    # retiree keeps a full oracle comparison in
+    # tests/test_retired_parity.py)
+    "q_daily_census",
+    "q_rolling_aggregate",
+    "q_dp_release",
+    "q_ann_ivf_pq_served",
     # heavyweight / scale-critical operators
     "q_pricing_summary",
     "q_percentiles",

@@ -908,6 +908,12 @@ def pca_project(
 #: metadata filename inside a persisted IVF-PQ index directory
 INDEX_META = "_index_meta.json"
 
+#: on-disk layout version for persisted IVF-PQ indexes — bump on any
+#: postings/metadata layout change so cached serving directories keyed
+#: by it (queries.similarity.q_ann_ivf_pq_served) can never serve a
+#: stale format (the retrieval.BM25_FORMAT_VERSION convention)
+IVF_PQ_FORMAT_VERSION = 1
+
 
 def build_ivf_pq_index(
     vectors: DataFrame,

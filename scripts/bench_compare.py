@@ -6,7 +6,13 @@ noop sink (warm-up + timed) and the DuckDB oracle to a fetch-all
 (warm-up + timed), print a ratio table, and emit one JSON line for
 tooling.
 
-Usage: python scripts/bench_compare.py [sf_dir] [query ...]
+With --update-baseline, the per-query table is also WRITTEN into
+BASELINE.md between the BENCH_COMPARE markers (created on first
+use) — the driver's per-query 2x bar must be auditable in one
+lookup, not recomputed; aggregates alone let individual misses hide
+(the round-9 lesson: six >2x entries went unflagged for rounds).
+
+Usage: python scripts/bench_compare.py [--update-baseline] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -23,11 +29,87 @@ from clinical_data_warehouse_bi_spark.session import get_spark
 from scripts.check_parity import duck_con
 
 
+_BEGIN = "<!-- BENCH_COMPARE:BEGIN (auto-maintained, do not edit) -->"
+_END = "<!-- BENCH_COMPARE:END -->"
+
+
+def update_baseline(
+    rows: list, sf_dir: str, tot_s: float, tot_d: float,
+    job_floor: float,
+) -> None:
+    """Rewrite BASELINE.md's marked per-query block in place (create
+    it before the CURRENT STATE section on first use)."""
+    import datetime
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BASELINE.md")
+    stamp = datetime.date.today().isoformat()
+    n_miss = sum(
+        1 for _, s, d, r in rows
+        if r is not None and r > 2.0 and d is not None and d >= 0.05
+    )
+    n_floor = sum(
+        1 for _, s, d, r in rows
+        if r is not None and r > 2.0 and d is not None and d < 0.05
+    )
+    lines = [
+        _BEGIN,
+        "",
+        f"### Per-query Spark-vs-DuckDB ({sf_dir}, best-of-2 both "
+        f"engines, updated {stamp})",
+        "",
+        f"Measured single-job Spark floor this run: **{job_floor}s**",
+        "(`spark.range(1)` to a noop sink, warm) — any query whose",
+        "DuckDB side is below ~0.05s cannot meet 2x at this sf with ANY",
+        "plan, because one empty Spark job already costs more; those",
+        "rows are marked *floor* and adjudicated by the floor argument,",
+        "not left as silent misses. Ratio > 2.00 with a substantive",
+        "DuckDB side (>= 0.05s) is a real **MISS**: it needs either an",
+        "optimization or a recorded 16x/64x crossover",
+        "(bench_scaling.py --duckdb) before the round closes.",
+        f"This run: **{n_miss} MISS**, {n_floor} floor-bound.",
+        "",
+        "| query | spark s | duckdb s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, s, d, r in rows:
+        flag = ""
+        if r is not None and r > 2.0 and d is not None:
+            flag = " **MISS**" if d >= 0.05 else " *floor*"
+        lines.append(
+            f"| {name} | {s if s is not None else 'n/a'} | "
+            f"{d if d is not None else 'n/a'} | "
+            f"{(str(r) + flag) if r is not None else 'n/a'} |"
+        )
+    ratio = round(tot_s / tot_d, 2) if tot_d else None
+    lines += [
+        f"| **TOTAL** | **{round(tot_s, 3)}** | **{round(tot_d, 3)}** |"
+        f" **{ratio}** |",
+        "",
+        _END,
+    ]
+    block = "\n".join(lines)
+    text = open(path).read()
+    if _BEGIN in text and _END in text:
+        pre = text[: text.index(_BEGIN)]
+        post = text[text.index(_END) + len(_END):]
+        text = pre + block + post
+    else:
+        anchor = "## CURRENT STATE"
+        i = text.index(anchor) if anchor in text else len(text)
+        text = text[:i] + block + "\n\n" + text[i:]
+    open(path, "w").write(text)
+    print(f"BASELINE.md per-query block updated ({len(rows)} rows)",
+          file=sys.stderr)
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:] if a != "--update-baseline"]
+    write_baseline = "--update-baseline" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     from bench import BENCH_QUERIES
 
-    names = sys.argv[2:] or BENCH_QUERIES
+    names = argv[1:] or BENCH_QUERIES
     spark = get_spark("bench-compare")
     con = duck_con(sf_dir)
     # registry-retired operators stay comparable: resolve their
@@ -52,13 +134,22 @@ def main() -> None:
     )
     from clinical_data_warehouse_bi_spark.queries.similarity import (
         SQL_COSINE_TOPK,
+        q_ann_ivf_learned,
         q_cosine_topk,
     )
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        SQL_QUOTA_SAMPLE,
+        q_quota_sample,
+    )
     from clinical_data_warehouse_bi_spark.queries.windows import (
-        SQL_SCD2_DIM,
-        q_scd2_dim,
+        SQL_COHORT_RETENTION,
         SQL_FRAME_SAMPLE,
+        SQL_FUNNEL_STEPS,
+        SQL_SCD2_DIM,
+        q_cohort_retention,
         q_frame_sample,
+        q_funnel_steps,
+        q_scd2_dim,
     )
 
     queries = {
@@ -72,6 +163,10 @@ def main() -> None:
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_scd2_dim": q_scd2_dim,
+        "q_funnel_steps": q_funnel_steps,
+        "q_cohort_retention": q_cohort_retention,
+        "q_quota_sample": q_quota_sample,
+        "q_ann_ivf_learned": q_ann_ivf_learned,
     }
     oracles = {
         **all_oracles(),
@@ -83,6 +178,9 @@ def main() -> None:
         "q_frame_sample": SQL_FRAME_SAMPLE,
         "q_agg_per_order": SQL_AGG_PER_ORDER,
         "q_cosine_topk": SQL_COSINE_TOPK,
+        "q_funnel_steps": SQL_FUNNEL_STEPS,
+        "q_cohort_retention": SQL_COHORT_RETENTION,
+        "q_quota_sample": SQL_QUOTA_SAMPLE,
     }
     rows = []
     for name in names:
@@ -127,6 +225,15 @@ def main() -> None:
     print(json.dumps({"sf_dir": sf_dir, "rows": rows,
                       "total_spark": round(tot_s, 3),
                       "total_duckdb": round(tot_d, 3)}))
+    if write_baseline:
+        floor_runs = []
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(1).write.format("noop").mode("overwrite").save()
+            floor_runs.append(time.time() - t0)
+        update_baseline(rows, sf_dir, tot_s, tot_d,
+                        round(min(floor_runs), 3))
     spark.stop()
 
 

@@ -15,7 +15,14 @@ scales, the per-key skew does not (the honest scale-up; naive
 UNION-without-reshift would multiply group sizes instead, conflating
 volume with skew).
 
-Usage: python scripts/bench_scaling.py [factor] [query ...]
+With --duckdb, each query's DuckDB oracle is ALSO timed at 1x and Nx
+(views over the replicated parquet), recording the crossover
+evidence the per-query 2x bar accepts when a fixed-cost-dominated
+Spark entry is slower at sf0.1: DuckDB's cost grows ~linearly with
+volume while a correctly-shaped Spark plan amortizes its job
+overhead, so the ratio at Nx IS the adjudication.
+
+Usage: python scripts/bench_scaling.py [--duckdb] [factor] [query ...]
 """
 
 from __future__ import annotations
@@ -108,9 +115,37 @@ def time_query(spark, fn, sf_dir: str) -> float:
     return round(min(runs), 3)
 
 
+def duck_con_for(sf_dir: str):
+    """DuckDB views over a data dir whose tables are either single
+    parquet files (the driver's testdata) or Spark-written parquet
+    DIRECTORIES (the replicas)."""
+    import duckdb
+
+    from clinical_data_warehouse_bi_spark.io import DRIVER_TABLES
+
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    return con
+
+
+def time_oracle(con, sql: str) -> float:
+    con.execute(sql).fetchall()  # warm
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    argv = [a for a in sys.argv[1:] if a != "--duckdb"]
+    with_duckdb = "--duckdb" in sys.argv[1:]
+    factor = int(argv[0]) if argv else 16
+    names = argv[1:] or DEFAULT_QUERIES
     spark = get_spark("bench-scaling")
     from clinical_data_warehouse_bi_spark.io import (
         release_new_persistent_rdds,
@@ -131,9 +166,15 @@ def main() -> None:
         q_paragraph_dedup,
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
-    from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
+    from clinical_data_warehouse_bi_spark.queries.similarity import (
+        q_ann_ivf_learned,
+        q_cosine_topk,
+    )
+    from clinical_data_warehouse_bi_spark.queries.text_ops import q_quota_sample
     from clinical_data_warehouse_bi_spark.queries.windows import (
+        q_cohort_retention,
         q_frame_sample,
+        q_funnel_steps,
         q_scd2_dim,
     )
 
@@ -149,7 +190,55 @@ def main() -> None:
         "q_cosine_topk": q_cosine_topk,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_scd2_dim": q_scd2_dim,
+        "q_funnel_steps": q_funnel_steps,
+        "q_cohort_retention": q_cohort_retention,
+        "q_quota_sample": q_quota_sample,
+        "q_ann_ivf_learned": q_ann_ivf_learned,
     }
+    oracles = {}
+    cons = {}
+    if with_duckdb:
+        from clinical_data_warehouse_bi_spark.queries.core import (
+            SQL_AGG_PER_ORDER,
+            SQL_SENTINEL_TIMESTAMPS,
+        )
+        from clinical_data_warehouse_bi_spark.queries.dedup import (
+            SQL_MINHASH_LSH_PAIRS,
+            SQL_PARAGRAPH_DEDUP,
+        )
+        from clinical_data_warehouse_bi_spark.queries.join_ops import (
+            SQL_RANGE_JOIN,
+        )
+        from clinical_data_warehouse_bi_spark.queries.similarity import (
+            SQL_COSINE_TOPK,
+        )
+        from clinical_data_warehouse_bi_spark.queries.text_ops import (
+            SQL_QUOTA_SAMPLE,
+        )
+        from clinical_data_warehouse_bi_spark.queries.windows import (
+            SQL_COHORT_RETENTION,
+            SQL_FRAME_SAMPLE,
+            SQL_FUNNEL_STEPS,
+            SQL_SCD2_DIM,
+        )
+        from clinical_data_warehouse_bi_spark.registry import all_oracles
+
+        oracles = {
+            **all_oracles(),
+            "q_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+            "q_scd2_dim": SQL_SCD2_DIM,
+            "q_sentinel_timestamps": SQL_SENTINEL_TIMESTAMPS,
+            "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+            "q_range_join": SQL_RANGE_JOIN,
+            "q_frame_sample": SQL_FRAME_SAMPLE,
+            "q_agg_per_order": SQL_AGG_PER_ORDER,
+            "q_cosine_topk": SQL_COSINE_TOPK,
+            "q_funnel_steps": SQL_FUNNEL_STEPS,
+            "q_cohort_retention": SQL_COHORT_RETENTION,
+            "q_quota_sample": SQL_QUOTA_SAMPLE,
+        }
+        cons = {BASE: duck_con_for(BASE), big_dir: duck_con_for(big_dir)}
+
     baseline = snapshot_persistent_rdds(spark)
     rows = []
     for name in names:
@@ -161,13 +250,26 @@ def main() -> None:
         release_new_persistent_rdds(spark, baseline)
         tn = time_query(spark, fn, big_dir)
         ratio = round(tn / t1, 2) if t1 > 0 else None
-        rows.append([name, t1, tn, ratio])
-        print(
-            f"{name:28s} 1x={t1:7.3f}s {factor}x={tn:7.3f}s"
-            f" ratio={ratio}",
-            file=sys.stderr,
-        )
-    print(json.dumps({"factor": factor, "rows": rows}))
+        row = [name, t1, tn, ratio]
+        msg = f"{name:28s} 1x={t1:7.3f}s {factor}x={tn:7.3f}s ratio={ratio}"
+        if with_duckdb and name in oracles and oracles[name]:
+            try:
+                d1 = time_oracle(cons[BASE], oracles[name])
+                dn = time_oracle(cons[big_dir], oracles[name])
+            except Exception as e:  # noqa: BLE001
+                print(f"duckdb error in {name}: {e}", file=sys.stderr)
+                d1 = dn = None
+            row += [d1, dn]
+            if d1 is not None:
+                msg += (
+                    f" | duck 1x={d1:7.3f}s {factor}x={dn:7.3f}s"
+                    f" spark/duck@{factor}x="
+                    f"{(tn / dn):5.2f}" if dn else " | duck n/a"
+                )
+        rows.append(row)
+        print(msg, file=sys.stderr)
+    print(json.dumps({"factor": factor, "duckdb": with_duckdb,
+                      "rows": rows}))
     spark.stop()
 
 

@@ -59,17 +59,23 @@ from clinical_data_warehouse_bi_spark.queries.similarity import (
     q_embed_quantize,
 )
 from clinical_data_warehouse_bi_spark.queries.windows import (
+    SQL_COHORT_RETENTION,
     SQL_FRAME_SAMPLE,
+    SQL_FUNNEL_STEPS,
     SQL_SCD2_DIM,
     SQL_WINDOW_TUMBLING,
+    q_cohort_retention,
     q_frame_sample,
+    q_funnel_steps,
     q_scd2_dim,
     q_window_tumbling,
 )
 from clinical_data_warehouse_bi_spark.queries.text_ops import (
     SQL_LANG_ID,
+    SQL_QUOTA_SAMPLE,
     SQL_TEXT_STATS,
     q_lang_id,
+    q_quota_sample,
     q_text_stats,
 )
 from test_oracle_parity import _normalize
@@ -108,6 +114,15 @@ RETIRED = {
     # witness: q_scd2_asof calls q_scd2_dim and embeds its oracle CTE
     # chain verbatim)
     "q_scd2_dim": (q_scd2_dim, SQL_SCD2_DIM),
+    # round-10 retirements (slots went to q_daily_census,
+    # q_rolling_aggregate, q_dp_release, q_ann_ivf_pq_served; the
+    # fourth retiree, q_ann_ivf_learned, was rows-only — its recall
+    # and probe-machinery evidence lives in
+    # tests/test_similarity_engine.py and the q_ann_ivf_nprobe row
+    # above)
+    "q_funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "q_cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "q_quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
 }
 
 
