@@ -248,20 +248,40 @@ def _fused_row_checks(name_flags, df: DataFrame) -> DataFrame:
     )
 
 
-def _unique_with_row_checks(
-    df: DataFrame, cols: list[str], table: str, name_flags: list
+def _unique_per_key(
+    df: DataFrame, cols: list[str], name_flags: list
 ) -> DataFrame:
-    """Two-level unique aggregation that carries the table's
-    row-expression checks as per-key partial sums in its first
-    level — one scan serves the unique check AND every row check."""
-    nm = f"unique:{table}." + "+".join(cols)
-    per_key = df.groupBy(*cols).agg(
+    """Level-1 of the unique aggregation: one row per key tuple with
+    its row count and the table's row-check partial sums. Every
+    check that can be answered from this relation (the unique count,
+    the row checks, referential orphans on a unique-key column,
+    count(DISTINCT key) cross-sums, count(*)) is REBASED onto it so
+    the physical plan computes the scan+exchange once and the other
+    branches read it via ReusedExchange."""
+    return df.groupBy(*cols).agg(
         F.expr("count(*) AS _c"),
         *[
             F.expr(f"sum(CAST(({flag}) AS BIGINT)) AS _v_{i}")
             for i, (_, flag) in enumerate(name_flags)
         ],
     )
+
+
+def _unique_with_row_checks(
+    df: DataFrame, cols: list[str], table: str, name_flags: list
+) -> DataFrame:
+    """Two-level unique aggregation that carries the table's
+    row-expression checks as per-key partial sums in its first
+    level — one scan serves the unique check AND every row check."""
+    return _unique_report(
+        _unique_per_key(df, cols, name_flags), cols, table, name_flags
+    )
+
+
+def _unique_report(
+    per_key: DataFrame, cols: list[str], table: str, name_flags: list
+) -> DataFrame:
+    nm = f"unique:{table}." + "+".join(cols)
     one = per_key.agg(
         F.expr("CAST(sum(_c) AS BIGINT) AS _total"),
         F.expr("count(*) AS _distinct"),
@@ -301,9 +321,12 @@ def expectation_report(
                                               # violations = |a - b|,
                                               # total_rows = a
     """
+    import re as _re
+
     per_table_flags: dict[str, list] = {}
     unique_specs: dict[str, list[list[str]]] = {}
-    reports: list[DataFrame] = []
+    refs: list[dict] = []
+    crosses: list[dict] = []
 
     # row-expression flags come from the builder shared with
     # observe_expectations, so inline and dedicated reports can never
@@ -318,65 +341,151 @@ def expectation_report(
         if kind in _ROW_KINDS:
             continue
         if kind == "unique":
-            t, cols = e["table"], e["columns"]
-            unique_specs.setdefault(t, []).append(cols)
+            unique_specs.setdefault(e["table"], []).append(e["columns"])
         elif kind == "referential":
-            t, fk = e["table"], e["column"]
-            d, k = e["ref_table"], e["ref_column"]
-            nm = f"referential:{t}.{fk}->{d}.{k}"
-            if fk == k:
-                raise ValueError(
-                    f"referential check {nm}: fk and ref column share the"
-                    " name; alias one side so the join condition is"
-                    " unambiguous"
-                )
-            fact, dim = tables[t], tables[d]
-            orphans = (
-                fact.where(f"{fk} IS NOT NULL")
-                .join(F.broadcast(dim), F.expr(f"{fk} = {k}"), "left_anti")
-                .agg(F.expr("count(*) AS violations"))
-            )
-            total = fact.agg(F.expr("count(*) AS total_rows"))
-            reports.append(
-                orphans.crossJoin(total).selectExpr(
-                    f"{_sq(nm)} AS check_name", "violations", "total_rows"
-                )
-            )
+            refs.append(e)
         elif kind == "cross_sum":
-            nm = f"cross_sum:{e['name']}"
-            a = tables[e["table"]].agg(
-                F.expr(f"CAST(({e['expr']}) AS BIGINT) AS _a")
-            )
-            bdf = tables[e["other_table"]].agg(
-                F.expr(f"CAST(({e['other_expr']}) AS BIGINT) AS _b")
-            )
-            reports.append(
-                a.crossJoin(bdf).selectExpr(
-                    f"{_sq(nm)} AS check_name",
-                    "abs(_a - _b) AS violations",
-                    "_a AS total_rows",
-                )
-            )
+            crosses.append(e)
         else:
             raise ValueError(f"unknown expectation kind: {kind}")
 
-    # assemble per-table scans: the FIRST unique check on a table
-    # absorbs that table's row-expression checks into its first-level
-    # aggregation (per-key partial flag sums), so such tables are
-    # scanned once, not twice
+    # Assembly principle: a union of per-check branches recomputes
+    # shared sub-plans per branch (column pruning specializes each
+    # branch's aggregate below the exchange, defeating ReusedExchange
+    # — measured: 4 lineitem scans for 4 lineitem checks). Instead,
+    # every check is compiled to SCALARS over one-row-per-table
+    # aggregate relations, all crossJoined (1-row x 1-row) into a
+    # single wide row, and the report rows are emitted by ONE inline()
+    # over it — so each table is scanned exactly once for ALL its
+    # scalar checks (unique + row flags + count(*)/count(DISTINCT
+    # key) sides), plus one broadcast-anti scan per referential check.
+    scalars: list[DataFrame] = []  # one-row relations to crossJoin
+    out_rows: list[tuple[str, str, str]] = []  # (name, viol, total) SQL
+    base: dict[str, list[str]] = {}  # t -> first unique's columns
+    extra_aggs: dict[str, list[str]] = {}  # t -> extra per_key aggs
+
+    def has_total(t: str) -> bool:
+        return t in base or t in per_table_flags
+
+    def _total(t: str) -> str:
+        return f"__{t}_total"
+
+    # cross_sum sides: decide rebasing BEFORE building the per-table
+    # aggregates so count(DISTINCT key-col) rides the base scan
+    cross_sides: list[list[str]] = []  # SQL scalar names per (a, b)
+    raw_id = iter(range(10**6))
+    for e in crosses:
+        side_names = []
+        for t, expr in ((e["table"], e["expr"]),
+                        (e["other_table"], e["other_expr"])):
+            uniq0 = unique_specs.get(t, [[]])[0]
+            m = _re.match(
+                r"(?is)^\s*count\(\s*distinct\s+(\w+)\s*\)\s*$", expr
+            )
+            if m and m.group(1) in uniq0:
+                col = m.group(1)
+                nm = f"__{t}_cd_{col}"
+                extra_aggs.setdefault(t, []).append(
+                    f"CAST(count(DISTINCT {col}) AS BIGINT) AS {nm}"
+                )
+                side_names.append(nm)
+            elif _re.match(r"(?s)^\s*count\(\s*\*\s*\)\s*$", expr) and (
+                t in unique_specs or t in per_table_flags
+            ):
+                side_names.append(_total(t))
+            else:
+                nm = f"__raw_{next(raw_id)}"
+                scalars.append(
+                    tables[t].agg(
+                        F.expr(f"CAST(({expr}) AS BIGINT) AS {nm}")
+                    )
+                )
+                side_names.append(nm)
+        cross_sides.append(side_names)
+
+    # one aggregate relation per table: the FIRST unique check absorbs
+    # the table's row-expression checks (per-key partial flag sums)
+    # and the rebased cross_sum distincts into its per-key level
     for t in {*per_table_flags, *unique_specs}:
         flags = per_table_flags.get(t, [])
         uniqs = unique_specs.get(t, [])
         if uniqs:
-            reports.append(
-                _unique_with_row_checks(tables[t], uniqs[0], t, flags)
+            base[t] = uniqs[0]
+            per_key = _unique_per_key(tables[t], uniqs[0], flags)
+            wide = per_key.agg(
+                F.expr(f"CAST(sum(_c) AS BIGINT) AS {_total(t)}"),
+                F.expr(f"count(*) AS __{t}_distinct"),
+                *[
+                    F.expr(f"sum(_v_{i}) AS __{t}_v_{i}")
+                    for i in range(len(flags))
+                ],
+                *[F.expr(a) for a in dict.fromkeys(extra_aggs.get(t, []))],
             )
-            for cols in uniqs[1:]:
-                reports.append(_unique_with_row_checks(tables[t], cols, t, []))
+            scalars.append(wide)
+            out_rows.append((
+                f"unique:{t}." + "+".join(uniqs[0]),
+                f"{_total(t)} - __{t}_distinct",
+                _total(t),
+            ))
+            for j, cols in enumerate(uniqs[1:], 1):
+                extra = _unique_per_key(tables[t], cols, []).agg(
+                    F.expr(f"CAST(sum(_c) AS BIGINT) AS __{t}_u{j}_total"),
+                    F.expr(f"count(*) AS __{t}_u{j}_distinct"),
+                )
+                scalars.append(extra)
+                out_rows.append((
+                    f"unique:{t}." + "+".join(cols),
+                    f"__{t}_u{j}_total - __{t}_u{j}_distinct",
+                    f"__{t}_u{j}_total",
+                ))
         elif flags:
-            reports.append(_fused_row_checks(flags, tables[t]))
+            scalars.append(
+                tables[t].agg(
+                    F.expr(f"CAST(count(*) AS BIGINT) AS {_total(t)}"),
+                    *[
+                        F.expr(
+                            f"sum(CAST(({flag}) AS BIGINT)) AS __{t}_v_{i}"
+                        )
+                        for i, (_, flag) in enumerate(flags)
+                    ],
+                )
+            )
+        for i, (flag_nm, _) in enumerate(flags):
+            out_rows.append((flag_nm, f"__{t}_v_{i}", _total(t)))
 
-    out = reduce(lambda x, y: x.unionByName(y), reports)
+    for j, e in enumerate(refs):
+        t, fk = e["table"], e["column"]
+        d, k = e["ref_table"], e["ref_column"]
+        nm = f"referential:{t}.{fk}->{d}.{k}"
+        if fk == k:
+            raise ValueError(
+                f"referential check {nm}: fk and ref column share the"
+                " name; alias one side so the join condition is"
+                " unambiguous"
+            )
+        scalars.append(
+            tables[t].where(f"{fk} IS NOT NULL")
+            .join(F.broadcast(tables[d]), F.expr(f"{fk} = {k}"), "left_anti")
+            .agg(F.expr(f"CAST(count(*) AS BIGINT) AS __ref_{j}"))
+        )
+        if not has_total(t):
+            scalars.append(
+                tables[t].agg(
+                    F.expr(f"CAST(count(*) AS BIGINT) AS {_total(t)}")
+                )
+            )
+            per_table_flags.setdefault(t, [])  # has_total now true
+        out_rows.append((nm, f"__ref_{j}", _total(t)))
+
+    for e, (sa, sb) in zip(crosses, cross_sides):
+        out_rows.append(
+            (f"cross_sum:{e['name']}", f"abs({sa} - {sb})", sa)
+        )
+
+    if not scalars or not out_rows:
+        raise ValueError("expectation spec compiled to no checks")
+    one = reduce(lambda x, y: x.crossJoin(y), scalars)
+    out = one.selectExpr(_inline_checks(out_rows))
     return out.selectExpr(
         "check_name",
         "CAST(violations AS BIGINT) AS violations",

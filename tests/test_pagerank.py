@@ -96,3 +96,64 @@ def test_rejects_bad_damping(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(e, damping=1.0)
+
+
+def _duck_pagerank_sql(n_iters: int, d: float = D) -> str:
+    """Unrolled fixed-iteration damped power iteration in portable
+    SQL (same dangling-redistribution semantics as graph.pagerank):
+    each iteration is a contribution join-aggregate plus a dangling
+    scalar, chained as CTEs r1..rN off the deterministic edge
+    relation derived from orders."""
+    head = f"""
+    WITH e AS (SELECT DISTINCT (o_custkey % 97) AS s, (o_orderkey % 89) AS d
+               FROM orders),
+    v AS (SELECT DISTINCT id FROM
+            (SELECT s AS id FROM e UNION SELECT d FROM e) u),
+    nv AS (SELECT count(*)::DOUBLE AS n FROM v),
+    deg AS (SELECT s, count(*)::DOUBLE AS od FROM e GROUP BY s),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM v)"""
+    its = []
+    for k in range(1, n_iters + 1):
+        p = f"r{k - 1}"
+        its.append(f""",
+    c{k} AS (SELECT e.d AS id, sum(r.rank / deg.od) AS contrib
+             FROM e JOIN {p} r ON r.id = e.s
+                    JOIN deg ON deg.s = e.s
+             GROUP BY e.d),
+    dg{k} AS (SELECT coalesce(sum(r.rank), 0) AS dang
+              FROM {p} r LEFT JOIN deg ON deg.s = r.id
+              WHERE deg.s IS NULL),
+    r{k} AS (SELECT v.id,
+                    (1 - {d}) / (SELECT n FROM nv)
+                    + {d} * (coalesce(c{k}.contrib, 0)
+                             + (SELECT dang FROM dg{k}) / (SELECT n FROM nv))
+                      AS rank
+             FROM v LEFT JOIN c{k} ON c{k}.id = v.id)""")
+    return head + "".join(its) + f"\n    SELECT id, rank FROM r{n_iters}"
+
+
+def test_matches_duckdb_on_orders_graph(spark, duck, sf_dir):
+    """Cross-ENGINE pin beyond the numpy twin (round-9 verdict #7):
+    5 damped iterations over a deterministic graph derived from the
+    driver's orders table must match a DuckDB unrolled
+    power-iteration recomputation per vertex. tol=0 forces exactly
+    max_iter iterations on the Spark side so both engines run the
+    same fixed-point prefix."""
+    from pyspark.sql import functions as F
+
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 97).cast("long").alias("src"),
+        (F.col("o_orderkey") % 89).cast("long").alias("dst"),
+    ).distinct()
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, damping=D, max_iter=5, tol=0.0).collect()
+    }
+    want = dict(duck.execute(_duck_pagerank_sql(5)).fetchall())
+    assert set(got) == set(want) and len(got) > 50
+    for i, w in want.items():
+        assert abs(got[i] - w) < 1e-9, (i, got[i], w)
+    assert abs(sum(got.values()) - 1.0) < 1e-8

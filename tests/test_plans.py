@@ -26,12 +26,15 @@ def optimized_plan(df) -> str:
 
 QUERIES = all_queries()
 
-# registry-retired in round 9; their plan contracts stay locked here
+# registry-retired in rounds 9-10; their plan contracts stay locked here
 from clinical_data_warehouse_bi_spark.queries.core import q_agg_per_order  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.dedup import q_paragraph_dedup  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk  # noqa: E402
-from clinical_data_warehouse_bi_spark.queries.windows import q_scd2_dim  # noqa: E402
+from clinical_data_warehouse_bi_spark.queries.windows import (  # noqa: E402
+    q_cohort_retention,
+    q_scd2_dim,
+)
 
 QUERIES = {
     **QUERIES,
@@ -40,6 +43,7 @@ QUERIES = {
     "q_agg_per_order": q_agg_per_order,
     "q_cosine_topk": q_cosine_topk,
     "q_scd2_dim": q_scd2_dim,
+    "q_cohort_retention": q_cohort_retention,
 }
 
 
@@ -498,3 +502,21 @@ def test_hybrid_topk_no_heavy_exchange(spark, sf_dir):
         head = seg.split("\n", 1)[0]
         assert "text#" not in head and "embedding#" not in head, head
     assert "CartesianProduct" not in plan
+
+
+def test_expectations_scans_each_table_once_plus_anti(spark, sf_dir):
+    """The expectation compiler assembles ONE wide scalar row via
+    1-row crossJoins instead of a per-check union: each fact table
+    is scanned once for ALL its scalar checks (unique + row flags +
+    count(*)/count(DISTINCT key) cross-sum sides) plus once per
+    broadcast-anti referential probe — the union form paid a full
+    scan per check (4 lineitem scans before the round-10 rewrite)."""
+    import re
+
+    plan = physical_plan(QUERIES["q_expectations"](spark, sf_dir))
+    # lineitem: wide aggregate + its referential anti-join probe
+    assert len(re.findall(r"FileScan parquet .*lineitem", plan)) == 2, plan
+    # orders: wide aggregate + its own anti probe + the broadcast
+    # build for lineitem's referential check
+    assert len(re.findall(r"FileScan parquet .*orders", plan)) == 3, plan
+    assert "Expand" not in plan  # single-DISTINCT aggregates only
