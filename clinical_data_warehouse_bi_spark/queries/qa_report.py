@@ -266,9 +266,15 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (J11 shape), and a two-scalar cross_sum reconciliation
     (witnessing the retired q_qa_agg_consistency, A4/QA.sql:67-71).
 
-    Scale shape: 11 checks over 3 tables cost 2 fused scans + 2
-    two-level unique jobs + 2 broadcast anti-joins + 2 scalar aggs —
-    independent of how many row-expression checks the suite grows."""
+    Scale shape (round-10 compiler): every scalar-expressible check
+    is an aggregate over ONE one-row-per-table wide relation — the
+    11 checks cost 2 table scans (one wide aggregate each for
+    lineitem and orders, carrying unique + row flags +
+    count(*)/count(DISTINCT key) cross-sum sides) + 2 broadcast
+    anti-join probes, assembled by 1-row crossJoins and emitted with
+    a single inline() (plan-locked scan counts in tests/
+    test_plans.py). Independent of how many row-expression checks
+    the suite grows."""
     from clinical_data_warehouse_bi_spark import qa
 
     t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
