@@ -152,6 +152,47 @@ def test_expectation_row_checks_fuse_into_one_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_expectation_compiler_fallback_paths(spark):
+    """The round-10 wide-row compiler's non-rebased paths: a
+    cross_sum whose expression is NOT count(*)/count(DISTINCT key)
+    (raw scalar branch), a second unique on the same table (its own
+    scalar branch), and a referential check on a table with NO
+    unique base (raw anti + its own count(*) total)."""
+    a = spark.createDataFrame(
+        [(1, 10, 2.0), (2, 10, 3.0), (3, 11, 5.0), (3, 11, 5.0)],
+        ["id", "fk", "v"],
+    )
+    b = spark.createDataFrame([(10, 5.0)], ["k", "w"])
+    spec = [
+        {"check": "unique", "table": "a", "columns": ["id"]},
+        {"check": "unique", "table": "a", "columns": ["id", "fk"]},
+        # sum() sides: neither is rebasable onto the unique base
+        {"check": "cross_sum", "name": "sums",
+         "table": "a", "expr": "sum(v)",
+         "other_table": "b", "other_expr": "sum(w) * 3"},
+        # b has no unique/flags: raw anti-join + raw count(*) total
+        {"check": "referential", "table": "b", "column": "k",
+         "ref_table": "a", "ref_column": "fk"},
+        # a HAS a base but fk is its key only in the second unique:
+        # count(*) side still rides the base total
+        {"check": "cross_sum", "name": "rows_vs_rows",
+         "table": "a", "expr": "count(*)",
+         "other_table": "b", "other_expr": "count(*)"},
+    ]
+    rep = {
+        r["check_name"]: (r["violations"], r["total_rows"], r["passed"])
+        for r in qa.expectation_report({"a": a, "b": b}, spec).collect()
+    }
+    assert rep["unique:a.id"] == (1, 4, False)       # id 3 duplicated
+    assert rep["unique:a.id+fk"] == (1, 4, False)    # (3,11) duplicated
+    # sum(v)=15, sum(w)*3=15 -> equal
+    assert rep["cross_sum:sums"] == (0, 15, True)
+    # b.k=10 matches a.fk -> no orphans, total over b
+    assert rep["referential:b.k->a.fk"] == (0, 1, True)
+    assert rep["cross_sum:rows_vs_rows"] == (3, 4, False)  # 4 vs 1
+    assert len(rep) == len(spec)
+
+
 def test_expectation_all_green_on_driver_data(spark, sf_dir, duck):
     """The registered fixed suite passes end-to-end on the driver's
     synthetic star schema (violations exist only where the data
