@@ -696,6 +696,103 @@ def weighted_sample(
     )
 
 
+def split_assign(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    seed: str = "split0",
+    by_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row draws a
+    reproducible uniform u from a PORTABLE md5 of (seed, by value)
+    (the weighted_sample construction) and lands in the split whose
+    cumulative-fraction interval contains it. ``fractions`` maps
+    split name -> fraction, summing to 1 (names in insertion order
+    define the intervals, so the same dict always reproduces the
+    same assignment).
+
+    ``by_col`` is the assignment KEY, not just an id: rows sharing a
+    value land in the SAME split — pass a cluster/domain/patient
+    column for leakage-safe splitting (cluster_safe_split composes
+    this with the near-dup cluster relation).
+
+    Scale shape: one per-row expression, NO shuffle, no RNG state —
+    the same (seed, key) produces the same split on any cluster
+    layout and at any later date (Spark's rand() cannot promise
+    either), so an append-only corpus keeps its historical
+    assignment stable as it grows. The md5-derived uniform is IEEE
+    double arithmetic a DuckDB twin reproduces exactly
+    (value-checked in tests)."""
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    fracs = [float(fractions[n]) for n in names]
+    if any(f <= 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("fractions must be positive and sum to 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit(":"), F.col(by_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    cum = 0.0
+    expr = F.lit(names[-1])  # the last split takes the top interval
+    bounds = []
+    for n, f in zip(names[:-1], fracs[:-1]):
+        cum += f
+        bounds.append((n, cum))
+    for n, b in reversed(bounds):
+        expr = F.when(u <= F.lit(b), F.lit(n)).otherwise(expr)
+    return docs.withColumn(out_col, expr)
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    seed: str = "split0",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: assignment happens at the NEAR-DUP CLUSTER
+    level, so two near-duplicate documents can never straddle
+    train/val — the contamination trap a per-document split walks
+    into (a val doc whose near-copy sits in train is a leaked label).
+    ``clusters`` is a (id, cluster id) relation — e.g. the
+    dedup-cluster output of graph.connected_components over LSH/
+    SimHash candidate pairs (the q_dedup_clusters relation);
+    unclustered documents default to their own id (singleton
+    clusters).
+
+    Scale shape: ONE left join against the cluster relation (small
+    side: only documents that HAVE a near-dup need rows — AQE
+    broadcasts it when it fits) and then split_assign's shuffle-free
+    per-row expression on the coalesced key."""
+    c = clusters.select(
+        F.col(id_col).alias("__sid"), F.col(cluster_col).alias("__scl")
+    )
+    joined = docs.join(c, docs[id_col] == F.col("__sid"), "left").drop(
+        "__sid"
+    )
+    keyed = joined.withColumn(
+        "__skey", F.coalesce(F.col("__scl"), F.col(id_col)).cast("string")
+    ).drop("__scl")
+    return split_assign(
+        keyed, fractions, seed=seed, by_col="__skey", out_col=out_col
+    ).drop("__skey")
+
+
 def remove_boilerplate(
     docs: DataFrame,
     source_col: str = "source",

@@ -2455,3 +2455,102 @@ def test_chunk_text_properties(spark, texts, chunk, overlap):
             assert r["token_start"] == r["chunk_idx"] * stride
             assert r["token_end"] - r["token_start"] == len(ch)
         assert rebuilt == toks, (t, chunk, overlap)
+
+
+# ---------------------------------------- split_assign / cluster_safe_split
+
+
+def test_split_assign_matches_duckdb_and_covers(spark, sf_dir, duck):
+    from clinical_data_warehouse_bi_spark import text as T2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = T2.split_assign(docs, fr, seed="s1")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    # exact cross-engine reproduction of the md5-uniform assignment
+    want = dict(duck.execute("""
+        SELECT doc_id,
+               CASE WHEN u <= 0.8 THEN 'train'
+                    WHEN u <= 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     (('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8))::UBIGINT + 1.0)
+                     / 4294967297.0 AS u
+              FROM documents) t
+    """).fetchall())
+    assert got == want
+    # disjoint cover with roughly the declared fractions
+    n = len(got)
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"} and sum(c.values()) == n
+    assert abs(c["train"] / n - 0.8) < 0.05
+    # deterministic and seed-sensitive
+    again = {r["doc_id"]: r["split"]
+             for r in T2.split_assign(docs, fr, seed="s1").collect()}
+    other = {r["doc_id"]: r["split"]
+             for r in T2.split_assign(docs, fr, seed="s2").collect()}
+    assert again == got and other != got
+    # append stability: the assignment of an id is a pure function of
+    # (seed, key) — a half-corpus run agrees with the full run
+    half = {
+        r["doc_id"]: r["split"]
+        for r in T2.split_assign(
+            docs.filter("doc_id % 2 = 0"), fr, seed="s1"
+        ).collect()
+    }
+    assert all(got[i] == s for i, s in half.items())
+
+
+def test_split_assign_is_shuffle_free_and_validates(spark, sf_dir):
+    import pytest as _pt
+
+    from clinical_data_warehouse_bi_spark import text as T2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T2.split_assign(docs, {"a": 0.5, "b": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row expression
+    with _pt.raises(ValueError):
+        T2.split_assign(docs, {"only": 1.0})
+    with _pt.raises(ValueError):
+        T2.split_assign(docs, {"a": 0.5, "b": 0.6})
+    with _pt.raises(ValueError):
+        T2.split_assign(docs, {"a": -0.5, "b": 1.5})
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """Near-dup cluster members always land in the SAME split;
+    singletons get their own-id assignment (== plain split_assign)."""
+    from clinical_data_warehouse_bi_spark import text as T2
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(400)], "doc_id long, text string"
+    )
+    # 100 clusters of 3 (ids 3k, 3k+1, 3k+2 share cluster 3k)
+    clusters = spark.createDataFrame(
+        [(3 * k + j, 3 * k) for k in range(100) for j in range(3)],
+        "doc_id long, cluster_id long",
+    )
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = T2.cluster_safe_split(docs, clusters, fr, seed="cs1")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 400
+    for k in range(100):
+        assert rows[3 * k] == rows[3 * k + 1] == rows[3 * k + 2]
+    # singletons (ids 300..399) match plain per-id assignment
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in T2.split_assign(
+            docs.filter("doc_id >= 300").withColumn(
+                "__skey", F.col("doc_id").cast("string")
+            ),
+            fr,
+            seed="cs1",
+            by_col="__skey",
+        ).collect()
+    }
+    for i in range(300, 400):
+        assert rows[i] == plain[i]
