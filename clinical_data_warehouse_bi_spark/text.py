@@ -1210,3 +1210,75 @@ def chunk_text(
         )
     )
     return chunked
+
+
+def vocabulary_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    min_count: int = 1,
+) -> DataFrame:
+    """Token-distribution divergence between two corpus snapshots —
+    the text twin of qa.drift_report's numeric PSI: before swapping a
+    refreshed crawl (or a re-filtered mix) into a training run, the
+    question is WHICH tokens moved and by how much. Computes the
+    per-token contribution to the Jensen-Shannon divergence between
+    the two corpora's unigram distributions (base-2 JS: symmetric,
+    bounded [0, 1], defined even where one side is zero — KL is not)
+    and returns the ``top_k`` largest contributors:
+    (token, p_a, p_b, js_contrib) ordered by (js_contrib DESC, token
+    ASC). Summing js_contrib over the FULL vocabulary (top_k = a
+    large bound) gives the total JS divergence.
+
+    Tokens below ``min_count`` occurrences in BOTH corpora are
+    dropped (hapax noise dominates otherwise); probabilities are
+    computed over the full pre-filter token mass so the report's
+    p_a/p_b are true corpus frequencies.
+
+    Scale shape: one count aggregation per corpus whose exchange
+    carries (token, count) — single tokens are a bounded vocabulary,
+    unlike n-grams (top_ngrams' hash-pair discipline exists because
+    n-gram vocabulary explodes; unigrams do not) — then a full outer
+    join of the two slim count relations, per-row JS arithmetic, and
+    a TakeOrdered top-k. Nothing corpus-sized is joined or
+    collected; the total-mass scalars ride as 1-row broadcast
+    crossJoins."""
+    if top_k < 1:
+        raise ValueError("top_k must be positive")
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(f"n_{side}"))
+        )
+
+    ca, cb = counts(corpus_a, "a"), counts(corpus_b, "b")
+    tot_a = ca.agg(F.sum("n_a").alias("__ta"))
+    tot_b = cb.agg(F.sum("n_b").alias("__tb"))
+    joined = (
+        ca.join(cb, "token", "full_outer")
+        .na.fill({"n_a": 0, "n_b": 0})
+        .where((F.col("n_a") >= min_count) | (F.col("n_b") >= min_count))
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    p = F.col("n_a") / F.col("__ta")
+    q = F.col("n_b") / F.col("__tb")
+    m = (p + q) / F.lit(2.0)
+    # 0*log(0/x) := 0 (the JS convention); log base 2
+    term = (
+        F.when(F.col("n_a") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_b") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    return (
+        joined.select(
+            "token",
+            p.alias("p_a"),
+            q.alias("p_b"),
+            term.alias("js_contrib"),
+        )
+        .orderBy(F.col("js_contrib").desc(), F.col("token").asc())
+        .limit(top_k)
+    )

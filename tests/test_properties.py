@@ -2554,3 +2554,81 @@ def test_cluster_safe_split_never_straddles(spark):
     }
     for i in range(300, 400):
         assert rows[i] == plain[i]
+
+
+# -------------------------------------------- vocabulary_divergence
+
+
+def test_vocabulary_divergence_matches_duckdb(spark, sf_dir, duck):
+    """Per-token JS contributions against a DuckDB recomputation on
+    the same two snapshots (documents split by doc_id parity);
+    values compared to 1e-12, membership of the top set exact."""
+    from clinical_data_warehouse_bi_spark import text as T2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    got = [
+        (r["token"], r["p_a"], r["p_b"], r["js_contrib"])
+        for r in T2.vocabulary_divergence(a, b, top_k=40).collect()
+    ]
+    want = duck.execute("""
+        WITH ta AS (SELECT unnest(regexp_extract_all(lower(text),
+                           '[a-z0-9]+')) AS token
+                    FROM documents WHERE doc_id % 2 = 0),
+        tb AS (SELECT unnest(regexp_extract_all(lower(text),
+                           '[a-z0-9]+')) AS token
+               FROM documents WHERE doc_id % 2 = 1),
+        ca AS (SELECT token, count(*)::DOUBLE AS n_a FROM ta GROUP BY 1),
+        cb AS (SELECT token, count(*)::DOUBLE AS n_b FROM tb GROUP BY 1),
+        j AS (SELECT coalesce(ca.token, cb.token) AS token,
+                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+              FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        tots AS (SELECT (SELECT sum(n_a) FROM ca) AS sa,
+                        (SELECT sum(n_b) FROM cb) AS sb),
+        terms AS (
+          SELECT token, n_a / sa AS p_a, n_b / sb AS p_b,
+                 (CASE WHEN n_a > 0 THEN (n_a/sa) * log2((n_a/sa) /
+                        ((n_a/sa + n_b/sb) / 2.0)) ELSE 0 END
+                + CASE WHEN n_b > 0 THEN (n_b/sb) * log2((n_b/sb) /
+                        ((n_a/sa + n_b/sb) / 2.0)) ELSE 0 END) / 2.0
+                   AS js_contrib
+          FROM j, tots)
+        SELECT token, p_a, p_b, js_contrib FROM terms
+        ORDER BY js_contrib DESC, token ASC LIMIT 40
+    """).fetchall()
+    # the sf0.001 vocabulary is smaller than top_k: both engines
+    # return the full vocabulary, which must agree exactly
+    assert len(got) == len(want) > 20
+    assert {t for t, *_ in got} == {t for t, *_ in want}
+    gm = {t: (pa, pb, js) for t, pa, pb, js in got}
+    for t, pa, pb, js in want:
+        ga, gb, gj = gm[t]
+        assert abs(ga - pa) < 1e-12 and abs(gb - pb) < 1e-12
+        assert abs(gj - js) < 1e-12
+
+
+def test_vocabulary_divergence_properties(spark):
+    """Identical corpora diverge by zero everywhere; a token present
+    on one side only carries the maximal per-token share; full-vocab
+    js_contrib sums into [0, 1]."""
+    from clinical_data_warehouse_bi_spark import text as T2
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    same = T2.vocabulary_divergence(a, a, top_k=100).collect()
+    assert all(abs(r["js_contrib"]) < 1e-15 for r in same)
+    b = spark.createDataFrame(
+        [(3, "alpha beta delta")], "doc_id long, text string"
+    )
+    out = T2.vocabulary_divergence(a, b, top_k=100).collect()
+    total = sum(r["js_contrib"] for r in out)
+    assert 0.0 < total <= 1.0 + 1e-12
+    top = out[0]
+    assert top["token"] in ("gamma", "delta")  # one-sided tokens lead
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        T2.vocabulary_divergence(a, b, top_k=0)
