@@ -233,68 +233,21 @@ def _inline_checks(rows: list[tuple[str, str, str]]) -> str:
     return f"inline(array({structs}))"
 
 
-def _fused_row_checks(name_flags, df: DataFrame) -> DataFrame:
-    """ONE aggregation for all row-expression checks on one table;
-    one output row per check via a post-agg inline explode."""
-    aggs = ["count(*) AS _total"] + [
-        f"sum(CAST(({flag}) AS BIGINT)) AS _v_{i}"
-        for i, (_, flag) in enumerate(name_flags)
-    ]
-    one = df.agg(*[F.expr(a) for a in aggs])
-    return one.selectExpr(
-        _inline_checks(
-            [(nm, f"_v_{i}", "_total") for i, (nm, _) in enumerate(name_flags)]
-        )
-    )
-
-
 def _unique_per_key(
     df: DataFrame, cols: list[str], name_flags: list
 ) -> DataFrame:
     """Level-1 of the unique aggregation: one row per key tuple with
-    its row count and the table's row-check partial sums. Every
-    check that can be answered from this relation (the unique count,
-    the row checks, referential orphans on a unique-key column,
-    count(DISTINCT key) cross-sums, count(*)) is REBASED onto it so
-    the physical plan computes the scan+exchange once and the other
-    branches read it via ReusedExchange."""
+    its row count and the table's row-check partial sums. The wide
+    second-level aggregate expectation_report builds over it answers
+    the unique count, every row check, and the rebasable cross_sum
+    sides (count(*), count(DISTINCT key-col)) from this ONE
+    scan+exchange."""
     return df.groupBy(*cols).agg(
         F.expr("count(*) AS _c"),
         *[
             F.expr(f"sum(CAST(({flag}) AS BIGINT)) AS _v_{i}")
             for i, (_, flag) in enumerate(name_flags)
         ],
-    )
-
-
-def _unique_with_row_checks(
-    df: DataFrame, cols: list[str], table: str, name_flags: list
-) -> DataFrame:
-    """Two-level unique aggregation that carries the table's
-    row-expression checks as per-key partial sums in its first
-    level — one scan serves the unique check AND every row check."""
-    return _unique_report(
-        _unique_per_key(df, cols, name_flags), cols, table, name_flags
-    )
-
-
-def _unique_report(
-    per_key: DataFrame, cols: list[str], table: str, name_flags: list
-) -> DataFrame:
-    nm = f"unique:{table}." + "+".join(cols)
-    one = per_key.agg(
-        F.expr("CAST(sum(_c) AS BIGINT) AS _total"),
-        F.expr("count(*) AS _distinct"),
-        *[F.expr(f"sum(_v_{i}) AS _v_{i}") for i in range(len(name_flags))],
-    )
-    return one.selectExpr(
-        _inline_checks(
-            [(nm, "_total - _distinct", "_total")]
-            + [
-                (flag_nm, f"_v_{i}", "_total")
-                for i, (flag_nm, _) in enumerate(name_flags)
-            ]
-        )
     )
 
 
