@@ -2632,3 +2632,51 @@ def test_vocabulary_divergence_properties(spark):
 
     with _pt.raises(ValueError):
         T2.vocabulary_divergence(a, b, top_k=0)
+
+
+def test_outlier_report_oracle_shaped_duckdb_parity(spark, sf_dir, duck):
+    """Registration-ready oracle for the q_outlier_report candidate:
+    grouped modified-z over lineitem quantities vs a DuckDB
+    recomputation, values quantized decimal(28,9)->string on both
+    sides (the cross-engine float convention)."""
+    from clinical_data_warehouse_bi_spark import qa
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = qa.outlier_report(li, "l_extendedprice", ["l_returnflag"])
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"],
+         r["modified_z"], bool(r["is_outlier"]))
+        for r in out.select(
+            "l_orderkey", "l_linenumber",
+            F.col("modified_z").cast("decimal(28,9)").cast("string")
+            .alias("modified_z"),
+            "is_outlier",
+        ).collect()
+    )
+    want = sorted(
+        (a, b, z, bool(f))
+        for a, b, z, f in duck.execute("""
+            WITH med AS (
+              SELECT l_returnflag, median(l_extendedprice) AS med
+              FROM lineitem GROUP BY l_returnflag),
+            stats AS (
+              SELECT l.l_returnflag, any_value(m.med) AS med,
+                     median(abs(l.l_extendedprice - m.med)) AS mad
+              FROM lineitem l JOIN med m USING (l_returnflag)
+              GROUP BY l.l_returnflag)
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(CASE WHEN mad > 0 THEN
+                        0.6745 * (l_extendedprice - med) / mad END
+                        AS DECIMAL(28,9)) AS VARCHAR) AS modified_z,
+                   CASE WHEN mad > 0
+                        THEN abs(0.6745 * (l_extendedprice - med) / mad)
+                             > 3.5
+                        ELSE l_extendedprice <> med END AS is_outlier
+            FROM lineitem JOIN stats USING (l_returnflag)
+        """).fetchall()
+    )
+    assert len(got) == len(want) > 1000
+    assert got == want
