@@ -2680,3 +2680,62 @@ def test_outlier_report_oracle_shaped_duckdb_parity(spark, sf_dir, duck):
     )
     assert len(got) == len(want) > 1000
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)),
+        min_size=0,
+        max_size=30,
+    ),
+    seed=st.sampled_from(["h1", "h2"]),
+)
+def test_cluster_safe_split_property(spark, edges, seed):
+    """Random near-dup pair sets: composing connected_components with
+    cluster_safe_split never lets two connected documents straddle a
+    split, every document is assigned exactly once, and the
+    assignment is deterministic per seed."""
+    from clinical_data_warehouse_bi_spark import text as T2
+    from clinical_data_warehouse_bi_spark.graph import connected_components
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n)], "doc_id long, text string"
+    )
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    if edges:
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        comp = connected_components(pairs, src="doc_a", dst="doc_b")
+        clusters = comp.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+    else:
+        clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in T2.cluster_safe_split(
+            docs, clusters, fr, seed=seed
+        ).collect()
+    }
+    assert len(out) == n  # exactly one assignment per doc
+    # union-find ground truth for connectivity
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for a, b in edges:
+        assert out[a] == out[b], (a, b, out[a], out[b])
+    again = {
+        r["doc_id"]: r["split"]
+        for r in T2.cluster_safe_split(
+            docs, clusters, fr, seed=seed
+        ).collect()
+    }
+    assert again == out
