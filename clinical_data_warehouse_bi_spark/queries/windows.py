@@ -65,7 +65,7 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
       SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
-                       OR epoch(ts) - epoch(prev_ts) > 1800
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM ordered),
     numbered AS (
@@ -84,9 +84,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity), the lag +
     gap-flag + running-sum construction — batch dual of
     streaming.sessionized's session_window. One shuffle on user_id;
-    both windows and the final groupBy share that partitioning."""
+    both windows and the final groupBy share that partitioning.
+
+    The gap compares epoch MICROSECONDS on both engines:
+    second-truncated diffs disagree with DuckDB's fractional epoch()
+    whenever a gap sits within a second of the threshold, and
+    session_window (the streaming dual) works in true time — the
+    rolling_aggregate sf0.1 lesson applied before it bit here."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     flagged = ev.select(
         "user_id",
         "event_id",
@@ -94,8 +101,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > 1800
+                us(F.col("ts")) - us(F.lag("ts").over(w))
+                > 1800 * 1_000_000
             ),
             F.lit(1),
         )
@@ -611,9 +618,9 @@ ROLLING_DAYS = 7
              AS avg_{ROLLING_DAYS}d_q,
            CAST(count(*) OVER w AS BIGINT) AS count_{ROLLING_DAYS}d
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN {ROLLING_DAYS * 86400 - 1} PRECEDING
-                       AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {ROLLING_DAYS * 86400 * 1000000 - 1}
+                       PRECEDING AND CURRENT ROW)
     """)
 def q_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing {ROLLING_DAYS}-day moving average / count per event

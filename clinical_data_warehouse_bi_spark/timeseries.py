@@ -202,7 +202,11 @@ def rolling_aggregate(
     by the window span, not the history.
 
     RANGE frames need a numeric ordering key: ts is cast to epoch
-    seconds internally; output keeps the original column.
+    MICROSECONDS internally — truncating to whole seconds silently
+    moves sub-second-boundary events in or out of the frame (caught
+    by the sf0.1 cross-engine gate, where two events 7 days apart
+    minus half a second straddled the truncated bound). Output keeps
+    the original column.
 
     Emits <agg>_<window_days>d columns, e.g. avg_7d."""
     if window_days <= 0:
@@ -211,11 +215,11 @@ def rolling_aggregate(
     bad = set(aggs) - allowed
     if bad:
         raise ValueError(f"unsupported aggs: {sorted(bad)}")
-    span = int(window_days) * 86400
+    span_us = int(window_days) * 86400 * 1_000_000
     w = (
         Window.partitionBy(*[F.col(k) for k in key_cols])
-        .orderBy(F.unix_timestamp(F.col(ts_col)).cast("long"))
-        .rangeBetween(-(span - 1), 0)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-(span_us - 1), 0)
     )
     out = df
     for a in aggs:
@@ -261,7 +265,11 @@ def attribution(
     if model not in ("last_touch", "first_touch"):
         raise ValueError("model must be last_touch or first_touch")
     base = events.withColumn("__conv", conversion_pred)
-    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    # epoch MICROSECONDS, not seconds: second-truncation silently
+    # reorders same-second touch/conversion pairs and shifts the
+    # lookback horizon by up to a second (the rolling_aggregate
+    # sf0.1 lesson applied here)
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
     if lookback_days is None:
         w = (
             Window.partitionBy(user_col)
@@ -272,12 +280,12 @@ def attribution(
         # RANGE frame: eligible touches are those within the horizon
         # before each row's own timestamp. The frame includes same-ts
         # rows (conversions carry NULL touch columns, so only genuine
-        # same-second touches — already eligible under the rows frame
-        # — contribute).
+        # same-instant touches — already eligible under the rows
+        # frame — contribute).
         w = (
             Window.partitionBy(user_col)
             .orderBy(epoch)
-            .rangeBetween(-int(lookback_days) * 86400, 0)
+            .rangeBetween(-int(lookback_days) * 86400 * 1_000_000, 0)
         )
     touch_ch = F.when(~F.col("__conv"), F.col(channel_col))
     touch_ts = F.when(~F.col("__conv"), F.col(ts_col))
@@ -348,7 +356,7 @@ def seasonal_anomalies(
 
     w = (
         Window.partitionBy(*[F.col(k) for k in key_cols], slot)
-        .orderBy(F.unix_timestamp(F.col(ts_col)).cast("long"))
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
         .rowsBetween(-baseline_n, -1)
     )
     hist = F.array_sort(F.collect_list(F.col(value_col)).over(w))

@@ -2067,8 +2067,9 @@ def test_rolling_aggregate_matches_duckdb(spark, sf_dir, duck):
                    count(*)   OVER w AS count_7d,
                    sum(value) OVER w AS sum_7d
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                         RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 604799999999 PRECEDING
+                               AND CURRENT ROW)
         """).fetchall()
     )
     assert got == want and len(got) > 0
@@ -2097,8 +2098,9 @@ def test_rolling_aggregate_rejects_bad_inputs(spark, sf_dir):
 
 
 def _attribution_python(rows, model, lookback_days=None):
-    """Independent per-user model: rows = (user, ts_epoch, channel,
-    is_conv); same-timestamp touches sort before conversions."""
+    """Independent per-user model: rows = (user, ts_epoch_us, channel,
+    is_conv); same-instant touches sort before conversions.
+    Timestamps are MICROSECOND epochs (the operator's precision)."""
     from collections import defaultdict
 
     by_user = defaultdict(list)
@@ -2114,7 +2116,7 @@ def _attribution_python(rows, model, lookback_days=None):
                 continue
             eligible = touches
             if lookback_days is not None:
-                horizon = lookback_days * 86400
+                horizon = lookback_days * 86400 * 1_000_000
                 eligible = [p for p in touches if t - p[0] <= horizon]
             pick = None
             if eligible:
@@ -2131,15 +2133,16 @@ def test_attribution_matches_python_model(spark, sf_dir):
         "user_id", "ts", "event_type"
     )
     rows = [
-        (r["user_id"], int(r["ts"].timestamp()), r["event_type"],
-         r["event_type"] == "purchase")
+        (r["user_id"], int(round(r["ts"].timestamp() * 1_000_000)),
+         r["event_type"], r["event_type"] == "purchase")
         for r in ev.collect()
     ]
     for model in ("last_touch", "first_touch"):
         got = sorted(
-            (r["user"], int(r["conversion_ts"].timestamp()),
+            (r["user"], int(round(r["conversion_ts"].timestamp() * 1_000_000)),
              r["credited_channel"],
-             int(r["touch_ts"].timestamp()) if r["touch_ts"] else None)
+             int(round(r["touch_ts"].timestamp() * 1_000_000))
+             if r["touch_ts"] else None)
             for r in attribution(
                 ev, "user_id", "ts", "event_type",
                 F.col("event_type") == "purchase", model=model,
