@@ -644,3 +644,104 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return T.top_ngrams(fan_out(docs), n=NGRAM_N, k=NGRAM_K)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 registration candidates, staged unregistered (the named-
+# candidate convention): each is a (spark, sf_dir) -> DataFrame with a
+# module-level DuckDB oracle and a live full-oracle comparison in
+# tests/test_retired_parity.py — registration is a decorator away.
+# ---------------------------------------------------------------------------
+
+#: split fractions for the staged split-assignment demo
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = "cdwbi-split-demo"
+
+SQL_SPLIT_ASSIGN = f"""
+    SELECT doc_id,
+           CASE WHEN u <= 0.8 THEN 'train'
+                WHEN u <= 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 (('0x' || substr(md5('{SPLIT_SEED}:'
+                                      || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  + 1.0) / 4294967297.0 AS u
+          FROM documents) t
+    """
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (text.split_assign):
+    every document draws a portable md5-uniform and lands in the
+    split whose cumulative-fraction interval contains it — stable
+    under corpus growth and identical on any cluster layout (two
+    promises Spark's rand() cannot make). The cluster-keyed
+    leakage-safe form (text.cluster_safe_split) composes this with
+    the q_dedup_clusters relation; the per-id form is the
+    oracle-checkable witness.
+
+    Scale shape: ONE per-row expression, no shuffle, no RNG state."""
+    from clinical_data_warehouse_bi_spark.text import split_assign
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return split_assign(
+        docs.select("doc_id"), SPLIT_FRACTIONS, seed=SPLIT_SEED
+    ).select("doc_id", "split")
+
+
+#: vocabulary-divergence report size for the staged demo
+VOCAB_DIV_K = 50
+
+SQL_VOCAB_DIVERGENCE = f"""
+    WITH ta AS (SELECT unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]+')) AS token
+                FROM documents WHERE doc_id % 2 = 0),
+    tb AS (SELECT unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]+')) AS token
+           FROM documents WHERE doc_id % 2 = 1),
+    ca AS (SELECT token, count(*)::DOUBLE AS n_a FROM ta GROUP BY 1),
+    cb AS (SELECT token, count(*)::DOUBLE AS n_b FROM tb GROUP BY 1),
+    j AS (SELECT coalesce(ca.token, cb.token) AS token,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+    tots AS (SELECT (SELECT sum(n_a) FROM ca) AS sa,
+                    (SELECT sum(n_b) FROM cb) AS sb),
+    terms AS (
+      SELECT token,
+             (CASE WHEN n_a > 0 THEN (n_a/sa) * log2((n_a/sa) /
+                    ((n_a/sa + n_b/sb) / 2.0)) ELSE 0 END
+            + CASE WHEN n_b > 0 THEN (n_b/sb) * log2((n_b/sb) /
+                    ((n_a/sa + n_b/sb) / 2.0)) ELSE 0 END) / 2.0
+               AS js
+      FROM j, tots)
+    SELECT token,
+           CAST(CAST(js AS DECIMAL(28,12)) AS VARCHAR) AS js_contrib_q
+    FROM terms
+    ORDER BY js DESC, token ASC LIMIT {VOCAB_DIV_K}
+    """
+
+
+def q_vocabulary_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary drift (text.vocabulary_divergence): the
+    top-{VOCAB_DIV_K} per-token Jensen-Shannon contributions between
+    the even- and odd-id halves of the documents table (the
+    snapshot-pair stand-in). js quantized decimal(28,12)->string on
+    both sides — the cross-engine float convention; full-precision
+    parity to 1e-12 lives in tests/test_properties.py.
+
+    Scale shape: two slim (token, count) exchanges, one full outer
+    join, per-row JS arithmetic, TakeOrdered top-k; totals ride as
+    1-row broadcasts."""
+    from clinical_data_warehouse_bi_spark.text import vocabulary_divergence
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = vocabulary_divergence(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 2 = 1"),
+        top_k=VOCAB_DIV_K,
+    )
+    return out.select(
+        "token",
+        F.col("js_contrib").cast("decimal(28,12)").cast("string")
+        .alias("js_contrib_q"),
+    )

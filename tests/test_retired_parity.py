@@ -172,3 +172,35 @@ def test_approx_stats_within_sketch_error(spark, duck, sf_dir):
         assert abs(g["median_qty"] - w[4]) <= 2
         assert abs(g["p95_qty"] - w[5]) <= 2
         assert abs(g["median_price"] - w[6]) <= 0.02 * w[6]
+
+
+# ---------------------------------------------------------------
+# Round-11 REGISTRATION CANDIDATES, staged unregistered: same full
+# oracle comparison machinery, so a future slot swap ships with its
+# evidence already green.
+
+from clinical_data_warehouse_bi_spark.queries.text_ops import (  # noqa: E402
+    SQL_SPLIT_ASSIGN,
+    SQL_VOCAB_DIVERGENCE,
+    q_split_assign,
+    q_vocabulary_divergence,
+)
+
+CANDIDATES = {
+    "q_split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "q_vocabulary_divergence": (q_vocabulary_divergence,
+                                SQL_VOCAB_DIVERGENCE),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CANDIDATES))
+def test_candidate_query_matches_oracle(name, spark, duck, sf_dir):
+    fn, oracle = CANDIDATES[name]
+    s_cols, s_rows = _normalize(fn(spark, sf_dir).toPandas())
+    d_cols, d_rows = _normalize(duck.execute(oracle).df())
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows) > 0
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ][:3]
+    assert not mismatches, f"first mismatches: {mismatches}"
