@@ -2065,3 +2065,151 @@ def streaming_seasonal_residuals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-count synopsis — the corpus-drift monitor's state (round 10)
+# ---------------------------------------------------------------------------
+
+#: compacted token-count history lands in this batch partition
+TOKEN_COUNTS_BASE_BATCH = -1
+
+
+def token_counts_apply_batch(
+    batch: DataFrame,
+    synopsis_path: str,
+    batch_id: int,
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of EXACTLY-ONCE token-count maintenance: the
+    batch's (token, n) partials land via DYNAMIC partition overwrite
+    of their own batch_id partition (the preagg_apply_batch
+    protocol: a replayed batch overwrites the identical partition
+    with identical content, so replay after any crash point is a
+    no-op — no index, no anti-join, no transactional store).
+
+    This synopsis is the STATE behind continuous corpus-drift
+    monitoring: read_token_counts merges it exactly (counts are
+    additive over partials), and text.divergence_from_counts scores
+    it against a reference snapshot without ever re-tokenizing the
+    corpus.
+
+    Scale shape: one batch-proportional tokenize + groupBy whose
+    exchange carries (token, count) — a bounded vocabulary, unlike
+    n-grams — then one partition-directory write. Synopsis size is
+    bounded by distinct tokens per batch; compact_token_counts rolls
+    history into one base partition so the read side never scans
+    unbounded batch counts."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+    from clinical_data_warehouse_bi_spark.text import tokens
+
+    spark = batch.sparkSession
+    recover_compacted_dir(synopsis_path)
+    contrib = (
+        batch.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        contrib.write.mode("overwrite").partitionBy("batch_id").parquet(
+            synopsis_path
+        )
+    finally:
+        spark.conf.set(key, before)
+
+
+def read_token_counts(spark: SparkSession, synopsis_path: str) -> DataFrame:
+    """Merge the synopsis into the exact corpus-wide (token, n)
+    relation — counts are additive over batch partials, so the merge
+    is one groupBy however many batches contributed."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(synopsis_path)
+    syn = spark.read.parquet(synopsis_path)
+    return syn.groupBy("token").agg(F.sum("n").alias("n"))
+
+
+def streaming_token_counts(
+    docs: DataFrame,
+    synopsis_path: str,
+    checkpoint_dir: str | None = None,
+    text_col: str = "text",
+):
+    """Maintain the token-count synopsis from a document stream —
+    the exactly-once drift-monitor sink (see token_counts_apply_batch).
+    Returns the started StreamingQuery."""
+    writer = docs.writeStream.foreachBatch(
+        lambda b, bid: token_counts_apply_batch(
+            b, synopsis_path, bid, text_col
+        )
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def compact_token_counts(spark: SparkSession, synopsis_path: str) -> dict:
+    """Roll the synopsis's batch partitions into ONE base partition
+    (batch_id={TOKEN_COUNTS_BASE_BATCH}), summing per token — bounds
+    read_token_counts' scan by the vocabulary instead of the batch
+    count. Crash-safe via the shared compaction publish protocol;
+    same single-writer window as every sink maintenance here (run
+    between micro-batches, after offsets commit)."""
+    import glob
+
+    from clinical_data_warehouse_bi_spark.io import (
+        maintenance_lock,
+        recover_compacted_dir,
+    )
+
+    recover_compacted_dir(synopsis_path)
+    with maintenance_lock(synopsis_path):
+        syn = spark.read.parquet(synopsis_path)
+        rolled = (
+            syn.groupBy("token")
+            .agg(F.sum("n").alias("n"))
+            .withColumn(
+                "batch_id", F.lit(TOKEN_COUNTS_BASE_BATCH).cast("long")
+            )
+            .localCheckpoint()
+        )
+        rows = rolled.count()
+        tmp = f"{synopsis_path}.tmp-compact"
+        old = f"{synopsis_path}.old-compact"
+        rolled.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        os.rename(synopsis_path, old)
+        os.rename(tmp, synopsis_path)
+        shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": rows,
+        "partitions_after": len(
+            glob.glob(os.path.join(synopsis_path, "batch_id=*"))
+        ),
+    }
+
+
+def corpus_drift_vs_reference(
+    spark: SparkSession,
+    synopsis_path: str,
+    reference: DataFrame,
+    top_k: int = 50,
+    min_count: int = 1,
+) -> DataFrame:
+    """Score the LIVE corpus (the token-count synopsis) against a
+    REFERENCE snapshot's (token, n) relation: per-token
+    Jensen-Shannon contributions via text.divergence_from_counts —
+    the continuous-ingest face of text.vocabulary_divergence (which
+    tokenizes two document sets; this reads the maintained counts
+    and never touches corpus text). ``reference`` columns:
+    (token, n)."""
+    from clinical_data_warehouse_bi_spark.text import divergence_from_counts
+
+    live = read_token_counts(spark, synopsis_path).select(
+        "token", F.col("n").alias("n_a")
+    )
+    ref = reference.select("token", F.col("n").alias("n_b"))
+    return divergence_from_counts(live, ref, top_k, min_count)

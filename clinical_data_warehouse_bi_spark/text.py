@@ -1244,9 +1244,6 @@ def vocabulary_divergence(
     a TakeOrdered top-k. Nothing corpus-sized is joined or
     collected; the total-mass scalars ride as 1-row broadcast
     crossJoins."""
-    if top_k < 1:
-        raise ValueError("top_k must be positive")
-
     def counts(df: DataFrame, side: str) -> DataFrame:
         return (
             df.select(F.explode(tokens(text_col)).alias("token"))
@@ -1254,7 +1251,25 @@ def vocabulary_divergence(
             .agg(F.count("*").alias(f"n_{side}"))
         )
 
-    ca, cb = counts(corpus_a, "a"), counts(corpus_b, "b")
+    return divergence_from_counts(
+        counts(corpus_a, "a"), counts(corpus_b, "b"), top_k, min_count
+    )
+
+
+def divergence_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    top_k: int = 50,
+    min_count: int = 1,
+) -> DataFrame:
+    """vocabulary_divergence's counts-based core: takes the two
+    (token, n_a) / (token, n_b) count relations directly — the shape
+    a PERSISTED token-count synopsis serves (streaming.
+    read_token_counts), so drift against a reference snapshot never
+    re-tokenizes the corpus. Same output contract as
+    vocabulary_divergence."""
+    if top_k < 1:
+        raise ValueError("top_k must be positive")
     tot_a = ca.agg(F.sum("n_a").alias("__ta"))
     tot_b = cb.agg(F.sum("n_b").alias("__tb"))
     joined = (

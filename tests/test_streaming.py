@@ -1492,3 +1492,127 @@ def test_streaming_seasonal_residuals_match_batch(spark, tmp_path):
         if v[0] is not None and got[ts][1] == 0.0 and v[0] == 100.0
     ]
     assert warm_mondays
+
+
+# -------------------------------------------- token-count synopsis
+
+
+def test_token_counts_exactly_once_compaction_and_drift(spark, tmp_path):
+    """The corpus-drift monitor's state machine end to end: batch
+    partials merge exactly; a REPLAYED batch (same batch_id) is a
+    no-op; compaction rolls to one partition without changing the
+    merged relation; and drift-vs-reference off the synopsis equals
+    text.vocabulary_divergence computed from the raw documents."""
+    from clinical_data_warehouse_bi_spark import streaming, text
+
+    syn = str(tmp_path / "tokcounts")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "beta delta"), (4, "delta delta epsilon")],
+        "doc_id long, text string",
+    )
+    streaming.token_counts_apply_batch(b1, syn, batch_id=0)
+    streaming.token_counts_apply_batch(b2, syn, batch_id=1)
+    merged = {
+        r["token"]: r["n"]
+        for r in streaming.read_token_counts(spark, syn).collect()
+    }
+    want = {"alpha": 2, "beta": 3, "gamma": 1, "delta": 3, "epsilon": 1}
+    assert merged == want
+    # replay: same batch_id overwrites its own partition — no double count
+    streaming.token_counts_apply_batch(b2, syn, batch_id=1)
+    again = {
+        r["token"]: r["n"]
+        for r in streaming.read_token_counts(spark, syn).collect()
+    }
+    assert again == want
+    # compaction: one base partition, identical merged relation
+    stats = streaming.compact_token_counts(spark, syn)
+    assert stats["partitions_after"] == 1
+    after = {
+        r["token"]: r["n"]
+        for r in streaming.read_token_counts(spark, syn).collect()
+    }
+    assert after == want
+    # appends keep working post-compaction
+    streaming.token_counts_apply_batch(
+        spark.createDataFrame([(5, "zeta")], "doc_id long, text string"),
+        syn,
+        batch_id=2,
+    )
+    assert streaming.read_token_counts(spark, syn).count() == 6
+    # drift off the synopsis == tokenize-path divergence on raw docs
+    ref_docs = spark.createDataFrame(
+        [(9, "alpha beta"), (10, "beta zeta zeta")],
+        "doc_id long, text string",
+    )
+    ref_counts = (
+        ref_docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    via_synopsis = {
+        r["token"]: (round(r["p_a"], 12), round(r["p_b"], 12),
+                     round(r["js_contrib"], 12))
+        for r in streaming.corpus_drift_vs_reference(
+            spark, syn, ref_counts, top_k=100
+        ).collect()
+    }
+    live_docs = b1.unionByName(b2).unionByName(
+        spark.createDataFrame([(5, "zeta")], "doc_id long, text string")
+    )
+    via_tokenize = {
+        r["token"]: (round(r["p_a"], 12), round(r["p_b"], 12),
+                     round(r["js_contrib"], 12))
+        for r in text.vocabulary_divergence(
+            live_docs, ref_docs, top_k=100
+        ).collect()
+    }
+    assert via_synopsis == via_tokenize and len(via_synopsis) > 3
+
+
+def test_streaming_token_counts_two_drain_duality(spark, tmp_path):
+    """Stream==batch duality through the real foreachBatch sink: two
+    file drops drained through streaming_token_counts yield the same
+    merged counts as one batch tokenization of the union."""
+    import json
+    import os
+
+    from clinical_data_warehouse_bi_spark import streaming, text
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    syn = str(tmp_path / "syn")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(1, "red green green"), (2, "red blue")]
+    rows2 = [(3, "blue blue yellow")]
+
+    def drop(rows, name):
+        with open(os.path.join(src, name), "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    schema = "doc_id long, text string"
+    drop(rows1, "a.json")
+    stream = spark.readStream.schema(schema).json(src)
+    q = streaming.streaming_token_counts(stream, syn, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        drop(rows2, "b.json")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["token"]: r["n"]
+        for r in streaming.read_token_counts(spark, syn).collect()
+    }
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        r["token"]: r["n"]
+        for r in union.select(
+            F.explode(text.tokens("text")).alias("token")
+        ).groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) == 4
