@@ -191,7 +191,10 @@ def row_group_stats(path: str, cols: list[str]) -> list[dict]:
     """Footer MIN/MAX statistics per row group across all parquet
     files under ``path`` — the exact information a scan's row-group
     skipping decision uses. Returns one dict per row group:
-    {col: (min, max), ...}."""
+    {col: (min, max), ...}. A column chunk is allowed to omit
+    statistics entirely (the parquet spec makes them optional, and
+    writers skip them for e.g. oversized binary values); such a
+    chunk yields ``(None, None)`` — the scan cannot prune on it."""
     import glob
     import os
 
@@ -206,7 +209,10 @@ def row_group_stats(path: str, cols: list[str]) -> list[dict]:
             stats = {}
             for c in cols:
                 s = g.column(name_to_idx[c]).statistics
-                stats[c] = (s.min, s.max)
+                if s is None or not s.has_min_max:
+                    stats[c] = (None, None)
+                else:
+                    stats[c] = (s.min, s.max)
             out.append(stats)
     return out
 
@@ -216,7 +222,10 @@ def matching_row_groups(
 ) -> tuple[int, int]:
     """(total row groups, row groups whose min/max ranges intersect
     every ``box`` predicate) — i.e. how many groups a footer-pruned
-    scan of ``col BETWEEN lo AND hi AND ...`` must actually read."""
+    scan of ``col BETWEEN lo AND hi AND ...`` must actually read.
+    A row group whose chunk carries no min/max statistics for a
+    predicate column is UNPRUNABLE on that column: the scan must
+    read it, so it counts as a hit (never a crash)."""
     from datetime import datetime, timezone
 
     def norm(v):
@@ -227,14 +236,17 @@ def matching_row_groups(
             return v.replace(tzinfo=timezone.utc)
         return v
 
+    def intersects(g, c, lo, hi):
+        mn, mx = g[c]
+        if mn is None or mx is None:
+            return True  # stats absent → cannot prune → must read
+        return norm(mn) <= norm(hi) and norm(mx) >= norm(lo)
+
     groups = row_group_stats(path, list(box))
     hit = sum(
         1
         for g in groups
-        if all(
-            norm(g[c][0]) <= norm(hi) and norm(g[c][1]) >= norm(lo)
-            for c, (lo, hi) in box.items()
-        )
+        if all(intersects(g, c, lo, hi) for c, (lo, hi) in box.items())
     )
     return len(groups), hit
 

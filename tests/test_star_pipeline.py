@@ -211,10 +211,17 @@ def test_zordered_fact_layout_prunes_point_probes(spark, tmp_path_factory):
     z_dir = os.path.join(out_dir, "dwh", "fact_disorder_events")
     assert any(f.endswith(".parquet") for f in os.listdir(z_dir))
 
-    # arrival-order baseline of the SAME rows, same file/group geometry
+    # arrival-order baseline of the SAME rows, same file/group
+    # geometry. Deterministic layout: hash-repartition on the
+    # surrogate key + sort within partitions by it, so every run
+    # writes identical files (round-robin repartition() is
+    # scheduling-dependent and made this test flaky). Keying on
+    # disorder_event_id — NOT the z-order box columns — keeps the
+    # baseline genuinely "arrival-order" w.r.t. the probe box.
     plain_dir = str(tmp_path_factory.mktemp("fact_plain"))
     (
-        fact.repartition(8)
+        fact.repartition(8, F.col("disorder_event_id"))
+        .sortWithinPartitions("disorder_event_id")
         .write.mode("overwrite")
         .option("parquet.block.size", str(16 * 1024))
         .parquet(plain_dir)
