@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "q_rolling_aggregate",
     "q_dp_release",
     "q_ann_ivf_pq_served",
+    "q_split_assign",
+    "q_vocabulary_divergence",
+    "q_outlier_report",
+    "q_attribution",
 ]
 
 
@@ -167,10 +171,12 @@ def main() -> None:
     from clinical_data_warehouse_bi_spark.queries.core import (
         q_agg_per_order,
         q_approx_stats,
+        q_grouped_percentiles,
     )
     from clinical_data_warehouse_bi_spark.queries.dedup import (
         q_minhash_lsh_pairs,
         q_paragraph_dedup,
+        q_repeated_spans,
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
     from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
@@ -184,6 +190,8 @@ def main() -> None:
         q_cohort_retention,
         q_frame_sample,
         q_funnel_steps,
+        q_readmission_gap,
+        q_resample_fill,
         q_scd2_dim,
     )
 
@@ -201,6 +209,10 @@ def main() -> None:
         "q_cohort_retention": q_cohort_retention,
         "q_quota_sample": q_quota_sample,
         "q_ann_ivf_learned": q_ann_ivf_learned,
+        "q_resample_fill": q_resample_fill,
+        "q_readmission_gap": q_readmission_gap,
+        "q_grouped_percentiles": q_grouped_percentiles,
+        "q_repeated_spans": q_repeated_spans,
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

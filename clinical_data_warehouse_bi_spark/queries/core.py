@@ -597,18 +597,31 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_grouped_percentiles", oracle="""
+SQL_GROUPED_PERCENTILES = """
     SELECT event_type,
            quantile_cont(value, 0.5)  AS q_0_5,
            quantile_cont(value, 0.9)  AS q_0_9,
            quantile_cont(value, 0.99) AS q_0_99
     FROM events GROUP BY event_type
-    """)
+    """
+
+
 def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles PER GROUP via
     percentiles.grouped_percentiles — the grouped companion of the
     registered q_percentiles (which carries the bounded-state
-    distributed refinement for ONE giant continuous group). Here the
+    distributed refinement for ONE giant continuous group).
+
+    Round-11 registry retirement (cap is 50; the slot went to
+    q_outlier_report per the round-10 verdict item 4): witnesses are
+    q_outlier_report itself — its median/MAD are window-partitioned
+    per-group exact percentiles over the SAME JVM percentile
+    aggregate, hash-checked value-for-value — and q_percentiles,
+    which keeps the exact-percentile family's scale path registered.
+    The full oracle comparison stays live in
+    tests/test_retired_parity.py against SQL_GROUPED_PERCENTILES.
+
+    Here the
     groups are plentiful and individually bounded (per event type),
     so Spark's exact JVM `percentile` aggregate — the same
     linear-interpolation definition as DuckDB's quantile_cont, hence

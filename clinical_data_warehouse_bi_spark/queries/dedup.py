@@ -646,7 +646,7 @@ SPAN_N = 5
 SPAN_MAX_OCC = 1
 
 
-@register("q_repeated_spans", oracle=f"""
+SQL_REPEATED_SPANS = f"""
     WITH t AS (
       SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
     grams AS (
@@ -678,7 +678,9 @@ SPAN_MAX_OCC = 1
     FROM t
     LEFT JOIN nrem ON nrem.doc_id = t.doc_id
     LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
-    """)
+    """
+
+
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated n-gram SPAN removal
     (text.remove_repeated_spans, the arXiv:2107.06499 shape) — the
@@ -686,11 +688,23 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window of {SPAN_N} aligned tokens that repeats corpus-wide keeps
     only its globally first occurrence; every token covered by a
     later occurrence is dropped and each document is rebuilt from
-    its survivors. Registered per the round-8 verdict (item 6): the
-    operator needs no portable-hash surgery because the DuckDB
-    oracle recomputes the removal on the n-gram STRINGS themselves
-    (the q_paragraph_dedup construction), verifying the salted
-    xxhash64 shortcut value-for-value.
+    its survivors. The operator needs no portable-hash surgery
+    because the DuckDB oracle recomputes the removal on the n-gram
+    STRINGS themselves (the q_paragraph_dedup construction),
+    verifying the salted xxhash64 shortcut value-for-value.
+
+    Round-11 registry retirement (cap is 50; the slot went to
+    q_attribution per the round-10 verdict item 6): witnesses are
+    q_cdc_chunk_dedup — the registered slim keep-first window +
+    rebuild machinery over content-defined boundaries (the same
+    no-text-in-exchange construction this query instantiates at
+    n-gram granularity; q_chunk_dedup and q_paragraph_dedup already
+    retired onto it) — and q_top_ngrams, which keeps the salted
+    hash-pair-only exchange registered. The full oracle comparison
+    stays live in tests/test_retired_parity.py against
+    SQL_REPEATED_SPANS, the plan locks in
+    tests/test_repeated_spans.py, and the query stays in the bench +
+    scale-adjudication set.
 
     Scale shape (plan-locked in tests/test_repeated_spans.py): only
     the slim (id, pos, h1, h2) relation reaches the keep-first

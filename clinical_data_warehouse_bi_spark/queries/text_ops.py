@@ -647,10 +647,10 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-11 registration candidates, staged unregistered (the named-
-# candidate convention): each is a (spark, sf_dir) -> DataFrame with a
-# module-level DuckDB oracle and a live full-oracle comparison in
-# tests/test_retired_parity.py — registration is a decorator away.
+# Round-11 registrations (staged as named candidates in round 10,
+# registered per the round-10 verdict items 2-3; slots freed by
+# retiring q_resample_fill and q_readmission_gap — see their
+# retirement notes in queries/windows.py).
 # ---------------------------------------------------------------------------
 
 #: split fractions for the staged split-assignment demo
@@ -670,6 +670,7 @@ SQL_SPLIT_ASSIGN = f"""
     """
 
 
+@register("q_split_assign", oracle=SQL_SPLIT_ASSIGN)
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (text.split_assign):
     every document draws a portable md5-uniform and lands in the
@@ -721,6 +722,7 @@ SQL_VOCAB_DIVERGENCE = f"""
     """
 
 
+@register("q_vocabulary_divergence", oracle=SQL_VOCAB_DIVERGENCE)
 def q_vocabulary_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary drift (text.vocabulary_divergence): the
     top-{VOCAB_DIV_K} per-token Jensen-Shannon contributions between

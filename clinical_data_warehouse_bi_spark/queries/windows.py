@@ -442,7 +442,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_resample_fill", oracle="""
+SQL_RESAMPLE_FILL = """
     WITH ob AS (
       SELECT user_id, date_trunc('day', ts) AS b,
              count(*) AS n,
@@ -462,7 +462,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id ORDER BY b
              ROWS UNBOUNDED PRECEDING) AS value
     FROM dense
-    """)
+    """
+
+
 def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key time-series regularization (timeseries.resample_fill):
     one row per user per day from each user's first to last event,
@@ -470,6 +472,15 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine convention), gaps forward-filled — the dense axis
     the reference's calendar dimension exists to provide, built
     per-key instead of via a global calendar cross join.
+
+    Round-11 registry retirement (cap is 50; the slot went to
+    q_split_assign per the round-10 verdict item 2, which named this
+    query as the subsumption candidate): witnesses are
+    q_rolling_aggregate — the registered per-key RANGE-window
+    time-series operator on the same events grain — and
+    q_daily_census, which keeps the per-key map-side sequence()
+    densification registered. The full oracle comparison stays live
+    in tests/test_retired_parity.py against SQL_RESAMPLE_FILL.
 
     Scale shape: the grid generates MAP-SIDE from each key's own
     (min, max) span via sequence() — keys x own-span rows, never
@@ -481,7 +492,7 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_fill(ev, exact=True)
 
 
-@register("q_readmission_gap", oracle="""
+SQL_READMISSION_GAP = """
     WITH flags AS (
       SELECT o_orderpriority,
              date_diff('second', o_orderdate,
@@ -497,18 +508,28 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (WHERE gap >= 0 AND gap <= 30.0)
                 AS DOUBLE) / count(*) AS readmission_rate
     FROM flags GROUP BY o_orderpriority
-    """)
+    """
+
+
 def q_readmission_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-day repeat-event rate via kpi.readmission_rate — the
     clinical KPI pack's flagship measure (CMS 30-day all-cause
-    readmission), registered under the driver's oracle gate on its
+    readmission) on its
     TPC-H analogue: customers "readmit" when their NEXT order lands
     within 30 days of the current one, rated per order priority.
     The exact module code a clinical deployment runs on
     dim_admissions (tests/test_kpi.py cross-checks that path against
-    DuckDB on the staged MIMIC-shaped dimensions); here the driver's
-    hash gate pins the same lead-window + conditional-aggregation
-    chain end to end.
+    DuckDB on the staged MIMIC-shaped dimensions).
+
+    Round-11 registry retirement (cap is 50; the slot went to
+    q_vocabulary_divergence per the round-10 verdict items 2-3,
+    which named this query as a subsumption candidate): witnesses
+    are q_attribution and q_sessionize — the registered user-keyed
+    single-window-pass family (lead/lag gap logic rides the same
+    shape) — plus the kpi DuckDB twins in tests/test_kpi.py. The
+    full oracle comparison stays live in tests/test_retired_parity.py
+    against SQL_READMISSION_GAP, and the query stays in the bench +
+    scale-adjudication set (BASELINE.md).
 
     Scale shape: ONE patient/customer-keyed window exchange (lead,
     bounded per-key state, never a quadratic self-join) + ONE group
@@ -659,4 +680,69 @@ def q_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"avg_{ROLLING_DAYS}d").cast("decimal(28,9)").cast("string")
         .alias(f"avg_{ROLLING_DAYS}d_q"),
         f"count_{ROLLING_DAYS}d",
+    )
+
+
+#: attribution demo parameters: purchases convert, 30-day lookback
+ATTR_LOOKBACK_DAYS = 30
+_ATTR_PICK = """{pick}(CASE WHEN NOT conv AND event_type IS NOT NULL
+             THEN {{'e': ep, 'c': event_type, 't': ts}} END)
+      OVER (PARTITION BY user_id ORDER BY ep
+            RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)"""
+
+
+@register("q_attribution", oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_type,
+             event_type = 'purchase' AS conv,
+             epoch_us(ts) AS ep
+      FROM events),
+    scored AS (
+      SELECT user_id, ts, conv,
+             {_ATTR_PICK.format(pick='max')} AS lpick,
+             {_ATTR_PICK.format(pick='min')} AS fpick
+      FROM e)
+    SELECT 'last_touch' AS model, user_id AS "user", ts AS conversion_ts,
+           lpick.c AS credited_channel, lpick.t AS touch_ts
+    FROM scored WHERE conv
+    UNION ALL
+    SELECT 'first_touch', user_id, ts, fpick.c, fpick.t
+    FROM scored WHERE conv
+    """)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- AND last-touch journey attribution
+    (timeseries.attribution) with a {ATTR_LOOKBACK_DAYS}-day
+    lookback: each purchase credits the earliest (first_touch) and
+    nearest (last_touch) non-conversion event inside the RANGE
+    window before it — the acquisition-dashboard report, registered
+    round 11 once the same-instant tiebreak was DECLARED (round-10
+    verdict item 6): ties resolve by channel via min/max over an
+    (epoch, channel, ts) struct, a total order both engines compute
+    identically, and NULL-channel touches are never creditable.
+
+    Scale shape: each model is ONE user-keyed exchange and a single
+    RANGE-frame window pass over epoch MICROSECONDS (the
+    rolling-aggregate sf0.1 truncation lesson) — never a
+    per-conversion self-join against touch history (O(conversions x
+    touches) on power users — the skew trap). The two models union
+    as independent branches.
+
+    Reference analogue: the BI consumption layer the reference's
+    README positions the warehouse for; attribution is the canonical
+    event-journey report next to q_sessionize's sessions."""
+    from clinical_data_warehouse_bi_spark.timeseries import attribution
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id", "ts", "event_type"
+    )
+    pred = F.col("event_type") == "purchase"
+    parts = [
+        attribution(
+            ev, "user_id", "ts", "event_type", pred,
+            model=m, lookback_days=ATTR_LOOKBACK_DAYS,
+        ).withColumn("model", F.lit(m))
+        for m in ("last_touch", "first_touch")
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "model", "user", "conversion_ts", "credited_channel", "touch_ts"
     )

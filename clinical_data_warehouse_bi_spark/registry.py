@@ -123,8 +123,11 @@ _CHECK_ORDER = [
     # 10 — slot went to q_rolling_aggregate; witnesses:
     # q_readmission_gap's first-event-offset window family + the
     # month-form DuckDB parity test; full oracle comparison in
+    # tests/test_retired_parity.py. q_resample_fill retired round 11
+    # — slot went to q_split_assign; witnesses: q_rolling_aggregate's
+    # registered per-key RANGE-window time series + q_daily_census's
+    # map-side sequence() densification; full oracle comparison in
     # tests/test_retired_parity.py.)
-    "q_resample_fill",
     # round-8 additions, part 5 (slots freed by retiring
     # q_qa_rowcount_report — witness: q_expectations' `unique:`
     # checks run the identical two-level distinct-key aggregation —
@@ -161,8 +164,11 @@ _CHECK_ORDER = [
     # q_sentinel_timestamps — witnesses: q_calendar_dim carries the
     # registered F-function family and q_scalar_lookup_default the
     # COALESCE-default shape; the CASE-sentinel expression keeps its
+    # full oracle comparison in tests/test_retired_parity.py.
+    # q_repeated_spans retired round 11 — slot went to q_attribution;
+    # witnesses: q_cdc_chunk_dedup's registered slim keep-first
+    # window + rebuild and q_top_ngrams' salted hash-pair exchange;
     # full oracle comparison in tests/test_retired_parity.py)
-    "q_repeated_spans",
     # round-9 additions, part 3 (slots freed by retiring
     # q_agg_per_order — witness: q_pricing_summary keeps the A1/A2
     # group-aggregate + COUNT(DISTINCT) machinery on the same
@@ -178,16 +184,24 @@ _CHECK_ORDER = [
     # superset: the same minhash -> band -> candidate-pairs chain and
     # an oracle whose pairs CTE is _SQL_LSH_PAIRS verbatim; the
     # candidates-only form keeps its full oracle comparison in
+    # tests/test_retired_parity.py. q_grouped_percentiles retired
+    # round 11 — slot went to q_outlier_report, whose median/MAD are
+    # the same window-partitioned per-group exact percentiles,
+    # hash-checked; q_percentiles keeps the family's scale path
+    # registered; full oracle comparison in
     # tests/test_retired_parity.py)
-    "q_grouped_percentiles",
     # round-9 additions, part 5 (slot freed by retiring q_scd2_dim —
     # witness: q_scd2_asof is its strict superset: it calls
     # q_scd2_dim directly and its oracle embeds the same lag ->
     # change-filter -> lead CTE chain verbatim before the as-of
     # probe; the build keeps its full oracle comparison in
     # tests/test_retired_parity.py against SQL_SCD2_DIM, which also
-    # keeps the retired q_surrogate_key's W1 witness value-checked)
-    "q_readmission_gap",
+    # keeps the retired q_surrogate_key's W1 witness value-checked.
+    # q_readmission_gap retired round 11 — slot went to
+    # q_vocabulary_divergence; witnesses: q_attribution +
+    # q_sessionize's registered user-keyed single-window-pass family
+    # and the kpi DuckDB twins in tests/test_kpi.py; full oracle
+    # comparison in tests/test_retired_parity.py.)
     # round-10 additions (slots freed by retiring q_funnel_steps,
     # q_cohort_retention, q_quota_sample, q_ann_ivf_learned — see the
     # notes at their old positions above; each SQL-expressible
@@ -197,6 +211,15 @@ _CHECK_ORDER = [
     "q_rolling_aggregate",
     "q_dp_release",
     "q_ann_ivf_pq_served",
+    # round-11 additions (slots freed by retiring q_resample_fill,
+    # q_readmission_gap, q_grouped_percentiles, q_repeated_spans —
+    # see the notes at their old positions above; every retiree keeps
+    # a full oracle comparison in tests/test_retired_parity.py and
+    # stays in the bench + scale-adjudication set)
+    "q_split_assign",
+    "q_vocabulary_divergence",
+    "q_outlier_report",
+    "q_attribution",
     # heavyweight / scale-critical operators
     "q_pricing_summary",
     "q_percentiles",

@@ -1933,8 +1933,10 @@ def streaming_attribution(
         for pdf in pdfs:
             us = pdf[ts_col].astype("int64") // 1000
             ev.extend(zip(us.tolist(), pdf[type_col].tolist()))
-        # touch (0) sorts before conversion (1) at equal timestamps
-        ev.sort(key=lambda x: (x[0], 1 if x[1] in conv else 0))
+        # touch (0) sorts before conversion (1) at equal timestamps;
+        # same-instant touches order by channel (the batch operator's
+        # declared tiebreak)
+        ev.sort(key=lambda x: (x[0], 1 if x[1] in conv else 0, x[1] or ""))
         out = {"user": [], "conversion_ts": [], "credited_channel": [],
                "touch_ts": []}
         for ts_us, et in ev:
@@ -1950,10 +1952,14 @@ def streaming_attribution(
                     if pick_us is not None
                     else pd.NaT
                 )
-            else:
-                if f_us is None:
+            elif et is not None:  # NULL channel is never creditable
+                # tie-aware cross-batch state transition: first keeps
+                # the (ts, channel)-least touch, last the greatest —
+                # the batch struct-min/max semantics
+                if f_us is None or (ts_us, et) < (f_us, f_ch):
                     f_us, f_ch = ts_us, et
-                l_us, l_ch = ts_us, et
+                if l_us is None or (ts_us, et) > (l_us, l_ch):
+                    l_us, l_ch = ts_us, et
         state.update((f_us, f_ch, l_us, l_ch))
         yield pd.DataFrame(out)
 

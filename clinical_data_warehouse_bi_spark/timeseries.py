@@ -255,13 +255,23 @@ def attribution(
     Returns one row per conversion: (user, conversion ts, credited
     channel, touch ts) — NULL channel when no touch qualifies.
 
+    Declared tiebreak (round 11): same-instant touches are credited
+    by CHANNEL order — last_touch takes the lexicographically
+    GREATEST channel at the winning instant, first_touch the LEAST.
+    Both models pick via min/max over a (epoch, channel, ts) struct,
+    so the result is a total order — deterministic in any engine —
+    and channel+ts always come from the SAME touch row (the previous
+    two independent last_value(ignorenulls) picks could split them
+    when a touch carried a NULL channel). Touches with a NULL
+    channel are not creditable (they carry no attribution target).
+
     Scale shape: ONE user-keyed exchange; both models are a single
-    window pass over each user's timeline (running last-touch via
-    last_value(ignorenulls) over touches-so-far; first-touch via
-    first_value; the lookback swaps the rows frame for a RANGE frame
-    over epoch seconds — same single pass), never a per-conversion
-    self-join against the touch history (that join is
-    O(conversions x touches) on power users — the skew trap)."""
+    window pass over each user's timeline (running arg-max/arg-min
+    via min/max over the touch struct; the lookback swaps the rows
+    frame for a RANGE frame over epoch microseconds — same single
+    pass), never a per-conversion self-join against the touch
+    history (that join is O(conversions x touches) on power users —
+    the skew trap)."""
     if model not in ("last_touch", "first_touch"):
         raise ValueError("model must be last_touch or first_touch")
     base = events.withColumn("__conv", conversion_pred)
@@ -287,17 +297,18 @@ def attribution(
             .orderBy(epoch)
             .rangeBetween(-int(lookback_days) * 86400 * 1_000_000, 0)
         )
-    touch_ch = F.when(~F.col("__conv"), F.col(channel_col))
-    touch_ts = F.when(~F.col("__conv"), F.col(ts_col))
-    if model == "last_touch":
-        ch = F.last(touch_ch, ignorenulls=True).over(w)
-        tts = F.last(touch_ts, ignorenulls=True).over(w)
-    else:
-        ch = F.first(touch_ch, ignorenulls=True).over(w)
-        tts = F.first(touch_ts, ignorenulls=True).over(w)
+    touch = F.when(
+        ~F.col("__conv") & F.col(channel_col).isNotNull(),
+        F.struct(
+            epoch.alias("e"),
+            F.col(channel_col).alias("c"),
+            F.col(ts_col).alias("t"),
+        ),
+    )
+    pick = (F.max if model == "last_touch" else F.min)(touch).over(w)
     return (
-        base.withColumn("credited_channel", ch)
-        .withColumn("touch_ts", tts)
+        base.withColumn("credited_channel", pick.getField("c"))
+        .withColumn("touch_ts", pick.getField("t"))
         .filter(F.col("__conv"))
         .select(
             F.col(user_col).alias("user"),

@@ -26,13 +26,21 @@ def optimized_plan(df) -> str:
 
 QUERIES = all_queries()
 
-# registry-retired in rounds 9-10; their plan contracts stay locked here
-from clinical_data_warehouse_bi_spark.queries.core import q_agg_per_order  # noqa: E402
-from clinical_data_warehouse_bi_spark.queries.dedup import q_paragraph_dedup  # noqa: E402
+# registry-retired in rounds 9-11; their plan contracts stay locked here
+from clinical_data_warehouse_bi_spark.queries.core import (  # noqa: E402
+    q_agg_per_order,
+    q_grouped_percentiles,
+)
+from clinical_data_warehouse_bi_spark.queries.dedup import (  # noqa: E402
+    q_paragraph_dedup,
+    q_repeated_spans,
+)
 from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk  # noqa: E402
 from clinical_data_warehouse_bi_spark.queries.windows import (  # noqa: E402
     q_cohort_retention,
+    q_readmission_gap,
+    q_resample_fill,
     q_scd2_dim,
 )
 
@@ -44,6 +52,10 @@ QUERIES = {
     "q_cosine_topk": q_cosine_topk,
     "q_scd2_dim": q_scd2_dim,
     "q_cohort_retention": q_cohort_retention,
+    "q_resample_fill": q_resample_fill,
+    "q_readmission_gap": q_readmission_gap,
+    "q_grouped_percentiles": q_grouped_percentiles,
+    "q_repeated_spans": q_repeated_spans,
 }
 
 

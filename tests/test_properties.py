@@ -2114,13 +2114,17 @@ def _attribution_python(rows, model, lookback_days=None):
             if not conv:
                 touches.append((t, ch))
                 continue
-            eligible = touches
+            eligible = [p for p in touches if p[1] is not None]
             if lookback_days is not None:
                 horizon = lookback_days * 86400 * 1_000_000
-                eligible = [p for p in touches if t - p[0] <= horizon]
+                eligible = [p for p in eligible if t - p[0] <= horizon]
             pick = None
             if eligible:
-                pick = eligible[-1] if model == "last_touch" else eligible[0]
+                # declared tiebreak: same-instant touches resolve by
+                # channel — greatest for last_touch, least for first
+                pick = (
+                    max(eligible) if model == "last_touch" else min(eligible)
+                )
             out.append((u, t, pick[1] if pick else None,
                         pick[0] if pick else None))
     return sorted(out)
@@ -2194,6 +2198,32 @@ def test_attribution_first_touch_lookback_is_window_filter(spark):
         model="first_touch", lookback_days=30,
     ).collect()
     assert len(out) == 1 and out[0]["credited_channel"] == "ad"
+
+
+def test_attribution_tiebreak_is_deterministic_by_channel(spark):
+    """Declared round-11 tiebreak: same-instant touches resolve by
+    channel order — greatest for last_touch, least for first_touch —
+    and a NULL-channel touch is never creditable (it used to be able
+    to split credited_channel and touch_ts across two rows)."""
+    from clinical_data_warehouse_bi_spark.timeseries import attribution
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "ad", False),
+        (1, "2024-01-01 00:00:00", "email", False),  # same instant
+        (1, "2024-01-02 00:00:00", None, False),     # NULL channel
+        (1, "2024-01-03 00:00:00", "buy", True),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string, conv boolean"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for model, want in (("last_touch", "email"), ("first_touch", "ad")):
+        out = attribution(
+            df, "user_id", "ts", "event_type", F.col("conv"), model=model
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["credited_channel"] == want, (model, out)
+        # channel and ts from the SAME row: never the NULL-channel ts
+        assert str(out[0]["touch_ts"]) == "2024-01-01 00:00:00"
 
 
 def test_attribution_single_exchange(spark, sf_dir):

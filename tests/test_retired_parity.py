@@ -125,6 +125,37 @@ RETIRED = {
     "q_quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
 }
 
+# round-11 retirements (slots went to q_split_assign,
+# q_vocabulary_divergence, q_outlier_report, q_attribution per the
+# round-10 verdict items 2-4 and 6; witnesses named in each
+# retiree's docstring)
+from clinical_data_warehouse_bi_spark.queries.core import (  # noqa: E402
+    SQL_GROUPED_PERCENTILES,
+    q_grouped_percentiles,
+)
+from clinical_data_warehouse_bi_spark.queries.dedup import (  # noqa: E402
+    SQL_REPEATED_SPANS,
+    q_repeated_spans,
+)
+from clinical_data_warehouse_bi_spark.queries.windows import (  # noqa: E402
+    SQL_READMISSION_GAP,
+    SQL_RESAMPLE_FILL,
+    q_readmission_gap,
+    q_resample_fill,
+)
+
+RETIRED.update(
+    {
+        "q_resample_fill": (q_resample_fill, SQL_RESAMPLE_FILL),
+        "q_readmission_gap": (q_readmission_gap, SQL_READMISSION_GAP),
+        "q_grouped_percentiles": (
+            q_grouped_percentiles,
+            SQL_GROUPED_PERCENTILES,
+        ),
+        "q_repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
+    }
+)
+
 
 @pytest.mark.parametrize("name", sorted(RETIRED))
 def test_retired_query_matches_oracle(name, spark, duck, sf_dir):
@@ -175,21 +206,19 @@ def test_approx_stats_within_sketch_error(spark, duck, sf_dir):
 
 
 # ---------------------------------------------------------------
-# Round-11 REGISTRATION CANDIDATES, staged unregistered: same full
+# Round-12 REGISTRATION CANDIDATES, staged unregistered: same full
 # oracle comparison machinery, so a future slot swap ships with its
-# evidence already green.
+# evidence already green. (Round 10's candidates q_split_assign and
+# q_vocabulary_divergence registered in round 11; q_benford is the
+# carried named candidate per the round-10 verdict item 4.)
 
-from clinical_data_warehouse_bi_spark.queries.text_ops import (  # noqa: E402
-    SQL_SPLIT_ASSIGN,
-    SQL_VOCAB_DIVERGENCE,
-    q_split_assign,
-    q_vocabulary_divergence,
+from clinical_data_warehouse_bi_spark.queries.qa_report import (  # noqa: E402
+    SQL_BENFORD,
+    q_benford,
 )
 
 CANDIDATES = {
-    "q_split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
-    "q_vocabulary_divergence": (q_vocabulary_divergence,
-                                SQL_VOCAB_DIVERGENCE),
+    "q_benford": (q_benford, SQL_BENFORD),
 }
 
 
