@@ -151,12 +151,17 @@ def exact_percentiles_distributed(
     ``n_rows``: the input's exact total row count when the caller
     knows it for free (e.g. io.parquet_num_rows' footer read). The
     value->count buffer Spark's native `percentile` keeps per group
-    is bounded by that group's rows, so when the WHOLE input is
-    below ``native_rows_max`` the buffers cannot be an OOM risk
-    (the 16M default caps the worst case - one giant group - at
-    ~128 MB of doubles on one executor)
-    whatever the distinct structure — the single-job native path is
-    taken with NO probe job at all. At 100 TB the count is far above
+    is bounded by that group's rows, and EACH percentile expression
+    keeps its OWN buffer (three specs over one column = three
+    buffers), so the gate budgets n_rows x total-spec-count ENTRIES:
+    the native path is taken only when that product stays under
+    ``native_rows_max``. At ~48 bytes per OpenHashMap entry (16 B
+    value+count payload plus the map's ~3x bucket/array overhead —
+    NOT 8 B/row), the 16M default caps the worst case — one giant
+    all-distinct group — at ~768 MB on one executor, inside a
+    multi-GB executor's headroom but deliberately conservative.
+    Whatever the distinct structure, below the gate the single-job
+    native path is taken with NO probe job at all. At 100 TB the count is far above
     the gate and the bucketed refinement runs as before; the gate
     buys back the multi-job overhead exactly where it is pure
     overhead. ``native_distinct_max=0`` still forces the bucketed
@@ -171,10 +176,11 @@ def exact_percentiles_distributed(
     cols = list(specs)
     names = [name for c in cols for _, name in specs[c]]
 
+    total_specs = sum(len(v) for v in specs.values())
     if (
         n_rows is not None
         and native_distinct_max
-        and n_rows <= native_rows_max
+        and n_rows * max(total_specs, 1) <= native_rows_max
     ):
         n_aggs = [
             F.expr(f"percentile({c}, {pfrac})").alias(name)

@@ -243,8 +243,13 @@ _DP_SPACE = 16 ** 7
 
 
 def _dp_oracle() -> str:
+    # mirror scrub._laplace_noise's NULL-key sentinel (scrub.py:545):
+    # a NULL group key coalesces to chr(0)||'null' so the group is
+    # noised and released, not silently dropped by NULL propagation
+    # through the md5 key (the whole predicate would go NULL)
     key = (
-        f"'{DP_SECRET}' || chr(1) || CAST(event_type AS VARCHAR)"
+        f"'{DP_SECRET}' || chr(1) ||"
+        " coalesce(CAST(event_type AS VARCHAR), chr(0) || 'null')"
         " || chr(2) || 'count'"
     )
     nibble = " + ".join(

@@ -709,8 +709,19 @@ def q_ann_ivf_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             os.rename(build_dir, path)
-        except OSError:  # lost the publish race: an index already serves
-            shutil.rmtree(build_dir, ignore_errors=True)
+        except OSError:
+            # Either we lost the publish race (a complete index now
+            # serves) or the target is a CORRUPT leftover — a
+            # directory that exists but lacks INDEX_META (external
+            # deletion/crash). Re-check the meta marker: if a real
+            # index won the race, discard our build; if the target
+            # is broken, clear it and retry the publish so the
+            # search below never reads a meta-less directory.
+            if os.path.exists(os.path.join(path, INDEX_META)):
+                shutil.rmtree(build_dir, ignore_errors=True)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(build_dir, path)
     return search_ivf_pq_index(
         spark,
         path,

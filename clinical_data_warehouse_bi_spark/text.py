@@ -1085,30 +1085,40 @@ def top_ngrams(
         if kth is None:
             return spark.createDataFrame([], schema)
         cand = counts.where(F.col("n_occ") >= int(kth))
-        rows = (
-            toks.select(
-                "__id", F.explode(F.expr(gram_expr)).alias("ngram")
-            )
-            .select(
-                "__id",
-                "ngram",
-                F.expr("xxhash64(ngram)").alias("h1"),
-                F.expr("xxhash64(ngram, 'b')").alias("h2"),
-            )
-            .join(F.broadcast(cand), ["h1", "h2"])
-            .groupBy("ngram")
-            .agg(
-                F.first("n_occ").alias("n_occ"),
-                F.count_distinct("__id").alias("n_docs"),
-            )
-            .orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
-            .limit(k)
-            .select("ngram", "n_occ", "n_docs")
-            .collect()
-        )
+        rows = _ngram_string_recovery(toks, gram_expr, cand, k).collect()
     finally:
         counts.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+def _ngram_string_recovery(
+    toks: DataFrame, gram_expr: str, cand: DataFrame, k: int
+) -> DataFrame:
+    """The string-recovery stage of top_ngrams, factored out so plan
+    tests can assert its shape directly (the _ngram_hash_counts
+    convention): re-derive n-gram strings map-side, BROADCAST-join
+    them against the bounded candidate counts, resolve n_docs over
+    the surviving (candidate) occurrences only, TakeOrdered to k.
+    The only keyed exchange groups the candidate-filtered rows — raw
+    text and token arrays never shuffle."""
+    return (
+        toks.select("__id", F.explode(F.expr(gram_expr)).alias("ngram"))
+        .select(
+            "__id",
+            "ngram",
+            F.expr("xxhash64(ngram)").alias("h1"),
+            F.expr("xxhash64(ngram, 'b')").alias("h2"),
+        )
+        .join(F.broadcast(cand), ["h1", "h2"])
+        .groupBy("ngram")
+        .agg(
+            F.first("n_occ").alias("n_occ"),
+            F.count_distinct("__id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
+        .limit(k)
+        .select("ngram", "n_occ", "n_docs")
+    )
 
 
 def _ngram_hash_counts(toks: DataFrame, gram_expr: str) -> DataFrame:

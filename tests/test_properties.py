@@ -1963,16 +1963,29 @@ def test_top_ngrams_matches_duckdb_and_never_shuffles_text(spark, sf_dir, duck):
     ]
     assert any(h.startswith("(h1#") for h in cheads), cheads
     assert not any("text#" in h or " w#" in h for h in cheads), cheads
-    # and the RETURNED plan (the string-recovery scan): its only
-    # ngram-keyed exchange groups the BOUNDED candidate join output;
-    # raw text / token arrays enter no exchange
-    plan = T2.top_ngrams(docs, n=3, k=5)._jdf.queryExecution().toString()
-    heads = [
+    # and the string-recovery stage, plan-asserted DIRECTLY (the
+    # returned top_ngrams relation is a collected LocalTableScan, so
+    # asserting on it would be vacuous): the candidate join must be a
+    # broadcast hash join, the only keyed exchange groups the
+    # bounded candidate-join output on the ngram string, and raw
+    # text / token arrays enter no exchange
+    cand = T2._ngram_hash_counts(toks, gram_expr).limit(5)
+    rplan = (
+        T2._ngram_string_recovery(toks, gram_expr, cand, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in rplan, rplan[:1500]
+    rheads = [
         seg.split("\n", 1)[0]
-        for seg in plan.split("Exchange hashpartitioning")[1:]
+        for seg in rplan.split("Exchange hashpartitioning")[1:]
     ]
-    assert not any("text#" in h or " w#" in h for h in heads), heads
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # exchanges: the candidate relation's own slim (h1, h2) count
+    # aggregation (persisted in production, re-planned here) and the
+    # bounded post-join ngram/doc-count groupings — never text/tokens
+    assert rheads and all(
+        h.startswith("(ngram#") or h.startswith("(h1#") for h in rheads
+    ), rheads
+    assert not any("text#" in h or " w#" in h for h in rheads), rheads
 
 
 def test_top_ngrams_edges(spark):

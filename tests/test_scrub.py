@@ -623,3 +623,54 @@ def test_decontaminate_release_loop(spark, sf_dir):
     assert clean.join(
         docs, ["doc_id"], "left_anti"
     ).count() == 0
+
+
+def test_dp_release_null_group_key_released_cross_engine(spark):
+    """A NULL group key must be noised and released like any other
+    group, and the q_dp_release ORACLE must agree: the oracle key
+    mirrors scrub's chr(0)||'null' coalesce sentinel, because a bare
+    CAST(NULL AS VARCHAR) would NULL the whole md5 key, make the
+    threshold predicate NULL, and silently drop the group (the
+    round-10 ADVICE divergence)."""
+    import duckdb
+
+    from clinical_data_warehouse_bi_spark.queries.hygiene import (
+        DP_EPSILON,
+        DP_K_MIN,
+        DP_SECRET,
+        _dp_oracle,
+    )
+
+    key = lambda p: (p[0] is None, p[0] or "", p[1])  # noqa: E731
+    rows = [(None,)] * 50 + [("click",)] * 40
+    df = spark.createDataFrame(rows, "event_type string")
+    got = sorted(
+        (
+            (r["event_type"], round(r["count_noisy"], 6))
+            for r in scrub.dp_release(
+                df, ["event_type"], epsilon=DP_EPSILON,
+                secret=DP_SECRET, k_min=DP_K_MIN,
+            ).collect()
+        ),
+        key=key,
+    )
+    # the NULL group must survive on the Spark side
+    assert any(t is None for t, _ in got), got
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(NULL::VARCHAR)" if t is None else f"('{t}')"
+            for (t,) in rows
+        )
+        + ") AS v(event_type)"
+    )
+    want = sorted(
+        (
+            (t, round(float(v), 6))
+            for t, v in con.execute(_dp_oracle()).fetchall()
+        ),
+        key=key,
+    )
+    assert got == want, (got, want)

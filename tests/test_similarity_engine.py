@@ -773,3 +773,34 @@ def test_mine_hard_negatives_rejections(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError):
         mine_hard_negatives(emb, emb, [(0, [0.0])], k=0)
+
+
+def test_served_index_repairs_corrupt_cache_dir(spark):
+    """q_ann_ivf_pq_served self-heals a cache directory that exists
+    but lost its INDEX_META (external deletion/crash mid-publish):
+    the rebuild's publish rename must REPLACE the broken directory —
+    not be discarded as a lost race, which would hand the search a
+    meta-less index (the round-10 ADVICE defect)."""
+    import os
+    import shutil
+
+    from clinical_data_warehouse_bi_spark.queries.similarity import (
+        _ivf_pq_index_path,
+        q_ann_ivf_pq_served,
+    )
+    from clinical_data_warehouse_bi_spark.similarity import INDEX_META
+
+    sf = "/root/testdata/sf0.001"
+    path = _ivf_pq_index_path(sf)
+    n0 = q_ann_ivf_pq_served(spark, sf).count()  # builds + serves
+    assert os.path.exists(os.path.join(path, INDEX_META))
+
+    # corrupt: the directory survives, the meta marker does not
+    os.remove(os.path.join(path, INDEX_META))
+    n1 = q_ann_ivf_pq_served(spark, sf).count()
+    assert os.path.exists(os.path.join(path, INDEX_META))
+    assert n1 == n0 > 0
+
+    # full wipe also recovers (fresh-build path regression anchor)
+    shutil.rmtree(path)
+    assert q_ann_ivf_pq_served(spark, sf).count() == n0
