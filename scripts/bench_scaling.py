@@ -171,10 +171,18 @@ def main() -> None:
         q_cosine_topk,
     )
     from clinical_data_warehouse_bi_spark.queries.text_ops import q_quota_sample
+    from clinical_data_warehouse_bi_spark.queries.core import (
+        q_grouped_percentiles,
+    )
+    from clinical_data_warehouse_bi_spark.queries.dedup import (
+        q_repeated_spans,
+    )
     from clinical_data_warehouse_bi_spark.queries.windows import (
         q_cohort_retention,
         q_frame_sample,
         q_funnel_steps,
+        q_readmission_gap,
+        q_resample_fill,
         q_scd2_dim,
     )
 
@@ -194,6 +202,10 @@ def main() -> None:
         "q_cohort_retention": q_cohort_retention,
         "q_quota_sample": q_quota_sample,
         "q_ann_ivf_learned": q_ann_ivf_learned,
+        "q_resample_fill": q_resample_fill,
+        "q_readmission_gap": q_readmission_gap,
+        "q_grouped_percentiles": q_grouped_percentiles,
+        "q_repeated_spans": q_repeated_spans,
     }
     oracles = {}
     cons = {}
@@ -215,10 +227,18 @@ def main() -> None:
         from clinical_data_warehouse_bi_spark.queries.text_ops import (
             SQL_QUOTA_SAMPLE,
         )
+        from clinical_data_warehouse_bi_spark.queries.core import (
+            SQL_GROUPED_PERCENTILES,
+        )
+        from clinical_data_warehouse_bi_spark.queries.dedup import (
+            SQL_REPEATED_SPANS,
+        )
         from clinical_data_warehouse_bi_spark.queries.windows import (
             SQL_COHORT_RETENTION,
             SQL_FRAME_SAMPLE,
             SQL_FUNNEL_STEPS,
+            SQL_READMISSION_GAP,
+            SQL_RESAMPLE_FILL,
             SQL_SCD2_DIM,
         )
         from clinical_data_warehouse_bi_spark.registry import all_oracles
@@ -236,6 +256,10 @@ def main() -> None:
             "q_funnel_steps": SQL_FUNNEL_STEPS,
             "q_cohort_retention": SQL_COHORT_RETENTION,
             "q_quota_sample": SQL_QUOTA_SAMPLE,
+            "q_resample_fill": SQL_RESAMPLE_FILL,
+            "q_readmission_gap": SQL_READMISSION_GAP,
+            "q_grouped_percentiles": SQL_GROUPED_PERCENTILES,
+            "q_repeated_spans": SQL_REPEATED_SPANS,
         }
         cons = {BASE: duck_con_for(BASE), big_dir: duck_con_for(big_dir)}
 
