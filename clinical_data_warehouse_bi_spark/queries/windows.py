@@ -720,12 +720,14 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch, channel, ts) struct, a total order both engines compute
     identically, and NULL-channel touches are never creditable.
 
-    Scale shape: each model is ONE user-keyed exchange and a single
+    Scale shape: BOTH models ride ONE user-keyed exchange and ONE
     RANGE-frame window pass over epoch MICROSECONDS (the
-    rolling-aggregate sf0.1 truncation lesson) — never a
-    per-conversion self-join against touch history (O(conversions x
-    touches) on power users — the skew trap). The two models union
-    as independent branches.
+    rolling-aggregate sf0.1 truncation lesson) — min and max share
+    the WindowSpec, so Catalyst plans a single Window operator and
+    one scan (plan-locked in tests/test_plans.py); stack() unpivots
+    the two picks per conversion. Never a per-conversion self-join
+    against touch history (O(conversions x touches) on power users —
+    the skew trap).
 
     Reference analogue: the BI consumption layer the reference's
     README positions the warehouse for; attribution is the canonical
@@ -735,14 +737,8 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"].select(
         "user_id", "ts", "event_type"
     )
-    pred = F.col("event_type") == "purchase"
-    parts = [
-        attribution(
-            ev, "user_id", "ts", "event_type", pred,
-            model=m, lookback_days=ATTR_LOOKBACK_DAYS,
-        ).withColumn("model", F.lit(m))
-        for m in ("last_touch", "first_touch")
-    ]
-    return parts[0].unionByName(parts[1]).select(
-        "model", "user", "conversion_ts", "credited_channel", "touch_ts"
-    )
+    return attribution(
+        ev, "user_id", "ts", "event_type",
+        F.col("event_type") == "purchase",
+        model="both", lookback_days=ATTR_LOOKBACK_DAYS,
+    ).select("model", "user", "conversion_ts", "credited_channel", "touch_ts")

@@ -265,6 +265,12 @@ def attribution(
     when a touch carried a NULL channel). Touches with a NULL
     channel are not creditable (they carry no attribution target).
 
+    ``model="both"`` computes last_touch AND first_touch in the SAME
+    single window pass (min and max share one WindowSpec, so Catalyst
+    plans one Window operator over one exchange — half the scans and
+    shuffles of unioning two single-model calls) and emits one row
+    per conversion per model with a leading ``model`` column.
+
     Scale shape: ONE user-keyed exchange; both models are a single
     window pass over each user's timeline (running arg-max/arg-min
     via min/max over the touch struct; the lookback swaps the rows
@@ -272,8 +278,8 @@ def attribution(
     pass), never a per-conversion self-join against the touch
     history (that join is O(conversions x touches) on power users —
     the skew trap)."""
-    if model not in ("last_touch", "first_touch"):
-        raise ValueError("model must be last_touch or first_touch")
+    if model not in ("last_touch", "first_touch", "both"):
+        raise ValueError("model must be last_touch, first_touch or both")
     base = events.withColumn("__conv", conversion_pred)
     # epoch MICROSECONDS, not seconds: second-truncation silently
     # reorders same-second touch/conversion pairs and shifts the
@@ -305,6 +311,22 @@ def attribution(
             F.col(ts_col).alias("t"),
         ),
     )
+    if model == "both":
+        conv = (
+            base.withColumn("__pl", F.max(touch).over(w))
+            .withColumn("__pf", F.min(touch).over(w))
+            .filter(F.col("__conv"))
+        )
+        return conv.select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).alias("conversion_ts"),
+            F.expr(
+                "stack(2,"
+                " 'last_touch',  __pl.c, __pl.t,"
+                " 'first_touch', __pf.c, __pf.t"
+                ") AS (model, credited_channel, touch_ts)"
+            ),
+        )
     pick = (F.max if model == "last_touch" else F.min)(touch).over(w)
     return (
         base.withColumn("credited_channel", pick.getField("c"))

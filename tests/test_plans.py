@@ -532,3 +532,16 @@ def test_expectations_scans_each_table_once_plus_anti(spark, sf_dir):
     # build for lineitem's referential check
     assert len(re.findall(r"FileScan parquet .*orders", plan)) == 3, plan
     assert "Expand" not in plan  # single-DISTINCT aggregates only
+
+
+def test_attribution_both_single_exchange_single_scan(spark, sf_dir):
+    """q_attribution: min and max over the SAME WindowSpec must plan
+    one Window pass over one user-keyed exchange and ONE events scan
+    — the model=\"both\" fusion's whole point (the union-of-models
+    form paid 2 scans + 2 exchanges)."""
+    import re
+
+    plan = physical_plan(QUERIES["q_attribution"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "Join" not in plan

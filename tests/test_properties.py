@@ -2785,3 +2785,32 @@ def test_cluster_safe_split_property(spark, edges, seed):
         ).collect()
     }
     assert again == out
+
+
+def test_attribution_both_equals_union_of_models(spark, sf_dir):
+    """model=\"both\" (one window pass + stack) returns exactly the
+    union of the two single-model outputs, row for row."""
+    from clinical_data_warehouse_bi_spark.timeseries import attribution
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    pred = F.col("event_type") == "purchase"
+    both = sorted(
+        (r["model"], r["user"], str(r["conversion_ts"]),
+         r["credited_channel"], str(r["touch_ts"]))
+        for r in attribution(
+            ev, "user_id", "ts", "event_type", pred,
+            model="both", lookback_days=30,
+        ).collect()
+    )
+    want = sorted(
+        (m, r["user"], str(r["conversion_ts"]),
+         r["credited_channel"], str(r["touch_ts"]))
+        for m in ("last_touch", "first_touch")
+        for r in attribution(
+            ev, "user_id", "ts", "event_type", pred,
+            model=m, lookback_days=30,
+        ).collect()
+    )
+    assert both == want and len(both) > 0
