@@ -119,16 +119,20 @@ def main() -> None:
     # them in the headline set for historical continuity)
     from clinical_data_warehouse_bi_spark.queries.core import (
         SQL_AGG_PER_ORDER,
+        SQL_GROUPED_PERCENTILES,
         SQL_SENTINEL_TIMESTAMPS,
         q_agg_per_order,
         q_approx_stats,
+        q_grouped_percentiles,
         q_sentinel_timestamps,
     )
     from clinical_data_warehouse_bi_spark.queries.dedup import (
         SQL_MINHASH_LSH_PAIRS,
         SQL_PARAGRAPH_DEDUP,
+        SQL_REPEATED_SPANS,
         q_minhash_lsh_pairs,
         q_paragraph_dedup,
+        q_repeated_spans,
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import (
         SQL_RANGE_JOIN,
@@ -147,10 +151,14 @@ def main() -> None:
         SQL_COHORT_RETENTION,
         SQL_FRAME_SAMPLE,
         SQL_FUNNEL_STEPS,
+        SQL_READMISSION_GAP,
+        SQL_RESAMPLE_FILL,
         SQL_SCD2_DIM,
         q_cohort_retention,
         q_frame_sample,
         q_funnel_steps,
+        q_readmission_gap,
+        q_resample_fill,
         q_scd2_dim,
     )
 
@@ -169,6 +177,10 @@ def main() -> None:
         "q_cohort_retention": q_cohort_retention,
         "q_quota_sample": q_quota_sample,
         "q_ann_ivf_learned": q_ann_ivf_learned,
+        "q_resample_fill": q_resample_fill,
+        "q_readmission_gap": q_readmission_gap,
+        "q_grouped_percentiles": q_grouped_percentiles,
+        "q_repeated_spans": q_repeated_spans,
     }
     oracles = {
         **all_oracles(),
@@ -183,6 +195,10 @@ def main() -> None:
         "q_funnel_steps": SQL_FUNNEL_STEPS,
         "q_cohort_retention": SQL_COHORT_RETENTION,
         "q_quota_sample": SQL_QUOTA_SAMPLE,
+        "q_resample_fill": SQL_RESAMPLE_FILL,
+        "q_readmission_gap": SQL_READMISSION_GAP,
+        "q_grouped_percentiles": SQL_GROUPED_PERCENTILES,
+        "q_repeated_spans": SQL_REPEATED_SPANS,
     }
     rows = []
     for name in names:
