@@ -351,55 +351,80 @@ def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q_outlier_report", oracle="""
-    WITH med AS (
-      SELECT l_returnflag, median(l_extendedprice) AS med
-      FROM lineitem GROUP BY l_returnflag),
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             year(l_shipdate) * 100 + month(l_shipdate) AS ship_month
+      FROM lineitem),
+    med AS (
+      SELECT ship_month, median(l_extendedprice) AS med
+      FROM base GROUP BY ship_month),
     stats AS (
-      SELECT l.l_returnflag, any_value(m.med) AS med,
-             median(abs(l.l_extendedprice - m.med)) AS mad
-      FROM lineitem l JOIN med m USING (l_returnflag)
-      GROUP BY l.l_returnflag)
-    SELECT l_orderkey, l_linenumber,
-           CAST(CAST(CASE WHEN mad > 0 THEN
-                0.6745 * (l_extendedprice - med) / mad END
-                AS DECIMAL(28,9)) AS VARCHAR) AS modified_z,
+      SELECT b.ship_month, any_value(m.med) AS med,
+             median(abs(b.l_extendedprice - m.med)) AS mad
+      FROM base b JOIN med m USING (ship_month)
+      GROUP BY b.ship_month)
+    SELECT l_orderkey, l_linenumber, ship_month,
+           CAST(CASE WHEN mad > 0 THEN
+                sign(0.6745 * (l_extendedprice - med) / mad)
+                * floor(abs(0.6745 * (l_extendedprice - med) / mad)
+                        * 1e9 + 0.5) END AS BIGINT) AS z_e9,
            CASE WHEN mad > 0
                 THEN abs(0.6745 * (l_extendedprice - med) / mad) > 3.5
                 ELSE l_extendedprice <> med END AS is_outlier
-    FROM lineitem JOIN stats USING (l_returnflag)
+    FROM base JOIN stats USING (ship_month)
     """)
 def q_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier flags via qa.outlier_report — the
     modified z-score (Iglewicz & Hoaglin 1993: 0.6745*(x-median)/MAD,
-    flagged beyond 3.5) over lineitem prices grouped by return flag.
-    Registered round 11 per the round-10 verdict (item 4) after three
-    rounds as a named candidate; the NULL-group-key semantics fix
-    (median/MAD ride the window partitioning, no join back) is pinned
-    by tests/test_properties.py. modified_z quantized
-    decimal(28,9)->string on both sides — the cross-engine float
-    convention.
+    flagged beyond 3.5) over lineitem prices per SHIPPING MONTH (the
+    monthly data-quality screen). Registered round 11 per the
+    round-10 verdict (item 4) after three rounds as a named
+    candidate; the NULL-group-key semantics fix (median/MAD ride the
+    window partitioning, no join back) is pinned by
+    tests/test_properties.py.
+
+    Quantization: z is emitted as sign(z)*floor(abs(z)*1e9 + 0.5)
+    BIGINT (a "nano-z"), NOT a decimal(28,N) cast — pure IEEE double
+    ops that both engines evaluate bit-identically on the
+    bit-identical z (percentile/median interpolate identically on
+    the same doubles, verified). A decimal cast carries each
+    engine's TIE rule (Spark HALF_UP vs DuckDB half-to-even), and at
+    sf0.1 one z landed exactly on a 9th-decimal half
+    (-1.2197578125) and broke the hash — floor has one defined
+    result, so no tie can exist.
 
     Scale shape: the median and MAD ride ONE window exchange
     partitioned by the group column; the second window reuses the
     first's sort, there is no join back, and NULL group keys form
-    their own group exactly as groupBy would. Per-group state is that
-    group's values on one executor — the grouped-percentile trade
-    (for ONE giant continuous group, q_percentiles' bounded-state
-    refinement is the registered alternative).
+    their own group exactly as groupBy would. The demo groups by
+    ship MONTH (~84 groups) rather than the 3-value return flag
+    precisely because window-partitioned percentiles put each
+    group's values on one executor: group count IS the parallelism,
+    and a time-bucketed key keeps per-group state bounded as the
+    corpus grows (months grow in number, not in size-per-month,
+    under a steady event rate). For ONE giant continuous group,
+    q_percentiles' bounded-state refinement is the registered
+    alternative.
 
     Reference analogue: QA.sql's screening probes, extended from
     referential orphans to distributional anomalies."""
     from clinical_data_warehouse_bi_spark import qa
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("bigint").alias("ship_month"),
     )
-    out = qa.outlier_report(li, "l_extendedprice", ["l_returnflag"])
+    out = qa.outlier_report(li, "l_extendedprice", ["ship_month"])
+    z = F.col("modified_z")
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        F.col("modified_z").cast("decimal(28,9)").cast("string")
-        .alias("modified_z"),
+        "ship_month",
+        (F.signum(z) * F.floor(F.abs(z) * F.lit(1e9) + F.lit(0.5)))
+        .cast("bigint").alias("z_e9"),
         "is_outlier",
     )
 
