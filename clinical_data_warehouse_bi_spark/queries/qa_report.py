@@ -472,3 +472,66 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("expected_p").cast("decimal(28,12)").cast("string")
         .alias("expected_p_q"),
     )
+
+
+#: skew-screen demo size: top-N heaviest join keys
+SKEW_TOP_N = 20
+
+SQL_SKEW_REPORT = f"""
+    WITH hist AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+    tot AS (SELECT sum(n)::DOUBLE AS total, avg(n) AS avg_n FROM hist)
+    SELECT o_custkey, n,
+           CAST(floor(n / total * 1e9 + 0.5) AS BIGINT) AS share_e9,
+           CAST(least(256, greatest(1, ceil(n / avg_n))) AS BIGINT)
+             AS suggested_salt
+    FROM hist, tot
+    ORDER BY n DESC, o_custkey ASC LIMIT {SKEW_TOP_N}
+    """
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation skew screen as a relation: the top-{SKEW_TOP_N}
+    heaviest join keys (orders per customer) with their row share and
+    the per-key salt factor that would level them to average — the
+    DataFrame face of qa.skew_report (whose dict form drives the
+    plan choice: broadcast vs AQE skew-split vs explicit salting)
+    and the diagnostic a 100 TB join runs BEFORE discovering its hot
+    key the slow way. Round-12 NAMED CANDIDATE, staged unregistered
+    with its oracle ready; full oracle comparison lives in
+    tests/test_retired_parity.py against SQL_SKEW_REPORT.
+
+    Quantization: share is floor(n/total * 1e9 + 0.5) BIGINT — n and
+    total are exact integers, the division is one IEEE op, and floor
+    has one defined result in both engines (the q_outlier_report
+    z_e9 convention; a decimal cast would consult each engine's tie
+    rule). suggested_salt = ceil(n/avg) capped to [1, 256], the
+    qa.skew_report formula per key.
+
+    Scale shape: ONE groupBy to the per-key histogram (map-side
+    partials), scalar totals as a 1-row broadcast over the
+    histogram, TakeOrdered top-N with a deterministic (n DESC, key
+    ASC) total order. Only N rows reach the driver."""
+    from clinical_data_warehouse_bi_spark import qa  # noqa: F401 (family)
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    hist = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.avg("n").alias("avg_n"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n",
+            F.floor(F.col("n") / F.col("total") * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint").alias("share_e9"),
+            F.least(
+                F.lit(256),
+                F.greatest(F.lit(1), F.ceil(F.col("n") / F.col("avg_n"))),
+            ).cast("bigint").alias("suggested_salt"),
+        )
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(SKEW_TOP_N)
+    )

@@ -214,11 +214,14 @@ def test_approx_stats_within_sketch_error(spark, duck, sf_dir):
 
 from clinical_data_warehouse_bi_spark.queries.qa_report import (  # noqa: E402
     SQL_BENFORD,
+    SQL_SKEW_REPORT,
     q_benford,
+    q_skew_report,
 )
 
 CANDIDATES = {
     "q_benford": (q_benford, SQL_BENFORD),
+    "q_skew_report": (q_skew_report, SQL_SKEW_REPORT),
 }
 
 
