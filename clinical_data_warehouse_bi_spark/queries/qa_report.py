@@ -535,3 +535,55 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("o_custkey"))
         .limit(SKEW_TOP_N)
     )
+
+
+#: freshness demo parameters: a fixed as-of (reproducibility rule —
+#: never now()) one hour past the fixture's last event, 24h window
+FRESHNESS_AS_OF = "2024-01-31 01:00:00"
+FRESHNESS_HOURS = 24
+
+SQL_FRESHNESS = f"""
+    SELECT event_type,
+           count(*) AS n_rows,
+           min(ts) AS oldest,
+           max(ts) AS newest,
+           (CAST(floor(epoch(TIMESTAMP '{FRESHNESS_AS_OF}')) AS BIGINT)
+            - CAST(floor(epoch(max(ts))) AS BIGINT)) / 3600.0 AS lag_hours,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{FRESHNESS_AS_OF}'
+                               - INTERVAL {FRESHNESS_HOURS} HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_last_{FRESHNESS_HOURS}h
+    FROM events GROUP BY event_type
+    """
+
+
+def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit (qa.freshness_report): per event source,
+    newest/oldest event, the lag from a FIXED as-of to the newest
+    event, and the trailing-24h row count — the on-call's first
+    check when a dashboard flatlines. Round-12 NAMED CANDIDATE,
+    staged unregistered with its oracle ready; full oracle
+    comparison lives in tests/test_retired_parity.py against
+    SQL_FRESHNESS.
+
+    Cross-engine notes: as_of is an explicit literal (the repo's
+    reproducibility rule — never now()); the lag mirrors Spark's
+    unix_timestamp() second-truncation with floor(epoch(..)) on the
+    DuckDB side (all fixture timestamps are post-1970, so floor ==
+    trunc), and the final division is one IEEE op over exact
+    integers — deterministic in both engines, no quantization
+    needed.
+
+    Scale shape: ONE fused aggregation — min/max/conditional-count
+    share the single scan and one group exchange; no window, no
+    second pass."""
+    from clinical_data_warehouse_bi_spark import qa
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return qa.freshness_report(
+        ev,
+        "ts",
+        FRESHNESS_AS_OF,
+        source_col="event_type",
+        recent_hours=FRESHNESS_HOURS,
+    )

@@ -214,14 +214,17 @@ def test_approx_stats_within_sketch_error(spark, duck, sf_dir):
 
 from clinical_data_warehouse_bi_spark.queries.qa_report import (  # noqa: E402
     SQL_BENFORD,
+    SQL_FRESHNESS,
     SQL_SKEW_REPORT,
     q_benford,
+    q_freshness_report,
     q_skew_report,
 )
 
 CANDIDATES = {
     "q_benford": (q_benford, SQL_BENFORD),
     "q_skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "q_freshness_report": (q_freshness_report, SQL_FRESHNESS),
 }
 
 
