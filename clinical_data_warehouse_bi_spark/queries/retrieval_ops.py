@@ -155,6 +155,17 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieval.bm25_index_build(docs, build_dir, n_buckets=32)
         try:
             os.rename(build_dir, path)
-        except OSError:  # lost the publish race: an index already serves
-            shutil.rmtree(build_dir, ignore_errors=True)
+        except OSError:
+            # Either we lost the publish race (a complete index now
+            # serves) or the target is a CORRUPT leftover missing
+            # BM25_INDEX_META (external deletion/crash). Re-check the
+            # marker: discard our build only if a real index won;
+            # otherwise clear the broken directory and retry, so the
+            # search below never reads a meta-less index (the
+            # q_ann_ivf_pq_served repair contract).
+            if os.path.exists(os.path.join(path, BM25_INDEX_META)):
+                shutil.rmtree(build_dir, ignore_errors=True)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(build_dir, path)
     return retrieval.bm25_index_search(spark, path, BM25_TERMS, BM25_K)

@@ -627,3 +627,32 @@ def test_hybrid_served_fuses_persisted_indexes(spark, sf_dir, tmp_path):
     assert set(got) == set(want)
     for d in got:
         assert abs(got[d] - round(want[d], 8)) < 1e-9, (d, got[d], want[d])
+
+
+def test_bm25_served_repairs_corrupt_cache_dir(spark):
+    """q_bm25_served self-heals a cache directory that exists but
+    lost BM25_INDEX_META: the rebuild's publish rename must REPLACE
+    the broken directory, never discard the build as a lost race and
+    hand the search a meta-less index (the q_ann_ivf_pq_served
+    repair contract, applied to the lexical index)."""
+    import os
+    import shutil
+
+    from clinical_data_warehouse_bi_spark.queries.retrieval_ops import (
+        _served_index_path,
+        q_bm25_served,
+    )
+    from clinical_data_warehouse_bi_spark.retrieval import BM25_INDEX_META
+
+    sf = "/root/testdata/sf0.001"
+    path = _served_index_path(sf)
+    n0 = q_bm25_served(spark, sf).count()  # builds + serves
+    assert os.path.exists(os.path.join(path, BM25_INDEX_META))
+
+    os.remove(os.path.join(path, BM25_INDEX_META))
+    n1 = q_bm25_served(spark, sf).count()
+    assert os.path.exists(os.path.join(path, BM25_INDEX_META))
+    assert n1 == n0 > 0
+
+    shutil.rmtree(path)
+    assert q_bm25_served(spark, sf).count() == n0
