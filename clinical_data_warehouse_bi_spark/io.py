@@ -517,6 +517,45 @@ def maintenance_lock(path: str):
             pass
 
 
+def publish_index_dir(build_dir: str, path: str, meta_name: str,
+                      attempts: int = 5) -> None:
+    """Publish a freshly built index directory at ``path`` via atomic
+    rename, surviving BOTH failure modes of a contended publish:
+
+    - **lost race**: a concurrent builder renamed a complete index
+      (its ``meta_name`` marker exists) into ``path`` first — our
+      build is discarded, the winner serves.
+    - **corrupt leftover**: ``path`` exists but lacks ``meta_name``
+      (crash mid-publish / external deletion) — the broken directory
+      is cleared and the rename retried.
+
+    The retry itself runs INSIDE the loop: if a concurrent builder
+    publishes between our rmtree(path) and our rename, that rename's
+    OSError re-enters the meta re-check instead of propagating (the
+    unguarded-retry hole this helper exists to close). ``attempts``
+    bounds pathological churn; on exhaustion the build is discarded
+    and the last OSError raised rather than ever serving a meta-less
+    directory."""
+    import shutil
+
+    last_err: OSError | None = None
+    for _ in range(attempts):
+        try:
+            os.rename(build_dir, path)
+            return
+        except OSError as e:
+            last_err = e
+            if os.path.exists(os.path.join(path, meta_name)):
+                # a complete index won the race: ours is redundant
+                shutil.rmtree(build_dir, ignore_errors=True)
+                return
+            # meta-less target: corrupt leftover — clear and retry
+            shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(build_dir, ignore_errors=True)
+    assert last_err is not None
+    raise last_err
+
+
 def recover_compacted_dir(path: str) -> None:
     """Crash recovery for compact_parquet_dir's rename protocol, run
     before every read of an append sink that gets compacted. Cases,

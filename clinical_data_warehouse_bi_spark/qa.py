@@ -846,7 +846,9 @@ def unpivot_report(
     )
 
 
-def benford_profile(df: DataFrame, col: str) -> DataFrame:
+def benford_profile(
+    df: DataFrame, col: str, int_scale: int | None = None
+) -> DataFrame:
     """First-significant-digit distribution vs Benford's law — the
     classic fabricated-numbers / data-entry-anomaly screen for
     financial and clinical measurement columns (Newcomb 1881,
@@ -860,15 +862,51 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
     abs_dev < 0.006 close conformity, > 0.015 nonconformity — left
     to the caller because the right band depends on n.
 
-    Scale shape: digit extraction is one per-row JVM expression
-    (log10/pow/floor); then ONE groupBy over a 9-value key space —
-    map-side partials reduce each partition to <= 9 rows before the
-    exchange. No UDF, no second scan (the total comes from a window
-    over the 9-row relation, not another pass)."""
+    Digit derivation (round-11 ADVICE): when the column is a
+    fixed-point quantity with a known decimal scale (prices: pass
+    ``int_scale=2``), the digit comes from the EXACT decimal string
+    of the integer ``floor(|x| * 10^scale + 0.5)`` — one IEEE
+    multiply/add/floor (bit-identical in any IEEE engine) followed
+    by integer-to-string, which is exact. This is the cross-engine
+    registered form: it avoids BOTH known divergence channels —
+    libm log10 is not correctly rounded at exact powers of 10 (JVM
+    vs DuckDB can flip the digit bucket), and double-to-string
+    rendering differs too (JDK-4511638: Java 17 prints 1e23 as
+    9.999999999999999E22 where shortest-roundtrip prints 1.0E23).
+    Values that round to 0 at the given scale are excluded with the
+    zeros (sub-resolution noise, not a leading digit).
+
+    The default (``int_scale=None``) keeps the general log10 path
+    for arbitrary-magnitude doubles, hardened against the exponent
+    off-by-one: if floor(log10(v)) lands one low/high the raw
+    quotient falls in [10,100) / [0,1) and is renormalized, so a
+    miscomputed log10 can no longer emit digit 0 or 10 — but the
+    corrected digit may still differ by one bucket from another
+    engine's libm at exact powers of 10, so cross-engine gates use
+    the int_scale form.
+
+    Scale shape: digit extraction is one per-row JVM expression;
+    then ONE groupBy over a 9-value key space — map-side partials
+    reduce each partition to <= 9 rows before the exchange. No UDF,
+    no second scan (the total comes from a window over the 9-row
+    relation, not another pass)."""
     v = F.abs(F.col(col).cast("double"))
-    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    if int_scale is not None:
+        units = F.floor(v * F.pow(F.lit(10.0), F.lit(int_scale)) + F.lit(0.5))
+        keep = F.col(col).isNotNull() & (units > 0)
+        digit = F.substring(units.cast("string"), 1, 1).cast("int")
+    else:
+        e = F.floor(F.log10(v))
+        raw = v / F.pow(F.lit(10.0), e)
+        d0 = F.floor(raw)
+        digit = (
+            F.when(d0 >= 10, F.floor(raw / F.lit(10.0)))
+            .when(d0 < 1, F.floor(raw * F.lit(10.0)))
+            .otherwise(d0)
+        ).cast("int")
+        keep = F.col(col).isNotNull() & (v > 0)
     counts = (
-        df.filter(F.col(col).isNotNull() & (v > 0))
+        df.filter(keep)
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

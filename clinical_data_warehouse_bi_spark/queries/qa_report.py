@@ -361,9 +361,10 @@ def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT b.ship_month, any_value(m.med) AS med,
              median(abs(b.l_extendedprice - m.med)) AS mad
-      FROM base b JOIN med m USING (ship_month)
+      FROM base b JOIN med m
+        ON b.ship_month IS NOT DISTINCT FROM m.ship_month
       GROUP BY b.ship_month)
-    SELECT l_orderkey, l_linenumber, ship_month,
+    SELECT b.l_orderkey, b.l_linenumber, b.ship_month,
            CAST(CASE WHEN mad > 0 THEN
                 sign(0.6745 * (l_extendedprice - med) / mad)
                 * floor(abs(0.6745 * (l_extendedprice - med) / mad)
@@ -371,7 +372,8 @@ def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN mad > 0
                 THEN abs(0.6745 * (l_extendedprice - med) / mad) > 3.5
                 ELSE l_extendedprice <> med END AS is_outlier
-    FROM base JOIN stats USING (ship_month)
+    FROM base b JOIN stats s
+      ON b.ship_month IS NOT DISTINCT FROM s.ship_month
     """)
 def q_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier flags via qa.outlier_report — the
@@ -381,7 +383,11 @@ def q_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-10 verdict (item 4) after three rounds as a named
     candidate; the NULL-group-key semantics fix (median/MAD ride the
     window partitioning, no join back) is pinned by
-    tests/test_properties.py.
+    tests/test_properties.py. The oracle joins with IS NOT DISTINCT
+    FROM (round-11 ADVICE): a plain USING join would drop NULL group
+    keys that the window partitioning keeps, so the oracle now pins
+    the NULL-group contract instead of relying on the fixture's
+    NOT-NULL l_shipdate.
 
     Quantization: z is emitted as sign(z)*floor(abs(z)*1e9 + 0.5)
     BIGINT (a "nano-z"), NOT a decimal(28,N) cast — pure IEEE double
@@ -430,13 +436,14 @@ def q_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BENFORD = """
-    WITH v AS (
-      SELECT floor(abs(CAST(l_extendedprice AS DOUBLE))
-             / pow(10, floor(log10(abs(CAST(l_extendedprice AS DOUBLE))))))
-             ::INT AS digit
+    WITH u AS (
+      SELECT CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100.0
+                        + 0.5) AS BIGINT) AS units
       FROM lineitem
-      WHERE l_extendedprice IS NOT NULL
-        AND abs(CAST(l_extendedprice AS DOUBLE)) > 0)
+      WHERE l_extendedprice IS NOT NULL),
+    v AS (
+      SELECT CAST(substring(CAST(units AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM u WHERE units > 0)
     SELECT digit, count(*) AS n,
            CAST(CAST(count(*) / sum(count(*)) OVER ()
                 AS DECIMAL(28,12)) AS VARCHAR) AS observed_p_q,
@@ -456,6 +463,14 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit-law value checks in tests/test_properties.py. Probabilities
     quantized decimal(28,12)->string per the cross-engine convention.
 
+    Digit derivation is the EXACT integer path (``int_scale=2``:
+    prices quantized to cents, first char of the integer's decimal
+    string) — the round-11 ADVICE fix: floor(log10(x)) is libm and
+    can flip the digit bucket cross-engine at exact powers of 10,
+    and double->string rendering diverges too (JDK-4511638), while
+    IEEE multiply/floor + integer-to-string has one defined result
+    in both engines.
+
     Scale shape: digit extraction is one per-row JVM expression, then
     ONE groupBy over a 9-value key space (map-side partials reduce
     each partition to <=9 rows); the total rides a window over the
@@ -463,7 +478,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_data_warehouse_bi_spark import qa
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    out = qa.benford_profile(li, "l_extendedprice")
+    out = qa.benford_profile(li, "l_extendedprice", int_scale=2)
     return out.select(
         "digit",
         "n",
@@ -511,11 +526,18 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE groupBy to the per-key histogram (map-side
     partials), scalar totals as a 1-row broadcast over the
     histogram, TakeOrdered top-N with a deterministic (n DESC, key
-    ASC) total order. Only N rows reach the driver."""
+    ASC) total order. Only N rows reach the driver. The histogram is
+    persisted across its two consumers (the scalar-total reduction
+    and the final projection) — round-11 ADVICE: exchange reuse is
+    not guaranteed across a broadcast-subtree boundary, and without
+    the persist the orders scan + groupBy would run twice. A global
+    window over the histogram would fuse the passes but serialize
+    n_keys rows through one partition — wrong at scale; persist of
+    the slim (key, n) relation is the qa.skew_report pattern."""
     from clinical_data_warehouse_bi_spark import qa  # noqa: F401 (family)
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    hist = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    hist = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).persist()
     tot = hist.agg(
         F.sum("n").cast("double").alias("total"),
         F.avg("n").alias("avg_n"),

@@ -145,6 +145,7 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from clinical_data_warehouse_bi_spark.io import publish_index_dir
     from clinical_data_warehouse_bi_spark.retrieval import BM25_INDEX_META
 
     path = _served_index_path(sf_dir)
@@ -153,19 +154,9 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(build_dir, ignore_errors=True)
         docs = load_tables(spark, sf_dir, ("documents",))["documents"]
         retrieval.bm25_index_build(docs, build_dir, n_buckets=32)
-        try:
-            os.rename(build_dir, path)
-        except OSError:
-            # Either we lost the publish race (a complete index now
-            # serves) or the target is a CORRUPT leftover missing
-            # BM25_INDEX_META (external deletion/crash). Re-check the
-            # marker: discard our build only if a real index won;
-            # otherwise clear the broken directory and retry, so the
-            # search below never reads a meta-less index (the
-            # q_ann_ivf_pq_served repair contract).
-            if os.path.exists(os.path.join(path, BM25_INDEX_META)):
-                shutil.rmtree(build_dir, ignore_errors=True)
-            else:
-                shutil.rmtree(path, ignore_errors=True)
-                os.rename(build_dir, path)
+        # Lost race (complete index won) -> discard build; corrupt
+        # meta-less leftover -> clear + retry, the retry's own
+        # OSError re-entering the check (bounded) — the
+        # q_ann_ivf_pq_served repair contract, shared helper.
+        publish_index_dir(build_dir, path, BM25_INDEX_META)
     return retrieval.bm25_index_search(spark, path, BM25_TERMS, BM25_K)

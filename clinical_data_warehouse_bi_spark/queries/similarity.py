@@ -693,6 +693,7 @@ def q_ann_ivf_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from clinical_data_warehouse_bi_spark.io import publish_index_dir
     from clinical_data_warehouse_bi_spark.similarity import (
         INDEX_META,
         build_ivf_pq_index,
@@ -707,21 +708,11 @@ def q_ann_ivf_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_pq_index(
             emb, build_dir, n_clusters=LEARNED_K, m=PQ_M, seed=LEARNED_SEED
         )
-        try:
-            os.rename(build_dir, path)
-        except OSError:
-            # Either we lost the publish race (a complete index now
-            # serves) or the target is a CORRUPT leftover — a
-            # directory that exists but lacks INDEX_META (external
-            # deletion/crash). Re-check the meta marker: if a real
-            # index won the race, discard our build; if the target
-            # is broken, clear it and retry the publish so the
-            # search below never reads a meta-less directory.
-            if os.path.exists(os.path.join(path, INDEX_META)):
-                shutil.rmtree(build_dir, ignore_errors=True)
-            else:
-                shutil.rmtree(path, ignore_errors=True)
-                os.rename(build_dir, path)
+        # Lost race (complete index won) -> discard build; corrupt
+        # meta-less leftover -> clear + retry, with the retry's own
+        # OSError re-entering the check (bounded) so a builder that
+        # publishes between our rmtree and rename never crashes us.
+        publish_index_dir(build_dir, path, INDEX_META)
     return search_ivf_pq_index(
         spark,
         path,

@@ -2058,6 +2058,27 @@ def test_benford_excludes_zero_null_and_uses_abs(spark):
     assert rows == {3: 1, 7: 1}
 
 
+def test_benford_int_scale_exact_digits(spark):
+    """The registered digit path (round-11 ADVICE fix): quantize to
+    10^scale units, first char of the integer's EXACT decimal string
+    — immune to libm log10 divergence at exact powers of 10 and to
+    double->string rendering divergence. Exact powers of 10 must
+    land on digit 1 (the log10 hazard case), sub-resolution values
+    are excluded with the zeros, signs are ignored."""
+    from clinical_data_warehouse_bi_spark import qa
+
+    df = spark.createDataFrame(
+        [(10.0,), (100.0,), (1000.0,), (0.01,), (0.001,), (-931.37,),
+         (55.55,), (None,), (0.0,)],
+        "v double",
+    )
+    rows = {r["digit"]: r["n"]
+            for r in qa.benford_profile(df, "v", int_scale=2).collect()}
+    # 10/100/1000/0.01 -> digit 1; 0.001 rounds to 0 units (excluded);
+    # -931.37 -> 9; 55.55 -> 5
+    assert rows == {1: 4, 9: 1, 5: 1}
+
+
 # ------------------------------------ rolling_aggregate / attribution
 
 
@@ -2317,6 +2338,43 @@ def test_outlier_report_null_group_key_kept(spark):
              for r in out.filter(F.col("g").isNull()).collect()}
     assert len(nulls) == 51
     assert nulls[9999.0] is True and nulls[25.0] is False
+
+
+def test_outlier_oracle_join_keeps_null_groups():
+    """Round-11 ADVICE: q_outlier_report's DuckDB oracle must use
+    NULL-safe joins (IS NOT DISTINCT FROM) so a NULL group key forms
+    its own group exactly like the Spark window partitioning — a
+    plain USING join silently drops those rows and the oracle would
+    disagree with the operator the moment the group column is
+    nullable. Pinned here on synthetic data WITH a NULL key, since
+    the fixture's l_shipdate happens to be NOT NULL."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE t AS SELECT * FROM (VALUES
+          (NULL, 1.0), (NULL, 2.0), (NULL, 3.0), (NULL, 100.0),
+          ('a', 5.0), ('a', 6.0), ('a', 7.0)) AS v(g, x)
+    """)
+    rows = con.execute("""
+        WITH med AS (
+          SELECT g, median(x) AS med FROM t GROUP BY g),
+        stats AS (
+          SELECT b.g, any_value(m.med) AS med,
+                 median(abs(b.x - m.med)) AS mad
+          FROM t b JOIN med m ON b.g IS NOT DISTINCT FROM m.g
+          GROUP BY b.g)
+        SELECT b.g, b.x,
+               CASE WHEN mad > 0
+                    THEN abs(0.6745 * (x - med) / mad) > 3.5
+                    ELSE x <> med END AS is_outlier
+        FROM t b JOIN stats s ON b.g IS NOT DISTINCT FROM s.g
+    """).fetchall()
+    con.close()
+    assert len(rows) == 7  # USING-join form would return only 3
+    nulls = {x: o for g, x, o in rows if g is None}
+    assert len(nulls) == 4
+    assert nulls[100.0] is True and nulls[2.0] is False
 
 
 # --------------------------------------------------- skew_report
