@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "q_vocabulary_divergence",
     "q_outlier_report",
     "q_attribution",
+    "q_benford",
+    "q_skew_report",
+    "q_freshness_report",
 ]
 
 
@@ -171,6 +174,7 @@ def main() -> None:
     from clinical_data_warehouse_bi_spark.queries.core import (
         q_agg_per_order,
         q_approx_stats,
+        q_calendar_dim,
         q_grouped_percentiles,
     )
     from clinical_data_warehouse_bi_spark.queries.dedup import (
@@ -193,6 +197,7 @@ def main() -> None:
         q_readmission_gap,
         q_resample_fill,
         q_scd2_dim,
+        q_stream_dedup_dual,
     )
 
     queries = {
@@ -213,6 +218,8 @@ def main() -> None:
         "q_readmission_gap": q_readmission_gap,
         "q_grouped_percentiles": q_grouped_percentiles,
         "q_repeated_spans": q_repeated_spans,
+        "q_calendar_dim": q_calendar_dim,
+        "q_stream_dedup_dual": q_stream_dedup_dual,
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -265,7 +265,11 @@ def q_sentinel_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_calendar_dim", oracle="""
+#: q_calendar_dim's DuckDB oracle, preserved after its round-12
+#: registry retirement (slot went to q_benford per the round-11
+#: verdict item 1) — the cross-engine value check survives in
+#: tests/test_retired_parity.py.
+SQL_CALENDAR_DIM = """
     SELECT event_datetime,
            month(event_datetime) AS month_num,
            year(event_datetime) AS year_num,
@@ -274,13 +278,24 @@ def q_sentinel_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
            monthname(event_datetime) AS month_name,
            dayofweek(event_datetime) IN (0, 6) AS is_weekend
     FROM (SELECT DISTINCT l_shipdate AS event_datetime FROM lineitem)
-    """)
+    """
+
+
 def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9-F13/P6/A7 — the timestamp-grain dim_date build
     (Stage_area.sql:289-301): DISTINCT fact timestamps + derived
     calendar attributes. MariaDB WEEKDAY+1 == Spark weekday()+1 ==
     DuckDB isodow (1=Monday); MariaDB DAYOFWEEK(1=Sun..7=Sat) ==
-    Spark dayofweek == DuckDB dayofweek+1."""
+    Spark dayofweek == DuckDB dayofweek+1.
+
+    Round-12 registry retirement (cap is 50; the slot went to
+    q_benford): hash-checked for eleven straight rounds on a frozen
+    implementation. Witnesses: the star pipeline e2e builds the SAME
+    cleanse.calendar_columns dim_date every round (value-anchored in
+    tests/test_star_pipeline.py), and every F9-F13 calendar function
+    stays cross-engine value-checked here via SQL_CALENDAR_DIM in
+    tests/test_retired_parity.py plus the retired-parity F-family
+    rows (q_sentinel_timestamps et al.)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     d = li.select(F.col("l_shipdate").alias("event_datetime")).distinct()
     return d.select(*cleanse.calendar_columns("event_datetime"))

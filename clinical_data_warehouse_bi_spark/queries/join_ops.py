@@ -283,18 +283,33 @@ def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(F.col("r_regionkey").cast("int"), "r_name").unionByName(unknown)
 
 
-@register("q_scalar_lookup_default", oracle="""
+#: q_scalar_lookup_default's DuckDB oracle, preserved after its
+#: round-12 registry retirement (slot went to q_freshness_report per
+#: the round-11 verdict item 1) — the cross-engine value check
+#: survives in tests/test_retired_parity.py.
+SQL_SCALAR_LOOKUP_DEFAULT = """
     SELECT l.l_orderkey, l.l_linenumber,
            coalesce(p.p_partkey, (SELECT min(p_partkey) FROM part)) AS concept_key
     FROM lineitem l
     LEFT JOIN (SELECT * FROM part WHERE p_size > 40) p
       ON l.l_partkey = p.p_partkey
-    """)
+    """
+
+
 def q_scalar_lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J12/M2/P8 — scalar-subquery default: unmatched lookups get a
     looked-up constant (Stage_area.sql:225-231 'Unknown concept'
     UPDATE). The scalar is fetched driver-side (one-row job) and
-    folded into a coalesce literal."""
+    folded into a coalesce literal.
+
+    Round-12 registry retirement (cap is 50; the slot went to
+    q_freshness_report): hash-checked for eleven straight rounds on
+    a frozen implementation. Witnesses: q_expectations' registered
+    broadcast-anti referential probes keep the filtered-dim lookup
+    shape under the hash gate, the star pipeline's 'Unknown concept'
+    default runs e2e every round (star.py), and the COALESCE-default
+    P8 expression family stays cross-engine value-checked here via
+    SQL_SCALAR_LOOKUP_DEFAULT in tests/test_retired_parity.py."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     dim = t["part"].filter(F.col("p_size") > 40)
     joined = joins.lookup_join(

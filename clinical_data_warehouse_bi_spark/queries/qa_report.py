@@ -453,13 +453,15 @@ SQL_BENFORD = """
     """
 
 
+@register("q_benford", oracle=SQL_BENFORD)
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-significant-digit Benford screen (qa.benford_profile)
     over lineitem prices — the fabricated-numbers / data-entry audit
-    probe (Nigrini's practice). Round-11 NAMED CANDIDATE, staged
-    unregistered with its oracle ready (q_outlier_report took the
-    round's QA slot): full oracle comparison lives in
-    tests/test_retired_parity.py against SQL_BENFORD, and the
+    probe (Nigrini's practice). REGISTERED round 12 (round-11
+    verdict item 1) after three rounds as the staged named
+    candidate; slot freed by retiring q_calendar_dim (witnesses in
+    its docstring). The full oracle comparison against SQL_BENFORD
+    also stays in tests/test_retired_parity.py, and the
     digit-law value checks in tests/test_properties.py. Probabilities
     quantized decimal(28,12)->string per the cross-engine convention.
 
@@ -505,6 +507,7 @@ SQL_SKEW_REPORT = f"""
     """
 
 
+@register("q_skew_report", oracle=SQL_SKEW_REPORT)
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/aggregation skew screen as a relation: the top-{SKEW_TOP_N}
     heaviest join keys (orders per customer) with their row share and
@@ -512,9 +515,10 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame face of qa.skew_report (whose dict form drives the
     plan choice: broadcast vs AQE skew-split vs explicit salting)
     and the diagnostic a 100 TB join runs BEFORE discovering its hot
-    key the slow way. Round-12 NAMED CANDIDATE, staged unregistered
-    with its oracle ready; full oracle comparison lives in
-    tests/test_retired_parity.py against SQL_SKEW_REPORT.
+    key the slow way. REGISTERED round 12 (round-11 verdict item 1);
+    slot freed by retiring q_stream_dedup_dual (witnesses in its
+    docstring). The full oracle comparison against SQL_SKEW_REPORT
+    also stays in tests/test_retired_parity.py.
 
     Quantization: share is floor(n/total * 1e9 + 0.5) BIGINT — n and
     total are exact integers, the division is one IEEE op, and floor
@@ -579,14 +583,15 @@ SQL_FRESHNESS = f"""
     """
 
 
+@register("q_freshness_report", oracle=SQL_FRESHNESS)
 def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-freshness audit (qa.freshness_report): per event source,
     newest/oldest event, the lag from a FIXED as-of to the newest
     event, and the trailing-24h row count — the on-call's first
-    check when a dashboard flatlines. Round-12 NAMED CANDIDATE,
-    staged unregistered with its oracle ready; full oracle
-    comparison lives in tests/test_retired_parity.py against
-    SQL_FRESHNESS.
+    check when a dashboard flatlines. REGISTERED round 12 (round-11
+    verdict item 1); slot freed by retiring q_scalar_lookup_default
+    (witnesses in its docstring). The full oracle comparison against
+    SQL_FRESHNESS also stays in tests/test_retired_parity.py.
 
     Cross-engine notes: as_of is an explicit literal (the repo's
     reproducibility rule — never now()); the lag mirrors Spark's

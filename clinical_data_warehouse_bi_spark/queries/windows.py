@@ -162,12 +162,18 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(attach_fake_media(docs), fps=20.0)
 
 
-@register("q_stream_dedup_dual", oracle="""
+#: q_stream_dedup_dual's DuckDB oracle, preserved after its round-12
+#: registry retirement (slot went to q_skew_report per the round-11
+#: verdict item 1) — the cross-engine value check survives in
+#: tests/test_retired_parity.py.
+SQL_STREAM_DEDUP_DUAL = """
     SELECT DISTINCT event_id, ts, user_id, event_type, value
     FROM (SELECT * FROM events
           UNION ALL
           SELECT * FROM events WHERE event_id % 10 = 0) replayed
-    """)
+    """
+
+
 def q_stream_dedup_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch dual of streaming.dedup_events, value-checked: simulate
     an at-least-once source by replaying every 10th event, then run
@@ -177,7 +183,17 @@ def q_stream_dedup_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arbitrary-representative semantics of streaming first-arrival
     dedup are deterministic here and the DuckDB oracle is a full-row
     DISTINCT. Streaming-mode state bounds are exercised by
-    tests/test_streaming.py on the same function."""
+    tests/test_streaming.py on the same function.
+
+    Round-12 registry retirement (cap is 50; the slot went to
+    q_skew_report): hash-checked for eleven straight rounds on a
+    frozen implementation. Witnesses: streaming.dedup_events stays
+    under the two-drain replay-idempotence + state-bound suite in
+    tests/test_streaming.py (the streaming-mode semantics this dual
+    exists to anchor), q_corpus_clean keeps the registered exact-
+    dedup family under the hash gate, and the full-row DISTINCT
+    oracle comparison survives here via SQL_STREAM_DEDUP_DUAL in
+    tests/test_retired_parity.py."""
     from clinical_data_warehouse_bi_spark.streaming import dedup_events
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]

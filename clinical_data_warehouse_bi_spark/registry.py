@@ -62,9 +62,13 @@ _CHECK_ORDER = [
     # witness hashes NORMALIZED text where q_dedup_exact hashed RAW
     # text — the witness covers the dedup STRUCTURE, so the raw-hash
     # expression form keeps its own cross-engine value check in
-    # tests/test_properties.py::test_raw_md5_dedup_matches_duckdb.)
+    # tests/test_properties.py::test_raw_md5_dedup_matches_duckdb.
+    # q_stream_dedup_dual retired round 12 — slot went to
+    # q_skew_report; witnesses: streaming.dedup_events' two-drain
+    # replay-idempotence + state-bound suite in tests/test_streaming
+    # and q_corpus_clean's registered exact-dedup; full oracle
+    # comparison in tests/test_retired_parity.py.)
     "q_multimodal_features",
-    "q_stream_dedup_dual",
     "q_sessionize",
     # round-3 additions
     "q_dedup_clusters",
@@ -220,6 +224,14 @@ _CHECK_ORDER = [
     "q_vocabulary_divergence",
     "q_outlier_report",
     "q_attribution",
+    # round-12 additions (slots freed by retiring q_calendar_dim,
+    # q_stream_dedup_dual, q_scalar_lookup_default per the round-11
+    # verdict item 1 — see the notes at their old positions and each
+    # retiree's docstring; every retiree keeps a full oracle
+    # comparison in tests/test_retired_parity.py)
+    "q_benford",
+    "q_skew_report",
+    "q_freshness_report",
     # heavyweight / scale-critical operators
     "q_pricing_summary",
     "q_percentiles",
@@ -238,10 +250,16 @@ _CHECK_ORDER = [
     "q_join_nullsafe_junk",
     "q_anti_new_dates",
     "q_orphan_cleanup",
-    "q_scalar_lookup_default",
+    # (q_scalar_lookup_default retired round 12 — slot went to
+    # q_freshness_report; witnesses: q_expectations' broadcast-anti
+    # probes + the star pipeline's 'Unknown concept' default e2e;
+    # full oracle comparison in tests/test_retired_parity.py)
     "q_qa_orphan_report",
     "q_regex_numeric_parse",
-    "q_calendar_dim",
+    # (q_calendar_dim retired round 12 — slot went to q_benford;
+    # witnesses: the star e2e dim_date build + the retired-parity
+    # F-family rows; full oracle comparison in
+    # tests/test_retired_parity.py)
     # trivial tail: empty since round 8 (q_dup_probe retired last —
     # witness: pipeline QA duplicate probes + TakeOrderedAndProject
     # plan lock; round 5 retired q_null_reject — witness:

@@ -119,10 +119,12 @@ def main() -> None:
     # them in the headline set for historical continuity)
     from clinical_data_warehouse_bi_spark.queries.core import (
         SQL_AGG_PER_ORDER,
+        SQL_CALENDAR_DIM,
         SQL_GROUPED_PERCENTILES,
         SQL_SENTINEL_TIMESTAMPS,
         q_agg_per_order,
         q_approx_stats,
+        q_calendar_dim,
         q_grouped_percentiles,
         q_sentinel_timestamps,
     )
@@ -154,12 +156,14 @@ def main() -> None:
         SQL_READMISSION_GAP,
         SQL_RESAMPLE_FILL,
         SQL_SCD2_DIM,
+        SQL_STREAM_DEDUP_DUAL,
         q_cohort_retention,
         q_frame_sample,
         q_funnel_steps,
         q_readmission_gap,
         q_resample_fill,
         q_scd2_dim,
+        q_stream_dedup_dual,
     )
 
     queries = {
@@ -181,6 +185,8 @@ def main() -> None:
         "q_readmission_gap": q_readmission_gap,
         "q_grouped_percentiles": q_grouped_percentiles,
         "q_repeated_spans": q_repeated_spans,
+        "q_calendar_dim": q_calendar_dim,
+        "q_stream_dedup_dual": q_stream_dedup_dual,
     }
     oracles = {
         **all_oracles(),
@@ -199,6 +205,8 @@ def main() -> None:
         "q_readmission_gap": SQL_READMISSION_GAP,
         "q_grouped_percentiles": SQL_GROUPED_PERCENTILES,
         "q_repeated_spans": SQL_REPEATED_SPANS,
+        "q_calendar_dim": SQL_CALENDAR_DIM,
+        "q_stream_dedup_dual": SQL_STREAM_DEDUP_DUAL,
     }
     rows = []
     for name in names:

@@ -158,6 +158,7 @@ def main() -> None:
     from clinical_data_warehouse_bi_spark.queries.core import (
         q_agg_per_order,
         q_approx_stats,
+        q_calendar_dim,
         q_sentinel_timestamps,
     )
     from clinical_data_warehouse_bi_spark.queries.dedup import (
@@ -177,6 +178,9 @@ def main() -> None:
     from clinical_data_warehouse_bi_spark.queries.dedup import (
         q_repeated_spans,
     )
+    from clinical_data_warehouse_bi_spark.queries.join_ops import (
+        q_scalar_lookup_default,
+    )
     from clinical_data_warehouse_bi_spark.queries.windows import (
         q_cohort_retention,
         q_frame_sample,
@@ -184,6 +188,7 @@ def main() -> None:
         q_readmission_gap,
         q_resample_fill,
         q_scd2_dim,
+        q_stream_dedup_dual,
     )
 
     queries = {
@@ -206,6 +211,9 @@ def main() -> None:
         "q_readmission_gap": q_readmission_gap,
         "q_grouped_percentiles": q_grouped_percentiles,
         "q_repeated_spans": q_repeated_spans,
+        "q_calendar_dim": q_calendar_dim,
+        "q_stream_dedup_dual": q_stream_dedup_dual,
+        "q_scalar_lookup_default": q_scalar_lookup_default,
     }
     oracles = {}
     cons = {}
@@ -228,7 +236,11 @@ def main() -> None:
             SQL_QUOTA_SAMPLE,
         )
         from clinical_data_warehouse_bi_spark.queries.core import (
+            SQL_CALENDAR_DIM,
             SQL_GROUPED_PERCENTILES,
+        )
+        from clinical_data_warehouse_bi_spark.queries.join_ops import (
+            SQL_SCALAR_LOOKUP_DEFAULT,
         )
         from clinical_data_warehouse_bi_spark.queries.dedup import (
             SQL_REPEATED_SPANS,
@@ -240,6 +252,7 @@ def main() -> None:
             SQL_READMISSION_GAP,
             SQL_RESAMPLE_FILL,
             SQL_SCD2_DIM,
+            SQL_STREAM_DEDUP_DUAL,
         )
         from clinical_data_warehouse_bi_spark.registry import all_oracles
 
@@ -258,6 +271,9 @@ def main() -> None:
             "q_quota_sample": SQL_QUOTA_SAMPLE,
             "q_resample_fill": SQL_RESAMPLE_FILL,
             "q_readmission_gap": SQL_READMISSION_GAP,
+            "q_calendar_dim": SQL_CALENDAR_DIM,
+            "q_stream_dedup_dual": SQL_STREAM_DEDUP_DUAL,
+            "q_scalar_lookup_default": SQL_SCALAR_LOOKUP_DEFAULT,
             "q_grouped_percentiles": SQL_GROUPED_PERCENTILES,
             "q_repeated_spans": SQL_REPEATED_SPANS,
         }

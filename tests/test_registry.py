@@ -24,9 +24,11 @@ ROUND2_SKIPPED = [
     # retirement (witness: the streaming batch-equivalence test;
     # full oracle in test_retired_parity.py); q_frame_sample followed
     # in round 9 (witness: q_multimodal_features + the sampling
-    # family; full oracle in test_retired_parity.py)
+    # family; full oracle in test_retired_parity.py); and
+    # q_stream_dedup_dual in round 12 (witnesses: the streaming
+    # two-drain suite + q_corpus_clean; full oracle in
+    # test_retired_parity.py)
     "q_multimodal_features",
-    "q_stream_dedup_dual",
     "q_sessionize",
 ]
 

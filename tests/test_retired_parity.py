@@ -156,6 +156,34 @@ RETIRED.update(
     }
 )
 
+# round-12 retirements (slots went to q_benford, q_skew_report,
+# q_freshness_report — the three staged candidates registered per
+# the round-11 verdict item 1, now under the driver's gate AND
+# test_oracle_parity; witnesses named in each retiree's docstring)
+from clinical_data_warehouse_bi_spark.queries.core import (  # noqa: E402
+    SQL_CALENDAR_DIM,
+    q_calendar_dim,
+)
+from clinical_data_warehouse_bi_spark.queries.join_ops import (  # noqa: E402
+    SQL_SCALAR_LOOKUP_DEFAULT,
+    q_scalar_lookup_default,
+)
+from clinical_data_warehouse_bi_spark.queries.windows import (  # noqa: E402
+    SQL_STREAM_DEDUP_DUAL,
+    q_stream_dedup_dual,
+)
+
+RETIRED.update(
+    {
+        "q_calendar_dim": (q_calendar_dim, SQL_CALENDAR_DIM),
+        "q_stream_dedup_dual": (q_stream_dedup_dual, SQL_STREAM_DEDUP_DUAL),
+        "q_scalar_lookup_default": (
+            q_scalar_lookup_default,
+            SQL_SCALAR_LOOKUP_DEFAULT,
+        ),
+    }
+)
+
 
 @pytest.mark.parametrize("name", sorted(RETIRED))
 def test_retired_query_matches_oracle(name, spark, duck, sf_dir):
@@ -205,37 +233,3 @@ def test_approx_stats_within_sketch_error(spark, duck, sf_dir):
         assert abs(g["median_price"] - w[6]) <= 0.02 * w[6]
 
 
-# ---------------------------------------------------------------
-# Round-12 REGISTRATION CANDIDATES, staged unregistered: same full
-# oracle comparison machinery, so a future slot swap ships with its
-# evidence already green. (Round 10's candidates q_split_assign and
-# q_vocabulary_divergence registered in round 11; q_benford is the
-# carried named candidate per the round-10 verdict item 4.)
-
-from clinical_data_warehouse_bi_spark.queries.qa_report import (  # noqa: E402
-    SQL_BENFORD,
-    SQL_FRESHNESS,
-    SQL_SKEW_REPORT,
-    q_benford,
-    q_freshness_report,
-    q_skew_report,
-)
-
-CANDIDATES = {
-    "q_benford": (q_benford, SQL_BENFORD),
-    "q_skew_report": (q_skew_report, SQL_SKEW_REPORT),
-    "q_freshness_report": (q_freshness_report, SQL_FRESHNESS),
-}
-
-
-@pytest.mark.parametrize("name", sorted(CANDIDATES))
-def test_candidate_query_matches_oracle(name, spark, duck, sf_dir):
-    fn, oracle = CANDIDATES[name]
-    s_cols, s_rows = _normalize(fn(spark, sf_dir).toPandas())
-    d_cols, d_rows = _normalize(duck.execute(oracle).df())
-    assert s_cols == d_cols
-    assert len(s_rows) == len(d_rows) > 0
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
-    ][:3]
-    assert not mismatches, f"first mismatches: {mismatches}"
