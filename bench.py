@@ -157,6 +157,120 @@ def bench_pipeline(spark, sf: float) -> float:
     return round(best, 4)
 
 
+def bench_corpus(spark, sf_dir: str) -> float:
+    """Wall-clock of the LLM-corpus flagship composition (the
+    pipeline_star twin the round-11 verdict asked to put under a
+    recorded band): documents -> per-source boilerplate removal ->
+    quality gate + exact dedup -> temperature-weighted mixing to a
+    60% budget -> RAG chunking -> sharded parquet release with
+    manifest -> consumer-side verification. Mirrors
+    tests/test_corpus_pipeline.py::test_release_packaging_pipeline
+    plus the clean/dedup/quality stages named in SURVEY.md's
+    LLM-pipeline inventory.
+
+    Scale shapes under test: boilerplate lines leave the scan as
+    hash pairs (text never shuffles in the clean), the dedup window
+    runs over a SLIM (fingerprint, doc_id) relation with winners
+    joined back by doc_id (text shuffles once, keyed by the uniform
+    doc id — never by the skew-prone fingerprint), the mix sizes all
+    sources in ONE aggregation (temperature_mix_keyed), chunking is
+    pure per-row array exprs, and the release write is a real disk
+    sink + footer-audited manifest."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clinical_data_warehouse_bi_spark import text as T
+    from clinical_data_warehouse_bi_spark.io import (
+        read_table,
+        release_new_persistent_rdds,
+        snapshot_persistent_rdds,
+        temperature_mix_keyed,
+        verify_dataset_manifest,
+        write_dataset_manifest,
+    )
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        CLEAN_MIN_QUALITY,
+        CLEAN_MIN_TOKENS,
+    )
+    from clinical_data_warehouse_bi_spark.text import chunk_text, remove_boilerplate
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rdd_baseline = snapshot_persistent_rdds(spark)
+
+    def run() -> dict:
+        out_dir = tempfile.mkdtemp(prefix="bench-corpus-")
+        try:
+            cleaned = remove_boilerplate(docs)
+            toks = T.tokens("text")
+            stop_arr = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
+            n_tok = F.size(toks)
+            n_types = F.size(F.array_distinct(toks))
+            stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast(
+                "double"
+            ) / F.greatest(n_types, F.lit(1))
+            ttr = n_types.cast("double") / F.greatest(n_tok, F.lit(1))
+            len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+            quality = (
+                F.lit(0.4) * stop_ratio + F.lit(0.3) * ttr + F.lit(0.3) * len_score
+            )
+            # slim dedup: fingerprint + id only cross the exchange
+            slim = cleaned.select(
+                "doc_id",
+                F.md5(T.normalized_text("text")).alias("fingerprint"),
+                n_tok.alias("n_tokens"),
+                quality.alias("q"),
+            ).filter(
+                (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+                & (F.col("q") >= CLEAN_MIN_QUALITY)
+            )
+            w = Window.partitionBy("fingerprint").orderBy("doc_id")
+            winners = (
+                slim.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id")
+            )
+            release = cleaned.join(winners, "doc_id")
+            n_release = release.count()
+            mixed = temperature_mix_keyed(
+                release, "source", "doc_id", alpha=0.7,
+                budget=n_release * 0.6,
+            )
+            chunks = chunk_text(mixed, chunk_tokens=64, overlap_tokens=8)
+            chunks.select(
+                (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+                "chunk_text",
+            ).repartition(8).write.parquet(out_dir, mode="overwrite")
+            man = write_dataset_manifest(
+                spark, out_dir, extra={"alpha": 0.7, "chunk_tokens": 64}
+            )
+            ok = verify_dataset_manifest(spark, out_dir)["ok"]
+            return {"n_release": n_release, "rows": man["total_rows"], "ok": ok}
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            release_new_persistent_rdds(spark, rdd_baseline)
+
+    anchor = run()  # warm-up + sanity anchors
+    assert anchor["ok"] and anchor["rows"] > 0 and anchor["n_release"] > 0, anchor
+    print(
+        f"pipeline_corpus anchor: release_docs={anchor['n_release']}"
+        f" chunks={anchor['rows']} verified={anchor['ok']}",
+        file=sys.stderr,
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -268,6 +382,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         timings["pipeline_star"] = -1.0
         print(f"bench error in pipeline_star: {e}", file=sys.stderr)
+    try:
+        spark.catalog.clearCache()
+        timings["pipeline_corpus"] = bench_corpus(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        timings["pipeline_corpus"] = -1.0
+        print(f"bench error in pipeline_corpus: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print("per-query spread (max-min over timed runs): "
           + json.dumps(spreads), file=sys.stderr)

@@ -877,6 +877,62 @@ def temperature_mix(
     return mix_sources(list(zip(sources, rates)), id_col, seed=seed)
 
 
+def temperature_mix_keyed(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    alpha: float,
+    budget: float,
+    seed: int = 0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``temperature_mix`` for the one-table-many-sources layout (a
+    ``source`` column instead of N separate frames): sizes every
+    source in ONE scan (a slim groupBy on the key), derives the same
+    water-filled keep-rates via temperature_mix_rates, and samples
+    with the same deterministic hash threshold — the per-key rates
+    ride a broadcast literal map, so the whole mixture costs one
+    aggregation plus one per-row filter. The list form would pay
+    len(sources) full scans when the sources live in one table
+    (each filter re-reads every row group unless the table is
+    partitioned by source) — the difference between O(1) and O(20)
+    passes over a 100 TB corpus.
+
+    The per-row hash salts with the KEY VALUE rather than a list
+    index, so a source's sample is stable under source addition/
+    removal (index-salted hashes reshuffle every later source).
+    NULL keys form their own source via the chr(0) sentinel (the
+    q_dp_release convention). Rates are assigned over the sorted
+    key order, so the result is deterministic for a given input.
+    The size collect() is bounded by source cardinality — a dozen
+    scalars per corpus, not data."""
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    measure = (
+        F.count(F.lit(1)).cast("double")
+        if weight_col is None
+        else F.coalesce(F.sum(weight_col), F.lit(0)).cast("double")
+    )
+    sizes = {
+        r["k"]: float(r["s"])
+        for r in df.groupBy(k.alias("k")).agg(measure.alias("s")).collect()
+    }
+    if not sizes:
+        raise ValueError("temperature_mix_keyed: empty input")
+    keys = sorted(sizes)
+    rates = temperature_mix_rates([sizes[key] for key in keys], alpha, budget)
+    rate_map = F.create_map(
+        *[
+            lit
+            for key, rate in zip(keys, rates)
+            for lit in (F.lit(key), F.lit(int(rate * 1_000_000)))
+        ]
+    )
+    # same pmod-not-abs discipline as mix_sources (abs(MIN_VALUE)
+    # overflow; % keeps the dividend's sign)
+    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), k), F.lit(1_000_000))
+    return df.filter(h < rate_map[k])
+
+
 def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Per-shard manifest of a training-shard directory: one row per
     parquet file with its row count and an ORDER-INDEPENDENT content

@@ -87,7 +87,11 @@ def build_staging(
     ``keys.zip_index_key`` — dense 1..N, fully parallel, no global
     sort. Keys only need to be consistent, not identical to MariaDB's
     (oracle parity joins on natural keys; SURVEY.md section 7c).
-    Truly small dims (concepts, junk) keep row_number either way."""
+    The concept dim follows the same gate since round 12 (bounded
+    today, but vocabularies grow — the scale path is now globally
+    single-partition-window-free); only the junk dim keeps
+    row_number either way (bounded distinct attribute combos by
+    construction)."""
     # -- dim_patients (Stage_area.sql:25-30): project + rename
     dim_patients = src["patients"].select(
         F.col("subject_id").alias("patient_id"), "gender", "dod"
@@ -161,13 +165,29 @@ def build_staging(
         [(3, "Unknown", "Unknown concept", "UNKNOWN", "No matching concept found")],
         ["__batch", "concept_type", "concept_name", "code", "description"],
     )
-    w_concept = Window.orderBy(F.col("__batch"), F.col("code").asc_nulls_first())
-    dim_concepts = (
-        labs.unionByName(diags)
-        .unionByName(unknown)
-        .withColumn("clinical_concept_id", F.row_number().over(w_concept))
-        .drop("__batch")
-        .select("clinical_concept_id", "concept_type", "concept_name", "code", "description")
+    concept_base = labs.unionByName(diags).unionByName(unknown)
+    if parity_keys:
+        # exact AUTO_INCREMENT emulation: one global row_number over
+        # (insert batch, code) — single-partition by construction,
+        # which is why it sits behind the flag
+        w_concept = Window.orderBy(
+            F.col("__batch"), F.col("code").asc_nulls_first()
+        )
+        dim_concepts = concept_base.withColumn(
+            "clinical_concept_id", F.row_number().over(w_concept)
+        )
+    else:
+        # scale default (round-11 verdict item 4): the concept dim is
+        # bounded today (keyword-filtered vocab + 1 literal row), but
+        # vocabularies grow — dense keys come from zip_index_key like
+        # the fact/provider keys, so NO relation in the scale path
+        # crosses a single-partition window. Facts join concepts on
+        # the natural key (code), so any consistent dense id works.
+        dim_concepts = zip_index_key(
+            concept_base, name="clinical_concept_id"
+        )
+    dim_concepts = dim_concepts.drop("__batch").select(
+        "clinical_concept_id", "concept_type", "concept_name", "code", "description"
     )
 
     # -- omr_filtered (133-147): keyword filter + regex-guarded parse

@@ -422,6 +422,73 @@ def test_temperature_mix_end_to_end(spark, sf_dir):
         sorted(r["doc_id"] for r in again.select("doc_id").collect())
 
 
+def test_temperature_mix_keyed_matches_rates(spark, sf_dir):
+    """One-scan keyed form: per-source kept counts track the same
+    water-filled rates the list form derives, the sample is
+    deterministic on replay, and the plan pays ONE aggregation —
+    not one full scan per source."""
+    import math
+
+    from clinical_data_warehouse_bi_spark.io import (
+        read_table,
+        temperature_mix_keyed,
+        temperature_mix_rates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    budget = sum(sizes.values()) * 0.4
+    mixed = temperature_mix_keyed(docs, "source", "doc_id", 0.5, budget)
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    keys = sorted(sizes)
+    rates = temperature_mix_rates([float(sizes[k]) for k in keys], 0.5, budget)
+    for k, rate in zip(keys, rates):
+        want = sizes[k] * rate
+        assert abs(got.get(k, 0) - want) < 4 * math.sqrt(max(want, 1)) + 5, (
+            k, got.get(k, 0), want,
+        )
+    # deterministic replay
+    again = temperature_mix_keyed(docs, "source", "doc_id", 0.5, budget)
+    assert sorted(r["doc_id"] for r in mixed.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_temperature_mix_keyed_null_key_and_stability(spark):
+    """NULL keys form their own source (chr(0) sentinel), and a
+    source's sample is key-salted: adding a NEW source never changes
+    which rows of an existing source are kept (the index-salted list
+    form reshuffles every later source)."""
+    from clinical_data_warehouse_bi_spark.io import temperature_mix_keyed
+
+    base = [(i, "a") for i in range(200)] + [(1000 + i, None) for i in range(200)]
+    df = spark.createDataFrame(base, "doc_id long, src string")
+    out = temperature_mix_keyed(df, "src", "doc_id", 1.0, 200.0)
+    by_key = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=1 proportional: ~100 kept from each, NULL included
+    assert set(by_key) == {"a", None}
+    assert 60 < by_key["a"] < 140 and 60 < by_key[None] < 140
+    kept_a = {r["doc_id"] for r in out.filter("src = 'a'").collect()}
+
+    extra = df.unionByName(
+        spark.createDataFrame([(5000 + i, "b") for i in range(200)],
+                              "doc_id long, src string")
+    )
+    out2 = temperature_mix_keyed(extra, "src", "doc_id", 1.0, 300.0)
+    kept_a2 = {r["doc_id"] for r in out2.filter("src = 'a'").collect()}
+    # same per-source rate (uniform sizes, proportional alpha) ->
+    # byte-identical per-source sample regardless of the new source
+    assert kept_a == kept_a2
+
+
 def test_dataset_manifest_roundtrip_and_tamper(spark, sf_dir, tmp_path):
     from clinical_data_warehouse_bi_spark.io import (
         read_table,

@@ -238,6 +238,16 @@ def test_star_fact_scale_keys_avoid_single_partition(spark):
     )
     assert scale_prov.count("Exchange SinglePartition") == 0
     assert parity_prov.count("Exchange SinglePartition") >= 1
+    # dim_concepts joined the gate in round 12 (round-11 verdict item
+    # 4): bounded today, but the scale path must be end-to-end free
+    # of ungated global windows — zip_index_key default, row_number
+    # only under parity_keys
+    scale_con = physical_plan(star.build_staging(src)["dim_concepts"])
+    parity_con = physical_plan(
+        star.build_staging(src, parity_keys=True)["dim_concepts"]
+    )
+    assert scale_con.count("Exchange SinglePartition") == 0
+    assert parity_con.count("Exchange SinglePartition") >= 1
 
 
 def test_interval_join_windows_reuse_join_exchange(spark):
