@@ -1947,14 +1947,8 @@ def test_top_ngrams_matches_duckdb_and_never_shuffles_text(spark, sf_dir, duck):
     toks = docs.select(
         F.col("doc_id").alias("__id"), T2.tokens("text").alias("w")
     )
-    gram_expr = (
-        "CASE WHEN size(w) >= 3 THEN"
-        " transform(sequence(1, size(w) - 2),"
-        " i -> concat_ws(' ', slice(w, i, 3)))"
-        " ELSE cast(array() AS array<string>) END"
-    )
     cplan = (
-        T2._ngram_hash_counts(toks, gram_expr)
+        T2._ngram_hash_counts(toks, 3)
         ._jdf.queryExecution().toString()
     )
     cheads = [
@@ -1963,29 +1957,43 @@ def test_top_ngrams_matches_duckdb_and_never_shuffles_text(spark, sf_dir, duck):
     ]
     assert any(h.startswith("(h1#") for h in cheads), cheads
     assert not any("text#" in h or " w#" in h for h in cheads), cheads
+    # the counting pass must never BUILD a window string either (the
+    # round-12 map-cost discipline: element-wise xxhash64, no
+    # concat) — concat_ws may only appear in the recovery stage
+    assert "concat_ws" not in cplan, cplan[:1500]
     # and the string-recovery stage, plan-asserted DIRECTLY (the
     # returned top_ngrams relation is a collected LocalTableScan, so
     # asserting on it would be vacuous): the candidate join must be a
     # broadcast hash join, the only keyed exchange groups the
     # bounded candidate-join output on the ngram string, and raw
-    # text / token arrays enter no exchange
-    cand = T2._ngram_hash_counts(toks, gram_expr).limit(5)
-    rplan = (
-        T2._ngram_string_recovery(toks, gram_expr, cand, 5)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "BroadcastHashJoin" in rplan, rplan[:1500]
-    rheads = [
-        seg.split("\n", 1)[0]
-        for seg in rplan.split("Exchange hashpartitioning")[1:]
-    ]
-    # exchanges: the candidate relation's own slim (h1, h2) count
-    # aggregation (persisted in production, re-planned here) and the
-    # bounded post-join ngram/doc-count groupings — never text/tokens
-    assert rheads and all(
-        h.startswith("(ngram#") or h.startswith("(h1#") for h in rheads
-    ), rheads
-    assert not any("text#" in h or " w#" in h for h in rheads), rheads
+    # text / token arrays enter no exchange — asserted on BOTH the
+    # literal-prefilter path and the build-then-join fallback
+    cand = T2._ngram_hash_counts(toks, 3).limit(5)
+    h1s = [r["h1"] for r in cand.select("h1").collect()]
+    for pre in (h1s, None):
+        rplan = (
+            T2._ngram_string_recovery(toks, 3, cand, 5, prefilter=pre)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in rplan, rplan[:1500]
+        rheads = [
+            seg.split("\n", 1)[0]
+            for seg in rplan.split("Exchange hashpartitioning")[1:]
+        ]
+        # exchanges: the candidate relation's own slim (h1, h2) count
+        # aggregation (persisted in production, re-planned here) and
+        # the bounded post-join ngram/doc-count groupings — never
+        # text/tokens
+        assert rheads and all(
+            h.startswith("(ngram#") or h.startswith("(h1#") for h in rheads
+        ), rheads
+        assert not any("text#" in h or " w#" in h for h in rheads), rheads
+    # prefilter and fallback recover identical relations
+    a = sorted(map(tuple, T2._ngram_string_recovery(
+        toks, 3, cand, 5, prefilter=h1s).collect()))
+    b = sorted(map(tuple, T2._ngram_string_recovery(
+        toks, 3, cand, 5, prefilter=None).collect()))
+    assert a == b and len(a) > 0
 
 
 def test_top_ngrams_edges(spark):
