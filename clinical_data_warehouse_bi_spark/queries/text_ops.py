@@ -747,3 +747,57 @@ def q_vocabulary_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("js_contrib").cast("decimal(28,12)").cast("string")
         .alias("js_contrib_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 registration candidate (staged round 12): per-document
+# TF-IDF keyword extraction. Oracle-ready; unregistered only because
+# the driver gate caps at 50 entries. Candidate parity test:
+# tests/test_retired_parity.py (CANDIDATES), sf0.01 + the sf0.1
+# density sweep.
+# ---------------------------------------------------------------------------
+
+#: keywords per document for the staged demo
+TFIDF_K = 5
+
+SQL_TFIDF_KEYWORDS = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, score, rnk
+    FROM ranked WHERE rnk <= {TFIDF_K}
+    """
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_K} TF-IDF keywords
+    (text.tfidf_keywords) — keyword extraction / document labeling,
+    the corpus-browser and weak-supervision-tagging primitive the
+    text family was missing (q_top_ngrams reports corpus-global
+    phrases; this ranks terms PER DOCUMENT against the corpus).
+    Deterministic per-doc total order (score DESC, term ASC); score
+    is the retrieval.py ln convention (round to 4 decimals in both
+    engines — ln is not correctly-rounded IEEE, the rounded value is
+    the contract; same hazard budget q_bm25_topk has carried green
+    since round 6).
+
+    Scale shape: see text.tfidf_keywords — three slim exchanges
+    (distinct (doc, term) tf pairs with map-side combine; the
+    vocabulary-sized df count; the per-doc top-k window at
+    output-candidate granularity), idf broadcast back per the lm.py
+    model pattern, N as a 1-row broadcast. Raw text never enters an
+    exchange."""
+    docs = fan_out(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return T.tfidf_keywords(docs, k=TFIDF_K)

@@ -1397,3 +1397,80 @@ def divergence_from_counts(
         .orderBy(F.col("js_contrib").desc(), F.col("token").asc())
         .limit(top_k)
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the classic
+    keyword-extraction / document-labeling primitive (Salton &
+    Buckley's term weighting; what a corpus browser shows next to
+    each document and what weak-supervision topic tagging starts
+    from). Returns (doc_id, term, tf, df, score, rnk) with rnk
+    1..k per document; score = round(tf * ln((N + 1)/(df + 1)), 4)
+    (add-one-smoothed idf: defined even for a term in every doc) and
+    the deterministic total order (score DESC, term ASC) — the
+    retrieval.py ln convention: ln is not required to be correctly
+    rounded by IEEE 754, so the score is rounded to 4 decimals in
+    BOTH engines and the rounded value is the contract.
+
+    Scale shape (three slim exchanges, no raw text in any of them):
+    (1) the tf aggregation exchanges distinct (doc, term) pairs with
+    map-side partial combine — vocabulary-per-doc granularity, the
+    lm.py bigram-count class, never full token streams; the slim tf
+    relation is persisted across its two consumers (df derivation
+    and scoring — exchange reuse is not guaranteed across a
+    broadcast-subtree boundary, the q_skew_report finding; the
+    harness's release_new_persistent_rdds reclaims it). (2) df
+    falls out of tf as a per-term row count — one vocabulary-sized
+    exchange. (3) the per-doc top-k window exchanges scored
+    (doc, term) rows — exactly the output-candidate granularity.
+    The vocabulary-sized idf relation broadcast-joins back onto tf
+    (the lm.py model-broadcast pattern); a 100 TB vocabulary that
+    outgrows broadcast flips that join to a term-keyed shuffle of
+    two already-slim relations with no other change. N rides as a
+    1-row broadcast crossJoin onto the vocabulary relation — never
+    a driver-side count."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be positive")
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # df = docs-containing-term = row count per term of the DISTINCT
+    # (doc, term) relation tf already is
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

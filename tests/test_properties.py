@@ -2880,3 +2880,62 @@ def test_attribution_both_equals_union_of_models(spark, sf_dir):
         ).collect()
     )
     assert both == want and len(both) > 0
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """text.tfidf_keywords on a corpus small enough to check by hand:
+    N = 3 docs; 'rare' appears 2x in doc 1 only (tf=2, df=1 ->
+    score = 2*ln(4/2)); 'the' appears in every doc (df=3 -> idf =
+    ln(4/4) = 0, so it can never outrank a rarer term with tf >= 1);
+    ties on score break term-ASC. Also pins the k bound and the
+    empty-token doc (no rows)."""
+    import math
+
+    from clinical_data_warehouse_bi_spark.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare the beta"),
+            (2, "the beta gamma"),
+            (3, "the ... !!"),  # tokens: ['the'] only
+            (4, "???"),  # no tokens at all -> no output rows
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["doc_id"], r["rnk"]): r
+        for r in tfidf_keywords(docs, k=2).collect()
+    }
+    n = 4.0
+    # doc 1: rare (tf=2, df=1) beats beta (tf=1, df=2) beats the
+    r = out[(1, 1)]
+    assert r["term"] == "rare" and r["tf"] == 2 and r["df"] == 1
+    assert r["score"] == round(2 * math.log((n + 1) / 2), 4)
+    assert out[(1, 2)]["term"] == "beta"
+    # doc 2: beta and gamma tie on tf=1 only if df equal — gamma df=1
+    # (rarer) so gamma first, then beta (df=2)
+    assert out[(2, 1)]["term"] == "gamma"
+    assert out[(2, 2)]["term"] == "beta"
+    # doc 3: only 'the' (df=3): idf = ln(5/4) > 0 still ranks
+    assert out[(3, 1)]["term"] == "the"
+    assert (3, 2) not in out  # k bound respects vocab size
+    # doc 4 emits nothing
+    assert not any(d == 4 for d, _ in out)
+    # exactly k rows max per doc
+    assert max(rnk for _, rnk in out) <= 2
+
+
+def test_tfidf_keywords_plan_shape(spark, sf_dir):
+    """The staged q_tfidf_keywords plan: no raw-text column in any
+    exchange (only the bounded term/token vocabulary columns ride
+    shuffles), the idf side arrives broadcast, and no cartesian
+    product beyond the two 1-row/vocab-row broadcast crossJoins."""
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        q_tfidf_keywords,
+    )
+
+    plan = q_tfidf_keywords(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line

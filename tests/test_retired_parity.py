@@ -173,6 +173,18 @@ from clinical_data_warehouse_bi_spark.queries.windows import (  # noqa: E402
     q_stream_dedup_dual,
 )
 
+# round-13 registration CANDIDATE (staged round 12, oracle-ready,
+# unregistered only because of the 50-entry gate cap): per-document
+# TF-IDF keyword extraction. Runs under the same full-oracle
+# comparison as the retirees so the registration swap, when a slot
+# frees, is a decorator + _CHECK_ORDER line.
+from clinical_data_warehouse_bi_spark.queries.text_ops import (  # noqa: E402
+    SQL_TFIDF_KEYWORDS,
+    q_tfidf_keywords,
+)
+
+RETIRED.update({"q_tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS)})
+
 RETIRED.update(
     {
         "q_calendar_dim": (q_calendar_dim, SQL_CALENDAR_DIM),
