@@ -13,7 +13,7 @@ rank resolution itself is a DataFrame plan — cumulative windows over
 the histogram relation, rank-target location as a broadcast join, and
 value lookup only inside rank-holding buckets — so the driver never
 materializes a histogram. Driver-visible data is O(1): optional probe
-scalars and one (max-bucket-count, target-count) pair per refinement
+scalars and one (max-bucket-ndv, target-count) pair per refinement
 level; the located-target relations live as executor-side
 localCheckpoints.
 
@@ -44,22 +44,33 @@ Spark jobs in the common no-refinement case with footer bounds:
            the tiny spec relation filtered to the rank-holding
            bucket. The group universe (for all-NULL groups) rides
            the SAME job via exchange reuse. Output checkpoints
-           LAZILY: the per-level (max bucket count, pending count)
+           LAZILY: the per-level (max bucket ndv, pending count)
            stat read is the checkpoint's own materializing action —
            the graph.py connected-components idiom — so locating
            and deciding refinement is ONE job, not two. O(groups x
            specs) rows live on executors, lineage truncated; the
            driver sees two scalars.
-  refine   only if that stat shows a rank-holding bucket above
-           ``refine_cap``: re-locate those ranks inside level-1
-           (then level-2) sub-buckets — one extra (stat-fused) pass
-           each, same shape; 4096^3 positions exhaust double
-           precision on any real range
+  refine   only if that stat shows a rank-holding bucket whose
+           DISTINCT-value sketch exceeds ``refine_cap``: re-locate
+           those ranks inside level-1 (then level-2) sub-buckets —
+           one extra (stat-fused) pass each, same shape; 4096^3
+           positions exhaust double precision on any real range.
+           The gate is ndv, not row count: the state the resolve
+           stage actually holds per bucket is one row PER DISTINCT
+           VALUE, so a bucket with a million copies of one value
+           needs no refinement — and range subdivision could never
+           split it anyway (the round-12 256x-probe finding: the
+           row-count gate burned LEVELS full passes over the data
+           failing to split single-value buckets, 13.6 s @64x ->
+           132 s @256x superlinear)
   resolve  pass 2 over the data: rows path-joined to the broadcast
-           needed-bucket set, row_number over value order INSIDE
-           each rank-holding bucket, rank row picked by a join, ONE
-           groupBy(group) pivots lo/hi and interpolates — all lazy,
-           executed by the caller's action.
+           needed-bucket set, COLLAPSED to (value, count) by a
+           map-side-combining groupBy (the exchange carries distinct
+           values only), cumulative row-rank spans per value from
+           one window, the rank-holding value picked by a range
+           join on rib in [cb, cb+c), ONE groupBy(group) pivots
+           lo/hi and interpolates — all lazy, executed by the
+           caller's action.
 
 Fault tolerance: localCheckpoint trades lineage for speed — an
 executor loss makes the truncated lineage unrecoverable mid-query.
@@ -70,10 +81,11 @@ storage. Checkpointed state is released by ``release(result_df)``
 after the caller's final action; otherwise Spark's ContextCleaner
 reclaims it when the result DataFrame is garbage-collected.
 
-Executor state: histogram hash-agg O(4096) per group; the resolve
-window externally sorts one bucket's rows (<= refine_cap except in
-the degenerate one-repeated-value case, where the sort input is
-duplicates of a single value and spills harmlessly)."""
+Executor state: histogram hash-agg O(4096) per group (plus a small
+per-bucket HLL sketch for the ndv gate); the resolve window sorts
+one bucket's DISTINCT values (<= ~refine_cap via the sketch gate —
+duplicate values collapse in the pre-window groupBy, so repeated-
+value mass costs nothing beyond its map-side partial counts)."""
 
 from __future__ import annotations
 
@@ -89,9 +101,19 @@ _CALL_IDS = count()
 
 #: buckets per refinement level (matches the round-3 bucketed form)
 BUCKETS = 4096
-#: max rows a rank-holding bucket may span before another refinement
-#: level is consulted; also bounds the resolve window's sort input
+#: max DISTINCT VALUES a rank-holding bucket may hold before another
+#: refinement level is consulted; bounds the resolve window's sort
+#: input (duplicate values collapse before that window, so row
+#: multiplicity is irrelevant — refinement is gated on the state the
+#: resolve stage actually keeps)
 REFINE_CAP = 262144
+#: relative standard deviation for the per-bucket distinct-value
+#: sketch riding the locate/refine histograms — coarse on purpose:
+#: the gate only needs order-of-magnitude ndv, and at rsd 0.15 the
+#: HLL is ~50 registers, comparable to the count column it rides
+#: next to (the default 0.05 sketch would be ~30x larger per bucket
+#: and the histogram exchange is O(groups x cols x 4096) rows)
+_NDV_RSD = 0.15
 #: static refinement depth: 3 nested levels = 4096^3 ~ 6.9e10
 #: addressable positions per column range — below double-precision
 #: resolution for any non-degenerate range
@@ -309,17 +331,19 @@ def exact_percentiles_distributed(
         over = "OVER (PARTITION BY __vk, __vci ORDER BY b0"
         locate_sql = f"""
     WITH {v_cte},
-    hist AS (SELECT __vk, __vci, b0, COUNT(*) AS cnt FROM v GROUP BY __vk, __vci, b0),
-    h3 AS (SELECT __vk, __vci, b0, cnt,
+    hist AS (SELECT __vk, __vci, b0, COUNT(*) AS cnt,
+      approx_count_distinct(__pv, {_NDV_RSD}) AS ndv
+      FROM v GROUP BY __vk, __vci, b0),
+    h3 AS (SELECT __vk, __vci, b0, cnt, ndv,
       SUM({pos}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {pos} AS cb,
       SUM({pos}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n,
       ROW_NUMBER() {over}) AS rn1
       FROM hist),
     specs AS (SELECT * FROM VALUES {spec_values} AS s(ci, pfrac, name)),
     j AS (SELECT /*+ BROADCAST(s) */ h.__vk, h.__vci, s.name,
-      CAST(h.n - 1 AS DOUBLE) * s.pfrac AS t, h.cnt, h.cb, h.b0, h.rn1
+      CAST(h.n - 1 AS DOUBLE) * s.pfrac AS t, h.cnt, h.ndv, h.cb, h.b0, h.rn1
       FROM h3 h JOIN specs s ON h.__vci = s.ci)
-    SELECT __vk, __vci, name, t, tg.which AS which, tg.rk - cb AS rib, cnt, b0
+    SELECT __vk, __vci, name, t, tg.which AS which, tg.rk - cb AS rib, cnt, ndv, b0
     FROM j
     LATERAL VIEW explode(array(named_struct('which', 0, 'rk', FLOOR(t)),
                                named_struct('which', 1, 'rk', CEIL(t)))) e AS tg
@@ -343,7 +367,7 @@ def exact_percentiles_distributed(
             # LAZY, so this first action over it is also the job that
             # materializes it (the graph.py convergence-flag idiom) —
             # locating + deciding is ONE job per level, not two.
-            stat = pending.agg(F.max("cnt").alias("mx"), F.count("*").alias("cn")).collect()[0]
+            stat = pending.agg(F.max("ndv").alias("mx"), F.count("*").alias("cn")).collect()[0]
             bcast = (stat["cn"] or 0) <= _BROADCAST_TARGETS
             if level == 0:
                 # one pending row per (group-with-data, spec, floor/ceil):
@@ -353,8 +377,12 @@ def exact_percentiles_distributed(
                 # group count stays in the millions)
                 bcast0 = bcast
             last = level == LEVELS - 1
-            done = last or (stat["mx"] or 0) <= refine_cap
-            small = pending if done else pending.filter(F.col("cnt") <= refine_cap)
+            # gate with the sketch margin: an under-estimating HLL
+            # must not let a genuinely oversized bucket skip
+            # refinement (over-estimates just refine once more)
+            ndv_cap = refine_cap * _SKETCH_MARGIN
+            done = last or (stat["mx"] or 0) <= ndv_cap
+            small = pending if done else pending.filter(F.col("ndv") <= ndv_cap)
             small_view = f"__pctl_small_{level}_{uid}"
             small.createOrReplaceTempView(small_view)
             views.append(small_view)
@@ -369,7 +397,7 @@ def exact_percentiles_distributed(
             if v_df is None:
                 v_df = spark.sql(f"WITH {v_cte} SELECT * FROM v")
             bcol = f"b{level + 1}"
-            big = pending.filter(F.col("cnt") > refine_cap).drop("cnt")
+            big = pending.filter(F.col("ndv") > ndv_cap).drop("cnt", "ndv")
             parents = big.select("__vk", "__vci", *path).distinct()
             if bcast:
                 parents = F.broadcast(parents)
@@ -377,7 +405,12 @@ def exact_percentiles_distributed(
                 v_df.alias("v")
                 .join(parents.alias("p"), _path_eq(path, "v", "p"))
                 .groupBy(*[F.col(f"v.{c}") for c in ("__vk", "__vci", *path, bcol)])
-                .agg(F.count("*").alias("cnt"))
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.expr(
+                        f"approx_count_distinct(v.__pv, {_NDV_RSD})"
+                    ).alias("ndv"),
+                )
             )
             w2 = Window.partitionBy("__vk", "__vci", *path).orderBy(bcol)
             sub = sub.withColumn(
@@ -393,6 +426,7 @@ def exact_percentiles_distributed(
                 *[F.col(c).alias(f"h_{c}") for c in path],
                 F.col(bcol).alias(f"h_{bcol}"),
                 "cnt",
+                "ndv",
                 "cb",
             )
             cond = (
@@ -413,6 +447,7 @@ def exact_percentiles_distributed(
                     "which",
                     (F.col("rib") - F.col("cb")).alias("rib"),
                     "cnt",
+                    "ndv",
                     *path,
                     F.col(f"h_{bcol}").alias(bcol),
                 )
@@ -501,14 +536,18 @@ def release(result: DataFrame) -> None:
 
 
 def _resolve_ctes(small_view: str, path: list[str], bcast: bool, lvl: int) -> str:
-    """SQL CTE chunk for exact value lookup inside cap-sized
-    rank-holding buckets: row_number over value order per needed
-    bucket (v is first joined to the tiny broadcast needed-bucket
-    set, so only rank-holding buckets are ever sorted), then a join
-    picks the rank-holding row. Ties between duplicate values are
-    rank-irrelevant: any order among equal values yields the same
-    value at a given rank. Expects a CTE named ``v`` in scope;
-    defines ``resolved_{lvl}`` with (__vk, name, which, t, val)."""
+    """SQL CTE chunk for exact value lookup inside rank-holding
+    buckets whose distinct-value count passed the ndv gate: rows are
+    path-joined to the tiny broadcast needed-bucket set, COLLAPSED
+    to (value, count) by a map-side-combining groupBy — duplicate
+    values never reach the window, so a bucket with millions of
+    copies of one value costs one row here (the round-12 fix; the
+    former ROW_NUMBER-over-rows form sorted every duplicate through
+    one window partition) — then a cumulative window assigns each
+    distinct value its row-rank span [cb, cb + c) and a range join
+    picks the value whose span holds the target rank rib. Expects a
+    CTE named ``v`` in scope; defines ``resolved_{lvl}`` with
+    (__vk, name, which, t, val)."""
     pc = ", ".join(path)
     vp = ", ".join(f"v.{c}" for c in ("__vk", "__vci", *path, "__pv"))
     hint = "/*+ BROADCAST(p) */ " if bcast else ""
@@ -520,13 +559,16 @@ def _resolve_ctes(small_view: str, path: list[str], bcast: bool, lvl: int) -> st
     on_r = " AND ".join(
         ["s.__vk <=> r.__vk", "s.__vci = r.__vci"]
         + [f"s.{c} = r.{c}" for c in path]
-        + ["r.rn = s.rib"]
+        + ["s.rib >= r.cb", "s.rib < r.cb + r.c"]
     )
     return f"""need_{lvl} AS (SELECT DISTINCT __vk, __vci, {pc} FROM {small_view}),
 rows_{lvl} AS (SELECT {hint}{vp} FROM v JOIN need_{lvl} p ON {on_v}),
-ranked_{lvl} AS (SELECT __vk, __vci, {pc}, __pv,
-  ROW_NUMBER() OVER (PARTITION BY __vk, __vci, {pc} ORDER BY __pv) - 1 AS rn
-  FROM rows_{lvl}),
+vals_{lvl} AS (SELECT __vk, __vci, {pc}, __pv, COUNT(*) AS c
+  FROM rows_{lvl} GROUP BY __vk, __vci, {pc}, __pv),
+ranked_{lvl} AS (SELECT __vk, __vci, {pc}, __pv, c,
+  SUM(c) OVER (PARTITION BY __vk, __vci, {pc} ORDER BY __pv
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb
+  FROM vals_{lvl}),
 resolved_{lvl} AS (SELECT {shint}s.__vk, s.name, s.which, s.t, r.__pv AS val
   FROM {small_view} s JOIN ranked_{lvl} r ON {on_r})"""
 
