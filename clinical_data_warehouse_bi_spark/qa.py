@@ -1110,3 +1110,72 @@ def freshness_report(
         recent.alias(f"rows_last_{recent_hours}h"),
     )
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    fingerprint_col: str = "fp",
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table — the
+    reconciliation primitive an incremental pipeline runs before
+    publishing a refreshed corpus/dimension (which rows appeared,
+    which vanished, which changed in place) and the row-grain
+    companion of the scalar A3/A4 reconciliation probes. Both inputs
+    must already carry ``key_cols`` plus a ``fingerprint_col`` — a
+    caller-built canonical digest of the compared payload (the
+    caller owns canonicalization because only it knows the types:
+    quantize doubles, epoch-second timestamps, NULL sentinels — the
+    cross-engine conventions; see q_snapshot_diff for the model).
+
+    Returns (key_cols..., change, fp_old, fp_new) with change in
+    ('added', 'removed', 'changed'); unchanged rows are filtered
+    before the result ever materializes.
+
+    Scale shape: each side reduces map-side to a slim
+    (keys, fingerprint) projection — the payload itself never enters
+    the exchange — then ONE null-safe full-outer join on the keys
+    classifies every row. A full outer cannot broadcast (both sides
+    must survive), so the exchange is the two slim projections —
+    ~key + 32 hex chars per row, the minimum a row-level diff can
+    ship. Snapshots bucketed by the key join with zero exchange.
+    Skew-safe: keys are unique per side, so no join key fans out."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    # explicit presence markers: a NULL key or NULL fingerprint on a
+    # PRESENT side must not read as side-absent (NULL keys are real
+    # groups here, the repo's null-safe-join convention)
+    # string aliases, not DataFrame-attribute columns: old and new
+    # commonly derive from the SAME scan (snapshot vs mutated
+    # snapshot), and attribute references across a self-join are
+    # ambiguous to the analyzer
+    o = old.select(
+        *key_cols,
+        F.col(fingerprint_col).alias("fp_old"),
+        F.lit(1).alias("__in_old"),
+    ).alias("__sd_old")
+    n = new.select(
+        *key_cols,
+        F.col(fingerprint_col).alias("fp_new"),
+        F.lit(1).alias("__in_new"),
+    ).alias("__sd_new")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__sd_old.{k}").eqNullSafe(F.col(f"__sd_new.{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    # coalesce each key across sides (either may be side-absent NULL)
+    keys = [
+        F.coalesce(F.col(f"__sd_old.{k}"), F.col(f"__sd_new.{k}")).alias(k)
+        for k in key_cols
+    ]
+    change = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("fp_old").eqNullSafe(F.col("fp_new")), "changed")
+    )
+    return (
+        joined.select(*keys, change.alias("change"), "fp_old", "fp_new")
+        .where(F.col("change").isNotNull())
+    )

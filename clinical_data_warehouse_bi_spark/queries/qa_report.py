@@ -614,3 +614,117 @@ def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_col="event_type",
         recent_hours=FRESHNESS_HOURS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 registration candidate (staged round 12): row-level
+# snapshot diff. Oracle-ready; unregistered only because the driver
+# gate caps at 50 entries. Candidate parity test:
+# tests/test_retired_parity.py (CANDIDATES), sf0.01 + the sf0.1
+# density sweep.
+# ---------------------------------------------------------------------------
+
+#: key shift for the demo's simulated late-arriving rows — above any
+#: test-sf orderkey span (a production caller diffs REAL snapshots;
+#: the shift exists only so one fixture yields both table versions)
+SNAPDIFF_SHIFT = 1_000_000_000
+
+#: the shared canonical fingerprint: every compared column rendered
+#: cross-engine-deterministically (ints/strings as-is, price
+#: quantized to cents with the floor(x*100+0.5) benford convention,
+#: timestamp via CAST-to-string — hash-green since
+#: q_sentinel_timestamps), NULLs as the chr(0) sentinel, joined on
+#: chr(1) so field boundaries never ambiguate (both engines' concat_ws
+#: SKIPS bare NULLs, which would merge adjacent fields)
+_FP_SQL = (
+    "md5(concat_ws(chr(1),"
+    " coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),"
+    " coalesce(o_orderstatus, chr(0) || 'null'),"
+    " coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    "   AS VARCHAR), chr(0) || 'null'),"
+    " coalesce(CAST(o_orderdate AS VARCHAR), chr(0) || 'null'),"
+    " coalesce(o_orderpriority, chr(0) || 'null')))"
+)
+
+SQL_SNAPSHOT_DIFF = f"""
+    WITH old AS (
+      SELECT o_orderkey, {_FP_SQL} AS fp FROM orders),
+    new_rows AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 53 <> 0
+      UNION ALL
+      SELECT o_orderkey + {SNAPDIFF_SHIFT}, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 11 = 0),
+    new AS (
+      SELECT o_orderkey, {_FP_SQL} AS fp FROM new_rows)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed' END AS change,
+           o.fp AS fp_old, n.fp AS fp_new
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.fp <> n.fp
+    """
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation (qa.snapshot_diff): which
+    rows appeared, vanished, or changed in place between two
+    versions of a table — the diff an incremental pipeline publishes
+    alongside a refreshed corpus/dimension, and the row-grain
+    companion of the registered scalar reconciliation probes
+    (q_expectations' unique:/cross_sum: families). The demo derives
+    the 'new' snapshot deterministically from the fixture (drop
+    key%53, progress key%7's status+price, re-key key%11 as
+    late-arriving inserts) so BOTH engines construct identical
+    versions and the full classification is hash-checked.
+
+    Fingerprint canonicalization is the caller's contract (see
+    _FP_SQL): cents-floor for doubles, CAST-to-string timestamps,
+    chr(0) NULL sentinels, chr(1) field separators — each one an
+    already-hash-green repo convention.
+
+    Scale shape (qa.snapshot_diff): both sides reduce map-side to
+    slim (key, md5) projections — the payload never enters the
+    exchange — then ONE null-safe full-outer join classifies every
+    row; unchanged rows are filtered before materializing. Full
+    outer cannot broadcast (both sides must survive), so the
+    exchange is the minimum a row-level diff can ship; key-bucketed
+    snapshots would join with zero exchange."""
+    from clinical_data_warehouse_bi_spark import qa
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    key = F.col("o_orderkey")
+    mutated = o.where(key % 53 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(key % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(key % 7 == 0, F.col("o_totalprice") + F.lit(10.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    added = o.where(key % 11 == 0).select(
+        (key + F.lit(SNAPDIFF_SHIFT)).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    new = mutated.unionByName(added)
+    fp = F.expr(_FP_SQL.replace("VARCHAR", "STRING"))
+    return qa.snapshot_diff(
+        o.withColumn("fp", fp),
+        new.withColumn("fp", fp),
+        ["o_orderkey"],
+    )

@@ -2939,3 +2939,74 @@ def test_tfidf_keywords_plan_shape(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_snapshot_diff_classification_and_null_keys(spark):
+    """qa.snapshot_diff on a hand-built pair: added/removed/changed
+    classified correctly, unchanged rows filtered, and a NULL key is
+    a REAL row on both sides (presence markers, not key-nullness,
+    decide side absence — the null-safe-join convention)."""
+    from clinical_data_warehouse_bi_spark.qa import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a"),  # unchanged
+            (2, "b"),  # changed
+            (3, "c"),  # removed
+            (None, "n1"),  # NULL key, changed
+        ],
+        "k int, fp string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a"),
+            (2, "B"),
+            (4, "d"),  # added
+            (None, "n2"),
+        ],
+        "k int, fp string",
+    )
+    got = {
+        (r["k"], r["change"]): (r["fp_old"], r["fp_new"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        (2, "changed"): ("b", "B"),
+        (3, "removed"): ("c", None),
+        (4, "added"): (None, "d"),
+        (None, "changed"): ("n1", "n2"),
+    }
+
+
+def test_snapshot_diff_rejects_empty_keys_and_handles_null_fp(spark):
+    import pytest as _pytest
+
+    from clinical_data_warehouse_bi_spark.qa import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "k int, fp string")
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, df, [])
+    # NULL fingerprints on PRESENT sides: null-safe compare — both
+    # NULL is unchanged (filtered), NULL vs value is changed
+    old = spark.createDataFrame([(1, None), (2, None)], "k int, fp string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k int, fp string")
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed"}
+
+
+def test_snapshot_diff_plan_is_slim(spark, sf_dir):
+    """q_snapshot_diff's exchanges carry only (key, fingerprint,
+    presence) — no payload column (status/price/date/priority) ever
+    shuffles; the join is the one full-outer SMJ (both sides must
+    survive, broadcast impossible)."""
+    from clinical_data_warehouse_bi_spark.queries.qa_report import (
+        q_snapshot_diff,
+    )
+
+    plan = q_snapshot_diff(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            for payload in ("o_orderstatus", "o_totalprice", "o_orderdate",
+                            "o_orderpriority", "o_custkey"):
+                assert payload not in line, line

@@ -185,6 +185,17 @@ from clinical_data_warehouse_bi_spark.queries.text_ops import (  # noqa: E402
 
 RETIRED.update({"q_tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS)})
 
+# round-13 registration CANDIDATE (staged round 12): row-level
+# snapshot diff — added/removed/changed classification between two
+# table versions over one null-safe full-outer join of slim
+# (key, fingerprint) projections.
+from clinical_data_warehouse_bi_spark.queries.qa_report import (  # noqa: E402
+    SQL_SNAPSHOT_DIFF,
+    q_snapshot_diff,
+)
+
+RETIRED.update({"q_snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF)})
+
 RETIRED.update(
     {
         "q_calendar_dim": (q_calendar_dim, SQL_CALENDAR_DIM),
