@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "q_benford",
     "q_skew_report",
     "q_freshness_report",
+    "q_tfidf_keywords",
+    "q_snapshot_diff",
 ]
 
 
@@ -295,8 +297,12 @@ def main() -> None:
         q_minhash_lsh_pairs,
         q_paragraph_dedup,
         q_repeated_spans,
+        q_simhash_pairs,
     )
-    from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
+    from clinical_data_warehouse_bi_spark.queries.join_ops import (
+        q_anti_new_dates,
+        q_range_join,
+    )
     from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
     from clinical_data_warehouse_bi_spark.queries.similarity import (
         q_ann_ivf_learned,
@@ -334,6 +340,8 @@ def main() -> None:
         "q_repeated_spans": q_repeated_spans,
         "q_calendar_dim": q_calendar_dim,
         "q_stream_dedup_dual": q_stream_dedup_dual,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_anti_new_dates": q_anti_new_dates,
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -301,7 +301,10 @@ SIMHASH_HAMMING_K = 3
 SIMHASH_BANDS, SIMHASH_BAND_BITS = 4, 8
 
 
-@register("q_simhash_pairs", oracle=f"""
+#: q_simhash_pairs' DuckDB oracle, preserved after its round-12
+#: registry retirement (slot went to q_tfidf_keywords) — the
+#: cross-engine value check survives in tests/test_retired_parity.py.
+SQL_SIMHASH_PAIRS = f"""
     WITH fp AS ({_SQL_SIMHASH}),
     bands AS (
       SELECT doc_id, simhash, j.band, (simhash >> (j.band * 8)) & 255 AS sig
@@ -315,11 +318,24 @@ SIMHASH_BANDS, SIMHASH_BAND_BITS = 4, 8
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_K}
-    """)
+    """
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pair extraction — the consumer that makes the
     fingerprints a dedup tool (the exact-dup twin is the DISTINCT
     promotion, DWH.sql:111-118; this is its near-dup analogue).
+
+    Round-12 registry retirement (cap is 50; slot went to
+    q_tfidf_keywords): the registered q_lsh_near_dup runs the same
+    banded-signature candidates-only equi-join construction
+    hash-checked every round (band -> bucket-join -> verify — the
+    operator SHAPE this entry certified), and q_embed_near_dup keeps
+    a second banded form (sign-LSH) under the gate. The SimHash
+    fingerprint expression and the exact-Hamming pigeonhole verify
+    keep their own full oracle comparison in
+    tests/test_retired_parity.py against SQL_SIMHASH_PAIRS (sf0.01 +
+    the sf0.1 density sweep), so retirement weakens no evidence.
 
     Band-of-bits LSH: split each 32-bit fingerprint into 4 x 8-bit
     bands, equi-join on (band, band value) — candidates only, never

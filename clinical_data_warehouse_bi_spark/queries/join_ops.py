@@ -169,19 +169,34 @@ def q_join_nullsafe_junk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "junk_id")
 
 
-@register("q_anti_new_dates", oracle="""
+#: q_anti_new_dates' DuckDB oracle, preserved after its round-12
+#: registry retirement (slot went to q_snapshot_diff) — the
+#: cross-engine value check survives in tests/test_retired_parity.py.
+SQL_ANTI_NEW_DATES = """
     SELECT DISTINCT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS new_date
     FROM lineitem
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE CAST(o.o_orderdate AS DATE) = CAST(l_shipdate AS DATE))
-    """)
+    """
+
+
 def q_anti_new_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 — insert-if-absent anti-join (the dim_date top-up,
     Stage_area.sql:299-301 / DWH.sql:134-135): distinct new keys with
     no match in the existing set. Output date formatted as a string:
     DATE columns surface differently across client fetch paths
-    (datetime64 vs date objects)."""
+    (datetime64 vs date objects).
+
+    Round-12 registry retirement (cap is 50; slot went to
+    q_snapshot_diff): the anti-join operator shape keeps THREE
+    registered witnesses — q_orphan_cleanup (J10's left-anti
+    keep/drop recompute), q_qa_orphan_report (six anti-join probe
+    branches) and q_expectations (broadcast-anti referential
+    probes) — and the NOT-EXISTS insert-if-absent form already has
+    its sibling full oracle in tests/test_retired_parity.py
+    (q_insert_if_absent/SQL_INSERT_IF_ABSENT). This query's own
+    comparison joins them there against SQL_ANTI_NEW_DATES."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     new = t["lineitem"].select(F.col("l_shipdate").cast("date").alias("new_date")).distinct()
     existing = t["orders"].select(F.col("o_orderdate").cast("date").alias("d")).distinct()

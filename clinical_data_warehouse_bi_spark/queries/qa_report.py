@@ -617,11 +617,10 @@ def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-13 registration candidate (staged round 12): row-level
-# snapshot diff. Oracle-ready; unregistered only because the driver
-# gate caps at 50 entries. Candidate parity test:
-# tests/test_retired_parity.py (CANDIDATES), sf0.01 + the sf0.1
-# density sweep.
+# Round-12 registration: row-level snapshot diff. Slot freed by
+# retiring q_anti_new_dates (witnesses in its docstring,
+# queries/join_ops.py). The full oracle comparison also stays in
+# tests/test_retired_parity.py (sf0.01 + sf0.1 sweep).
 # ---------------------------------------------------------------------------
 
 #: key shift for the demo's simulated late-arriving rows — above any
@@ -673,6 +672,7 @@ SQL_SNAPSHOT_DIFF = f"""
     """
 
 
+@register("q_snapshot_diff", oracle=SQL_SNAPSHOT_DIFF)
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot reconciliation (qa.snapshot_diff): which
     rows appeared, vanished, or changed in place between two

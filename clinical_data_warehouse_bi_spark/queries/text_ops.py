@@ -750,11 +750,10 @@ def q_vocabulary_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-13 registration candidate (staged round 12): per-document
-# TF-IDF keyword extraction. Oracle-ready; unregistered only because
-# the driver gate caps at 50 entries. Candidate parity test:
-# tests/test_retired_parity.py (CANDIDATES), sf0.01 + the sf0.1
-# density sweep.
+# Round-12 registration: per-document TF-IDF keyword extraction.
+# Slot freed by retiring q_simhash_pairs (witnesses in its
+# docstring, queries/dedup.py). The full oracle comparison also
+# stays in tests/test_retired_parity.py (sf0.01 + sf0.1 sweep).
 # ---------------------------------------------------------------------------
 
 #: keywords per document for the staged demo
@@ -781,6 +780,7 @@ SQL_TFIDF_KEYWORDS = f"""
     """
 
 
+@register("q_tfidf_keywords", oracle=SQL_TFIDF_KEYWORDS)
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-{TFIDF_K} TF-IDF keywords
     (text.tfidf_keywords) — keyword extraction / document labeling,

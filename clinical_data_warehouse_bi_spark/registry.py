@@ -239,7 +239,11 @@ _CHECK_ORDER = [
     "q_json_extract",
     "q_multi_source_union",
     "q_lsh_near_dup",
-    "q_simhash_pairs",
+    # (q_simhash_pairs retired round 12 — slot went to
+    # q_tfidf_keywords; witnesses: q_lsh_near_dup's registered
+    # banded-candidates-only construction + q_embed_near_dup's
+    # banded sign-LSH; full oracle comparison in
+    # tests/test_retired_parity.py against SQL_SIMHASH_PAIRS)
     "q_corpus_clean",
     "q_quality_score",
     "q_token_budget",
@@ -248,7 +252,11 @@ _CHECK_ORDER = [
     "q_join_normalized",
     "q_asof_next_order",
     "q_join_nullsafe_junk",
-    "q_anti_new_dates",
+    # (q_anti_new_dates retired round 12 — slot went to
+    # q_snapshot_diff; witnesses: q_orphan_cleanup's left-anti
+    # recompute, q_qa_orphan_report's six probe branches,
+    # q_expectations' broadcast-anti probes; full oracle comparison
+    # in tests/test_retired_parity.py against SQL_ANTI_NEW_DATES)
     "q_orphan_cleanup",
     # (q_scalar_lookup_default retired round 12 — slot went to
     # q_freshness_report; witnesses: q_expectations' broadcast-anti

@@ -132,12 +132,16 @@ def main() -> None:
         SQL_MINHASH_LSH_PAIRS,
         SQL_PARAGRAPH_DEDUP,
         SQL_REPEATED_SPANS,
+        SQL_SIMHASH_PAIRS,
         q_minhash_lsh_pairs,
         q_paragraph_dedup,
         q_repeated_spans,
+        q_simhash_pairs,
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import (
+        SQL_ANTI_NEW_DATES,
         SQL_RANGE_JOIN,
+        q_anti_new_dates,
         q_range_join,
     )
     from clinical_data_warehouse_bi_spark.queries.similarity import (
@@ -187,9 +191,13 @@ def main() -> None:
         "q_repeated_spans": q_repeated_spans,
         "q_calendar_dim": q_calendar_dim,
         "q_stream_dedup_dual": q_stream_dedup_dual,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_anti_new_dates": q_anti_new_dates,
     }
     oracles = {
         **all_oracles(),
+        "q_simhash_pairs": SQL_SIMHASH_PAIRS,
+        "q_anti_new_dates": SQL_ANTI_NEW_DATES,
         "q_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "q_scd2_dim": SQL_SCD2_DIM,
         "q_sentinel_timestamps": SQL_SENTINEL_TIMESTAMPS,

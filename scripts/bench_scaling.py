@@ -165,6 +165,10 @@ def main() -> None:
         q_chunk_dedup,
         q_minhash_lsh_pairs,
         q_paragraph_dedup,
+        q_simhash_pairs,
+    )
+    from clinical_data_warehouse_bi_spark.queries.join_ops import (
+        q_anti_new_dates,
     )
     from clinical_data_warehouse_bi_spark.queries.join_ops import q_range_join
     from clinical_data_warehouse_bi_spark.queries.similarity import (
@@ -214,6 +218,8 @@ def main() -> None:
         "q_calendar_dim": q_calendar_dim,
         "q_stream_dedup_dual": q_stream_dedup_dual,
         "q_scalar_lookup_default": q_scalar_lookup_default,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_anti_new_dates": q_anti_new_dates,
     }
     oracles = {}
     cons = {}
@@ -225,6 +231,10 @@ def main() -> None:
         from clinical_data_warehouse_bi_spark.queries.dedup import (
             SQL_MINHASH_LSH_PAIRS,
             SQL_PARAGRAPH_DEDUP,
+            SQL_SIMHASH_PAIRS,
+        )
+        from clinical_data_warehouse_bi_spark.queries.join_ops import (
+            SQL_ANTI_NEW_DATES,
         )
         from clinical_data_warehouse_bi_spark.queries.join_ops import (
             SQL_RANGE_JOIN,
@@ -276,6 +286,8 @@ def main() -> None:
             "q_scalar_lookup_default": SQL_SCALAR_LOOKUP_DEFAULT,
             "q_grouped_percentiles": SQL_GROUPED_PERCENTILES,
             "q_repeated_spans": SQL_REPEATED_SPANS,
+            "q_simhash_pairs": SQL_SIMHASH_PAIRS,
+            "q_anti_new_dates": SQL_ANTI_NEW_DATES,
         }
         cons = {BASE: duck_con_for(BASE), big_dir: duck_con_for(big_dir)}
 

@@ -173,11 +173,13 @@ from clinical_data_warehouse_bi_spark.queries.windows import (  # noqa: E402
     q_stream_dedup_dual,
 )
 
-# round-13 registration CANDIDATE (staged round 12, oracle-ready,
-# unregistered only because of the 50-entry gate cap): per-document
-# TF-IDF keyword extraction. Runs under the same full-oracle
-# comparison as the retirees so the registration swap, when a slot
-# frees, is a decorator + _CHECK_ORDER line.
+# round-12 registrations (staged and registered same round after
+# green sf0.01 + sf0.1 candidate sweeps): q_tfidf_keywords (slot
+# freed by retiring q_simhash_pairs) and q_snapshot_diff (slot freed
+# by retiring q_anti_new_dates). The registered gate covers them per
+# round; these rows keep the same full-oracle comparison alive in
+# pytest — the three round-12-registered QA reports set the
+# precedent.
 from clinical_data_warehouse_bi_spark.queries.text_ops import (  # noqa: E402
     SQL_TFIDF_KEYWORDS,
     q_tfidf_keywords,
@@ -185,16 +187,30 @@ from clinical_data_warehouse_bi_spark.queries.text_ops import (  # noqa: E402
 
 RETIRED.update({"q_tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS)})
 
-# round-13 registration CANDIDATE (staged round 12): row-level
-# snapshot diff — added/removed/changed classification between two
-# table versions over one null-safe full-outer join of slim
-# (key, fingerprint) projections.
 from clinical_data_warehouse_bi_spark.queries.qa_report import (  # noqa: E402
     SQL_SNAPSHOT_DIFF,
     q_snapshot_diff,
 )
 
 RETIRED.update({"q_snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF)})
+
+# round-12 retirements (slots went to q_tfidf_keywords and
+# q_snapshot_diff; witnesses named in each retiree's docstring)
+from clinical_data_warehouse_bi_spark.queries.dedup import (  # noqa: E402
+    SQL_SIMHASH_PAIRS,
+    q_simhash_pairs,
+)
+from clinical_data_warehouse_bi_spark.queries.join_ops import (  # noqa: E402
+    SQL_ANTI_NEW_DATES,
+    q_anti_new_dates,
+)
+
+RETIRED.update(
+    {
+        "q_simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+        "q_anti_new_dates": (q_anti_new_dates, SQL_ANTI_NEW_DATES),
+    }
+)
 
 RETIRED.update(
     {
