@@ -209,24 +209,17 @@ def bench_corpus(spark, sf_dir: str) -> float:
         out_dir = tempfile.mkdtemp(prefix="bench-corpus-")
         try:
             cleaned = remove_boilerplate(docs)
-            toks = T.tokens("text")
-            stop_arr = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
-            n_tok = F.size(toks)
-            n_types = F.size(F.array_distinct(toks))
-            stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast(
-                "double"
-            ) / F.greatest(n_types, F.lit(1))
-            ttr = n_types.cast("double") / F.greatest(n_tok, F.lit(1))
-            len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
-            quality = (
-                F.lit(0.4) * stop_ratio + F.lit(0.3) * ttr + F.lit(0.3) * len_score
-            )
+            # ONE quality definition shared with q_quality_score /
+            # q_corpus_clean (T.quality_exprs) — this stage must stay
+            # the composition of the registered operators, not a
+            # third hand-written copy of their blend
+            qx = T.quality_exprs("text")
             # slim dedup: fingerprint + id only cross the exchange
             slim = cleaned.select(
                 "doc_id",
                 F.md5(T.normalized_text("text")).alias("fingerprint"),
-                n_tok.alias("n_tokens"),
-                quality.alias("q"),
+                qx["n_tokens"].alias("n_tokens"),
+                qx["quality_score"].alias("q"),
             ).filter(
                 (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
                 & (F.col("q") >= CLEAN_MIN_QUALITY)

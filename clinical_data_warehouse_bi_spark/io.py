@@ -355,6 +355,26 @@ def global_shuffle(
     )
 
 
+#: hash space for the deterministic keep-rate thresholds below. 1e12
+#: (not the former 1e6): a 100 TB mixture can legitimately water-fill
+#: a huge source down to a rate below 1e-6, and int(rate * 1e6)
+#: TRUNCATED such rates to threshold 0 — silently dropping the whole
+#: source (round-12 review finding). At 1e12 the resolution is 1e-12
+#: and rounding (not truncation) bounds the rate bias at 5e-13.
+_MIX_HASH_SPACE = 1_000_000_000_000
+
+
+def _mix_keep_threshold(rate: float) -> int:
+    """Keep-threshold for a water-filled rate: round to the hash
+    space, but never round a POSITIVE rate down to zero — a source
+    the mixture allocated rows to must keep a nonzero slice (the
+    1-in-1e12 over-sample this floor costs is noise; losing an
+    entire source is not)."""
+    if rate <= 0.0:
+        return 0
+    return max(1, round(rate * _MIX_HASH_SPACE))
+
+
 def mix_sources(
     sources: list[tuple[DataFrame, float]], id_col: str, seed: int = 0
 ) -> DataFrame:
@@ -378,8 +398,11 @@ def mix_sources(
         # negative threshold test that breaks the keep rule for ~1 in
         # 2^63 rows (and deterministically for whichever ids hash
         # there). pmod is non-negative by construction.
-        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(i)), F.lit(1_000_000))
-        kept = df.filter(h < int(rate * 1_000_000)).withColumn(
+        h = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(seed), F.lit(i)),
+            F.lit(_MIX_HASH_SPACE),
+        )
+        kept = df.filter(h < _mix_keep_threshold(rate)).withColumn(
             "__source", F.lit(i)
         )
         out = kept if out is None else out.unionByName(kept)
@@ -924,12 +947,12 @@ def temperature_mix_keyed(
         *[
             lit
             for key, rate in zip(keys, rates)
-            for lit in (F.lit(key), F.lit(int(rate * 1_000_000)))
+            for lit in (F.lit(key), F.lit(_mix_keep_threshold(rate)))
         ]
     )
     # same pmod-not-abs discipline as mix_sources (abs(MIN_VALUE)
     # overflow; % keeps the dividend's sign)
-    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), k), F.lit(1_000_000))
+    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), k), F.lit(_MIX_HASH_SPACE))
     return df.filter(h < rate_map[k])
 
 

@@ -114,6 +114,16 @@ REFINE_CAP = 262144
 #: next to (the default 0.05 sketch would be ~30x larger per bucket
 #: and the histogram exchange is O(groups x cols x 4096) rows)
 _NDV_RSD = 0.15
+#: margin for the refinement gate against THIS sketch's error (the
+#: generic _SKETCH_MARGIN = 0.9 covers a ~2%-rsd sketch; at rsd 0.15
+#: it would only absorb a ~0.7-sigma underestimate). 0.5 covers a
+#: >3-sigma underestimate, so a bucket whose true ndv exceeds
+#: REFINE_CAP escapes refinement with only tail probability — the
+#: bound on the resolve window's sort input is PROBABILISTIC, not
+#: hard, and an escape costs memory headroom (a larger exact sort),
+#: never wrong results. No behavior change at test scales: real
+#: per-bucket ndv sits orders of magnitude below cap/2.
+_NDV_GATE_MARGIN = 0.5
 #: static refinement depth: 3 nested levels = 4096^3 ~ 6.9e10
 #: addressable positions per column range — below double-precision
 #: resolution for any non-degenerate range
@@ -377,10 +387,12 @@ def exact_percentiles_distributed(
                 # group count stays in the millions)
                 bcast0 = bcast
             last = level == LEVELS - 1
-            # gate with the sketch margin: an under-estimating HLL
-            # must not let a genuinely oversized bucket skip
-            # refinement (over-estimates just refine once more)
-            ndv_cap = refine_cap * _SKETCH_MARGIN
+            # gate with the ndv-specific margin: a >3-sigma
+            # under-estimate of the rsd-0.15 HLL is needed before a
+            # genuinely oversized bucket can skip refinement, and an
+            # escape costs only sort-memory headroom, never
+            # correctness (over-estimates just refine once more)
+            ndv_cap = refine_cap * _NDV_GATE_MARGIN
             done = last or (stat["mx"] or 0) <= ndv_cap
             small = pending if done else pending.filter(F.col("ndv") <= ndv_cap)
             small_view = f"__pctl_small_{level}_{uid}"

@@ -162,24 +162,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. array_intersect/list_intersect both dedup — same
     semantics."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = T.tokens("text")
-    stop_arr = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
-    n_tok = F.size(toks)
-    n_types = F.size(F.array_distinct(toks))
-    stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.greatest(
-        n_types, F.lit(1)
-    )
-    ttr = n_types.cast("double") / F.greatest(n_tok, F.lit(1))
-    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    q = T.quality_exprs("text")
     return docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        stop_ratio.alias("stop_ratio"),
-        ttr.alias("type_token_ratio"),
-        len_score.alias("len_score"),
-        (
-            F.lit(0.4) * stop_ratio + F.lit(0.3) * ttr + F.lit(0.3) * len_score
-        ).alias("quality_score"),
+        *[q[name].alias(name) for name in (
+            "n_tokens", "stop_ratio", "type_token_ratio", "len_score",
+            "quality_score",
+        )],
     )
 
 
@@ -271,21 +260,12 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure is kept identical to the oracle for bit-exact
     doubles."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = T.tokens("text")
-    stop_arr = F.array(*[F.lit(w) for w in T.EN_STOPWORDS])
-    n_tok = F.size(toks)
-    n_types = F.size(F.array_distinct(toks))
-    stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.greatest(
-        n_types, F.lit(1)
-    )
-    ttr = n_types.cast("double") / F.greatest(n_tok, F.lit(1))
-    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
-    quality = F.lit(0.4) * stop_ratio + F.lit(0.3) * ttr + F.lit(0.3) * len_score
+    q = T.quality_exprs("text")
     kept = (
         docs.select(
             "doc_id",
-            n_tok.alias("n_tokens"),
-            quality.alias("quality_score"),
+            q["n_tokens"].alias("n_tokens"),
+            q["quality_score"].alias("quality_score"),
             F.md5(T.normalized_text("text")).alias("fingerprint"),
         )
         .filter(

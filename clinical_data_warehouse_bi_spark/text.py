@@ -1474,3 +1474,37 @@ def tfidf_keywords(
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+def quality_exprs(text_col: str = "text") -> dict:
+    """The Gopher/C4-style cheap quality expressions — ONE definition
+    for the three consumers that must agree bit-for-bit
+    (q_quality_score, q_corpus_clean's gate, and bench.py's
+    corpus-release composition; round-12 review: the blend was
+    written out three times and would have diverged silently on the
+    first edit). Returns named Columns: n_tokens, stop_ratio
+    (stopword hits over distinct types), type_token_ratio, len_score
+    (tokens/100 capped at 1), quality_score (0.4/0.3/0.3 blend).
+    Expression STRUCTURE is the cross-engine contract: the DuckDB
+    oracles mirror it operation-for-operation so IEEE doubles match
+    exactly — reassociating the arithmetic here breaks the hash
+    gate."""
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_tok = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast(
+        "double"
+    ) / F.greatest(n_types, F.lit(1))
+    ttr = n_types.cast("double") / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * stop_ratio + F.lit(0.3) * ttr + F.lit(0.3) * len_score
+    )
+    return {
+        "n_tokens": n_tok,
+        "stop_ratio": stop_ratio,
+        "type_token_ratio": ttr,
+        "len_score": len_score,
+        "quality_score": quality,
+    }

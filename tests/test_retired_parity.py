@@ -212,6 +212,29 @@ RETIRED.update(
     }
 )
 
+# the three round-12-registered QA reports keep their own
+# registry-independent full-oracle rows here too — their docstrings
+# promise it ("the full oracle comparison ... also stays in
+# tests/test_retired_parity.py"), and the promise briefly went
+# unbacked when the staging CANDIDATES block was deleted at
+# registration (round-12 review finding)
+from clinical_data_warehouse_bi_spark.queries.qa_report import (  # noqa: E402
+    SQL_BENFORD,
+    SQL_FRESHNESS,
+    SQL_SKEW_REPORT,
+    q_benford,
+    q_freshness_report,
+    q_skew_report,
+)
+
+RETIRED.update(
+    {
+        "q_benford": (q_benford, SQL_BENFORD),
+        "q_skew_report": (q_skew_report, SQL_SKEW_REPORT),
+        "q_freshness_report": (q_freshness_report, SQL_FRESHNESS),
+    }
+)
+
 RETIRED.update(
     {
         "q_calendar_dim": (q_calendar_dim, SQL_CALENDAR_DIM),
