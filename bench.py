@@ -273,7 +273,7 @@ def main() -> None:
         release_new_persistent_rdds,
         snapshot_persistent_rdds,
     )
-    from clinical_data_warehouse_bi_spark.registry import all_queries
+    from clinical_data_warehouse_bi_spark.registry import registered_queries
     from clinical_data_warehouse_bi_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -314,7 +314,7 @@ def main() -> None:
     )
 
     queries = {
-        **all_queries(),
+        **registered_queries(),
         "q_approx_stats": q_approx_stats,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_range_join": q_range_join,
@@ -338,6 +338,7 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    load_start = os.getloadavg()
     # localCheckpoint blocks are NOT CacheManager-registered, so
     # clearCache never frees them; queries that checkpoint
     # (percentiles, dedup_clusters, similarity index builds) leak
@@ -392,6 +393,12 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print("per-query spread (max-min over timed runs): "
           + json.dumps(spreads), file=sys.stderr)
+    # The record self-describes its noise (round-12 verdict item 7):
+    # per-query spread across the timed runs separates host drift
+    # from code regressions (r11->r12's +11.6% uniform move needed a
+    # same-day rerun to adjudicate), and the 1-min load average at
+    # start/end flags a non-quiet host outright.
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -400,6 +407,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "noise": {
+                    "timing_protocol": "min over 2 runs after 1 warm-up; "
+                    "3rd run when best < 2s",
+                    "per_query_spread_sec": spreads,
+                    "spread_total_sec": round(sum(spreads.values()), 4),
+                    "host_load_1m_start": round(load_start[0], 2),
+                    "host_load_1m_end": round(load_end[0], 2),
+                },
             }
         )
     )

@@ -135,6 +135,31 @@ def scalar_lookup_default(
     return fact.withColumn(out or col, F.coalesce(F.col(col), F.lit(default)))
 
 
+def size_gated_broadcast(
+    small: DataFrame, max_rows: int
+) -> tuple[DataFrame, bool]:
+    """Broadcast ``small`` only while it is actually small —
+    otherwise hand it back hinted for a shuffle-hash join, flipping
+    the caller's join to the keyed-shuffle form its docstring
+    promises (round-12 verdict item 6: the tfidf_keywords / lm.py
+    vocabulary joins described this fallback in prose but always
+    broadcast in code).
+
+    The probe is one ``count()`` action over the candidate relation
+    — callers pass already-slim, usually cached vocabulary-sized
+    aggregates, so the probe costs one cheap job and buys a plan
+    that cannot OOM the driver when a web-scale vocabulary outgrows
+    broadcast. Returns (possibly-hinted df, broadcasted?). The
+    shuffle side uses a shuffle_hash hint, not sort-merge: the
+    vocabulary side stays hash-table-sized PER PARTITION even when
+    its total outgrows the broadcast budget."""
+    if max_rows < 0:
+        raise ValueError("max_rows must be >= 0")
+    if small.count() <= max_rows:
+        return F.broadcast(small), True
+    return small.hint("shuffle_hash"), False
+
+
 def estimate_salt_buckets(
     left: DataFrame,
     left_key: str,

@@ -91,6 +91,8 @@ def perplexity(
     text_col: str = "text",
     alpha: float = DEFAULT_ALPHA,
     model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    *,
+    model_broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, ppl): per-document bigram perplexity under the
     corpus LM (or a supplied ``model`` trained elsewhere — the
@@ -99,7 +101,15 @@ def perplexity(
 
     ppl is rounded to 4 decimals: the per-document mean sums doubles
     in partition order, so the last bits are engine/partitioning
-    noise by construction (the q_cosine_topk convention)."""
+    noise by construction (the q_cosine_topk convention).
+
+    ``model_broadcast_max_rows`` size-gates the two model joins
+    (round-12 verdict item 6): the bigram-count relation broadcasts
+    only while its row count fits the budget; above it both model
+    joins flip to the keyed shuffle-hash form (two corpus exchanges
+    on (w1, w2) / (w1) — the documented web-scale-vocabulary
+    fallback, now in code via joins.size_gated_broadcast). Default
+    is text.VOCAB_BROADCAST_MAX_ROWS."""
     if model is not None:
         bc, c1, v = model
     else:
@@ -140,9 +150,19 @@ def perplexity(
         )
         .select("__id", "n_tokens", "b.w1", "b.w2")
     )
+    from clinical_data_warehouse_bi_spark.joins import size_gated_broadcast
+    from clinical_data_warehouse_bi_spark.text import VOCAB_BROADCAST_MAX_ROWS
+
+    if model_broadcast_max_rows is None:
+        model_broadcast_max_rows = VOCAB_BROADCAST_MAX_ROWS
+    # ONE probe decides both model joins: c1 aggregates from bc, so
+    # |c1| <= |bc| and bc's count bounds them together (bc is cached
+    # on the self-trained path; an external model pays one slim job)
+    bc_side, fits = size_gated_broadcast(bc, model_broadcast_max_rows)
+    c1_side = F.broadcast(c1) if fits else c1.hint("shuffle_hash")
     return (
-        bg.join(F.broadcast(bc), ["w1", "w2"], "left")
-        .join(F.broadcast(c1), ["w1"], "left")
+        bg.join(bc_side, ["w1", "w2"], "left")
+        .join(c1_side, ["w1"], "left")
         .select(
             "__id",
             "n_tokens",

@@ -1117,6 +1117,8 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     fingerprint_col: str = "fp",
+    *,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Row-level diff between two snapshots of the same table — the
     reconciliation primitive an incremental pipeline runs before
@@ -1140,9 +1142,27 @@ def snapshot_diff(
     must survive), so the exchange is the two slim projections —
     ~key + 32 hex chars per row, the minimum a row-level diff can
     ship. Snapshots bucketed by the key join with zero exchange.
-    Skew-safe: keys are unique per side, so no join key fans out."""
+
+    ASSUMES ``key_cols`` is a unique key on EACH side — a snapshot
+    diff is only defined per key. Duplicate keys fan out in the
+    full-outer join, silently multiplying added/removed/changed rows
+    (and the join skews on the duplicated key). Pass
+    ``check_unique=True`` to pay one extra count-vs-distinct probe
+    per side and fail loudly instead (debug/first-run mode — the
+    probe is two cheap slim-projection jobs, not part of the diff
+    plan itself)."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    if check_unique:
+        for side, df in (("old", old), ("new", new)):
+            total = df.count()
+            distinct = df.select(*key_cols).distinct().count()
+            if distinct != total:
+                raise ValueError(
+                    f"snapshot_diff: key_cols {key_cols} are not unique "
+                    f"on the {side} side ({total} rows, {distinct} "
+                    "distinct keys) — the diff would fan out"
+                )
     # explicit presence markers: a NULL key or NULL fingerprint on a
     # PRESENT side must not read as side-absent (NULL keys are real
     # groups here, the repo's null-safe-join convention)

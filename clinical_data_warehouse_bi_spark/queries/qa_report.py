@@ -635,15 +635,24 @@ SNAPDIFF_SHIFT = 1_000_000_000
 #: q_sentinel_timestamps), NULLs as the chr(0) sentinel, joined on
 #: chr(1) so field boundaries never ambiguate (both engines' concat_ws
 #: SKIPS bare NULLs, which would merge adjacent fields)
-_FP_SQL = (
-    "md5(concat_ws(chr(1),"
-    " coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),"
-    " coalesce(o_orderstatus, chr(0) || 'null'),"
-    " coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
-    "   AS VARCHAR), chr(0) || 'null'),"
-    " coalesce(CAST(o_orderdate AS VARCHAR), chr(0) || 'null'),"
-    " coalesce(o_orderpriority, chr(0) || 'null')))"
-)
+def _fp_sql(str_type: str) -> str:
+    """Canonical row-fingerprint expression, parameterized on the
+    engine's string type name ('VARCHAR' for the DuckDB oracle,
+    'STRING' for Spark) — built per-engine instead of token surgery
+    on a shared literal, so a future VARCHAR elsewhere in the
+    expression can never be rewritten silently (round-12 advice)."""
+    return (
+        "md5(concat_ws(chr(1),"
+        f" coalesce(CAST(o_custkey AS {str_type}), chr(0) || 'null'),"
+        " coalesce(o_orderstatus, chr(0) || 'null'),"
+        " coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        f"   AS {str_type}), chr(0) || 'null'),"
+        f" coalesce(CAST(o_orderdate AS {str_type}), chr(0) || 'null'),"
+        " coalesce(o_orderpriority, chr(0) || 'null')))"
+    )
+
+
+_FP_SQL = _fp_sql("VARCHAR")
 
 SQL_SNAPSHOT_DIFF = f"""
     WITH old AS (
@@ -722,7 +731,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     new = mutated.unionByName(added)
-    fp = F.expr(_FP_SQL.replace("VARCHAR", "STRING"))
+    fp = F.expr(_fp_sql("STRING"))
     return qa.snapshot_diff(
         o.withColumn("fp", fp),
         new.withColumn("fp", fp),

@@ -124,7 +124,7 @@ def _served_index_path(sf_dir: str) -> str:
     )
 
 
-@register("q_bm25_served", oracle=None)
+@register("q_bm25_served", oracle=SQL_BM25_TOPK)
 def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served FROM the persisted inverted index
     (retrieval.bm25_index_build + bm25_index_search) — the
@@ -137,11 +137,12 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure pruned read — the 100 TB serving shape, where indexing cost
     is paid at ingest, not per query.
 
-    No SQL oracle BY DESIGN (the q_ann_ivf_pq convention): the
-    served per-doc score sums float in groupBy order, so it can
-    differ from the inline expression tree in the 4th decimal —
-    tests/test_retrieval.py pins served==inline to 1e-3 and the
-    inline form (q_bm25_topk) carries the full hash oracle."""
+    Full oracle since round 13 (round-12 verdict item 2): the served
+    per-doc total now folds per-term contributions in FIXED query
+    order (bm25_index_search), making the served score BIT-IDENTICAL
+    to bm25_topk's inline expression tree — so q_bm25_topk's DuckDB
+    oracle applies verbatim; tests/test_retrieval.py pins
+    served==inline exactly."""
     import os
     import shutil
 

@@ -9,8 +9,11 @@ two: the driver sorts columns by name before value-hashing.
 
 from __future__ import annotations
 
+import importlib
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -277,24 +280,217 @@ _CHECK_ORDER = [
 ]
 
 
-def _ordered_names() -> list[str]:
-    registered = list(_REGISTRY)
-    new = [n for n in registered if n not in _CHECK_ORDER]
-    known = [n for n in _CHECK_ORDER if n in _REGISTRY]
-    return new + known
+# --- Gate-slot rotation (round-13; round-12 verdict item 1) ----------
+#
+# The driver's hard CORRECTNESS gate sees at most 50 entries, but the
+# engine has ~85 green queries: the surplus lives in pytest
+# (tests/test_retired_parity.py). To cycle EVERY query through the
+# hard gate over time, each round a deterministic batch of
+# ``ROTATION_SLOTS`` retired queries rotates back into the emitted
+# 50 ("rotated in"), displacing the same number of long-stable
+# registered entries ("donors"), which sit the round out under the
+# equivalent pytest oracle check (tests/test_retired_parity.py::
+# test_benched_donor_matches_oracle). The round index derives from
+# the committed CORRECTNESS_r*.json count, so the schedule advances
+# exactly once per driver round with no manual edit.
+
+ROTATION_SLOTS = 5
+
+#: round the rotation mechanism shipped; the schedule is defined
+#: relative to it (round 13 -> pool offset 0)
+_ROTATION_EPOCH = 13
+
+
+@dataclass(frozen=True)
+class RotationSpec:
+    """Lazy pointer to a retired query: its module keeps the
+    callable and the preserved DuckDB oracle SQL at module level
+    (the tests/test_retired_parity.py convention)."""
+
+    name: str
+    module: str
+    fn_attr: str
+    sql_attr: str
+
+
+_Q = "clinical_data_warehouse_bi_spark.queries"
+
+#: every SQL-expressible retiree, oldest retirement first, so the
+#: queries longest out of the hard gate are re-exposed first. The
+#: rows-only retirees (q_ann_ivf_learned, q_approx_stats) are not
+#: eligible: rotation exists to put FULL oracle rows under the gate.
+ROTATION_POOL: list[RotationSpec] = [
+    # round-7 retirees
+    RotationSpec("q_keyword_filter", f"{_Q}.core", "q_keyword_filter", "SQL_KEYWORD_FILTER"),
+    RotationSpec("q_ngram_jaccard", f"{_Q}.dedup", "q_ngram_jaccard", "SQL_NGRAM_JACCARD"),
+    RotationSpec("q_ann_ivf_nprobe", f"{_Q}.similarity", "q_ann_ivf_nprobe", "SQL_ANN_IVF_NPROBE"),
+    RotationSpec("q_lang_id", f"{_Q}.text_ops", "q_lang_id", "SQL_LANG_ID"),
+    RotationSpec("q_text_stats", f"{_Q}.text_ops", "q_text_stats", "SQL_TEXT_STATS"),
+    # round-8 retirees
+    RotationSpec("q_semi_valid_fact", f"{_Q}.join_ops", "q_semi_valid_fact", "SQL_SEMI_VALID_FACT"),
+    RotationSpec("q_dup_probe", f"{_Q}.core", "q_dup_probe", "SQL_DUP_PROBE"),
+    RotationSpec("q_stratified_sample", f"{_Q}.core", "q_stratified_sample", "SQL_STRATIFIED_SAMPLE"),
+    RotationSpec("q_window_tumbling", f"{_Q}.windows", "q_window_tumbling", "SQL_WINDOW_TUMBLING"),
+    RotationSpec("q_embed_quantize", f"{_Q}.similarity", "q_embed_quantize", "SQL_EMBED_QUANTIZE"),
+    RotationSpec("q_qa_rowcount_report", f"{_Q}.qa_report", "q_qa_rowcount_report", "SQL_QA_ROWCOUNT"),
+    RotationSpec("q_qa_agg_consistency", f"{_Q}.qa_report", "q_qa_agg_consistency", "SQL_QA_AGG_CONSISTENCY"),
+    RotationSpec("q_chunk_dedup", f"{_Q}.dedup", "q_chunk_dedup", "SQL_CHUNK_DEDUP"),
+    RotationSpec("q_surrogate_key", f"{_Q}.core", "q_surrogate_key", "SQL_SURROGATE_KEY"),
+    RotationSpec("q_insert_if_absent", f"{_Q}.join_ops", "q_insert_if_absent", "SQL_INSERT_IF_ABSENT"),
+    # round-9 retirees
+    RotationSpec("q_sentinel_timestamps", f"{_Q}.core", "q_sentinel_timestamps", "SQL_SENTINEL_TIMESTAMPS"),
+    RotationSpec("q_frame_sample", f"{_Q}.windows", "q_frame_sample", "SQL_FRAME_SAMPLE"),
+    RotationSpec("q_paragraph_dedup", f"{_Q}.dedup", "q_paragraph_dedup", "SQL_PARAGRAPH_DEDUP"),
+    RotationSpec("q_range_join", f"{_Q}.join_ops", "q_range_join", "SQL_RANGE_JOIN"),
+    RotationSpec("q_agg_per_order", f"{_Q}.core", "q_agg_per_order", "SQL_AGG_PER_ORDER"),
+    RotationSpec("q_cosine_topk", f"{_Q}.similarity", "q_cosine_topk", "SQL_COSINE_TOPK"),
+    RotationSpec("q_minhash_lsh_pairs", f"{_Q}.dedup", "q_minhash_lsh_pairs", "SQL_MINHASH_LSH_PAIRS"),
+    RotationSpec("q_scd2_dim", f"{_Q}.windows", "q_scd2_dim", "SQL_SCD2_DIM"),
+    # round-10 retirees
+    RotationSpec("q_funnel_steps", f"{_Q}.windows", "q_funnel_steps", "SQL_FUNNEL_STEPS"),
+    RotationSpec("q_cohort_retention", f"{_Q}.windows", "q_cohort_retention", "SQL_COHORT_RETENTION"),
+    RotationSpec("q_quota_sample", f"{_Q}.text_ops", "q_quota_sample", "SQL_QUOTA_SAMPLE"),
+    # round-11 retirees
+    RotationSpec("q_resample_fill", f"{_Q}.windows", "q_resample_fill", "SQL_RESAMPLE_FILL"),
+    RotationSpec("q_readmission_gap", f"{_Q}.windows", "q_readmission_gap", "SQL_READMISSION_GAP"),
+    RotationSpec("q_grouped_percentiles", f"{_Q}.core", "q_grouped_percentiles", "SQL_GROUPED_PERCENTILES"),
+    RotationSpec("q_repeated_spans", f"{_Q}.dedup", "q_repeated_spans", "SQL_REPEATED_SPANS"),
+    # round-12 retirees
+    RotationSpec("q_simhash_pairs", f"{_Q}.dedup", "q_simhash_pairs", "SQL_SIMHASH_PAIRS"),
+    RotationSpec("q_anti_new_dates", f"{_Q}.join_ops", "q_anti_new_dates", "SQL_ANTI_NEW_DATES"),
+    RotationSpec("q_calendar_dim", f"{_Q}.core", "q_calendar_dim", "SQL_CALENDAR_DIM"),
+    RotationSpec("q_stream_dedup_dual", f"{_Q}.windows", "q_stream_dedup_dual", "SQL_STREAM_DEDUP_DUAL"),
+    RotationSpec("q_scalar_lookup_default", f"{_Q}.join_ops", "q_scalar_lookup_default", "SQL_SCALAR_LOOKUP_DEFAULT"),
+]
+
+#: long-stable, full-oracle registered entries eligible to donate
+#: their gate slot for one round. NEVER eligible: rows-only entries
+#: (the gate row IS their whole driver-side evidence), the round-2
+#: pinned pair, the heavyweight/scale-critical tail (their per-round
+#: timing under the gate feeds the perf adjudication), and anything
+#: registered within the last round.
+ROTATION_DONORS: list[str] = [
+    "q_fuzzy_match",
+    "q_pack_sequences",
+    "q_scd2_asof",
+    "q_repetition_filter",
+    "q_contamination",
+    "q_weighted_sample",
+    "q_boilerplate",
+    "q_lm_perplexity",
+    "q_cdc_chunk_dedup",
+    "q_expectations",
+    "q_pivot_report",
+    "q_split_assign",
+    "q_vocabulary_divergence",
+    "q_outlier_report",
+    "q_attribution",
+]
+
+
+def rotation_round() -> int:
+    """Current driver round, derived from committed artifacts: the
+    driver writes one CORRECTNESS_r{N}.json per completed round, so
+    ``count + 1`` is the round in progress. Deterministic for the
+    whole round (the file lands only after the gate runs). Override
+    with SPARK_GRAFT_ROTATION_ROUND for tests; a bare checkout with
+    no artifacts pins to the epoch (offset 0)."""
+    env = os.environ.get("SPARK_GRAFT_ROTATION_ROUND")
+    if env is not None:
+        return int(env)
+    root = Path(__file__).resolve().parent.parent
+    n = len(list(root.glob("CORRECTNESS_r*.json")))
+    return n + 1 if n else _ROTATION_EPOCH
+
+
+def _slice_wrap(seq: list, start: int, n: int) -> list:
+    return [seq[(start + i) % len(seq)] for i in range(n)]
+
+
+def rotation_batch(round_: int | None = None) -> list[RotationSpec]:
+    """The pool entries under the hard gate this round."""
+    r = rotation_round() if round_ is None else round_
+    off = ((r - _ROTATION_EPOCH) * ROTATION_SLOTS) % len(ROTATION_POOL)
+    return _slice_wrap(ROTATION_POOL, off, ROTATION_SLOTS)
+
+
+def rotation_donors_out(round_: int | None = None) -> list[str]:
+    """The registered entries sitting this round out (still fully
+    oracle-checked in pytest via ``benched_queries``)."""
+    r = rotation_round() if round_ is None else round_
+    off = ((r - _ROTATION_EPOCH) * ROTATION_SLOTS) % len(ROTATION_DONORS)
+    return _slice_wrap(ROTATION_DONORS, off, ROTATION_SLOTS)
+
+
+def _resolve_spec(spec: RotationSpec) -> RegisteredQuery:
+    mod = importlib.import_module(spec.module)
+    return RegisteredQuery(
+        spec.name,
+        getattr(mod, spec.fn_attr),
+        getattr(mod, spec.sql_attr),
+        (getattr(mod, spec.fn_attr).__doc__ or ""),
+    )
+
+
+def _emitted() -> dict[str, RegisteredQuery]:
+    """The <=50 entries the driver's gate sees this round, in check
+    order: untriaged-new first, then this round's rotated-in batch,
+    then _CHECK_ORDER minus this round's donors."""
+    _load()
+    out = dict.fromkeys(rotation_donors_out())
+    rotated = {s.name: _resolve_spec(s) for s in rotation_batch()}
+    emitted: dict[str, RegisteredQuery] = {}
+    for n in _REGISTRY:
+        if n not in _CHECK_ORDER and n not in out:
+            emitted[n] = _REGISTRY[n]
+    emitted.update(rotated)
+    for n in _CHECK_ORDER:
+        if n in _REGISTRY and n not in out and n not in emitted:
+            emitted[n] = _REGISTRY[n]
+    return emitted
 
 
 def all_queries() -> dict[str, QueryFn]:
-    _load()
-    return {n: _REGISTRY[n].fn for n in _ordered_names()}
+    return {n: q.fn for n, q in _emitted().items()}
 
 
 def all_oracles() -> dict[str, str]:
+    return {
+        n: q.oracle for n, q in _emitted().items() if q.oracle is not None
+    }
+
+
+def registered_queries() -> dict[str, QueryFn]:
+    """EVERY registered query, independent of this round's gate
+    rotation — the resolution surface for bench.py and scripts/,
+    which track all operators across rounds regardless of which 50
+    the driver's gate samples."""
+    _load()
+    return {n: _REGISTRY[n].fn for n in _REGISTRY}
+
+
+def registered_oracles() -> dict[str, str]:
+    """Every registered oracle, rotation-independent (see
+    ``registered_queries``)."""
     _load()
     return {
         n: _REGISTRY[n].oracle
-        for n in _ordered_names()
+        for n in _REGISTRY
         if _REGISTRY[n].oracle is not None
+    }
+
+
+def benched_queries() -> dict[str, tuple[QueryFn, str]]:
+    """Registered full-oracle queries NOT emitted this round (the
+    rotation donors): tests/test_retired_parity.py runs the same
+    cross-engine comparison on these, so donating a slot never
+    weakens the evidence."""
+    _load()
+    emitted = set(_emitted())
+    return {
+        n: (_REGISTRY[n].fn, _REGISTRY[n].oracle)
+        for n in _REGISTRY
+        if n not in emitted and _REGISTRY[n].oracle is not None
     }
 
 

@@ -456,9 +456,27 @@ def bm25_index_search(
     contrib = _idf(F.col("df_count"), F.lit(n_docs)) * _tf_norm(
         F.col("tf").cast("double"), F.col("dl"), avgdl, k1, b
     )
+    # Per-doc total in FIXED query-term order, not F.sum(contrib) in
+    # nondeterministic groupBy arrival order: each per-term sum folds
+    # exactly one posting row plus 0.0s (exact under IEEE addition),
+    # and the terms then add in the same order as bm25_topk's inline
+    # contribs[0] + contribs[1] + ... expression — so the served
+    # score is BIT-IDENTICAL to the inline one and q_bm25_topk's
+    # DuckDB oracle transfers to the served entry (round-12 verdict
+    # item 2).
+    per_term = [
+        F.sum(
+            F.when(F.col("term") == F.lit(t), contrib).otherwise(F.lit(0.0))
+        ).alias(f"c_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    total = F.col("c_0")
+    for i in range(1, len(query_terms)):
+        total = total + F.col(f"c_{i}")
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .agg(*per_term)
+        .select(F.col("doc_id"), F.round(total, 4).alias("score"))
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)

@@ -1399,11 +1399,20 @@ def divergence_from_counts(
     )
 
 
+#: vocabulary rows under which the idf/count relations broadcast; a
+#: (term, df, n) row is ~40 B, so 2M rows ~ 80 MB — inside the
+#: session's 64m autoBroadcast budget once compressed, far inside
+#: executor memory. Above it the join flips to a term-keyed shuffle.
+VOCAB_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def tfidf_keywords(
     docs: DataFrame,
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    vocab_broadcast_max_rows: int = VOCAB_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF keywords — the classic
     keyword-extraction / document-labeling primitive (Salton &
@@ -1429,8 +1438,11 @@ def tfidf_keywords(
     exchange. (3) the per-doc top-k window exchanges scored
     (doc, term) rows — exactly the output-candidate granularity.
     The vocabulary-sized idf relation broadcast-joins back onto tf
-    (the lm.py model-broadcast pattern); a 100 TB vocabulary that
-    outgrows broadcast flips that join to a term-keyed shuffle of
+    (the lm.py model-broadcast pattern) while it fits
+    ``vocab_broadcast_max_rows``; a vocabulary that outgrows the
+    budget flips that join — size-gated IN CODE via
+    joins.size_gated_broadcast, whose probe is one cheap count over
+    the persisted slim tf — to a term-keyed shuffle-hash join of
     two already-slim relations with no other change. N rides as a
     1-row broadcast crossJoin onto the vocabulary relation — never
     a driver-side count."""
@@ -1455,7 +1467,10 @@ def tfidf_keywords(
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    from clinical_data_warehouse_bi_spark.joins import size_gated_broadcast
+
+    idf_side, _ = size_gated_broadcast(idf, vocab_broadcast_max_rows)
+    scored = tf.join(idf_side, "term").select(
         "doc_id",
         "term",
         "tf",

@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from clinical_data_warehouse_bi_spark.registry import all_oracles, all_queries
+from clinical_data_warehouse_bi_spark.registry import registered_oracles, registered_queries
 from clinical_data_warehouse_bi_spark.session import get_spark
 from scripts.check_parity import duck_con
 
@@ -171,7 +171,7 @@ def main() -> None:
     )
 
     queries = {
-        **all_queries(),
+        **registered_queries(),
         "q_approx_stats": q_approx_stats,
         "q_sentinel_timestamps": q_sentinel_timestamps,
         "q_paragraph_dedup": q_paragraph_dedup,
@@ -195,7 +195,7 @@ def main() -> None:
         "q_anti_new_dates": q_anti_new_dates,
     }
     oracles = {
-        **all_oracles(),
+        **registered_oracles(),
         "q_simhash_pairs": SQL_SIMHASH_PAIRS,
         "q_anti_new_dates": SQL_ANTI_NEW_DATES,
         "q_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

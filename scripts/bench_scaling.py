@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from clinical_data_warehouse_bi_spark.registry import all_queries
+from clinical_data_warehouse_bi_spark.registry import registered_queries
 from clinical_data_warehouse_bi_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
@@ -196,7 +196,7 @@ def main() -> None:
     )
 
     queries = {
-        **all_queries(),
+        **registered_queries(),
         "q_chunk_dedup": q_chunk_dedup,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_approx_stats": q_approx_stats,
@@ -264,10 +264,10 @@ def main() -> None:
             SQL_SCD2_DIM,
             SQL_STREAM_DEDUP_DUAL,
         )
-        from clinical_data_warehouse_bi_spark.registry import all_oracles
+        from clinical_data_warehouse_bi_spark.registry import registered_oracles
 
         oracles = {
-            **all_oracles(),
+            **registered_oracles(),
             "q_minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
             "q_scd2_dim": SQL_SCD2_DIM,
             "q_sentinel_timestamps": SQL_SENTINEL_TIMESTAMPS,

@@ -2884,11 +2884,12 @@ def test_attribution_both_equals_union_of_models(spark, sf_dir):
 
 def test_tfidf_keywords_hand_computed(spark):
     """text.tfidf_keywords on a corpus small enough to check by hand:
-    N = 3 docs; 'rare' appears 2x in doc 1 only (tf=2, df=1 ->
-    score = 2*ln(4/2)); 'the' appears in every doc (df=3 -> idf =
-    ln(4/4) = 0, so it can never outrank a rarer term with tf >= 1);
-    ties on score break term-ASC. Also pins the k bound and the
-    empty-token doc (no rows)."""
+    N = 4 docs (doc 4 tokenizes empty but still counts toward N);
+    'rare' appears 2x in doc 1 only (tf=2, df=1 ->
+    score = 2*ln((N+1)/2)); 'the' appears in docs 1-3 (df=3 -> idf =
+    ln(5/4), small but positive, so it still ranks where it is the
+    only term); ties on score break term-ASC. Also pins the k bound
+    and the empty-token doc (no rows)."""
     import math
 
     from clinical_data_warehouse_bi_spark.text import tfidf_keywords
@@ -2992,6 +2993,30 @@ def test_snapshot_diff_rejects_empty_keys_and_handles_null_fp(spark):
     new = spark.createDataFrame([(1, None), (2, "x")], "k int, fp string")
     got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {2: "changed"}
+
+
+def test_snapshot_diff_check_unique_probe(spark):
+    """check_unique=True fails loudly on duplicate keys (the silent
+    full-outer fan-out mode the round-12 advice flagged) and passes
+    through unchanged on unique keys — including NULL keys, which
+    are one real group under the null-safe join, so two NULL-key
+    rows on one side count as duplicates."""
+    import pytest as _pytest
+
+    from clinical_data_warehouse_bi_spark.qa import snapshot_diff
+
+    uniq = spark.createDataFrame([(1, "a"), (2, "b")], "k int, fp string")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, fp string")
+    # unique sides: probe passes, diff unchanged
+    assert snapshot_diff(uniq, uniq, ["k"], check_unique=True).count() == 0
+    for bad_old, bad_new in ((dup, uniq), (uniq, dup)):
+        with _pytest.raises(ValueError, match="not unique"):
+            snapshot_diff(bad_old, bad_new, ["k"], check_unique=True)
+    nulldup = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "k int, fp string"
+    )
+    with _pytest.raises(ValueError, match="not unique"):
+        snapshot_diff(nulldup, uniq, ["k"], check_unique=True)
 
 
 def test_snapshot_diff_plan_is_slim(spark, sf_dir):

@@ -247,6 +247,32 @@ RETIRED.update(
 )
 
 
+# --- rotation donors (round-13) --------------------------------------
+# Registered entries sitting the current round out of the driver's
+# 50-slot gate (registry.rotation_donors_out) keep the IDENTICAL
+# cross-engine comparison here, so donating a slot never weakens the
+# evidence. The donor set is deterministic per driver round; this
+# parametrization follows it automatically.
+from clinical_data_warehouse_bi_spark.registry import (  # noqa: E402
+    benched_queries,
+)
+
+_BENCHED = benched_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_BENCHED))
+def test_benched_donor_matches_oracle(name, spark, duck, sf_dir):
+    fn, oracle = _BENCHED[name]
+    s_cols, s_rows = _normalize(fn(spark, sf_dir).toPandas())
+    d_cols, d_rows = _normalize(duck.execute(oracle).df())
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ][:3]
+    assert not mismatches, f"first mismatches: {mismatches}"
+
+
 @pytest.mark.parametrize("name", sorted(RETIRED))
 def test_retired_query_matches_oracle(name, spark, duck, sf_dir):
     fn, oracle = RETIRED[name]

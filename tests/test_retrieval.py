@@ -226,9 +226,12 @@ def _index_corpus(spark, sf_dir):
 
 
 def test_bm25_index_build_append_matches_inline(spark, sf_dir, tmp_path):
-    """base-build + one append must serve the SAME relation the
-    shuffle-free inline path computes over the union corpus (k
-    covers every match, so ulp-at-the-boundary cannot perturb it)."""
+    """base-build + one append must serve EXACTLY the relation the
+    shuffle-free inline path computes over the union corpus: since
+    round 13 the served total folds per-term contributions in fixed
+    query order, so scores are bit-identical to the inline
+    expression tree (this is what lets q_bm25_served carry
+    q_bm25_topk's DuckDB oracle verbatim)."""
     docs, first, second = _index_corpus(spark, sf_dir)
     path = str(tmp_path / "bm25_idx")
     retrieval.bm25_index_build(first, path, n_buckets=8)
@@ -243,9 +246,7 @@ def test_bm25_index_build_append_matches_inline(spark, sf_dir, tmp_path):
         r["doc_id"]: r["score"]
         for r in retrieval.bm25_topk(docs, terms, 100_000).collect()
     }
-    assert set(served) == set(inline)
-    for d, s in inline.items():
-        assert abs(served[d] - s) < 1e-3, (d, served[d], s)
+    assert served == inline
 
 
 def test_bm25_index_append_replay_is_noop(spark, sf_dir, tmp_path):
