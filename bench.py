@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_freshness_report",
     "q_tfidf_keywords",
     "q_snapshot_diff",
+    "q_ann_hnsw",
 ]
 
 

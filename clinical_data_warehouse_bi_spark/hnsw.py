@@ -1,0 +1,398 @@
+"""HNSW-class graph ANN: sharded navigable-small-world indexes with
+beam search — the serving-side recall/latency alternative to IVF-PQ
+(similarity.py), added per the round-12 verdict item 8.
+
+Reference context: the reference warehouse (MariaDB BI SQL) has no
+vector search at all; this module extends the engine's beyond-
+reference ANN family (q_cosine_topk brute force -> q_ann_ivf_pq
+quantized -> THIS, graph-based) the way a production retrieval stack
+tiers them: IVF-PQ for the memory-bounded training-pipeline sweep,
+a proximity graph for high-recall low-latency serving (Malkov &
+Yashunin 2018, "Efficient and robust approximate nearest neighbor
+search using Hierarchical Navigable Small World graphs").
+
+Distributed design — the part that must survive 100 TB:
+
+- **Shard-parallel graphs, not one global graph.** HNSW's insert
+  loop is inherently sequential pointer-chasing; a faithful single
+  graph would serialize on the driver. Instead vectors hash-shard by
+  id and each shard builds its OWN small-world graph inside one
+  ``applyInPandas`` task (numpy GEMM for the k-NN base layer — no
+  Python loops over rows for distance work). Shards build in
+  parallel, append/compact per shard, and a query fans out to every
+  shard's graph and merges top-k — the standard sharded-HNSW layout
+  (what Vespa/Qdrant/Weaviate do across segments). Searching S
+  shards costs S small beam searches; recall is UNHURT by sharding
+  (each shard's true top-k is a superset contributor to the global
+  top-k candidates).
+- **Two layers, HNSW-style.** Each shard keeps an upper layer: a
+  deterministic 1-in-R sample of its nodes with its own k-NN links.
+  Search greedy-descends the upper layer first (cheap: |shard|/R
+  nodes) to pick entry points for the base-layer beam — the
+  hierarchy's whole job in HNSW. More layers are a constant-factor
+  refinement; two suffice to make entry selection O(sqrt-ish) and
+  are honest to name "HNSW-class".
+- **Persisted, atomically published.** The graph is parquet
+  partitioned by shard (vec_id, embedding, neighbors, layer) plus a
+  meta JSON written last (complete-iff-present marker), published
+  via io.publish_index_dir — the exact contract of the BM25 and
+  IVF-PQ indexes (lost race discarded, corrupt leftover healed).
+- **Budget accounting.** Every search reports distance evaluations
+  (``n_evals``), the currency recall-vs-cost comparisons use; the
+  property tests pin recall at EQUAL probe budget against IVF-PQ's
+  shortlist size and against a random-scan baseline.
+
+Build cost: the per-shard base layer here is an exact k-NN graph via
+one GEMM (O(n_s^2) per shard) — the right trade while shards are
+bounded (<=a few 10k vectors: one task, vectorized, no shuffle). At
+web scale the same layout swaps the exact per-shard k-NN for
+incremental NSW insertion inside the same task without changing the
+on-disk format or the search path; the format is the contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HNSW_INDEX_META = "_hnsw_meta.json"
+#: bump when the on-disk layout changes (retrieval.BM25_FORMAT_VERSION
+#: convention — participates in cache keys so a layout change can
+#: never serve a stale directory)
+HNSW_FORMAT_VERSION = 1
+
+GRAPH_SCHEMA = (
+    "shard int, vec_id bigint, embedding array<float>, "
+    "neighbors array<bigint>, upper_neighbors array<bigint>, "
+    "is_upper boolean"
+)
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return x / n
+
+
+def _knn_links(x: np.ndarray, m: int) -> list[np.ndarray]:
+    """Top-``m`` cosine neighbors per row (self excluded) via one
+    GEMM + argpartition — the vectorized base-layer construction."""
+    sims = x @ x.T
+    np.fill_diagonal(sims, -np.inf)
+    m_eff = min(m, x.shape[0] - 1)
+    if m_eff <= 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(x.shape[0])]
+    idx = np.argpartition(-sims, m_eff - 1, axis=1)[:, :m_eff]
+    # sort each row's links best-first (beam expansion order matters)
+    rows = np.arange(x.shape[0])[:, None]
+    order = np.argsort(-sims[rows, idx], axis=1)
+    return [r for r in np.take_along_axis(idx, order, axis=1)]
+
+
+#: deterministic long-range links per node appended to the k-NN base
+#: layer. A PURE k-NN graph disconnects across clusters (every link
+#: points into the node's own cluster), which strands the beam in
+#: whatever cluster the entry point lands in — the exact failure NSW
+#: papers fix with random long edges (Malkov et al. 2014). A fixed
+#: multiplicative-hash stride makes them deterministic per rebuild.
+N_LONG_LINKS = 2
+
+
+def _with_long_links(base: list[np.ndarray], n: int) -> list[np.ndarray]:
+    out = []
+    for i, links in enumerate(base):
+        extra = [
+            ((i * 2654435761 + j * 40503 + 1) % n) for j in range(N_LONG_LINKS)
+        ]
+        extra = [e for e in extra if e != i and e not in links]
+        out.append(
+            np.concatenate([links, np.asarray(extra, dtype=np.int64)])
+            if extra
+            else links
+        )
+    return out
+
+
+def build_graph(
+    vectors: DataFrame,
+    n_shards: int = 8,
+    m: int = 12,
+    upper_every: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(shard, vec_id, embedding, neighbors, upper_neighbors,
+    is_upper): per-shard two-layer small-world graph. One exchange
+    (the shard hash repartition); ALL distance work is numpy GEMM
+    inside the per-shard task. Upper-layer membership is
+    deterministic (vec_id % upper_every == 0), so rebuilds and
+    appends agree on layer assignment without coordination."""
+    if n_shards < 1 or m < 1 or upper_every < 2:
+        raise ValueError("n_shards >= 1, m >= 1, upper_every >= 2")
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "shard", "vec_id", "embedding", "neighbors",
+                    "upper_neighbors", "is_upper",
+                ]
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        x = _normalize_rows(
+            np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        )
+        base = _with_long_links(_knn_links(x, m), len(ids))
+        is_upper = (ids % upper_every) == 0
+        up_pos = np.flatnonzero(is_upper)
+        upper_links: dict[int, np.ndarray] = {}
+        if up_pos.size > 1:
+            for local, links in zip(
+                up_pos, _knn_links(x[up_pos], max(2, m // 2))
+            ):
+                upper_links[int(local)] = up_pos[links]
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "vec_id": ids,
+                "embedding": pdf[vec_col],
+                "neighbors": [ids[links].tolist() for links in base],
+                "upper_neighbors": [
+                    ids[upper_links[i]].tolist() if i in upper_links else []
+                    for i in range(len(ids))
+                ],
+                "is_upper": is_upper,
+            }
+        )
+
+    sharded = vectors.select(
+        (F.crc32(F.col(id_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias(vec_col),
+    )
+    return sharded.groupBy("shard").applyInPandas(_build, GRAPH_SCHEMA)
+
+
+def build_hnsw_index(
+    vectors: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    m: int = 12,
+    upper_every: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Persist the graph as parquet PARTITIONED BY shard plus a meta
+    JSON written last (complete-iff-present marker). Build into a
+    scratch dir and publish atomically from the caller via
+    io.publish_index_dir when contention is possible; the direct
+    form here writes in place for single-writer callers (the
+    registered query wraps it with the publish contract)."""
+    g = build_graph(
+        vectors, n_shards=n_shards, m=m, upper_every=upper_every,
+        vec_col=vec_col, id_col=id_col,
+    )
+    g.write.mode("overwrite").partitionBy("shard").parquet(path)
+    meta = {
+        "format_version": HNSW_FORMAT_VERSION,
+        "n_shards": n_shards,
+        "m": m,
+        "upper_every": upper_every,
+    }
+    with open(os.path.join(path, HNSW_INDEX_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _beam_search_one(
+    x: np.ndarray,
+    ids: np.ndarray,
+    pos_of: dict[int, int],
+    neighbors: list[np.ndarray],
+    upper: list[np.ndarray],
+    upper_pos: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    beam: int,
+) -> tuple[list[tuple[int, float]], int]:
+    """Greedy upper-layer descent + base-layer best-first beam.
+    Returns (top-k (vec_id, sim) best-first, distance evaluations)."""
+    import heapq
+
+    n_evals = 0
+    sims_cache: dict[int, float] = {}
+
+    def sim(pos: int) -> float:
+        nonlocal n_evals
+        s = sims_cache.get(pos)
+        if s is None:
+            n_evals += 1
+            s = float(x[pos] @ q)
+            sims_cache[pos] = s
+        return s
+
+    # ---- upper layer: greedy walk seeded from a few deterministic
+    # spread-out upper nodes; the beam then enters the base layer at
+    # the TOP-3 upper nodes evaluated along the way (multi-entry —
+    # one entry point strands the beam when the base k-NN links are
+    # cluster-local, long links notwithstanding)
+    if upper_pos.size:
+        stride = max(1, upper_pos.size // 4)
+        seeds = [int(p) for p in upper_pos[::stride][:4]]
+        cur = max(seeds, key=sim)
+        cur_s = sims_cache[cur]
+        improved = True
+        while improved:
+            improved = False
+            for nb_id in upper[cur]:
+                p = pos_of.get(int(nb_id))
+                if p is None:
+                    continue
+                s = sim(p)
+                if s > cur_s:
+                    cur, cur_s, improved = p, s, True
+        evaluated = sorted(sims_cache.items(), key=lambda t: -t[1])
+        entries = [p for p, _ in evaluated[:3]]
+    else:
+        entries = [0] if len(ids) else []
+
+    # ---- base layer: best-first beam (the HNSW layer-0 search)
+    cand: list[tuple[float, int]] = []  # max-heap via negation
+    result: list[tuple[float, int]] = []  # min-heap of beam best
+    seen: set[int] = set()
+    for e in entries:
+        if e in seen:
+            continue
+        seen.add(e)
+        s = sim(e)
+        heapq.heappush(cand, (-s, e))
+        heapq.heappush(result, (s, e))
+    while cand:
+        neg_s, pos = heapq.heappop(cand)
+        if result and -neg_s < result[0][0] and len(result) >= beam:
+            break  # best open candidate worse than the beam's worst
+        for nb_id in neighbors[pos]:
+            p = pos_of.get(int(nb_id))
+            if p is None or p in seen:
+                continue
+            seen.add(p)
+            s = sim(p)
+            if len(result) < beam or s > result[0][0]:
+                heapq.heappush(cand, (-s, p))
+                heapq.heappush(result, (s, p))
+                if len(result) > beam:
+                    heapq.heappop(result)
+    top = sorted(result, key=lambda t: (-t[0], ids[t[1]]))[:k]
+    return [(int(ids[p]), s) for s, p in top], n_evals
+
+
+def shard_search(
+    graph: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    beam: int = 32,
+) -> DataFrame:
+    """(shard, query_id, vec_id, score, n_evals): per-shard local
+    top-k plus that shard's distance-evaluation count for the query
+    (repeated on each of its hit rows — distinct (shard, query_id)
+    pairs carry it exactly once). Each shard runs ONE
+    vectorized-load + beam-search task for ALL queries (queries are
+    a bounded driver list, the cosine_topk_numpy convention). Scores
+    are rounded to 6 decimals (float32 storage; GEMM order is
+    engine-noise at the last bits)."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qids = [int(q) for q, _ in queries]
+    qvecs = _normalize_rows(
+        np.array([v for _, v in queries], dtype=np.float64)
+    )
+
+    def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["shard", "query_id", "vec_id", "score", "n_evals"]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        x = _normalize_rows(
+            np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        )
+        pos_of = {int(v): i for i, v in enumerate(ids)}
+        neighbors = [
+            np.asarray(nb, dtype=np.int64) for nb in pdf["neighbors"]
+        ]
+        upper = [
+            np.asarray(nb, dtype=np.int64) for nb in pdf["upper_neighbors"]
+        ]
+        upper_pos = np.flatnonzero(pdf["is_upper"].to_numpy())
+        out = []
+        for qid, q in zip(qids, qvecs):
+            hits, n_evals = _beam_search_one(
+                x, ids, pos_of, neighbors, upper, upper_pos, q, k, beam
+            )
+            out.extend(
+                (shard, qid, vid, round(s, 6), n_evals) for vid, s in hits
+            )
+        return pd.DataFrame(out, columns=cols)
+
+    return graph.groupBy("shard").applyInPandas(
+        _search,
+        "shard int, query_id bigint, vec_id bigint, score double, "
+        "n_evals bigint",
+    )
+
+
+def search_graph(
+    graph: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    beam: int = 32,
+) -> DataFrame:
+    """(query_id, vec_id, score): global top-k per query over the
+    sharded graph — shard_search fan-out, then one (query_id) top-k
+    merge over O(shards x queries x k) candidate rows (the only
+    exchange after the scan). For budget accounting use shard_search
+    directly: distinct (shard, query_id, n_evals) rows sum to the
+    query's total distance evaluations."""
+    from pyspark.sql import Window
+
+    per_shard = shard_search(graph, queries, k, beam=beam)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        per_shard.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "score")
+    )
+
+
+def hnsw_index_search(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    beam: int = 32,
+) -> DataFrame:
+    """Serve queries FROM a persisted graph directory (the
+    operational twin of search_graph): meta is the
+    complete-iff-present marker, the scan reads the shard-partitioned
+    parquet, and the search path is identical."""
+    meta_path = os.path.join(path, HNSW_INDEX_META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != HNSW_FORMAT_VERSION:
+        raise ValueError(
+            f"hnsw index format {meta.get('format_version')} != "
+            f"{HNSW_FORMAT_VERSION} at {path}"
+        )
+    graph = spark.read.parquet(path)
+    return search_graph(graph, queries, k, beam=beam)

@@ -86,6 +86,96 @@ def interval_join_pick_first(
     )
 
 
+def interval_pick_first_mapside(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    ts_col: Column,
+    lo: str,
+    hi: str,
+    order_cols: list[str],
+    payload: list[str],
+    left_row_key: list[str],
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """J5/J6 pick-first as a MAP-SIDE operation (round 13): pack the
+    right side's intervals per equi key into ONE sorted array, size-
+    gated-broadcast it, and resolve each left row with a per-row
+    ``filter(ts BETWEEN lo AND hi)`` + take-first — the left
+    (fact-scale) side never enters an exchange and there is no
+    row_number window at all. This replaces the SMJ + window form for
+    exactly the workloads the reference has (UPDATE ... JOIN ON
+    BETWEEN, Stage_area.sql:237-245, 251-256), where the right side
+    is admission-grained: bounded rows per key, relation size ~
+    admissions.
+
+    Pick-first determinism: the packed array is array_sort'ed on
+    (order_cols with an explicit null-last flag per nullable field,
+    then the payload fields), so ties in the order columns carry
+    identical payloads and the element taken is unique-valued — the
+    same contract the window form's ORDER BY gives. Rows whose lo/hi
+    is NULL can never satisfy BETWEEN and are dropped by the per-row
+    filter, exactly like the join form.
+
+    Scale: the packed relation grows with the right side's key count
+    (admissions), not events. Above ``max_broadcast_rows`` (probe via
+    size_gated_broadcast's count; one cheap job) this falls back to
+    the classic interval_join_pick_first — one keyed exchange + a
+    window sharing it — with identical semantics.
+
+    Returns left columns + ``payload`` columns (NULL when no
+    interval matches)."""
+    left_keys = [lk for lk, _ in on]
+    right_keys = [rk for _, rk in on]
+    fields = []
+    for i, c in enumerate(order_cols):
+        fields.append(F.col(c).isNull().cast("int").alias(f"__n{i}"))
+        fields.append(F.col(c).alias(f"__o{i}"))
+    for p in payload:
+        fields.append(F.col(p).alias(p))
+    fields.append(F.col(lo).alias("__lo"))
+    fields.append(F.col(hi).alias("__hi"))
+    packed = right.groupBy(*right_keys).agg(
+        F.array_sort(F.collect_list(F.struct(*fields))).alias("__iv")
+    ).persist()  # one aggregation feeds BOTH the size probe and the
+    # broadcast build (without it the probe's count and the broadcast
+    # exchange would each recompute the groupBy)
+    side, fits = size_gated_broadcast(packed, max_broadcast_rows)
+    if not fits:
+        equi = None
+        for lk, rk in on:
+            c = F.col(lk) == F.col(rk)
+            equi = c if equi is None else equi & c
+        joined = interval_join_pick_first(
+            left,
+            right,
+            equi=equi,
+            ts_col=ts_col,
+            lo_col=F.col(lo),
+            hi_col=F.col(hi),
+            left_key=left_row_key,
+            order=[F.col(c).asc_nulls_last() for c in order_cols],
+        )
+        extras = [c for c in right.columns if c not in payload]
+        return joined.drop(*extras)
+    cond = None
+    for lk, rk in on:
+        c = F.col(lk) == F.col(rk)
+        cond = c if cond is None else cond & c
+    joined = left.join(side, cond, "left")
+    pick = F.get(
+        F.filter(
+            F.col("__iv"),
+            lambda x: ts_col.between(x["__lo"], x["__hi"]),
+        ),
+        0,
+    )
+    out = joined.withColumn("__pick", pick).drop("__iv", *right_keys)
+    for p in payload:
+        out = out.withColumn(p, F.col("__pick")[p])
+    return out.drop("__pick")
+
+
 def null_safe_join(
     left: DataFrame, right: DataFrame, pairs: list[tuple[str, str]], how: str = "inner"
 ) -> DataFrame:

@@ -104,36 +104,46 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         return c.cast("string").cast("double")
 
     # countDistinct(l_orderkey) alongside the sums would plan an
-    # Expand (2x row blowup) + an extra exchange; instead aggregate in
-    # two explicit phases — partial sums per (flag, status, orderkey),
-    # then the distinct-order count is a plain count(*) of phase-1
-    # groups. Decimal addition is exact and associative, so the split
-    # is value-identical under any partitioning (100 TB safe).
-    p1 = (
-        fan_out(  # AFTER the filter (predicate still pushes to the scan);
-            # keyed on the phase-1 group key: its cardinality ~= row
-            # count, so map-side partial agg cannot reduce anything and
-            # pre-partitioning lets the agg run in place — one big
-            # exchange total instead of two
-            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
-            "l_returnflag", "l_linestatus", "l_orderkey",
-        )
-        .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("pq"),
-            F.sum(price).alias("pb"),
-            F.sum(price * (F.lit(1) - disc)).alias("pd"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("pc"),
-            F.count("*").alias("pn"),
-        )
+    # Expand (2x row blowup) + an extra exchange. Round-13 rewrite
+    # (the earlier two-phase form aggregated EVERYTHING at
+    # (flag, status, orderkey) grain, shipping every raw row with its
+    # decimals through one full-width exchange — 11.4x DuckDB at
+    # 256x): split the two concerns so neither pays a row-scale
+    # exchange.
+    # - sums leg: direct groupBy over the SIX (flag, status) groups —
+    #   map-side partial aggregation collapses each task to <=6 rows
+    #   of decimal state, so the exchange is partitions x 6 rows.
+    # - distinct leg: map-side partial DEDUP of the slim
+    #   (flag, status, orderkey) triple (no decimals; lineitem is
+    #   naturally clustered by orderkey, so per-task dedup already
+    #   collapses the ~4-7 lines per order), then count per group.
+    # The two 6-row aggregates meet in a broadcast join. Decimal
+    # addition is exact and associative, so the direct two-level sum
+    # is value-identical under any partitioning (100 TB safe); the
+    # second scan reads only 3 pruned columns.
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    return p1.groupBy("l_returnflag", "l_linestatus").agg(
-        exact_double(F.sum("pq")).alias("sum_qty"),
-        exact_double(F.sum("pb")).alias("sum_base_price"),
-        exact_double(F.sum("pd")).alias("sum_disc_price"),
-        exact_double(F.sum("pc")).alias("sum_charge"),
-        F.sum("pn").alias("count_order"),
-        F.count("*").alias("n_orders"),
+    sums = filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_double(F.sum(F.col("l_quantity").cast("decimal(12,2)"))).alias("sum_qty"),
+        exact_double(F.sum(price)).alias("sum_base_price"),
+        exact_double(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+        exact_double(
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        ).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    orders = (
+        filtered.select("l_returnflag", "l_linestatus", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return sums.join(
+        F.broadcast(orders), ["l_returnflag", "l_linestatus"]
+    ).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "count_order", "n_orders",
     )
 
 

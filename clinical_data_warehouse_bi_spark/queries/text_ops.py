@@ -76,24 +76,56 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_argmax_sql() -> str:
+    """The lexicon-hit argmax as ONE SQL expression over a
+    token-array column named ``t`` — the single source of truth for
+    language assignment (_predicted_lang and q_token_budget both
+    compose it, so they cannot silently diverge). Returns a struct
+    (h: best hit count, r: reverse-alphabet rank, lang: winner)."""
+    langs = sorted({lang for lang, _ in T.LANG_LEXICON})
+    structs = []
+    for i, lang in enumerate(langs):
+        words = ", ".join(f"'{w}'" for l2, w in T.LANG_LEXICON if l2 == lang)
+        rev = len(langs) - 1 - i
+        structs.append(
+            f"named_struct('h', size(filter(t, x -> x IN ({words}))),"
+            f" 'r', {rev}, 'lang', '{lang}')"
+        )
+    return f"array_max(array({', '.join(structs)}))"
+
+
 def _predicted_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(doc_id, lang, hits): lexicon-hit argmax per document — shared
     by q_lang_id and q_token_budget so the language assignment cannot
-    silently diverge between them."""
-    tok = fan_out(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id", F.explode(T.tokens("text")).alias("tok")
-    )
-    lex = spark.createDataFrame(T.LANG_LEXICON, ["lang", "word"])
-    hits = (
-        tok.join(F.broadcast(lex), tok["tok"] == lex["word"])
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    silently diverge between them.
+
+    Round-13 rewrite (the former shape exploded EVERY corpus token
+    through a broadcast join, one (doc, lang) exchange and an argmax
+    window — token-scale map work + a shuffle + a window for a
+    28-word lexicon): the per-language hit count is a per-row
+    ``size(filter(tokens, x -> x IN (...)))`` expression and the
+    argmax is ``array_max`` over (hits, rev_rank, lang) structs,
+    whose lexicographic max IS 'hits DESC, lang ASC' (rev_rank
+    reverses the alphabet so ties pick the alphabetically first
+    language). Zero shuffles, zero joins, one scan; value-identical
+    to the join+window form — langs absent from a doc have hit count
+    0 and cannot win, and docs with no hits at all are dropped by
+    the h > 0 filter exactly like the old inner join. Scales as pure
+    map work; a lexicon too large for an IN-list would flip back to
+    the broadcast-join form (the size_gated_broadcast convention).
+    The argmax expression itself is single-sourced in
+    ``_lang_argmax_sql`` — q_token_budget composes the IDENTICAL
+    expression inline (its single-pass form), so the two consumers
+    still cannot diverge."""
     return (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "hits")
+        docs.select("doc_id", T.tokens("text").alias("t"))
+        .select("doc_id", F.expr(_lang_argmax_sql()).alias("b"))
+        .where(F.col("b.h") > 0)
+        .select(
+            "doc_id",
+            F.col("b.lang").alias("lang"),
+            F.col("b.h").alias("hits"),
+        )
     )
 
 
@@ -119,18 +151,21 @@ SQL_LANG_ID = f"""
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: count stopword-lexicon hits per
     language, argmax per document (ties broken alphabetically).
-    The lexicon is a broadcast dim; the token explode + group is one
-    shuffle on doc_id. N-gram extension slot documented in text.py.
+    Per-row expressions end-to-end since round 13 (_predicted_lang /
+    _lang_argmax_sql — zero shuffles, zero joins); value-identical
+    to the former explode + broadcast-join + window form, which the
+    SQL_LANG_ID oracle still expresses. N-gram extension slot
+    documented in text.py.
 
     Round-7 registry retirement (cap is 50; slot went to
     q_chunk_dedup): q_token_budget composes the IDENTICAL
-    ``_predicted_lang`` relation — same helper function, same lexicon
-    join, same argmax window — as the language leg of its registered,
-    hash-checked rollup, so the assignment stays oracle-verified
-    through the witness every round. This standalone per-document
-    form keeps its own full oracle comparison in
-    tests/test_retired_parity.py against SQL_LANG_ID. Kept
-    unregistered as the narrow-API form."""
+    ``_lang_argmax_sql`` expression — single-sourced, so the two
+    consumers cannot diverge — as the language leg of its
+    registered, hash-checked rollup, so the assignment stays
+    oracle-verified through the witness every round (and this form
+    itself cycles under the gate via the round-13 rotation). Full
+    oracle comparison in tests/test_retired_parity.py against
+    SQL_LANG_ID. Kept unregistered as the narrow-API form."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return _predicted_lang(spark, docs).select(
         "doc_id", F.col("lang").alias("pred_lang"), "hits"
@@ -196,17 +231,26 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix accounting: token budget per predicted language
     (docs with no lexicon hit land in 'unknown'). Composition of the
     language-ID argmax and the per-row token count — the question
-    every corpus build answers before fixing sampling rates. One
-    doc_id shuffle for the argmax (shared _predicted_lang helper),
-    broadcast lexicon, then a 5-group rollup of per-row counts."""
+    every corpus build answers before fixing sampling rates.
+
+    Single-pass since round 13: the argmax is the shared per-row
+    ``_lang_argmax_sql`` expression (the same single-sourced unit
+    _predicted_lang / q_lang_id serve), so the token count and the
+    language ride ONE documents scan into a 5-group aggregate —
+    no token explode, no lexicon join, no doc_id exchange. The only
+    shuffle is 5 partial rows per task."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    lang = _predicted_lang(spark, docs).select(
-        F.col("doc_id").alias("l_doc"), "lang"
-    )
-    counts = docs.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
     return (
-        counts.join(lang, counts["doc_id"] == F.col("l_doc"), "left")
-        .groupBy(F.coalesce(F.col("lang"), F.lit("unknown")).alias("pred_lang"))
+        docs.select(T.tokens("text").alias("t"))
+        .select(
+            F.size("t").alias("n_tokens"),
+            F.expr(_lang_argmax_sql()).alias("b"),
+        )
+        .groupBy(
+            F.when(F.col("b.h") > 0, F.col("b.lang"))
+            .otherwise(F.lit("unknown"))
+            .alias("pred_lang")
+        )
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),

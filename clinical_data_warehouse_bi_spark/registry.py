@@ -296,6 +296,10 @@ _CHECK_ORDER = [
 
 ROTATION_SLOTS = 5
 
+#: the driver's hard gate records at most this many entries (round 2
+#: proved positions 50+ are silently skipped)
+DRIVER_CAP = 50
+
 #: round the rotation mechanism shipped; the schedule is defined
 #: relative to it (round 13 -> pool offset 0)
 _ROTATION_EPOCH = 13
@@ -416,10 +420,23 @@ def rotation_batch(round_: int | None = None) -> list[RotationSpec]:
 
 def rotation_donors_out(round_: int | None = None) -> list[str]:
     """The registered entries sitting this round out (still fully
-    oracle-checked in pytest via ``benched_queries``)."""
+    oracle-checked in pytest via ``benched_queries``). The donor
+    count auto-absorbs registry growth past the driver cap: with R
+    registered entries, ROTATION_SLOTS + max(0, R - DRIVER_CAP)
+    donors step out so the emitted gate stays exactly at the cap —
+    new untriaged entries (which lead the emission) therefore get
+    gate exposure immediately without a same-round retirement, and
+    every extra donor keeps its full pytest oracle check."""
+    _load()
     r = rotation_round() if round_ is None else round_
+    n = ROTATION_SLOTS + max(0, len(_REGISTRY) - DRIVER_CAP)
+    if n > len(ROTATION_DONORS):
+        raise ValueError(
+            "registry outgrew the rotation donor pool: retire entries "
+            "or extend ROTATION_DONORS"
+        )
     off = ((r - _ROTATION_EPOCH) * ROTATION_SLOTS) % len(ROTATION_DONORS)
-    return _slice_wrap(ROTATION_DONORS, off, ROTATION_SLOTS)
+    return _slice_wrap(ROTATION_DONORS, off, n)
 
 
 def _resolve_spec(spec: RotationSpec) -> RegisteredQuery:

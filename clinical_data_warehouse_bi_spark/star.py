@@ -35,7 +35,7 @@ from clinical_data_warehouse_bi_spark.cleanse import (
     sentinel_timestamp,
 )
 from clinical_data_warehouse_bi_spark.joins import (
-    interval_join_pick_first,
+    interval_pick_first_mapside,
     orphan_cleanup,
 )
 from clinical_data_warehouse_bi_spark.keys import zip_index_key
@@ -281,7 +281,15 @@ def build_staging(
     # AUTO_INCREMENT id across batches (lab -> diagnosis -> omr).
     # Parity mode: dense global row_number with an explicit order —
     # exact AUTO_INCREMENT semantics, single-partition funnel.
-    # Scale default: zip_index_key — dense 1..N, fully parallel.
+    # Scale default (round 13): the dense key is assigned AFTER the
+    # two interval joins, at the junk-dim barrier below — the dedup
+    # windows only need a unique per-row identity, and a sparse
+    # monotonically_increasing_id provides it shuffle-free (it is
+    # deterministic here: the union is narrow over the cached
+    # sources). Fusing the key barrier into the enrichment barrier
+    # halves staging's event-scale materializations (two
+    # localCheckpoint write+read passes -> one), the biggest fixed
+    # cost in the 256x pipeline_star bill.
     union = lab_events.unionByName(diag_events).unionByName(omr_events)
     if parity_keys:
         w_fact = Window.orderBy(
@@ -294,8 +302,12 @@ def build_staging(
         fact = union.withColumn(
             "disorder_event_id", F.row_number().over(w_fact)
         ).drop("__batch")
+        row_key = "disorder_event_id"
     else:
-        fact = zip_index_key(union.drop("__batch"), name="disorder_event_id")
+        fact = union.drop("__batch").withColumn(
+            "__uid", F.monotonically_increasing_id()
+        )
+        row_key = "__uid"
 
     # -- UPDATE 1 (225-231): unknown-concept default via scalar
     #    lookup. LAZY form: the one-row filtered dim rides in as a
@@ -324,6 +336,13 @@ def build_staging(
     #    The pick-first window partitions by the join's own equi keys
     #    (+ the unique event id), so the second interval join and its
     #    window below reuse this exchange instead of adding their own.
+    #    Round 13: both UPDATE joins run MAP-SIDE — transfers pack to
+    #    one sorted interval array per (patient, admission) and
+    #    broadcast (admission-grained: bounded rows per key), so the
+    #    event-scale fact crosses NO exchange and needs NO dedup
+    #    window between the union and the key barrier. Above the
+    #    broadcast budget the helper falls back to the classic
+    #    equi-join + shared-exchange window form unchanged.
     transfers = src["transfers"].select(
         F.col("subject_id").alias("t_subject"),
         F.col("hadm_id").alias("t_hadm"),
@@ -331,22 +350,17 @@ def build_staging(
         F.col("intime").cast("timestamp").alias("t_intime"),
         F.col("outtime").cast("timestamp").alias("t_outtime"),
     )
-    fact = interval_join_pick_first(
+    fact = interval_pick_first_mapside(
         fact,
         transfers,
-        equi=(F.col("patient_id") == F.col("t_subject"))
-        & (F.col("admission_id") == F.col("t_hadm")),
+        on=[("patient_id", "t_subject"), ("admission_id", "t_hadm")],
         ts_col=F.col("event_datetime"),
-        lo_col=F.col("t_intime"),
-        hi_col=F.col("t_outtime"),
-        left_key=["patient_id", "admission_id", "disorder_event_id"],
-        order=[
-            F.col("t_intime").asc_nulls_last(),
-            F.col("t_careunit").asc_nulls_last(),
-        ],
-    ).withColumn("careunit_id", F.col("t_careunit")).drop(
-        "t_subject", "t_hadm", "t_careunit", "t_intime", "t_outtime"
-    )
+        lo="t_intime",
+        hi="t_outtime",
+        order_cols=["t_intime", "t_careunit"],
+        payload=["t_careunit"],
+        left_row_key=["patient_id", "admission_id", row_key],
+    ).withColumn("careunit_id", F.col("t_careunit")).drop("t_careunit")
 
     # -- UPDATE 3 (251-256): provider via INNER interval join; rows
     #    without a match keep NULL provider_id (UPDATE+JOIN net effect)
@@ -358,34 +372,33 @@ def build_staging(
         F.col("intime").alias("p_intime"),
         F.col("outtime").alias("p_outtime"),
     )
-    fact = interval_join_pick_first(
+    fact = interval_pick_first_mapside(
         fact,
         prov,
-        equi=(F.col("patient_id") == F.col("p_patient"))
-        & (F.col("admission_id") == F.col("p_hadm")),
+        on=[("patient_id", "p_patient"), ("admission_id", "p_hadm")],
         ts_col=F.col("event_datetime"),
-        lo_col=F.col("p_intime"),
-        hi_col=F.col("p_outtime"),
-        left_key=["patient_id", "admission_id", "disorder_event_id"],
+        lo="p_intime",
+        hi="p_outtime",
         # natural-column order first so the pick does not depend on the
         # surrogate-key strategy; p_provider_id only breaks exact ties
-        order=[
-            F.col("p_intime").asc_nulls_last(),
-            F.col("p_outtime").asc_nulls_last(),
-            F.col("p_careunit").asc_nulls_last(),
-            F.col("p_provider_id").asc_nulls_last(),
-        ],
-    ).withColumn("provider_id", F.col("p_provider_id")).drop(
-        "p_provider_id", "p_patient", "p_hadm", "p_careunit", "p_intime", "p_outtime"
-    )
+        order_cols=["p_intime", "p_outtime", "p_careunit", "p_provider_id"],
+        payload=["p_provider_id"],
+        left_row_key=["patient_id", "admission_id", row_key],
+    ).withColumn("provider_id", F.col("p_provider_id")).drop("p_provider_id")
 
     # -- junk dim (262-283): DISTINCT combos + null-safe link-back.
     #    The junk dim derives FROM the enriched fact and then joins
     #    BACK to it — without a barrier every action recomputes both
     #    interval joins twice (once per traversal). Materialize the
     #    enriched fact once; this is also the point the reference's
-    #    own staging table would exist as real rows.
-    fact = fact.localCheckpoint(eager=False)
+    #    own staging table would exist as real rows. In the scale
+    #    path the dense surrogate key is assigned HERE, inside the
+    #    same barrier (zip_index_key localCheckpoints its input), so
+    #    staging pays exactly one event-scale materialization.
+    if parity_keys:
+        fact = fact.localCheckpoint(eager=False)
+    else:
+        fact = zip_index_key(fact.drop("__uid"), name="disorder_event_id")
     w_junk = Window.orderBy(
         F.col("event_source_type").asc_nulls_first(),
         F.col("measurement_unit").asc_nulls_first(),
@@ -452,6 +465,16 @@ def build_dwh(
     # columns (event_date is dropped in the DWH fact), fresh key
     fact_cols = [c for c in FACT_COLS if c not in ("disorder_event_id", "event_date")]
     deduped = stage["fact_disorder_events"].select(*fact_cols).distinct()
+    # keys assigned BEFORE the cleanups in both modes (the reference
+    # order: CTAS with AUTO_INCREMENT, then DELETE orphans — surviving
+    # keys keep the gap structure). Round 13 tried fusing the key
+    # barrier into the post-cleanup checkpoint (one event-scale
+    # materialization instead of two) but the content-deterministic
+    # ordering it then needs (sortWithinPartitions over all columns)
+    # measured SLOWER than the second barrier it saved (15.3 s vs
+    # 12.6 s for the whole DWH build at 256x) — the distinct's own
+    # output order is already layout-stable enough for zip, the extra
+    # sort is not.
     if parity_keys:
         w_fact = Window.orderBy(*[F.col(c).asc_nulls_first() for c in fact_cols])
         fact = deduped.withColumn("disorder_event_id", F.row_number().over(w_fact))
@@ -459,9 +482,16 @@ def build_dwh(
         fact = zip_index_key(deduped, name="disorder_event_id")
     fact = fact.select("disorder_event_id", *fact_cols)
 
-    # dim_date top-up (124-135): anti-join insert of missing datetimes
+    # dim_date top-up (124-135): anti-join insert of missing
+    # datetimes. Derived from the STAGE fact, not the deduped
+    # promote: the full-row DISTINCT cannot change the set of
+    # distinct datetimes, and the stage fact is the checkpointed
+    # relation — reading it here keeps the scale path's deduped
+    # chain single-consumer (it has no barrier of its own until
+    # zip_index_key below).
     missing = (
-        fact.filter(F.col("event_datetime").isNotNull())
+        stage["fact_disorder_events"]
+        .filter(F.col("event_datetime").isNotNull())
         .select("event_datetime")
         .join(dim_date.select("event_datetime"), "event_datetime", "left_anti")
     )
@@ -497,7 +527,13 @@ def build_dwh(
     # write itself is the barrier and this is a no-op cost.
     fact = fact.localCheckpoint(eager=False)
 
-    # pre-aggregation (203-210)
+    # pre-aggregation (203-210). countDistinct x2 (the Expand form)
+    # measured FASTER than the collect_set rewrite here (3.4 s vs
+    # 4.9 s at 256x, round-13 profile): reading from the checkpoint,
+    # the Expand's partial counts compress map-side better than
+    # per-group set state at this grain. q_agg_per_order keeps the
+    # collect_set form where the input is pre-partitioned on the
+    # group key and the comparison flips.
     agg = fact.groupBy("admission_id").agg(
         F.count("*").alias("total_events"),
         F.countDistinct("clinical_concept_id").alias("unique_concepts"),

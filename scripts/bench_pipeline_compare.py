@@ -346,6 +346,11 @@ def main() -> None:
         "spark_sec": spark_sec, "duckdb_sec": duck_sec,
         "spark_counts": s_counts, "duckdb_counts": d_counts,
         "counts_match": match,
+        # both engines time best-of-2 after a warm-up, but this host's
+        # run-to-run swing is large (observed +/-40% on the DuckDB side
+        # within minutes) — the 1-min load average lets a reader reject
+        # contended samples (round-12 verdict item 7)
+        "host_load_1m": round(os.getloadavg()[0], 2),
     }))
     if not match:
         sys.exit(1)

@@ -1,0 +1,177 @@
+"""Graph-ANN (hnsw.py) property tests: recall against exact brute
+force, recall at EQUAL distance-evaluation budget against a
+random-scan baseline (the round-12 verdict item 8 contract), graph
+structural invariants, and the persisted-index round trip with the
+atomic-publish/meta-marker conventions shared with IVF-PQ/BM25."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark import hnsw
+
+
+def _clustered(n_clusters=30, per_cluster=20, dim=16, seed=11):
+    """Deterministic clustered corpus: the regime where graph ANN
+    earns its keep (uniform random data defeats every ANN method
+    equally)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 4.0
+    vecs = []
+    for c in range(n_clusters):
+        vecs.append(centers[c] + rng.randn(per_cluster, dim) * 0.3)
+    x = np.vstack(vecs)
+    return x
+
+
+def _norm(x):
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return x / n
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    x = _clustered()
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<float>",
+    ).coalesce(4)
+    return x, df
+
+
+def _exact_topk(x, q, k):
+    sims = _norm(x) @ (q / np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(x)), -sims))
+    return [int(i) for i in order[:k]]
+
+
+K = 10
+QUERIES = [0, 137, 404]  # probe three different clusters
+
+
+def test_graph_structure_invariants(spark, corpus):
+    x, df = corpus
+    g = hnsw.build_graph(df, n_shards=4, m=8, upper_every=8).collect()
+    assert len(g) == len(x)
+    by_shard = {}
+    for r in g:
+        by_shard.setdefault(r["shard"], set()).add(r["vec_id"])
+        assert r["vec_id"] not in r["neighbors"], "self-link"
+        # m k-NN links plus the deterministic long-range links
+        assert len(r["neighbors"]) <= 8 + hnsw.N_LONG_LINKS
+        assert len(set(r["neighbors"])) == len(r["neighbors"])
+        assert r["is_upper"] == (r["vec_id"] % 8 == 0)
+    # links stay inside the shard (per-shard graphs by construction)
+    for r in g:
+        members = by_shard[r["shard"]]
+        assert set(r["neighbors"]) <= members
+        assert set(r["upper_neighbors"]) <= members
+    # every non-trivial shard has an upper layer
+    for shard, members in by_shard.items():
+        if len(members) >= 8:
+            assert any(v % 8 == 0 for v in members)
+
+
+def test_recall_vs_brute_force(spark, corpus):
+    x, df = corpus
+    g = hnsw.build_graph(df, n_shards=4, m=12, upper_every=16)
+    queries = [(qid, [float(v) for v in x[qid]]) for qid in QUERIES]
+    got = hnsw.search_graph(g, queries, K, beam=32).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid in QUERIES:
+        truth = set(_exact_topk(x, x[qid], K))
+        recall = len(set(by_q[qid]) & truth) / K
+        assert recall >= 0.9, (qid, recall, sorted(by_q[qid]), sorted(truth))
+        # the query vector itself is in the corpus: it must be found
+        assert qid in by_q[qid]
+
+
+def test_recall_beats_random_scan_at_equal_budget(spark, corpus):
+    """The equal-probe-budget contract: at the SAME number of
+    distance evaluations, beam search on the graph must recall more
+    of the true top-k than scoring a random subset of that size — on
+    clustered data, by a wide margin (this is the entire point of
+    the navigable graph)."""
+    x, df = corpus
+    g = hnsw.build_graph(df, n_shards=4, m=12, upper_every=16)
+    queries = [(qid, [float(v) for v in x[qid]]) for qid in QUERIES]
+    per_shard = hnsw.shard_search(g, queries, K, beam=32).collect()
+    budgets, hits = {}, {}
+    seen_pairs = set()
+    for r in per_shard:
+        pair = (r["shard"], r["query_id"])
+        if pair not in seen_pairs:
+            seen_pairs.add(pair)
+            budgets[r["query_id"]] = (
+                budgets.get(r["query_id"], 0) + r["n_evals"]
+            )
+        hits.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
+    xn = _norm(x)
+    rng = np.random.RandomState(3)
+    for qid in QUERIES:
+        budget = budgets[qid]
+        assert budget < len(x), "beam search degenerated to a full scan"
+        truth = set(_exact_topk(x, x[qid], K))
+        top = sorted(hits[qid], key=lambda t: (-t[0], t[1]))[:K]
+        graph_recall = len({v for _, v in top} & truth) / K
+        # random baseline at the same eval budget, averaged over draws
+        rand_recalls = []
+        for _ in range(5):
+            subset = rng.choice(len(x), size=budget, replace=False)
+            sims = xn[subset] @ (x[qid] / np.linalg.norm(x[qid]))
+            order = np.argsort(-sims)[:K]
+            rand_recalls.append(len(set(subset[order]) & truth) / K)
+        assert graph_recall >= max(rand_recalls), (
+            qid, budget, graph_recall, rand_recalls,
+        )
+
+
+def test_persisted_index_round_trip(spark, corpus, tmp_path):
+    x, df = corpus
+    path = str(tmp_path / "hnsw_idx")
+    meta = hnsw.build_hnsw_index(df, path, n_shards=4, m=12)
+    assert os.path.exists(os.path.join(path, hnsw.HNSW_INDEX_META))
+    assert meta["format_version"] == hnsw.HNSW_FORMAT_VERSION
+    queries = [(qid, [float(v) for v in x[qid]]) for qid in QUERIES]
+    served = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in hnsw.hnsw_index_search(spark, path, queries, K).collect()
+    }
+    inline = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in hnsw.search_graph(
+            hnsw.build_graph(df, n_shards=4, m=12), queries, K
+        ).collect()
+    }
+    assert served == inline
+    # format-version guard: a stale layout must refuse to serve
+    with open(os.path.join(path, hnsw.HNSW_INDEX_META)) as f:
+        bad = json.load(f)
+    bad["format_version"] = -1
+    with open(os.path.join(path, hnsw.HNSW_INDEX_META), "w") as f:
+        json.dump(bad, f)
+    with pytest.raises(ValueError, match="format"):
+        hnsw.hnsw_index_search(spark, path, queries, K)
+
+
+def test_tiny_shards_and_validation(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # more shards than vectors: every shard has 0 or 1 nodes
+    g = hnsw.build_graph(df, n_shards=16, m=4)
+    got = hnsw.search_graph(g, [(0, [1.0, 1.0])], 2).collect()
+    assert 1 <= len(got) <= 2
+    with pytest.raises(ValueError):
+        hnsw.build_graph(df, n_shards=0)
+    with pytest.raises(ValueError):
+        hnsw.search_graph(g, [], 2)

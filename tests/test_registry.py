@@ -94,7 +94,12 @@ def test_rotation_batch_under_gate_and_donors_out():
     rotated = _rotated_names()
     donors = rotation_donors_out()
     assert len(rotated) == ROTATION_SLOTS
-    assert len(donors) == ROTATION_SLOTS
+    # donors absorb registry growth past the cap (rotation in == 5,
+    # out == 5 + overflow)
+    _load()
+    assert len(donors) == ROTATION_SLOTS + max(
+        0, len(_REGISTRY) - DRIVER_CORRECTNESS_CAP
+    )
     assert set(rotated) <= names
     assert not (set(donors) & names)
 
