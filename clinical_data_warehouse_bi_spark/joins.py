@@ -123,6 +123,15 @@ def interval_pick_first_mapside(
     the classic interval_join_pick_first — one keyed exchange + a
     window sharing it — with identical semantics.
 
+    Round-13 A/B verdict (alternating same-process runs of the star
+    pipeline): the WINDOW form beat this operator at both probed
+    scales (sf0.1 6.5-7.5 vs 8.5-9.4 s; 256x 28.2 vs 32.3 s) when
+    the two UPDATEs share one exchange — the probe/pack/broadcast
+    fixed costs exceed the saved shuffle there, so star.py uses the
+    window form. This operator remains for the workloads it does
+    win: a single pick-first against a small interval dim where the
+    left is not otherwise exchanged.
+
     Returns left columns + ``payload`` columns (NULL when no
     interval matches)."""
     left_keys = [lk for lk, _ in on]

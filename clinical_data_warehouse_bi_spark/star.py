@@ -35,7 +35,7 @@ from clinical_data_warehouse_bi_spark.cleanse import (
     sentinel_timestamp,
 )
 from clinical_data_warehouse_bi_spark.joins import (
-    interval_pick_first_mapside,
+    interval_join_pick_first,
     orphan_cleanup,
 )
 from clinical_data_warehouse_bi_spark.keys import zip_index_key
@@ -336,13 +336,16 @@ def build_staging(
     #    The pick-first window partitions by the join's own equi keys
     #    (+ the unique event id), so the second interval join and its
     #    window below reuse this exchange instead of adding their own.
-    #    Round 13: both UPDATE joins run MAP-SIDE — transfers pack to
-    #    one sorted interval array per (patient, admission) and
-    #    broadcast (admission-grained: bounded rows per key), so the
-    #    event-scale fact crosses NO exchange and needs NO dedup
-    #    window between the union and the key barrier. Above the
-    #    broadcast budget the helper falls back to the classic
-    #    equi-join + shared-exchange window form unchanged.
+    #    Round 13 A/B (one process, alternating runs): the map-side
+    #    packed-broadcast form (joins.interval_pick_first_mapside)
+    #    measured SLOWER than this equi-join + shared-exchange window
+    #    form at BOTH probed scales (sf0.1: 8.5-9.4 vs 6.5-7.5 s;
+    #    256x: 32.3 vs 28.2 s whole-pipeline) — the probe/pack/
+    #    broadcast fixed costs exceed what skipping the fact exchange
+    #    saves while the exchange is one shared shuffle for both
+    #    UPDATEs. The map-side operator remains in joins.py (unit-
+    #    tested equivalent) for callers whose right side is small and
+    #    whose left is not re-exchanged anyway.
     transfers = src["transfers"].select(
         F.col("subject_id").alias("t_subject"),
         F.col("hadm_id").alias("t_hadm"),
@@ -350,17 +353,22 @@ def build_staging(
         F.col("intime").cast("timestamp").alias("t_intime"),
         F.col("outtime").cast("timestamp").alias("t_outtime"),
     )
-    fact = interval_pick_first_mapside(
+    fact = interval_join_pick_first(
         fact,
         transfers,
-        on=[("patient_id", "t_subject"), ("admission_id", "t_hadm")],
+        equi=(F.col("patient_id") == F.col("t_subject"))
+        & (F.col("admission_id") == F.col("t_hadm")),
         ts_col=F.col("event_datetime"),
-        lo="t_intime",
-        hi="t_outtime",
-        order_cols=["t_intime", "t_careunit"],
-        payload=["t_careunit"],
-        left_row_key=["patient_id", "admission_id", row_key],
-    ).withColumn("careunit_id", F.col("t_careunit")).drop("t_careunit")
+        lo_col=F.col("t_intime"),
+        hi_col=F.col("t_outtime"),
+        left_key=["patient_id", "admission_id", row_key],
+        order=[
+            F.col("t_intime").asc_nulls_last(),
+            F.col("t_careunit").asc_nulls_last(),
+        ],
+    ).withColumn("careunit_id", F.col("t_careunit")).drop(
+        "t_subject", "t_hadm", "t_careunit", "t_intime", "t_outtime"
+    )
 
     # -- UPDATE 3 (251-256): provider via INNER interval join; rows
     #    without a match keep NULL provider_id (UPDATE+JOIN net effect)
@@ -372,19 +380,26 @@ def build_staging(
         F.col("intime").alias("p_intime"),
         F.col("outtime").alias("p_outtime"),
     )
-    fact = interval_pick_first_mapside(
+    fact = interval_join_pick_first(
         fact,
         prov,
-        on=[("patient_id", "p_patient"), ("admission_id", "p_hadm")],
+        equi=(F.col("patient_id") == F.col("p_patient"))
+        & (F.col("admission_id") == F.col("p_hadm")),
         ts_col=F.col("event_datetime"),
-        lo="p_intime",
-        hi="p_outtime",
+        lo_col=F.col("p_intime"),
+        hi_col=F.col("p_outtime"),
+        left_key=["patient_id", "admission_id", row_key],
         # natural-column order first so the pick does not depend on the
         # surrogate-key strategy; p_provider_id only breaks exact ties
-        order_cols=["p_intime", "p_outtime", "p_careunit", "p_provider_id"],
-        payload=["p_provider_id"],
-        left_row_key=["patient_id", "admission_id", row_key],
-    ).withColumn("provider_id", F.col("p_provider_id")).drop("p_provider_id")
+        order=[
+            F.col("p_intime").asc_nulls_last(),
+            F.col("p_outtime").asc_nulls_last(),
+            F.col("p_careunit").asc_nulls_last(),
+            F.col("p_provider_id").asc_nulls_last(),
+        ],
+    ).withColumn("provider_id", F.col("p_provider_id")).drop(
+        "p_provider_id", "p_patient", "p_hadm", "p_careunit", "p_intime", "p_outtime"
+    )
 
     # -- junk dim (262-283): DISTINCT combos + null-safe link-back.
     #    The junk dim derives FROM the enriched fact and then joins

@@ -3035,3 +3035,89 @@ def test_snapshot_diff_plan_is_slim(spark, sf_dir):
             for payload in ("o_orderstatus", "o_totalprice", "o_orderdate",
                             "o_orderpriority", "o_custkey"):
                 assert payload not in line, line
+
+
+def test_interval_pick_first_mapside_matches_window_form(spark):
+    """joins.interval_pick_first_mapside == the classic equi-join +
+    window pick-first on a fixture with every edge the operator
+    handles: multi-match ties (identical payload), NULL lo/hi rows
+    (can never match), NULL join keys on the left (no match, payload
+    NULL), NULL payload among survivors (null-last ordering), and
+    no-match rows. Both the broadcast path and (via a zero budget)
+    the shuffle fallback are exercised."""
+    from pyspark.sql import functions as F
+
+    from clinical_data_warehouse_bi_spark.joins import (
+        interval_join_pick_first,
+        interval_pick_first_mapside,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, 5),    # two matching intervals -> earliest lo wins
+            (1, 10, 25),   # matches only the second interval
+            (2, 20, 5),    # right rows exist but none covers ts
+            (3, 30, 5),    # no right rows at all
+            (None, 10, 5), # NULL key: never matches
+            (4, 40, 5),    # NULL-payload vs payload tie on lo
+        ],
+        "k bigint, sub bigint, ts bigint",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, 0, 9, "a"),
+            (1, 10, 3, 9, "b"),    # same coverage, later lo
+            (1, 10, 20, 30, "c"),
+            (2, 20, 50, 60, "d"),
+            (2, 20, None, 9, "x"), # NULL lo can never match
+            (4, 40, 0, 9, None),   # NULL payload sorts after 'e'
+            (4, 40, 0, 9, "e"),
+        ],
+        "rk bigint, rsub bigint, lo bigint, hi bigint, pay string",
+    )
+
+    def normalize(df):
+        rows = [
+            (r["k"], r["sub"], r["ts"], r["pay"])
+            for r in df.select("k", "sub", "ts", "pay").collect()
+        ]
+        return sorted(
+            rows,
+            key=lambda t: tuple(
+                (v is not None, v) for v in t
+            ),
+        )
+
+    window_form = interval_join_pick_first(
+        left,
+        right,
+        equi=(F.col("k") == F.col("rk")) & (F.col("sub") == F.col("rsub")),
+        ts_col=F.col("ts"),
+        lo_col=F.col("lo"),
+        hi_col=F.col("hi"),
+        left_key=["k", "sub", "ts"],
+        order=[F.col("lo").asc_nulls_last(), F.col("pay").asc_nulls_last()],
+    )
+    expected = normalize(window_form)
+    assert expected == [
+        (None, 10, 5, None),
+        (1, 10, 5, "a"),
+        (1, 10, 25, "c"),
+        (2, 20, 5, None),
+        (3, 30, 5, None),
+        (4, 40, 5, "e"),
+    ]
+    for budget in (2_000_000, 0):  # broadcast path, then fallback
+        got = interval_pick_first_mapside(
+            left,
+            right,
+            on=[("k", "rk"), ("sub", "rsub")],
+            ts_col=F.col("ts"),
+            lo="lo",
+            hi="hi",
+            order_cols=["lo", "pay"],
+            payload=["pay"],
+            left_row_key=["k", "sub", "ts"],
+            max_broadcast_rows=budget,
+        )
+        assert normalize(got) == expected, budget
