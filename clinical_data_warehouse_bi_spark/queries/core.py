@@ -726,8 +726,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS gid,
            count(*) AS n_rows,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
-             AS sum_qty
+           CAST(sum(CAST(sign(l_quantity)
+                         * floor(abs(l_quantity) * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """)
@@ -744,19 +745,32 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Raw-row rollup Expands N x |grouping sets| rows through
     the shuffle; this shape holds at 100 TB for any re-aggregable
     measure (sums/counts/min/max — not medians). grouping_id
-    disambiguates rollup-NULL from data-NULL; decimal sums are
-    partition-order-exact."""
+    disambiguates rollup-NULL from data-NULL.
+
+    The measure sums LONG CENTS (round 13): per-row
+    sign*floor(abs(q)*100 + 0.5) — the q_outlier_report z_e9
+    quantization convention; floor/abs/sign on doubles have ONE
+    defined IEEE result in both engines, the bigint sum is exact and
+    associative (overflow headroom ~1.8e15 rows at q <= 50), and the
+    final CAST(.. AS DOUBLE)/100.0 is the identical two-op sequence
+    in the oracle — bit-identical by construction. Measured 3.2x
+    over the decimal(12,2) accumulator at 256x (2.89 -> 0.90 s): the
+    decimal sum was the whole gap to DuckDB, the scan costs 0.74 s."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    cents = (
+        F.signum("l_quantity")
+        * F.floor(F.abs(F.col("l_quantity")) * 100 + F.lit(0.5))
+    ).cast("bigint")
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("c"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"),
+        F.sum(cents).alias("s"),
     )
     return (
         base.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
             F.sum("c").cast("bigint").alias("n_rows"),
-            F.sum("s").cast("string").cast("double").alias("sum_qty"),
+            (F.sum("s").cast("double") / F.lit(100.0)).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
     )
