@@ -118,22 +118,11 @@ def _with_long_links(base: list[np.ndarray], n: int) -> list[np.ndarray]:
     return out
 
 
-def build_graph(
-    vectors: DataFrame,
-    n_shards: int = 8,
-    m: int = 12,
-    upper_every: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """(shard, vec_id, embedding, neighbors, upper_neighbors,
-    is_upper): per-shard two-layer small-world graph. One exchange
-    (the shard hash repartition); ALL distance work is numpy GEMM
-    inside the per-shard task. Upper-layer membership is
-    deterministic (vec_id % upper_every == 0), so rebuilds and
-    appends agree on layer assignment without coordination."""
-    if n_shards < 1 or m < 1 or upper_every < 2:
-        raise ValueError("n_shards >= 1, m >= 1, upper_every >= 2")
+def _make_shard_builder(m: int, upper_every: int, vec_col: str):
+    """The per-shard graph construction as a reusable applyInPandas
+    callable — shared by build_graph (full build) and
+    hnsw_index_append (touched-shard rebuild) so the two paths can
+    never diverge on link construction."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -171,6 +160,25 @@ def build_graph(
             }
         )
 
+    return _build
+
+
+def build_graph(
+    vectors: DataFrame,
+    n_shards: int = 8,
+    m: int = 12,
+    upper_every: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(shard, vec_id, embedding, neighbors, upper_neighbors,
+    is_upper): per-shard two-layer small-world graph. One exchange
+    (the shard hash repartition); ALL distance work is numpy GEMM
+    inside the per-shard task. Upper-layer membership is
+    deterministic (vec_id % upper_every == 0), so rebuilds and
+    appends agree on layer assignment without coordination."""
+    if n_shards < 1 or m < 1 or upper_every < 2:
+        raise ValueError("n_shards >= 1, m >= 1, upper_every >= 2")
     sharded = vectors.select(
         (F.crc32(F.col(id_col).cast("string")) % n_shards)
         .cast("int")
@@ -178,7 +186,9 @@ def build_graph(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias(vec_col),
     )
-    return sharded.groupBy("shard").applyInPandas(_build, GRAPH_SCHEMA)
+    return sharded.groupBy("shard").applyInPandas(
+        _make_shard_builder(m, upper_every, vec_col), GRAPH_SCHEMA
+    )
 
 
 def build_hnsw_index(
@@ -373,6 +383,69 @@ def search_graph(
         .filter(F.col("__rn") <= k)
         .select("query_id", "vec_id", "score")
     )
+
+
+def hnsw_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental ingest for the persisted graph index: because
+    every shard's graph is SELF-CONTAINED (links never cross
+    shards), appending vectors only requires rebuilding the shards
+    the new ids hash into — untouched shard directories are not
+    read, not rewritten. The operational analogue of IVF-PQ's
+    batch-proportional append, with the graph twist that a touched
+    shard's k-NN links must be recomputed over its union (links are
+    a function of the whole shard, not of the batch).
+
+    Replay-safe: new ids already present in a touched shard are
+    dropped before the rebuild (anti-join on the column-pruned id
+    relation), so re-running a crashed append converges to the same
+    index. Same single-writer scope as every file sink here; the
+    per-shard dynamic overwrite is the commit unit.
+
+    Returns the number of vectors actually added."""
+    with open(os.path.join(path, HNSW_INDEX_META)) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != HNSW_FORMAT_VERSION:
+        raise ValueError(f"stale hnsw index format at {path}")
+    n_shards, m = meta["n_shards"], meta["m"]
+    batch = new_vectors.select(
+        (F.crc32(F.col(id_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    existing_ids = spark.read.parquet(path).select("vec_id")
+    fresh = batch.join(existing_ids, "vec_id", "left_anti").localCheckpoint()
+    n = fresh.count()
+    if not n:
+        return 0
+    touched = [r["shard"] for r in fresh.select("shard").distinct().collect()]
+    old = (
+        spark.read.parquet(path)
+        .where(F.col("shard").isin(touched))
+        .select("shard", "vec_id", "embedding")
+        # a reused vec_col name is fine: GRAPH_SCHEMA fixes the name
+    )
+    union = old.unionByName(fresh).localCheckpoint()
+    rebuilt = union.groupBy("shard").applyInPandas(
+        _make_shard_builder(m, meta["upper_every"], "embedding"),
+        GRAPH_SCHEMA,
+    )
+    # dynamic partition overwrite: only the touched shard= dirs are
+    # replaced; the meta file is untouched (same format/geometry)
+    (
+        rebuilt.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return n
 
 
 def hnsw_index_search(

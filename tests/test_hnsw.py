@@ -175,3 +175,56 @@ def test_tiny_shards_and_validation(spark):
         hnsw.build_graph(df, n_shards=0)
     with pytest.raises(ValueError):
         hnsw.search_graph(g, [], 2)
+
+
+def test_index_append_rebuilds_only_touched_shards(spark, corpus, tmp_path):
+    """hnsw_index_append: batch-proportional ingest — only shards the
+    new ids hash into are rebuilt (untouched shard files stay
+    byte-identical on disk), the appended vectors are searchable, a
+    replayed append is a no-op, and the appended index equals a
+    from-scratch build over the union corpus (same links: the shard
+    builder is shared)."""
+    import glob
+
+    x, df = corpus
+    n = len(x)
+    first = df.where(F.col("vec_id") < n - 8)
+    rest = df.where(F.col("vec_id") >= n - 8)
+    path = str(tmp_path / "hnsw_append")
+    hnsw.build_hnsw_index(first, path, n_shards=4, m=12)
+
+    def file_state():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(path, "shard=*/*.parquet"))
+        }
+
+    before = file_state()
+    added = hnsw.hnsw_index_append(spark, path, rest)
+    assert added == 8
+    after = file_state()
+    touched_shards = {
+        r["shard"]
+        for r in hnsw.build_graph(rest, n_shards=4).select("shard")
+        .distinct().collect()
+    }
+    for p, mtime in before.items():
+        shard = int(p.split("shard=")[1].split("/")[0])
+        if shard not in touched_shards and p in after:
+            assert after[p] == mtime, f"untouched shard rewritten: {p}"
+    # replay: everything already present -> no-op
+    assert hnsw.hnsw_index_append(spark, path, rest) == 0
+
+    queries = [(int(n - 1), [float(v) for v in x[n - 1]])]
+    served = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in hnsw.hnsw_index_search(spark, path, queries, K).collect()
+    }
+    assert any(vid == n - 1 for _, vid in served), served
+    scratch = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in hnsw.search_graph(
+            hnsw.build_graph(df, n_shards=4, m=12), queries, K
+        ).collect()
+    }
+    assert served == scratch
