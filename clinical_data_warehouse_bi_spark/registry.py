@@ -497,6 +497,17 @@ def registered_oracles() -> dict[str, str]:
     }
 
 
+def auditable_queries() -> dict[str, QueryFn]:
+    """Registered queries PLUS every rotation-pool retiree — the
+    widest resolvable surface, for plan audits and ad-hoc tooling
+    that address operators by name regardless of gate status."""
+    out = registered_queries()
+    for spec in ROTATION_POOL:
+        if spec.name not in out:
+            out[spec.name] = _resolve_spec(spec).fn
+    return out
+
+
 def benched_queries() -> dict[str, tuple[QueryFn, str]]:
     """Registered full-oracle queries NOT emitted this round (the
     rotation donors): tests/test_retired_parity.py runs the same

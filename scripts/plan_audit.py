@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from clinical_data_warehouse_bi_spark.registry import registered_queries
+from clinical_data_warehouse_bi_spark.registry import auditable_queries
 from clinical_data_warehouse_bi_spark.session import get_spark
 
 
@@ -56,7 +56,7 @@ def main() -> None:
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     names = [a for a in args if a.startswith("q_")]
     spark = get_spark("plan-audit")
-    queries = registered_queries()
+    queries = auditable_queries()
     for name in names:
         a = audit(queries[name](spark, sf_dir))
         print(
