@@ -684,3 +684,49 @@ def hybrid_topk_served(
         .select(F.col("nid").alias("doc_id"), "rank")
     )
     return rrf_fuse([bm_ranked, dense], k, rrf_k=rrf_k)
+
+
+def hybrid_topk_served_graph(
+    spark,
+    bm25_path: str,
+    hnsw_path: str,
+    query_vec: list[float],
+    query_terms: list[str],
+    k: int,
+    *,
+    pool: int = 50,
+    rrf_k: int = 60,
+    beam: int = 32,
+) -> DataFrame:
+    """Hybrid retrieval with the GRAPH-ANN dense leg (round 13): the
+    lexical leg is the term-bucket pruned BM25 index, the dense leg
+    is a beam search over the persisted sharded small-world graph
+    (hnsw.hnsw_index_search) — the high-recall serving-side
+    alternative to the IVF-PQ leg of hybrid_topk_served, composed
+    through the SAME rrf_fuse arithmetic so the fusion stays
+    rank-calibration-free. Every leg touches index-shaped data only
+    (pruned postings / per-shard graphs); the fused relation is the
+    two bounded top-``pool`` lists."""
+    from pyspark.sql import Window
+
+    from clinical_data_warehouse_bi_spark.hnsw import hnsw_index_search
+
+    bm = bm25_index_search(spark, bm25_path, query_terms, pool)
+    bm_ranked = bm.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    )
+    dense = (
+        hnsw_index_search(spark, hnsw_path, [(0, query_vec)], pool, beam=beam)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            )
+            .alias("rank"),
+        )
+    )
+    return rrf_fuse([bm_ranked, dense], k, rrf_k=rrf_k)

@@ -657,3 +657,59 @@ def test_bm25_served_repairs_corrupt_cache_dir(spark):
 
     shutil.rmtree(path)
     assert q_bm25_served(spark, sf).count() == n0
+
+
+def test_hybrid_served_graph_leg(spark, sf_dir, tmp_path):
+    """hybrid_topk_served_graph: BM25 index leg + persisted graph-ANN
+    dense leg, fused by RRF — the fusion must equal a hand-recompute
+    from the two served legs (the hybrid_topk_served test's protocol,
+    with the dense leg swapped for hnsw)."""
+    from clinical_data_warehouse_bi_spark import retrieval
+    from clinical_data_warehouse_bi_spark.hnsw import (
+        build_hnsw_index,
+        hnsw_index_search,
+    )
+    from clinical_data_warehouse_bi_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    bm_path = str(tmp_path / "bm")
+    g_path = str(tmp_path / "g")
+    retrieval.bm25_index_build(t["documents"], bm_path, n_buckets=8)
+    build_hnsw_index(t["embeddings"], g_path, n_shards=4, m=12)
+    qvec = [
+        float(x)
+        for x in t["embeddings"].where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    terms = ["hash", "join", "spark"]
+    pool, k = 30, 10
+    fused = {
+        r["doc_id"]: r["rrf_score"]
+        for r in retrieval.hybrid_topk_served_graph(
+            spark, bm_path, g_path, qvec, terms, k, pool=pool
+        ).collect()
+    }
+    assert len(fused) == k
+    # hand-recompute the fusion from the two served legs
+    bm = retrieval.bm25_index_search(spark, bm_path, terms, pool).collect()
+    bm_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r["score"], r["doc_id"]))
+        )
+    }
+    dn = hnsw_index_search(spark, g_path, [(0, qvec)], pool).collect()
+    dn_rank = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(
+            sorted(dn, key=lambda r: (-r["score"], r["vec_id"]))
+        )
+    }
+    scores = {}
+    for d, rk in list(bm_rank.items()) + list(dn_rank.items()):
+        scores[d] = scores.get(d, 0.0) + 1.0 / (60.0 + rk)
+    want = sorted(scores.items(), key=lambda t2: (-t2[1], t2[0]))[:k]
+    assert set(fused) == {d for d, _ in want}
+    for d, s in want:
+        assert abs(fused[d] - round(s, 8)) < 1e-9
+    # the dense query vector's own doc is a fused hit (vec 0 == doc 0)
+    assert 0 in fused
