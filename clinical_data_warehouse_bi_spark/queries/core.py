@@ -136,11 +136,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         filtered.select("l_returnflag", "l_linestatus", "l_orderkey")
         .distinct()
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy(
+            F.col("l_returnflag").alias("o_rf"),
+            F.col("l_linestatus").alias("o_ls"),
+        )
         .agg(F.count("*").alias("n_orders"))
     )
+    # null-safe join: GROUP BY keeps NULL groups in both engines, so
+    # the leg merge must too (equality keys would silently drop a
+    # NULL-valued flag/status group — not present in this data, but
+    # the join form should not depend on that)
     return sums.join(
-        F.broadcast(orders), ["l_returnflag", "l_linestatus"]
+        F.broadcast(orders),
+        F.col("l_returnflag").eqNullSafe(F.col("o_rf"))
+        & F.col("l_linestatus").eqNullSafe(F.col("o_ls")),
     ).select(
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "sum_charge", "count_order", "n_orders",
