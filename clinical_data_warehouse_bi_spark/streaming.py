@@ -947,6 +947,31 @@ def streaming_vector_ingest(
     return writer.start()
 
 
+def streaming_graph_ingest(
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming embedding ingest into a persisted GRAPH-ANN index
+    (hnsw.hnsw_index_append per micro-batch) — the round-13 graph
+    face of streaming_vector_ingest: each batch rebuilds ONLY the
+    shards its ids hash into (per-shard graphs are self-contained),
+    and the append's anti-join on the column-pruned id relation
+    makes replay after any crash point a no-op, so engine redelivery
+    is exactly-once effective without an external guard. The index
+    must exist (hnsw.build_hnsw_index seeds it). Batch-proportional:
+    untouched shard files are never read or rewritten. Returns the
+    started StreamingQuery."""
+    from clinical_data_warehouse_bi_spark.hnsw import hnsw_index_append
+
+    writer = vectors.writeStream.foreachBatch(
+        lambda b, _id: hnsw_index_append(b.sparkSession, index_path, b)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_bm25_ingest(
     docs: DataFrame,
     index_path: str,

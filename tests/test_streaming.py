@@ -1616,3 +1616,53 @@ def test_streaming_token_counts_two_drain_duality(spark, tmp_path):
         ).groupBy("token").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_streaming_graph_ingest_extends_index(spark, tmp_path):
+    """Two drained micro-batches of embeddings land in the persisted
+    graph-ANN index exactly once (a re-delivered file adds nothing —
+    the append's id anti-join), only touched shards rebuild, and the
+    ingested vectors are immediately searchable via beam search."""
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark import hnsw
+
+    rng = np.random.RandomState(47)
+    k, dims = 4, 16
+    centers = rng.normal(0, 10.0, size=(k, dims))
+
+    def mk(lo, hi):
+        return [
+            (i, [float(x) for x in centers[i % k] + rng.normal(0, 1.0, dims)])
+            for i in range(lo, hi)
+        ]
+
+    schema = "vec_id long, embedding array<float>"
+    path = str(tmp_path / "gidx")
+    hnsw.build_hnsw_index(
+        spark.createDataFrame(mk(0, 160), schema), path, n_shards=4, m=8
+    )
+    src = str(tmp_path / "gvec_src")
+    spark.createDataFrame(mk(160, 200), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming.streaming_graph_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "gck")
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(mk(200, 240), schema)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        # re-deliver batch 2's rows in a THIRD file (at-least-once
+        # source): the id anti-join must drop all of them
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(path).select("vec_id").collect()
+    assert sorted(r.vec_id for r in rows) == list(range(240))
+    # a streamed-in vector is findable by the served search
+    probe = mk(239, 240)[0][1]
+    got = hnsw.hnsw_index_search(spark, path, [(0, probe)], 5).collect()
+    assert any(r["vec_id"] == 239 for r in got), got
