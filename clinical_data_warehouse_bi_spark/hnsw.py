@@ -320,6 +320,9 @@ def shard_search(
     engine-noise at the last bits)."""
     if not queries:
         raise ValueError("queries must be non-empty")
+    # the beam bounds the result set: a beam smaller than k would
+    # silently cap every shard's candidate list below the k requested
+    beam = max(beam, k)
     qids = [int(q) for q, _ in queries]
     qvecs = _normalize_rows(
         np.array([v for _, v in queries], dtype=np.float64)

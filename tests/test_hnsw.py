@@ -228,3 +228,12 @@ def test_index_append_rebuilds_only_touched_shards(spark, corpus, tmp_path):
         ).collect()
     }
     assert served == scratch
+
+
+def test_beam_clamped_to_k(spark, corpus):
+    """A beam smaller than k must not cap the result set below k:
+    shard_search clamps beam = max(beam, k)."""
+    x, df = corpus
+    g = hnsw.build_graph(df, n_shards=2, m=12)
+    got = hnsw.search_graph(g, [(0, [float(v) for v in x[0]])], 20, beam=4)
+    assert got.count() == 20
