@@ -118,6 +118,15 @@ def _with_long_links(base: list[np.ndarray], n: int) -> list[np.ndarray]:
     return out
 
 
+#: hard ceiling on rows per shard: the exact per-shard k-NN build is
+#: one n x n GEMM (8 bytes x n^2 — 50k rows ~ 20 GB of similarity
+#: matrix), so a shard past this bound would OOM the executor
+#: silently mid-task. Failing loudly with sizing guidance is the
+#: scale-honest behavior; at web scale the same on-disk format takes
+#: an incremental NSW inserter inside the same task instead.
+MAX_SHARD_ROWS = 50_000
+
+
 def _make_shard_builder(m: int, upper_every: int, vec_col: str):
     """The per-shard graph construction as a reusable applyInPandas
     callable — shared by build_graph (full build) and
@@ -125,6 +134,13 @@ def _make_shard_builder(m: int, upper_every: int, vec_col: str):
     never diverge on link construction."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > MAX_SHARD_ROWS:
+            raise ValueError(
+                f"hnsw shard has {len(pdf)} rows > MAX_SHARD_ROWS="
+                f"{MAX_SHARD_ROWS}: the exact per-shard k-NN build is "
+                "an n^2 GEMM — raise n_shards so shards stay bounded "
+                "(rows / MAX_SHARD_ROWS shards minimum)"
+            )
         if pdf.empty:
             return pd.DataFrame(
                 columns=[

@@ -237,3 +237,15 @@ def test_beam_clamped_to_k(spark, corpus):
     g = hnsw.build_graph(df, n_shards=2, m=12)
     got = hnsw.search_graph(g, [(0, [float(v) for v in x[0]])], 20, beam=4)
     assert got.count() == 20
+
+
+def test_oversized_shard_fails_loudly(spark, monkeypatch):
+    """A shard past the GEMM bound must raise with sizing guidance,
+    not OOM an executor mid-task."""
+    monkeypatch.setattr(hnsw, "MAX_SHARD_ROWS", 10)
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="MAX_SHARD_ROWS"):
+        hnsw.build_graph(df, n_shards=1, m=4).collect()
