@@ -392,33 +392,68 @@ def main() -> None:
         timings["pipeline_corpus"] = -1.0
         print(f"bench error in pipeline_corpus: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print("per-query spread (max-min over timed runs): "
-          + json.dumps(spreads), file=sys.stderr)
     # The record self-describes its noise (round-12 verdict item 7):
     # per-query spread across the timed runs separates host drift
     # from code regressions (r11->r12's +11.6% uniform move needed a
     # same-day rerun to adjudicate), and the 1-min load average at
     # start/end flags a non-quiet host outright.
     load_end = os.getloadavg()
-    print(
-        json.dumps(
+    record = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "noise": {
+            "timing_protocol": "min over 2 runs after 1 warm-up; "
+            "3rd run when best < 2s",
+            "per_query_spread_sec": spreads,
+            "spread_total_sec": round(sum(spreads.values()), 4),
+            "host_load_1m_start": round(load_start[0], 2),
+            "host_load_1m_end": round(load_end[0], 2),
+        },
+    }
+    # The driver archives only the LAST 2000 bytes of stdout, so the
+    # full record (noise block included) goes to a repo file and to
+    # stderr, while stdout ends with a TAIL-LOADED compact line:
+    # queries ascending by time (slowest entries last, nearest the
+    # tail) and the headline fields after them — a truncated prefix
+    # still leaves the headline number and the slowest per-query
+    # timings in the archived artifact (round-13 verdict item 2:
+    # BENCH_r13.json lost its own headline to the noise block).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record), file=sys.stderr)
+    def tail_line(n_slowest: int) -> str:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:n_slowest]
+        return json.dumps(
             {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "full_record": "BENCH_LOCAL.json (repo) + stderr",
                 "noise": {
-                    "timing_protocol": "min over 2 runs after 1 warm-up; "
-                    "3rd run when best < 2s",
-                    "per_query_spread_sec": spreads,
-                    "spread_total_sec": round(sum(spreads.values()), 4),
-                    "host_load_1m_start": round(load_start[0], 2),
-                    "host_load_1m_end": round(load_end[0], 2),
+                    "spread_total_sec": record["noise"]["spread_total_sec"],
+                    "host_load_1m_start": record["noise"]["host_load_1m_start"],
+                    "host_load_1m_end": record["noise"]["host_load_1m_end"],
                 },
+                "n_queries": len(timings),
+                "slowest": dict(sorted(slowest, key=lambda kv: kv[1])),
+                "sf": record["sf"],
+                "metric": "headline_queries_wall_clock",
+                "unit": "sec",
+                "value": total,
             }
         )
-    )
+    # shrink until the whole line fits the driver's 2000-byte stdout
+    # tail (it must PARSE there, not just leave fragments)
+    n = len(timings)
+    line = tail_line(n)
+    while len(line) > 1900 and n > 5:
+        n -= 5
+        line = tail_line(n)
+    print(line)
     spark.stop()
 
 

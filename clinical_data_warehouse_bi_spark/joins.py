@@ -148,9 +148,14 @@ def interval_pick_first_mapside(
         F.array_sort(F.collect_list(F.struct(*fields))).alias("__iv")
     ).persist()  # one aggregation feeds BOTH the size probe and the
     # broadcast build (without it the probe's count and the broadcast
-    # exchange would each recompute the groupBy)
+    # exchange would each recompute the groupBy). Released on the
+    # fallback path below (never read again there); on the broadcast
+    # path the pinned relation is bounded by max_broadcast_rows and
+    # must outlive the caller's (lazy) action — session cache-clear
+    # (bench.py's clearCache between queries) is its release point.
     side, fits = size_gated_broadcast(packed, max_broadcast_rows)
     if not fits:
+        packed.unpersist()
         equi = None
         for lk, rk in on:
             c = F.col(lk) == F.col(rk)

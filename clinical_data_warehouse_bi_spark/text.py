@@ -1413,6 +1413,7 @@ def tfidf_keywords(
     text_col: str = "text",
     *,
     vocab_broadcast_max_rows: int = VOCAB_BROADCAST_MAX_ROWS,
+    memoize_size_gate: bool = True,
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF keywords — the classic
     keyword-extraction / document-labeling primitive (Salton &
@@ -1445,7 +1446,14 @@ def tfidf_keywords(
     the persisted slim tf — to a term-keyed shuffle-hash join of
     two already-slim relations with no other change. N rides as a
     1-row broadcast crossJoin onto the vocabulary relation — never
-    a driver-side count."""
+    a driver-side count.
+
+    ``memoize_size_gate=False`` re-probes the vocabulary size on
+    every call: required when ``docs`` reads a source that grows
+    under an identical plan (an appended-to directory re-read in one
+    session) — the memoized 'fits' verdict would otherwise freeze at
+    first sight and broadcast a relation that has outgrown the
+    budget."""
     from pyspark.sql import Window
 
     if k < 1:
@@ -1469,7 +1477,9 @@ def tfidf_keywords(
     )
     from clinical_data_warehouse_bi_spark.joins import size_gated_broadcast
 
-    idf_side, _ = size_gated_broadcast(idf, vocab_broadcast_max_rows)
+    idf_side, _ = size_gated_broadcast(
+        idf, vocab_broadcast_max_rows, memoize=memoize_size_gate
+    )
     scored = tf.join(idf_side, "term").select(
         "doc_id",
         "term",
