@@ -37,6 +37,11 @@ Distributed design — the part that must survive 100 TB:
   meta JSON written last (complete-iff-present marker), published
   via io.publish_index_dir — the exact contract of the BM25 and
   IVF-PQ indexes (lost race discarded, corrupt leftover healed).
+  APPENDS republish the whole directory via the crash-safe rename
+  swap (rebuilt touched shards + hardlinked untouched shards
+  assembled in a scratch sibling, io.maintenance_lock held), so a
+  concurrent reader sees a complete old or complete new index —
+  never dynamic-overwrite's mixed shard state.
 - **Budget accounting.** Every search reports distance evaluations
   (``n_evals``), the currency recall-vs-cost comparisons use; the
   property tests pin recall at EQUAL probe budget against IVF-PQ's
@@ -79,19 +84,42 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / n
 
 
+#: rows per GEMM block in the k-NN build: peak similarity memory is
+#: KNN_BLOCK_ROWS x MAX_SHARD_ROWS x 4 bytes (float32) ~= 0.8 GB —
+#: sized so the documented MAX_SHARD_ROWS bound and the actual
+#: executor-memory footprint agree (round-13 advice: the one-shot
+#: n^2 float64 matrix was ~20 GB at the 50k ceiling, so the loud-fail
+#: bound did not prevent the OOM it documented).
+KNN_BLOCK_ROWS = 4096
+
+
 def _knn_links(x: np.ndarray, m: int) -> list[np.ndarray]:
-    """Top-``m`` cosine neighbors per row (self excluded) via one
-    GEMM + argpartition — the vectorized base-layer construction."""
-    sims = x @ x.T
-    np.fill_diagonal(sims, -np.inf)
-    m_eff = min(m, x.shape[0] - 1)
+    """Top-``m`` cosine neighbors per row (self excluded) via
+    BLOCKWISE float32 GEMM + argpartition — the vectorized base-layer
+    construction, with peak memory bounded by KNN_BLOCK_ROWS x n
+    instead of n x n. float32 is exact enough for LINK SELECTION
+    (near-ties flip links, which graph recall is insensitive to by
+    design); search-time scores stay float64."""
+    n = x.shape[0]
+    m_eff = min(m, n - 1)
     if m_eff <= 0:
-        return [np.empty(0, dtype=np.int64) for _ in range(x.shape[0])]
-    idx = np.argpartition(-sims, m_eff - 1, axis=1)[:, :m_eff]
-    # sort each row's links best-first (beam expansion order matters)
-    rows = np.arange(x.shape[0])[:, None]
-    order = np.argsort(-sims[rows, idx], axis=1)
-    return [r for r in np.take_along_axis(idx, order, axis=1)]
+        return [np.empty(0, dtype=np.int64) for _ in range(n)]
+    x32 = x.astype(np.float32)
+    out: list[np.ndarray] = []
+    for b0 in range(0, n, KNN_BLOCK_ROWS):
+        b1 = min(b0 + KNN_BLOCK_ROWS, n)
+        sims = x32[b0:b1] @ x32.T
+        sims[np.arange(b1 - b0), np.arange(b0, b1)] = -np.inf
+        idx = np.argpartition(-sims, m_eff - 1, axis=1)[:, :m_eff]
+        # sort each row's links best-first (beam expansion order
+        # matters); stable so float32 ties break by index
+        rows = np.arange(b1 - b0)[:, None]
+        order = np.argsort(-sims[rows, idx], axis=1, kind="stable")
+        out.extend(
+            r.astype(np.int64)
+            for r in np.take_along_axis(idx, order, axis=1)
+        )
+    return out
 
 
 #: deterministic long-range links per node appended to the k-NN base
@@ -118,12 +146,14 @@ def _with_long_links(base: list[np.ndarray], n: int) -> list[np.ndarray]:
     return out
 
 
-#: hard ceiling on rows per shard: the exact per-shard k-NN build is
-#: one n x n GEMM (8 bytes x n^2 — 50k rows ~ 20 GB of similarity
-#: matrix), so a shard past this bound would OOM the executor
-#: silently mid-task. Failing loudly with sizing guidance is the
-#: scale-honest behavior; at web scale the same on-disk format takes
-#: an incremental NSW inserter inside the same task instead.
+#: hard ceiling on rows per shard: the per-shard k-NN build streams
+#: KNN_BLOCK_ROWS x n float32 GEMM blocks (~0.8 GB peak at this
+#: ceiling — see KNN_BLOCK_ROWS), plus the shard's own vectors and
+#: link arrays, so a 50k-row shard fits a normal executor. A shard
+#: PAST the bound fails loudly with sizing guidance instead of
+#: letting build time grow quadratically unannounced; at web scale
+#: the same on-disk format takes an incremental NSW inserter inside
+#: the same task instead.
 MAX_SHARD_ROWS = 50_000
 
 
@@ -421,12 +451,33 @@ def hnsw_index_append(
     a function of the whole shard, not of the batch).
 
     Replay-safe: new ids already present in a touched shard are
-    dropped before the rebuild (anti-join on the column-pruned id
-    relation), so re-running a crashed append converges to the same
-    index. Same single-writer scope as every file sink here; the
-    per-shard dynamic overwrite is the commit unit.
+    dropped before the rebuild. The anti-join probe is SCOPED to the
+    touched shards (ids can only collide inside the shard they hash
+    to), so the existing-id scan partition-prunes to the batch's
+    shard= directories — each micro-batch pays a touched-shards id
+    scan, not an O(index) one (round-13 advice item 2).
+
+    Atomic publish (round-13 advice item 1): the new index state is
+    assembled in a ``.tmp-compact`` scratch sibling — rebuilt touched
+    shards written by Spark, untouched shard directories HARDLINKED
+    in (O(#files) metadata ops, zero bytes copied: batch-proportional
+    byte-work survives), meta carried over — and swapped in with the
+    shared crash-safe rename protocol (io.recover_compacted_dir
+    sibling names, io.maintenance_lock held). A concurrent reader
+    therefore sees the old complete index or the new complete index,
+    never a mixed or partially-deleted shard set; a reader issued
+    mid-append fails fast on the maintenance lock instead of racing
+    the swap (hnsw_index_search recovers-before-reading).
 
     Returns the number of vectors actually added."""
+    import shutil
+
+    from clinical_data_warehouse_bi_spark.io import (
+        maintenance_lock,
+        recover_compacted_dir,
+    )
+
+    recover_compacted_dir(path)
     with open(os.path.join(path, HNSW_INDEX_META)) as f:
         meta = json.load(f)
     if meta.get("format_version") != HNSW_FORMAT_VERSION:
@@ -438,8 +489,19 @@ def hnsw_index_append(
         .alias("shard"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
+    ).localCheckpoint()
+    batch_shards = [
+        r["shard"] for r in batch.select("shard").distinct().collect()
+    ]
+    if not batch_shards:
+        return 0
+    # ids collide only within their own shard: scope the replay probe
+    # to the batch's shard= dirs (partition-pruned scan of one column)
+    existing_ids = (
+        spark.read.parquet(path)
+        .where(F.col("shard").isin(batch_shards))
+        .select("vec_id")
     )
-    existing_ids = spark.read.parquet(path).select("vec_id")
     fresh = batch.join(existing_ids, "vec_id", "left_anti").localCheckpoint()
     n = fresh.count()
     if not n:
@@ -450,20 +512,36 @@ def hnsw_index_append(
         .where(F.col("shard").isin(touched))
         .select("shard", "vec_id", "embedding")
         # a reused vec_col name is fine: GRAPH_SCHEMA fixes the name
+        .localCheckpoint()  # the rebuild must never stream from the
+        # directory the swap below is about to replace
     )
-    union = old.unionByName(fresh).localCheckpoint()
-    rebuilt = union.groupBy("shard").applyInPandas(
+    rebuilt = old.unionByName(fresh).groupBy("shard").applyInPandas(
         _make_shard_builder(m, meta["upper_every"], "embedding"),
         GRAPH_SCHEMA,
     )
-    # dynamic partition overwrite: only the touched shard= dirs are
-    # replaced; the meta file is untouched (same format/geometry)
-    (
-        rebuilt.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    with maintenance_lock(path):
+        tmp = f"{path}.tmp-compact"
+        old_dir = f"{path}.old-compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+        # untouched shards: hardlink every file (same inode — mtime
+        # and bytes provably untouched; no data copied)
+        for entry in os.listdir(path):
+            if not entry.startswith("shard="):
+                continue
+            if int(entry.split("=", 1)[1]) in touched:
+                continue
+            os.makedirs(os.path.join(tmp, entry), exist_ok=True)
+            src_dir = os.path.join(path, entry)
+            for fn in os.listdir(src_dir):
+                os.link(
+                    os.path.join(src_dir, fn), os.path.join(tmp, entry, fn)
+                )
+        with open(os.path.join(tmp, HNSW_INDEX_META), "w") as f:
+            json.dump(meta, f)
+        os.rename(path, old_dir)
+        os.rename(tmp, path)
+        shutil.rmtree(old_dir, ignore_errors=True)
     return n
 
 
@@ -477,7 +555,13 @@ def hnsw_index_search(
     """Serve queries FROM a persisted graph directory (the
     operational twin of search_graph): meta is the
     complete-iff-present marker, the scan reads the shard-partitioned
-    parquet, and the search path is identical."""
+    parquet, and the search path is identical. Recovers-before-
+    reading (the compacted-sink convention): a crashed append's
+    rename swap is healed first, and a LIVE append's maintenance
+    lock fails this read fast instead of racing the swap."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(path)
     meta_path = os.path.join(path, HNSW_INDEX_META)
     with open(meta_path) as f:
         meta = json.load(f)

@@ -956,12 +956,16 @@ def streaming_graph_ingest(
     (hnsw.hnsw_index_append per micro-batch) — the round-13 graph
     face of streaming_vector_ingest: each batch rebuilds ONLY the
     shards its ids hash into (per-shard graphs are self-contained),
-    and the append's anti-join on the column-pruned id relation
-    makes replay after any crash point a no-op, so engine redelivery
-    is exactly-once effective without an external guard. The index
-    must exist (hnsw.build_hnsw_index seeds it). Batch-proportional:
-    untouched shard files are never read or rewritten. Returns the
-    started StreamingQuery."""
+    and the append's shard-scoped anti-join (the replay probe reads
+    vec_id from the TOUCHED shard= directories only — partition
+    pruning, not an O(index) scan) makes replay after any crash
+    point a no-op, so engine redelivery is exactly-once effective
+    without an external guard. The index must exist
+    (hnsw.build_hnsw_index seeds it). Batch-proportional byte-work:
+    untouched shard files are hardlinked, never read or copied, and
+    the new index state publishes via the crash-safe rename swap —
+    concurrent searches see a complete index or fail fast on the
+    maintenance lock. Returns the started StreamingQuery."""
     from clinical_data_warehouse_bi_spark.hnsw import hnsw_index_append
 
     writer = vectors.writeStream.foreachBatch(
