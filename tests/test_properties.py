@@ -3019,6 +3019,38 @@ def test_snapshot_diff_check_unique_probe(spark):
         snapshot_diff(nulldup, uniq, ["k"], check_unique=True)
 
 
+def test_snapshot_diff_probe_on_by_default(spark, tmp_path, monkeypatch):
+    """Round-13 verdict item 9: at DEFAULT settings a duplicate-keyed
+    snapshot fails loudly (auto probe), the footer row-budget gate
+    skips the probe for sides past SNAPSHOT_UNIQUE_PROBE_MAX_ROWS,
+    and check_unique=False opts out entirely."""
+    import pytest as _pytest
+
+    from clinical_data_warehouse_bi_spark import qa
+    from clinical_data_warehouse_bi_spark.qa import snapshot_diff
+
+    uniq = spark.createDataFrame([(1, "a"), (2, "b")], "k int, fp string")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, fp string")
+    # in-memory (driver-bounded) inputs: the default probes and raises
+    with _pytest.raises(ValueError, match="not unique"):
+        snapshot_diff(dup, uniq, ["k"])
+    # explicit opt-out: the fan-out mode, silently (documented)
+    assert snapshot_diff(dup, uniq, ["k"], check_unique=False).count() > 0
+    # parquet-backed inputs under the budget: probed, raises
+    p_dup, p_uniq = str(tmp_path / "dup"), str(tmp_path / "uniq")
+    dup.write.parquet(p_dup)
+    uniq.write.parquet(p_uniq)
+    r_dup, r_uniq = spark.read.parquet(p_dup), spark.read.parquet(p_uniq)
+    with _pytest.raises(ValueError, match="not unique"):
+        snapshot_diff(r_dup, r_uniq, ["k"])
+    # past the budget: the gate skips the probe (diff fans out, no
+    # raise) — and forcing check_unique=True overrides the gate
+    monkeypatch.setattr(qa, "SNAPSHOT_UNIQUE_PROBE_MAX_ROWS", 0)
+    assert snapshot_diff(r_dup, r_uniq, ["k"]).count() > 0
+    with _pytest.raises(ValueError, match="not unique"):
+        snapshot_diff(r_dup, r_uniq, ["k"], check_unique=True)
+
+
 def test_snapshot_diff_plan_is_slim(spark, sf_dir):
     """q_snapshot_diff's exchanges carry only (key, fingerprint,
     presence) — no payload column (status/price/date/priority) ever
