@@ -355,6 +355,7 @@ def shard_search(
     queries: list[tuple[int, list[float]]],
     k: int,
     beam: int = 32,
+    queries_by_shard: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """(shard, query_id, vec_id, score, n_evals): per-shard local
     top-k plus that shard's distance-evaluation count for the query
@@ -363,7 +364,14 @@ def shard_search(
     vectorized-load + beam-search task for ALL queries (queries are
     a bounded driver list, the cosine_topk_numpy convention). Scores
     are rounded to 6 decimals (float32 storage; GEMM order is
-    engine-noise at the last bits)."""
+    engine-noise at the last bits).
+
+    ``queries_by_shard`` (the routed tier, round-13 verdict item 3):
+    shard id -> positions into ``queries`` that shard should serve.
+    A shard absent from the dict searches nothing — per-query work
+    drops from O(all shards) to O(routed shards); pair with a scan
+    filter on the routed shard set so pruned shards are not even
+    read."""
     if not queries:
         raise ValueError("queries must be non-empty")
     # the beam bounds the result set: a beam smaller than k would
@@ -378,8 +386,14 @@ def shard_search(
         cols = ["shard", "query_id", "vec_id", "score", "n_evals"]
         if pdf.empty:
             return pd.DataFrame(columns=cols)
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         shard = int(pdf["shard"].iloc[0])
+        if queries_by_shard is None:
+            sel = range(len(qids))
+        else:
+            sel = queries_by_shard.get(shard, [])
+            if not len(sel):
+                return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         x = _normalize_rows(
             np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -393,7 +407,8 @@ def shard_search(
         ]
         upper_pos = np.flatnonzero(pdf["is_upper"].to_numpy())
         out = []
-        for qid, q in zip(qids, qvecs):
+        for i in sel:
+            qid, q = qids[i], qvecs[i]
             hits, n_evals = _beam_search_one(
                 x, ids, pos_of, neighbors, upper, upper_pos, q, k, beam
             )
@@ -414,16 +429,20 @@ def search_graph(
     queries: list[tuple[int, list[float]]],
     k: int,
     beam: int = 32,
+    queries_by_shard: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, score): global top-k per query over the
     sharded graph — shard_search fan-out, then one (query_id) top-k
     merge over O(shards x queries x k) candidate rows (the only
     exchange after the scan). For budget accounting use shard_search
     directly: distinct (shard, query_id, n_evals) rows sum to the
-    query's total distance evaluations."""
+    query's total distance evaluations. ``queries_by_shard``
+    restricts each shard to its routed queries (see shard_search)."""
     from pyspark.sql import Window
 
-    per_shard = shard_search(graph, queries, k, beam=beam)
+    per_shard = shard_search(
+        graph, queries, k, beam=beam, queries_by_shard=queries_by_shard
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -572,3 +591,196 @@ def hnsw_index_search(
         )
     graph = spark.read.parquet(path)
     return search_graph(graph, queries, k, beam=beam)
+
+
+# --- Routed serving tier (round-13 verdict item 3) -------------------
+#
+# search_graph fans every query out to EVERY shard, so query cost is
+# O(n_shards) — linear in corpus size at fixed MAX_SHARD_ROWS (a
+# 10^9-vector corpus at 50k rows/shard is >=20k beam searches per
+# query). The routed tier makes shard assignment CLUSTER-AWARE (the
+# IVF trick already serving similarity.py's coarse quantizer): shards
+# are k-means cells (optionally hash-sub-sharded to respect the GEMM
+# bound), the cell centroids live in the index meta, and a query
+# probes only its top-``probe_clusters`` cells — per-query cost is
+# O(probed fraction of the corpus), sublinear in total shard count,
+# while the per-shard graph format, builder, and beam search stay
+# byte-identical to the hash-sharded tier.
+
+
+def _assign_clusters(
+    base: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    sub_shards: int,
+) -> DataFrame:
+    """(shard, vec_id, embedding) with shard = cluster * sub_shards +
+    hash-sub-shard: ONE broadcast-GEMM Arrow pass (the centroid_rank
+    kernel, embedding kept in the output so no join back), no
+    exchange until the caller's groupBy(shard)."""
+    from typing import Iterator
+
+    cids = np.array([c[0] for c in centroids], dtype=np.int64)
+    cmat = np.array([c[1] for c in centroids], dtype=np.float64)
+    csq = np.einsum("ij,ij->i", cmat, cmat)
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # |x - c|^2 ranking needs only |c|^2 - 2 x.c (|x|^2 is
+            # constant per row); round like centroid_rank so the
+            # assignment is the same one the IVF tier would make
+            d2 = np.round(csq[None, :] - 2.0 * (mat @ cmat.T), 6)
+            # lexsort tiebreak on cid, matching centroid_rank
+            order = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)
+            cluster = cids[order[:, 0]]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sub = (
+                np.array(
+                    [_crc32_int(str(i)) for i in ids], dtype=np.int64
+                ) % sub_shards
+                if sub_shards > 1
+                else np.zeros(len(ids), dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    "shard": (cluster * sub_shards + sub).astype(np.int32),
+                    "vec_id": ids,
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return base.mapInPandas(
+        op, "shard int, vec_id bigint, embedding array<float>"
+    )
+
+
+def _crc32_int(s: str) -> int:
+    """CRC32 of the id string — the same sub-shard hash family the
+    hash tier uses (F.crc32), computed worker-side in the Arrow
+    batch."""
+    import zlib
+
+    return zlib.crc32(s.encode())
+
+
+def build_routed_hnsw_index(
+    vectors: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    sub_shards: int = 1,
+    m: int = 12,
+    upper_every: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> dict:
+    """Persist a ROUTED graph index: shard = k-means cell (trained on
+    a bounded sample, similarity.sampled_kmeans_centroids) x optional
+    hash sub-shard, centroids stored in the meta so searches can rank
+    cells driver-side. ``sub_shards > 1`` splits each cell by id hash
+    when a cell would exceed MAX_SHARD_ROWS (the shard builder still
+    fails loudly if one does — raise sub_shards or n_clusters).
+    Same GRAPH_SCHEMA, same shard builder, same meta-written-last
+    commit marker as build_hnsw_index."""
+    if n_clusters < 1 or sub_shards < 1:
+        raise ValueError("n_clusters >= 1 and sub_shards >= 1")
+    from clinical_data_warehouse_bi_spark.similarity import (
+        sampled_kmeans_centroids,
+    )
+
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    centroids = sampled_kmeans_centroids(base, n_clusters, seed=seed)
+    sharded = _assign_clusters(base, centroids, sub_shards)
+    g = sharded.groupBy("shard").applyInPandas(
+        _make_shard_builder(m, upper_every, "embedding"), GRAPH_SCHEMA
+    )
+    g.write.mode("overwrite").partitionBy("shard").parquet(path)
+    meta = {
+        "format_version": HNSW_FORMAT_VERSION,
+        "kind": "routed",
+        "n_shards": n_clusters * sub_shards,
+        "n_clusters": n_clusters,
+        "sub_shards": sub_shards,
+        "m": m,
+        "upper_every": upper_every,
+        "centroids": [
+            [int(c), [float(x) for x in v]] for c, v in centroids
+        ],
+    }
+    with open(os.path.join(path, HNSW_INDEX_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def route_queries(
+    meta: dict,
+    queries: list[tuple[int, list[float]]],
+    probe_clusters: int,
+) -> dict[int, list[int]]:
+    """shard -> positions into ``queries``: each query ranks the meta
+    centroids by euclidean distance (the assignment metric) and
+    probes every sub-shard of its top-``probe_clusters`` cells.
+    Driver-side numpy over a bounded query list — the IVF probe-
+    selection pattern (similarity.search_ivf_pq_index)."""
+    cents = meta["centroids"]
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    sub = int(meta.get("sub_shards", 1))
+    p = min(probe_clusters, len(cids))
+    out: dict[int, list[int]] = {}
+    for pos, (_, qv) in enumerate(queries):
+        q = np.asarray(qv, dtype=np.float64)
+        d2 = np.round(
+            np.einsum("ij,ij->i", cmat, cmat) - 2.0 * (cmat @ q), 6
+        )
+        order = np.lexsort((cids, d2))[:p]
+        for c in cids[order]:
+            for s in range(int(c) * sub, (int(c) + 1) * sub):
+                out.setdefault(s, []).append(pos)
+    return out
+
+
+def hnsw_routed_search(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    beam: int = 32,
+    probe_clusters: int = 2,
+) -> DataFrame:
+    """Serve queries from a ROUTED persisted index: rank cells
+    driver-side against the meta centroids, scan ONLY the routed
+    shard= directories (partition pruning — unprobed cells are never
+    read), and beam-search each shard for its routed queries only.
+    Per-query cost: probe_clusters cells' worth of graph, regardless
+    of how many cells the corpus has — the sublinear serving path
+    search_graph's full fan-out lacks. Recall is bounded by routing
+    (a true neighbor in an unprobed cell is unreachable), the
+    standard IVF trade dialed by ``probe_clusters``; the recall
+    property test pins >=0.85 at a 25% probe fraction on clustered
+    data."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    recover_compacted_dir(path)
+    with open(os.path.join(path, HNSW_INDEX_META)) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != HNSW_FORMAT_VERSION:
+        raise ValueError(
+            f"hnsw index format {meta.get('format_version')} != "
+            f"{HNSW_FORMAT_VERSION} at {path}"
+        )
+    if meta.get("kind") != "routed":
+        raise ValueError(
+            f"index at {path} is not a routed index — build it with "
+            "build_routed_hnsw_index (hash-sharded indexes have no "
+            "centroids to route by; use hnsw_index_search)"
+        )
+    qbs = route_queries(meta, queries, probe_clusters)
+    graph = spark.read.parquet(path).where(
+        F.col("shard").isin(sorted(qbs))
+    )
+    return search_graph(graph, queries, k, beam=beam, queries_by_shard=qbs)
