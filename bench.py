@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "q_agg_per_order",
     "q_approx_stats",
     "q_pricing_summary",
+    "q_pricing_approx",
     "q_json_extract",
     "q_percentiles",
     "q_rollup",

@@ -156,6 +156,56 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: relative standard deviation for q_pricing_approx's HLL sketch; the
+#: accuracy pytest pins |approx - exact| <= 3 * rsd * exact per group
+PRICING_APPROX_RSD = 0.05
+
+
+@register("q_pricing_approx")  # rows-only BY DESIGN: HLL sketches are
+# engine-specific (Spark HLL++ vs DuckDB's own HLL give different
+# estimates on identical data), so no portable SQL twin exists; the
+# accuracy contract is the pinned 3-sigma-vs-exact pytest
+# (tests/test_pricing_approx.py) and the exact columns stay
+# hash-checked through q_pricing_summary, whose sums leg this shares.
+def q_pricing_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pricing_summary's AT-SCALE twin (round-13 verdict item 5):
+    the exact COUNT(DISTINCT l_orderkey) is the measured terminal
+    residue of the exact form (13.7 of 19.8 s at 256x is the
+    distinct-triple exchange itself), so the 100 TB answer replaces
+    it with approx_count_distinct — HLL++ partial sketches merge
+    map-side like any other aggregate, so the WHOLE query is ONE
+    aggregation over the six (flag, status) groups: no Expand, no
+    second scan, no distinct leg, an exchange of partitions x 6
+    sketch rows. This generalizes the reference's two COUNT(DISTINCT)
+    aggregates (DWH.sql:207-208) the way production BI serves them at
+    scale: exact decimal sums + sketched distinct counts, with the
+    sketch error pinned (<= 3 * rsd, tests/test_pricing_approx.py).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+
+    def exact_double(c):
+        return c.cast("string").cast("double")
+
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_double(F.sum(F.col("l_quantity").cast("decimal(12,2)"))).alias("sum_qty"),
+        exact_double(F.sum(price)).alias("sum_base_price"),
+        exact_double(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+        exact_double(
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        ).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+        F.approx_count_distinct("l_orderkey", PRICING_APPROX_RSD).alias(
+            "n_orders_approx"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projection / filter / cleansing
 # ---------------------------------------------------------------------------
