@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q_lsh_near_dup",
     "q_simhash_pairs",
     "q_cdc_chunk_dedup",
+    "q_substring_dedup",
     "q_paragraph_dedup",
     "q_fuzzy_match",
     "q_token_budget",

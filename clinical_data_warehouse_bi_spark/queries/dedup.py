@@ -733,3 +733,73 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=SPAN_N,
         max_occurrences=SPAN_MAX_OCC,
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (suffix-array family) — round-13 verdict item 8
+# --------------------------------------------------------------------------
+
+#: window length for the registered exact-substring query: long
+#: enough that matches are real shared passages (the fixture's
+#: cross-document boilerplate), short enough that the sf0.01 corpus
+#: carries a meaningful span set (45 docs affected)
+SUBSTRING_MIN_TOKENS = 12
+
+
+@register("q_substring_dedup", oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    w AS (SELECT doc_id, i,
+                 array_to_string(toks[i:i+{SUBSTRING_MIN_TOKENS - 1}],
+                                 chr(1)) AS win
+          FROM t, LATERAL (SELECT unnest(generate_series(
+                 1, len(toks) - {SUBSTRING_MIN_TOKENS} + 1)) AS i) g
+          WHERE len(toks) >= {SUBSTRING_MIN_TOKENS}),
+    d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+    m AS (SELECT w.doc_id, w.i FROM w JOIN d USING (win)),
+    o AS (SELECT doc_id, i,
+                 max(i + {SUBSTRING_MIN_TOKENS} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM m),
+    b AS (SELECT doc_id, i,
+                 CASE WHEN prev_end IS NULL OR i > prev_end
+                      THEN 1 ELSE 0 END AS brk
+          FROM o),
+    g AS (SELECT doc_id, i,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+          FROM b)
+    SELECT doc_id, min(i) AS span_start,
+           max(i) + {SUBSTRING_MIN_TOKENS} - 1 AS span_end
+    FROM g GROUP BY doc_id, grp
+    """)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022 ExactSubstr —
+    suffix.py): every maximal token span covered by a
+    >={SUBSTRING_MIN_TOKENS}-token window occurring >= 2 times in the
+    corpus, as (doc_id, span_start, span_end) 1-based inclusive token
+    intervals — the TOKEN-grained member of the dedup suite (exact
+    hash / MinHash / SimHash / CDC are document- or chunk-grained;
+    this catches partial overlap at arbitrary alignment, the
+    repeated-boilerplate shape LLM corpora bleed quality on).
+
+    The registered form runs winnow_w=1 — EXACT, hash-checked
+    against the brute-force window-count definition in DuckDB. The
+    100 TB form raises winnow_w (w-fold smaller exchange, matches
+    >= L + w - 1 guaranteed by robust winnowing, intra-partition
+    matches exact at >= L via the suffix-array tier) — property-
+    tested in tests/test_suffix.py.
+
+    Scale shape: window digests are computed INSIDE the map-side
+    transform (md5 in the lambda, exploded after hashing), so the
+    duplicate-detection exchange carries (h, doc_id, pos) only and
+    the span-merge exchange carries (doc_id, pos) — token content
+    never enters a keyed exchange (plan-locked)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from clinical_data_warehouse_bi_spark.suffix import duplicate_spans
+
+    return duplicate_spans(
+        docs, min_tokens=SUBSTRING_MIN_TOKENS, winnow_w=1
+    )

@@ -1,0 +1,411 @@
+"""Exact substring deduplication — the suffix-array family (Lee et
+al. 2022, "Deduplicating Training Data Makes Language Models Better",
+ExactSubstr): find every token span of >= L tokens that occurs more
+than once in the corpus, as merged per-document spans ready for
+removal. Completes the dedup suite (round-13 verdict item 8): exact
+doc-hash, MinHash/LSH, SimHash, CDC-chunk, paragraph and repeated-span
+dedup are all document- or chunk-grained; this is the TOKEN-grained
+member that catches partial overlap at arbitrary alignment.
+
+Reference context: the reference warehouse (pure MariaDB BI SQL) has
+no text dedup at all; this extends the engine's LLM-corpus surface
+the way the public pipelines (Lee 2022; RefinedWeb; Dolma) do.
+
+Distributed design — two composable tiers, neither of which ever
+puts token content into a keyed exchange:
+
+- **Intra-partition suffix-array tier** (``sa_dup_positions``): one
+  ``mapInPandas`` pass over the INPUT partitions — no shuffle at all;
+  partition size is already bounded by the scan's maxPartitionBytes.
+  Per partition: token ids + per-document unique separators are
+  concatenated, a prefix-doubling suffix array (numpy lexsorts,
+  O(n log n) passes, memory O(n)) orders the suffixes, and a CAPPED
+  neighbor comparison marks duplicated window starts — suffixes
+  sharing an L-prefix form a contiguous SA block, so "window occurs
+  >= 2 times" == "shares >= L tokens with an SA neighbor", checked
+  with L vectorized equality sweeps instead of a Kasai LCP pass
+  (O(n·L) vectorized beats O(n) interpreted Python at any realistic
+  L). Unique separators make cross-document false matches and
+  short-tail windows impossible by construction. MAX_SA_TOKENS fails
+  loudly with sizing guidance (repartition) before memory does.
+- **Cross-partition anchor tier** (``window_hash_relation``): every
+  L-token window keyed by a 128-bit content digest (md5 of the
+  chr(1)-joined window — the repo's exact-dedup convention: content
+  hashes ARE equality at 2^-128 collision odds). ``winnow_w == 1``
+  hashes every window map-side in pure JVM expressions (transform +
+  md5 inside the lambda, exploded AFTER hashing) — the exchange
+  carries (h, doc_id, pos) only, and the tier alone is EXACT (the SA
+  pass is skipped as redundant). ``winnow_w > 1`` is the scale
+  knob: robust winnowing (Schleimer et al. 2003, the MOSS scheme)
+  anchors ~1/w of the windows, shrinking the exchange w-fold, with
+  the standard guarantee that any duplicate of length
+  >= L + w - 1 shares an anchor; the SA tier then covers
+  intra-partition duplicates at full >= L precision.
+
+Span semantics match the brute-force definition exactly: a token
+position is duplicated iff some L-window covering it occurs >= 2
+times in the corpus; per document, duplicated window starts merge
+into maximal [span_start, span_end] token intervals (1-based,
+inclusive — the DuckDB list-index convention the oracle uses).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinical_data_warehouse_bi_spark.text import tokens
+
+#: loud-fail ceiling on tokens per partition in the suffix-array
+#: pass: the prefix-doubling build holds ~6 int64 arrays of length n
+#: (~200 MB at this bound) — a partition past it should be re-split
+#: (repartition) rather than silently thrash
+MAX_SA_TOKENS = 4_000_000
+
+#: field separator inside a window digest (tokens are [a-z0-9]+ so
+#: chr(1) can never occur in one — injective join, the _fp_sql
+#: convention)
+WIN_SEP = "\x01"
+
+
+# --------------------------------------------------------------- numpy core
+
+
+def suffix_array(arr: np.ndarray) -> np.ndarray:
+    """Suffix array of an int64 token-id sequence via prefix doubling:
+    O(log n) rounds of numpy lexsort, O(n) memory — the
+    bounded-memory construction the per-partition pass runs (SA-IS is
+    a constant-factor refinement; the lexsort rounds are fully
+    vectorized)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.unique(arr, return_inverse=True)[1].astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        r1, r2 = rank[order], second[order]
+        changed = np.empty(n, dtype=bool)
+        changed[0] = False
+        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new
+        sa = order
+        if new[-1] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def dup_window_starts(arr: np.ndarray, min_len: int) -> np.ndarray:
+    """Positions p where the ``min_len``-token window arr[p:p+L]
+    occurs >= 2 times in ``arr`` — the ExactSubstr duplicate
+    criterion. Suffixes sharing an L-prefix are CONTIGUOUS in suffix
+    order, so every such p has an SA NEIGHBOR sharing >= L tokens:
+    one suffix array + L vectorized neighbor-equality sweeps, no LCP
+    array. Negative ids are reserved for unique separators/padding —
+    they occur once each, so windows containing them can never
+    match (the caller's cross-document guard is free)."""
+    n = len(arr)
+    if n < min_len or min_len < 1:
+        return np.empty(0, dtype=np.int64)
+    sa = suffix_array(arr)
+    # pad with unique negatives so a+off never leaves the array and
+    # short suffixes compare unequal automatically
+    pad = -(np.arange(min_len, dtype=np.int64) + 1) - (
+        np.abs(arr).max() + 2 if n else 2
+    )
+    arrp = np.concatenate([arr, pad])
+    a, b = sa[:-1], sa[1:]
+    eq = np.ones(n - 1, dtype=bool)
+    for off in range(min_len):
+        eq &= arrp[a + off] == arrp[b + off]
+        if not eq.any():
+            break
+    dup = np.zeros(n, dtype=bool)
+    dup[a[eq]] = True
+    dup[b[eq]] = True
+    return np.flatnonzero(dup)
+
+
+def _winnow_anchors(sel_hash: np.ndarray, w: int) -> np.ndarray:
+    """Robust-winnowing anchor positions over a window-hash sequence:
+    the argmin (leftmost tie) of every w consecutive hashes, deduped.
+    Content-determined, so two copies of the same long duplicate
+    anchor the same relative positions — any common run of >= w
+    window hashes contributes >= 1 shared anchor (the MOSS
+    guarantee)."""
+    if len(sel_hash) == 0:
+        return np.empty(0, dtype=np.int64)
+    if w <= 1 or len(sel_hash) <= w:
+        return np.arange(len(sel_hash), dtype=np.int64)
+    view = np.lib.stride_tricks.sliding_window_view(sel_hash, w)
+    return np.unique(np.argmin(view, axis=1) + np.arange(len(view)))
+
+
+# --------------------------------------------------------- Spark operators
+
+
+def _tok_rel(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+
+
+def sa_dup_positions(
+    docs: DataFrame,
+    min_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos): 1-based starts of duplicated ``min_tokens``
+    windows detectable WITHIN each input partition — the exchange-free
+    suffix-array tier (see module docstring). Exact for any corpus
+    that fits one partition; the anchor tier covers cross-partition
+    pairs in the composed operator."""
+    if min_tokens < 1:
+        raise ValueError("min_tokens must be positive")
+
+    def op(batches):
+        doc_ids: list = []
+        tok_lists: list = []
+        total = 0
+        for pdf in batches:
+            for did, toks in zip(pdf["doc_id"], pdf["__toks"]):
+                doc_ids.append(did)
+                tok_lists.append(list(toks))
+                total += len(toks) + 1
+            if total > MAX_SA_TOKENS:
+                raise ValueError(
+                    f"suffix-array partition holds > MAX_SA_TOKENS="
+                    f"{MAX_SA_TOKENS} tokens: repartition the corpus "
+                    "so partitions stay bounded (tokens / "
+                    "MAX_SA_TOKENS partitions minimum)"
+                )
+        if not doc_ids:
+            yield pd.DataFrame({"doc_id": [], "pos": []}).astype(
+                {"doc_id": "int64", "pos": "int64"}
+            )
+            return
+        # factorize the partition vocabulary once; separators are
+        # unique negatives so no window can span two documents
+        flat = [t for toks in tok_lists for t in toks]
+        codes = (
+            np.unique(np.asarray(flat, dtype=object), return_inverse=True)[1]
+            .astype(np.int64)
+            if flat
+            else np.empty(0, dtype=np.int64)
+        )
+        pieces, starts, off, cursor = [], [], 0, 0
+        for i, toks in enumerate(tok_lists):
+            starts.append(off)
+            pieces.append(codes[cursor : cursor + len(toks)])
+            cursor += len(toks)
+            off += len(toks)
+            pieces.append(np.array([-(i + 1)], dtype=np.int64))
+            off += 1
+        arr = np.concatenate(pieces)
+        starts_arr = np.asarray(starts, dtype=np.int64)
+        ends_arr = starts_arr + np.asarray(
+            [len(t) for t in tok_lists], dtype=np.int64
+        )
+        pos = dup_window_starts(arr, min_tokens)
+        if not len(pos):
+            yield pd.DataFrame({"doc_id": [], "pos": []}).astype(
+                {"doc_id": "int64", "pos": "int64"}
+            )
+            return
+        doc_idx = np.searchsorted(starts_arr, pos, side="right") - 1
+        # windows containing a separator can never match (unique ids),
+        # so pos is always inside its doc — assert the invariant
+        assert (pos + min_tokens <= ends_arr[doc_idx]).all()
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64)[doc_idx],
+                "pos": pos - starts_arr[doc_idx] + 1,  # 1-based
+            }
+        )
+
+    return _tok_rel(docs, id_col, text_col).mapInPandas(
+        op, "doc_id bigint, pos bigint"
+    )
+
+
+def window_hash_relation(
+    docs: DataFrame,
+    min_tokens: int,
+    winnow_w: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, h): md5 digest per ``min_tokens`` window — every
+    window at ``winnow_w == 1`` (pure JVM expressions: the digest is
+    computed INSIDE the transform lambda, so the exploded rows — and
+    any downstream exchange — carry only the slim triple), winnowed
+    anchors at ``winnow_w > 1`` (Arrow pass: a cheap content-pure
+    selection hash picks argmin anchors per w-window, md5 only the
+    selected ~1/w)."""
+    if min_tokens < 1 or winnow_w < 1:
+        raise ValueError("min_tokens and winnow_w must be positive")
+    L = int(min_tokens)
+    rel = _tok_rel(docs, id_col, text_col)
+    if winnow_w == 1:
+        win = F.expr(
+            f"CASE WHEN size(__toks) >= {L} THEN "
+            f"transform(sequence(1, size(__toks) - {L} + 1), "
+            f"i -> struct(i AS pos, "
+            f"md5(array_join(slice(__toks, i, {L}), '{WIN_SEP}')) AS h)) "
+            "ELSE cast(array() AS array<struct<pos:int,h:string>>) END"
+        )
+        return rel.select(
+            "doc_id", F.explode(win).alias("__w")
+        ).select(
+            "doc_id",
+            F.col("__w.pos").cast("bigint").alias("pos"),
+            F.col("__w.h").alias("h"),
+        )
+
+    coef = ((np.arange(L, dtype=np.int64) * 2 + 1) * 2654435761).astype(
+        np.int64
+    )
+
+    def op(batches):
+        import zlib
+
+        for pdf in batches:
+            out_doc, out_pos, out_h = [], [], []
+            for did, toks in zip(pdf["doc_id"], pdf["__toks"]):
+                toks = list(toks)
+                n = len(toks)
+                if n < L:
+                    continue
+                crc = np.array(
+                    [zlib.crc32(t.encode()) for t in toks], dtype=np.int64
+                )
+                wview = np.lib.stride_tricks.sliding_window_view(crc, L)
+                sel = (wview * coef[None, :]).sum(axis=1)
+                for p in _winnow_anchors(sel, winnow_w):
+                    out_doc.append(did)
+                    out_pos.append(int(p) + 1)
+                    out_h.append(
+                        hashlib.md5(
+                            WIN_SEP.join(toks[p : p + L]).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "pos": out_pos, "h": out_h}
+            ).astype({"doc_id": "int64", "pos": "int64", "h": "object"})
+
+    return rel.mapInPandas(op, "doc_id bigint, pos bigint, h string")
+
+
+def _merge_spans(marked: DataFrame, min_tokens: int) -> DataFrame:
+    """(doc_id, span_start, span_end): merge duplicated window starts
+    into maximal covered token intervals — the gaps-and-islands
+    running-max form, one slim (doc_id, pos) exchange shared by both
+    window functions and the final group."""
+    L = int(min_tokens)
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(L - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    grp = F.sum(brk).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("__grp", grp)
+        .groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    winnow_w: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end): maximal duplicated token spans
+    (1-based, inclusive) — ExactSubstr's output. ``winnow_w == 1`` is
+    EXACT (every window hashed; the anchor tier alone is complete, so
+    the suffix-array pass is skipped as redundant); ``winnow_w > 1``
+    exchanges ~1/w of the windows and composes both tiers:
+    intra-partition duplicates exact at >= min_tokens (suffix array),
+    cross-partition duplicates guaranteed at >= min_tokens +
+    winnow_w - 1 (winnowing), with span edges resolved to anchor
+    granularity. Exchanges: one on the 128-bit window digest
+    (duplicate detection), one on doc_id (span merge) — both slim;
+    token content never enters a keyed exchange (plan-locked)."""
+    anchors = window_hash_relation(
+        docs, min_tokens, winnow_w, id_col, text_col
+    )
+    cnt = F.count("*").over(Window.partitionBy("h"))
+    marked = (
+        anchors.withColumn("__c", cnt)
+        .filter(F.col("__c") >= 2)
+        .select("doc_id", "pos")
+    )
+    if winnow_w > 1:
+        marked = marked.unionByName(
+            sa_dup_positions(docs, min_tokens, id_col, text_col)
+        )
+    return _merge_spans(marked, min_tokens)
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    winnow_w: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spans: DataFrame | None = None,
+    spans_broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """(id_col, text): the corpus with every duplicated span's tokens
+    REMOVED (all occurrences — the conservative decontamination form
+    Lee et al. evaluate) and the surviving tokens re-joined with
+    single spaces. Output text is the NORMALIZED token stream (the
+    tokenizer lowers and strips punctuation) — the form an LLM
+    training pipeline feeds the tokenizer anyway; callers needing
+    original bytes should treat the spans relation as a mask instead.
+
+    The spans side is size-gated-broadcast; past the budget the join
+    flips to a shuffle keyed on the UNIFORM doc id (the corpus-clean
+    convention: text shuffles once by doc_id, never by a content
+    key)."""
+    from clinical_data_warehouse_bi_spark.joins import size_gated_broadcast
+
+    if spans is None:
+        spans = duplicate_spans(docs, min_tokens, winnow_w, id_col, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    side, _ = size_gated_broadcast(per_doc, spans_broadcast_max_rows)
+    rel = _tok_rel(docs, id_col, text_col).join(side, "doc_id", "left")
+    kept = F.expr(
+        "array_join(transform(filter(transform("
+        "sequence(1, size(__toks)), i -> struct(i AS i, __toks[i-1] AS t)), "
+        "s -> __spans IS NULL OR NOT exists(__spans, "
+        "sp -> s.i BETWEEN sp.span_start AND sp.span_end)), "
+        "s -> s.t), ' ')"
+    )
+    return rel.select(
+        F.col("doc_id").alias(id_col),
+        F.when(F.size("__toks") > 0, kept).otherwise(F.lit("")).alias("text"),
+    )
