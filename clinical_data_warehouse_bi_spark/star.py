@@ -468,7 +468,16 @@ def build_dwh(
 ) -> dict[str, DataFrame]:
     """DWH.sql: DISTINCT-promote every table, top-up dim_date, keep
     the 'Unknown concept' row, six orphan cleanups, pre-aggregate.
-    ``parity_keys`` as in build_staging (fact surrogate strategy)."""
+    ``parity_keys`` as in build_staging (fact surrogate strategy).
+
+    The scale path (parity_keys=False, round-14) exploits the
+    STAGING INVARIANTS build_staging guarantees to elide the probes
+    that are no-ops by construction — output rows are identical, and
+    the pipeline's own QA probes (qa.orphan_checks, asserted all-zero
+    e2e) are the standing witness for every elision. Callers feeding
+    a HAND-BUILT stage dict that violates those invariants (doctored
+    dims) must use parity_keys=True, which runs the reference's full
+    probe set verbatim."""
     dim_patients = stage["dim_patients"].distinct()
     dim_admissions = stage["dim_admissions"].distinct()
     dim_provider = stage["dim_provider"].distinct()
@@ -480,37 +489,26 @@ def build_dwh(
     # columns (event_date is dropped in the DWH fact), fresh key
     fact_cols = [c for c in FACT_COLS if c not in ("disorder_event_id", "event_date")]
     deduped = stage["fact_disorder_events"].select(*fact_cols).distinct()
-    # keys assigned BEFORE the cleanups in both modes (the reference
-    # order: CTAS with AUTO_INCREMENT, then DELETE orphans — surviving
-    # keys keep the gap structure). Round 13 tried fusing the key
-    # barrier into the post-cleanup checkpoint (one event-scale
-    # materialization instead of two) but the content-deterministic
-    # ordering it then needs (sortWithinPartitions over all columns)
-    # measured SLOWER than the second barrier it saved (15.3 s vs
-    # 12.6 s for the whole DWH build at 256x) — the distinct's own
-    # output order is already layout-stable enough for zip, the extra
-    # sort is not.
-    if parity_keys:
-        w_fact = Window.orderBy(*[F.col(c).asc_nulls_first() for c in fact_cols])
-        fact = deduped.withColumn("disorder_event_id", F.row_number().over(w_fact))
-    else:
-        fact = zip_index_key(deduped, name="disorder_event_id")
-    fact = fact.select("disorder_event_id", *fact_cols)
 
     # dim_date top-up (124-135): anti-join insert of missing
-    # datetimes. Derived from the STAGE fact, not the deduped
-    # promote: the full-row DISTINCT cannot change the set of
-    # distinct datetimes, and the stage fact is the checkpointed
-    # relation — reading it here keeps the scale path's deduped
-    # chain single-consumer (it has no barrier of its own until
-    # zip_index_key below).
-    missing = (
-        stage["fact_disorder_events"]
-        .filter(F.col("event_datetime").isNotNull())
-        .select("event_datetime")
-        .join(dim_date.select("event_datetime"), "event_datetime", "left_anti")
-    )
-    dim_date = dim_date.unionByName(_calendar(missing))
+    # datetimes — PROVABLY EMPTY against a build_staging stage:
+    # stage dim_date is _calendar() over exactly the stage fact's
+    # non-null datetimes, and neither the DISTINCT promote nor the
+    # cleanups can add a datetime. Parity mode runs the reference's
+    # anti-join verbatim; the scale path elides it (witness: the
+    # 'Orphan dates' QA probe stays zero e2e, and
+    # tests/test_star_pipeline.py::test_dwh_scale_path_matches_parity
+    # pins row-set equality between the two modes).
+    if parity_keys:
+        missing = (
+            stage["fact_disorder_events"]
+            .filter(F.col("event_datetime").isNotNull())
+            .select("event_datetime")
+            .join(
+                dim_date.select("event_datetime"), "event_datetime", "left_anti"
+            )
+        )
+        dim_date = dim_date.unionByName(_calendar(missing))
 
     # 'Unknown concept' guard (138-144): NOT EXISTS re-insert
     unknown_missing = (
@@ -524,23 +522,66 @@ def build_dwh(
     )
     dim_concepts = dim_concepts.unionByName(unknown_missing)
 
-    # orphan cleanup x6 (150-177); patient_id is NOT NULL so the
-    # first probe degenerates to a semi join
-    fact = orphan_cleanup(fact, dim_patients, "patient_id", "patient_id")
-    fact = orphan_cleanup(fact, dim_admissions, "admission_id", "admission_id")
-    fact = orphan_cleanup(fact, dim_concepts, "clinical_concept_id", "clinical_concept_id")
-    fact = orphan_cleanup(fact, dim_date, "event_datetime", "event_datetime")
-    fact = orphan_cleanup(fact, dim_junk, "junk_id", "junk_id")
-    fact = orphan_cleanup(fact, dim_provider, "provider_id", "provider_id")
-
-    # the cleaned fact is consumed twice (the fact table itself AND
-    # the pre-agg) — without a barrier each consumer recomputes the
-    # whole promote + 6-cleanup chain. Lazy checkpoint: materialized
-    # by whichever consumer acts first, reused by the other — the
-    # same role the reference's physical DWH fact table plays
-    # (DWH.sql:111-118). When run_pipeline writes parquet layers the
-    # write itself is the barrier and this is a no-op cost.
-    fact = fact.localCheckpoint(eager=False)
+    if parity_keys:
+        # reference-exact: key BEFORE the DELETEs (CTAS with
+        # AUTO_INCREMENT, then DELETE orphans — surviving keys keep
+        # the gap structure), then all six probes (150-177);
+        # patient_id is NOT NULL so the first degenerates to a semi
+        # join
+        w_fact = Window.orderBy(
+            *[F.col(c).asc_nulls_first() for c in fact_cols]
+        )
+        fact = deduped.withColumn(
+            "disorder_event_id", F.row_number().over(w_fact)
+        ).select("disorder_event_id", *fact_cols)
+        fact = orphan_cleanup(fact, dim_patients, "patient_id", "patient_id")
+        fact = orphan_cleanup(fact, dim_admissions, "admission_id", "admission_id")
+        fact = orphan_cleanup(fact, dim_concepts, "clinical_concept_id", "clinical_concept_id")
+        fact = orphan_cleanup(fact, dim_date, "event_datetime", "event_datetime")
+        fact = orphan_cleanup(fact, dim_junk, "junk_id", "junk_id")
+        fact = orphan_cleanup(fact, dim_provider, "provider_id", "provider_id")
+        # the cleaned fact is consumed twice (the fact table itself
+        # AND the pre-agg) — without a barrier each consumer
+        # recomputes the whole promote + cleanup chain. Lazy
+        # checkpoint: materialized by whichever consumer acts first,
+        # reused by the other — the same role the reference's
+        # physical DWH fact table plays (DWH.sql:111-118). When
+        # run_pipeline writes parquet layers the write itself is the
+        # barrier and this is a no-op cost.
+        fact = fact.localCheckpoint(eager=False)
+    else:
+        # scale path (round-14 rewrite; the DWH build was the
+        # measured pipeline_star residue at 256x). Two facts about
+        # build_staging's output make four of the six probes no-ops:
+        # every fact FK in {clinical_concept_id, junk_id,
+        # provider_id} was ASSIGNED from the very dim it is probed
+        # against (concept lookup + Unknown default, junk link-back,
+        # provider interval join), and dim_date derives from the
+        # fact's own datetimes — while DISTINCT promotion can only
+        # shrink row multiplicity, never a dim's key set. Only
+        # patient_id and admission_id arrive from SOURCE tables
+        # (labevents/diagnoses/omr subject+hadm ids) and can
+        # genuinely dangle, so only those two probes can delete.
+        # Eliding the other four drops their dim-key DISTINCT
+        # exchanges (provider is transfers-scale, date is
+        # event-scale) and broadcast builds from the hot path.
+        #
+        # Key assignment moves AFTER the two live probes: scale-mode
+        # keys are arbitrary-but-dense BY CONTRACT (build_staging
+        # docstring; parity joins on natural keys), so the surviving
+        # rows take dense 1..N keys and zip_index_key's internal
+        # localCheckpoint IS the two-consumer barrier — the DWH build
+        # pays ONE event-scale materialization instead of two and no
+        # separate checkpoint. (Round 13's rejected fusion kept
+        # pre-cleanup keys and needed a determinizing sort; assigning
+        # post-cleanup needs neither.) The reference's gap structure
+        # is a key-VALUE property, preserved only under
+        # parity_keys=True like the key values themselves.
+        fact = orphan_cleanup(deduped, dim_patients, "patient_id", "patient_id")
+        fact = orphan_cleanup(fact, dim_admissions, "admission_id", "admission_id")
+        fact = zip_index_key(fact, name="disorder_event_id").select(
+            "disorder_event_id", *fact_cols
+        )
 
     # pre-aggregation (203-210). countDistinct x2 (the Expand form)
     # measured FASTER than the collect_set rewrite here (3.4 s vs

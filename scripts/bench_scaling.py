@@ -78,16 +78,28 @@ def replicate(spark, factor: int) -> str:
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
         return out
+    # factors past 64 compose from a smaller replica (4x per stage,
+    # recursively materialized): a single-stage 1024x build would
+    # plan a 1024-branch union per table — deep-plan analysis cost
+    # and one giant write job, where staged 4x replications of an
+    # already-written replica stay shallow. Key shifts are relative
+    # to each source's own max, so composition preserves referential
+    # integrity and per-key cardinality exactly like one stage.
+    if factor > 64 and factor % 4 == 0:
+        src = replicate(spark, factor // 4)
+        mult = 4
+    else:
+        src, mult = BASE, factor
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     for t, keys in SHIFT_KEYS.items():
-        df = spark.read.parquet(f"{BASE}/{t}.parquet")
-        if factor > 1 and keys:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if mult > 1 and keys:
             span = {
                 k: (df.agg(F.max(k)).first()[0] or 0) + 1 for k in keys
             }
             parts = []
-            for r in range(factor):
+            for r in range(mult):
                 p = df
                 for k in keys:
                     p = p.withColumn(k, F.col(k) + F.lit(r * span[k]))

@@ -324,3 +324,41 @@ def test_deidentified_release_preserves_analytics(pipeline):
         r["patient_id"] for r in released.select("patient_id").distinct().collect()
     }
     assert not ({str(p) for p in raw_pids} & rel_pids)
+
+
+def test_dwh_scale_path_matches_parity(spark):
+    """The round-14 scale-path elisions (four provably-no-op orphan
+    probes + the provably-empty dim_date top-up + post-cleanup dense
+    keys) must be invisible in the DATA: every DWH relation equals
+    the parity build row-for-row, with only the fact surrogate-key
+    VALUES allowed to differ (dense-over-survivors vs
+    gap-preserving, both unique)."""
+    src = make_sources(spark, n_patients=200)
+    stage = star.build_staging(src)
+    for name, df in stage.items():
+        stage[name] = df.localCheckpoint()  # one shared staging input
+    scale = star.build_dwh(stage, parity_keys=False)
+    parity = star.build_dwh(stage, parity_keys=True)
+
+    def rows(df, drop=()):
+        cols = sorted(c for c in df.columns if c not in drop)
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()
+        )
+
+    for name in (
+        "dim_patients", "dim_admissions", "dim_provider", "dim_concepts",
+        "dim_date", "dim_junk_disorder_event", "agg_disorders_per_admission",
+    ):
+        assert rows(scale[name]) == rows(parity[name]), name
+    assert rows(
+        scale["fact_disorder_events"], drop=("disorder_event_id",)
+    ) == rows(parity["fact_disorder_events"], drop=("disorder_event_id",))
+    # scale keys: dense 1..N over the SURVIVING rows
+    r = scale["fact_disorder_events"].agg(
+        F.count("*").alias("n"),
+        F.count_distinct("disorder_event_id").alias("nd"),
+        F.min("disorder_event_id").alias("lo"),
+        F.max("disorder_event_id").alias("hi"),
+    ).first()
+    assert (r.nd, r.lo, r.hi) == (r.n, 1, r.n)
