@@ -340,6 +340,7 @@ def duplicate_spans(
     winnow_w: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """(doc_id, span_start, span_end): maximal duplicated token spans
     (1-based, inclusive) — ExactSubstr's output. ``winnow_w == 1`` is
@@ -351,14 +352,35 @@ def duplicate_spans(
     winnow_w - 1 (winnowing), with span edges resolved to anchor
     granularity. Exchanges: one on the 128-bit window digest
     (duplicate detection), one on doc_id (span merge) — both slim;
-    token content never enters a keyed exchange (plan-locked)."""
+    token content never enters a keyed exchange (plan-locked).
+
+    ``keep_first=True`` marks only the NON-CANONICAL occurrences of
+    each duplicated window (canonical = lowest (doc_id, pos) in the
+    hash group — one deterministic survivor per window, the
+    keep-one-copy training form Lee et al. apply; default False
+    marks every occurrence, the conservative decontamination form).
+    The ranking rides the same hash-keyed window as the count — no
+    extra exchange. Exact tier only (winnow_w must be 1: the
+    suffix-array tier has no group view to rank within)."""
+    if keep_first and winnow_w != 1:
+        raise ValueError(
+            "keep_first requires winnow_w == 1: the intra-partition "
+            "suffix-array tier marks duplicates without a global "
+            "group view, so it cannot rank a canonical survivor"
+        )
     anchors = window_hash_relation(
         docs, min_tokens, winnow_w, id_col, text_col
     )
-    cnt = F.count("*").over(Window.partitionBy("h"))
+    w_h = Window.partitionBy("h")
+    cond = F.count("*").over(w_h) >= 2
+    if keep_first:
+        rn = F.row_number().over(
+            w_h.orderBy(F.col("doc_id").asc(), F.col("pos").asc())
+        )
+        cond = cond & (rn >= 2)
     marked = (
-        anchors.withColumn("__c", cnt)
-        .filter(F.col("__c") >= 2)
+        anchors.withColumn("__keep", cond)
+        .filter(F.col("__keep"))
         .select("doc_id", "pos")
     )
     if winnow_w > 1:
@@ -376,10 +398,13 @@ def strip_duplicate_spans(
     text_col: str = "text",
     spans: DataFrame | None = None,
     spans_broadcast_max_rows: int = 2_000_000,
+    keep_first: bool = False,
 ) -> DataFrame:
-    """(id_col, text): the corpus with every duplicated span's tokens
-    REMOVED (all occurrences — the conservative decontamination form
-    Lee et al. evaluate) and the surviving tokens re-joined with
+    """(id_col, text): the corpus with duplicated spans' tokens
+    REMOVED — every occurrence by default (the conservative
+    decontamination form Lee et al. evaluate), or all-but-one with
+    ``keep_first=True`` (the keep-one-copy training form; see
+    duplicate_spans) — and the surviving tokens re-joined with
     single spaces. Output text is the NORMALIZED token stream (the
     tokenizer lowers and strips punctuation) — the form an LLM
     training pipeline feeds the tokenizer anyway; callers needing
@@ -392,7 +417,10 @@ def strip_duplicate_spans(
     from clinical_data_warehouse_bi_spark.joins import size_gated_broadcast
 
     if spans is None:
-        spans = duplicate_spans(docs, min_tokens, winnow_w, id_col, text_col)
+        spans = duplicate_spans(
+            docs, min_tokens, winnow_w, id_col, text_col,
+            keep_first=keep_first,
+        )
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

@@ -265,3 +265,59 @@ def test_substring_dedup_plan_token_content_never_keyed(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             assert "__toks" not in line, line
             assert "text#" not in line, line
+
+
+def test_keep_first_marks_only_later_occurrences(spark):
+    """keep_first=True: the canonical (lowest doc_id, pos) copy of a
+    planted passage survives; every later copy's span is marked, and
+    strip removes exactly the non-canonical copies. Brute-force
+    reference: mark positions whose window is duplicated AND not the
+    group's minimum occurrence."""
+    rng = np.random.RandomState(53)
+    docs = _rand_docs(rng, n_docs=10, vocab=300)
+    L = 6
+    s, t = _plant(docs, 2, 7, L + 4, rng)  # doc 2 canonical, doc 7 copy
+    spans = {}
+    rows = suffix.duplicate_spans(
+        _to_df(spark, docs).repartition(4), min_tokens=L, keep_first=True
+    ).collect()
+    for r in rows:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # brute reference with keep-first semantics
+    wins = {}
+    for d, toks in docs.items():
+        for i in range(len(toks) - L + 1):
+            wins.setdefault(tuple(toks[i : i + L]), []).append((d, i + 1))
+    marked = {}
+    for occ in wins.values():
+        if len(occ) >= 2:
+            for d, p in sorted(occ)[1:]:
+                marked.setdefault(d, set()).add(p)
+    expect = {}
+    for d, ps in marked.items():
+        out, cur = [], None
+        for p in sorted(ps):
+            if cur is not None and p <= cur[1]:
+                cur[1] = max(cur[1], p + L - 1)
+            else:
+                if cur is not None:
+                    out.append(tuple(cur))
+                cur = [p, p + L - 1]
+        out.append(tuple(cur))
+        expect[d] = out
+    assert {d: sorted(v) for d, v in spans.items()} == expect
+    # the canonical copy survives the strip; the later copy is gone
+    out = {
+        r["doc_id"]: r["text"]
+        for r in suffix.strip_duplicate_spans(
+            _to_df(spark, docs), min_tokens=L, keep_first=True
+        ).collect()
+    }
+    needle = " ".join(docs[2][s : s + L + 4])
+    assert needle in out[2]
+    assert needle not in out[7]
+    with pytest.raises(ValueError, match="keep_first"):
+        suffix.duplicate_spans(_to_df(spark, docs), L, winnow_w=4,
+                               keep_first=True)
