@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q_simhash_pairs",
     "q_cdc_chunk_dedup",
     "q_substring_dedup",
+    "q_decontaminate_exact",
     "q_paragraph_dedup",
     "q_fuzzy_match",
     "q_token_budget",

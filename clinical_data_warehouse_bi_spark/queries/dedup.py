@@ -803,3 +803,94 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(
         docs, min_tokens=SUBSTRING_MIN_TOKENS, winnow_w=1
     )
+
+
+def _suffix_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus cache for the decontamination index
+    (the q_bm25_served convention): format version in the key so a
+    layout change can never serve a stale directory."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from clinical_data_warehouse_bi_spark.suffix import (
+        SUFFIX_INDEX_FORMAT_VERSION,
+    )
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return (
+        f"{tempfile.gettempdir()}/spark_graft_suffix_idx_"
+        f"v{SUFFIX_INDEX_FORMAT_VERSION}_L{SUBSTRING_MIN_TOKENS}_{tag}"
+    )
+
+
+@register("q_decontaminate_exact", oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    w AS (SELECT doc_id, i,
+                 array_to_string(toks[i:i+{SUBSTRING_MIN_TOKENS - 1}],
+                                 chr(1)) AS win
+          FROM t, LATERAL (SELECT unnest(generate_series(
+                 1, len(toks) - {SUBSTRING_MIN_TOKENS} + 1)) AS i) g
+          WHERE len(toks) >= {SUBSTRING_MIN_TOKENS}),
+    ref AS (SELECT DISTINCT win FROM w WHERE doc_id % 4 = 0),
+    m AS (SELECT w.doc_id, w.i FROM w JOIN ref USING (win)
+          WHERE w.doc_id % 4 <> 0),
+    o AS (SELECT doc_id, i,
+                 max(i + {SUBSTRING_MIN_TOKENS} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM m),
+    b AS (SELECT doc_id, i,
+                 CASE WHEN prev_end IS NULL OR i > prev_end
+                      THEN 1 ELSE 0 END AS brk
+          FROM o),
+    g AS (SELECT doc_id, i,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+          FROM b)
+    SELECT doc_id, min(i) AS span_start,
+           max(i) + {SUBSTRING_MIN_TOKENS} - 1 AS span_end
+    FROM g GROUP BY doc_id, grp
+    """)
+def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring DECONTAMINATION against a PERSISTED reference
+    index (suffix.build_suffix_index + probe_suffix_index): spans of
+    probe documents whose {SUBSTRING_MIN_TOKENS}-token windows appear
+    anywhere in the reference corpus — the check a training pipeline
+    runs against held-out benchmarks before data ships (Lee et al.
+    2022's decontamination application; the exact-substring upgrade
+    of q_contamination's n-gram overlap). The demo split is
+    deterministic (doc_id % 4 == 0 is the reference, the rest are
+    probed) so both engines construct identical corpora and the full
+    span set is hash-checked.
+
+    Serving shape (the 100 TB story): the reference's DISTINCT window
+    digests persist ONCE, parquet-partitioned by digest bucket with a
+    meta-last commit marker (built here into a cached dir via the
+    q_bm25_served atomic-publish convention); each probe batch
+    computes its own digests map-side, prunes the index scan to its
+    bucket set, and semi-joins on (bucket, digest) — batch-
+    proportional work, no reference rescan, token content never in a
+    keyed exchange."""
+    import os
+    import shutil
+
+    from clinical_data_warehouse_bi_spark import suffix
+    from clinical_data_warehouse_bi_spark.io import publish_index_dir
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    path = _suffix_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, suffix.SUFFIX_INDEX_META)):
+        build_dir = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(build_dir, ignore_errors=True)
+        suffix.build_suffix_index(
+            docs.where(F.col("doc_id") % 4 == 0),
+            build_dir,
+            min_tokens=SUBSTRING_MIN_TOKENS,
+            n_buckets=32,
+        )
+        publish_index_dir(build_dir, path, suffix.SUFFIX_INDEX_META)
+    return suffix.probe_suffix_index(
+        spark, docs.where(F.col("doc_id") % 4 != 0), path
+    )

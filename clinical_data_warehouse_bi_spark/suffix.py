@@ -437,3 +437,137 @@ def strip_duplicate_spans(
         F.col("doc_id").alias(id_col),
         F.when(F.size("__toks") > 0, kept).otherwise(F.lit("")).alias("text"),
     )
+
+
+# ------------------------------------------------- persisted digest index
+#
+# Exact-substring DECONTAMINATION: a training pipeline must check new
+# data against a REFERENCE corpus (held-out benchmarks, an already-
+# released training set) without rescanning the reference per batch.
+# The reference's distinct window digests persist once, parquet-
+# partitioned by digest bucket (the BM25/IVF-PQ persisted-index
+# conventions: meta JSON written last = complete-iff-present marker,
+# same single-writer scope); a probe computes the new batch's
+# digests map-side and semi-joins the index with the scan PRUNED to
+# the batch's bucket set — probe cost is batch-proportional plus the
+# touched fraction of the index, never a full reference rescan.
+
+SUFFIX_INDEX_META = "_suffix_meta.json"
+SUFFIX_INDEX_FORMAT_VERSION = 1
+
+
+def _bucketed(rel: DataFrame, n_buckets: int) -> DataFrame:
+    return rel.withColumn(
+        "bucket", F.pmod(F.crc32(F.col("h")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def build_suffix_index(
+    docs: DataFrame,
+    path: str,
+    min_tokens: int = 20,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Persist the reference corpus's DISTINCT ``min_tokens``-window
+    digests, partitioned by digest bucket. One digest row per unique
+    window (presence is the contract — decontamination needs
+    membership, not counts), so the index is bounded by the
+    reference's unique-window count regardless of duplication."""
+    import json
+    import os
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be positive")
+    rel = window_hash_relation(docs, min_tokens, 1, id_col, text_col)
+    idx = _bucketed(rel.select("h").distinct(), n_buckets)
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = {
+        "format_version": SUFFIX_INDEX_FORMAT_VERSION,
+        "min_tokens": int(min_tokens),
+        "n_buckets": int(n_buckets),
+    }
+    with open(os.path.join(path, SUFFIX_INDEX_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _load_suffix_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, SUFFIX_INDEX_META)) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != SUFFIX_INDEX_FORMAT_VERSION:
+        raise ValueError(f"stale suffix index format at {path}")
+    return meta
+
+
+def append_suffix_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Fold a new batch's window digests into the persisted index:
+    distinct batch digests anti-joined against the TOUCHED buckets
+    only (partition-pruned one-column scan, the hnsw/IVF-PQ replay
+    discipline — re-running a crashed append is a no-op), appended
+    into their bucket partitions. Returns digests added."""
+    meta = _load_suffix_meta(path)
+    rel = window_hash_relation(
+        new_docs, meta["min_tokens"], 1, id_col, text_col
+    )
+    batch = _bucketed(rel.select("h").distinct(), meta["n_buckets"])
+    batch = batch.localCheckpoint()
+    touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
+    if not touched:
+        return 0
+    existing = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(touched))
+        .select("h")
+    )
+    fresh = batch.join(existing, "h", "left_anti").localCheckpoint()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("bucket").parquet(path)
+    return n
+
+
+def probe_suffix_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end): maximal spans of ``new_docs``
+    whose windows appear in the persisted reference index — the
+    decontamination report (drop or flag these spans before the
+    batch enters a training corpus). The batch's digests compute
+    map-side; the index scan prunes to the batch's bucket set (a
+    bounded batch touches few bucket= directories); the semi-join
+    keys on (bucket, h) — slim rows only, token content never in a
+    keyed exchange (the module contract)."""
+    meta = _load_suffix_meta(path)
+    probe = _bucketed(
+        window_hash_relation(
+            new_docs, meta["min_tokens"], 1, id_col, text_col
+        ),
+        meta["n_buckets"],
+    ).localCheckpoint()  # consumed twice: bucket-set probe + the join
+    buckets = [
+        r["bucket"] for r in probe.select("bucket").distinct().collect()
+    ]
+    if not buckets:
+        return _merge_spans(
+            probe.select("doc_id", "pos").limit(0), meta["min_tokens"]
+        )
+    idx = spark.read.parquet(path).where(F.col("bucket").isin(buckets))
+    marked = probe.join(idx, ["bucket", "h"], "left_semi").select(
+        "doc_id", "pos"
+    )
+    return _merge_spans(marked, meta["min_tokens"])

@@ -321,3 +321,114 @@ def test_keep_first_marks_only_later_occurrences(spark):
     with pytest.raises(ValueError, match="keep_first"):
         suffix.duplicate_spans(_to_df(spark, docs), L, winnow_w=4,
                                keep_first=True)
+
+
+def test_suffix_index_probe_matches_brute_force(spark, tmp_path):
+    """Persisted-index decontamination: spans of probe docs whose
+    windows appear in the reference equal the brute-force
+    cross-corpus reference; replayed appends are no-ops; an appended
+    index equals a from-scratch build over the union reference."""
+    rng = np.random.RandomState(61)
+    ref_docs = _rand_docs(rng, n_docs=6, vocab=300)
+    probe_docs = {
+        100 + d: toks
+        for d, toks in _rand_docs(rng, n_docs=6, vocab=300).items()
+    }
+    L = 5
+    # plant a reference passage into two probe docs
+    s = rng.randint(0, len(ref_docs[1]) - (L + 3))
+    passage = ref_docs[1][s : s + L + 3]
+    probe_docs[101] = passage + probe_docs[101]
+    probe_docs[104] = probe_docs[104][:7] + passage + probe_docs[104][7:]
+
+    path = str(tmp_path / "suffix_idx")
+    meta = suffix.build_suffix_index(
+        _to_df(spark, ref_docs), path, min_tokens=L, n_buckets=8
+    )
+    assert meta["min_tokens"] == L
+    got = {}
+    for r in suffix.probe_suffix_index(
+        spark, _to_df(spark, probe_docs), path
+    ).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+
+    # brute force: probe windows present in the reference window set
+    ref_wins = {
+        tuple(toks[i : i + L])
+        for toks in ref_docs.values()
+        for i in range(len(toks) - L + 1)
+    }
+    expect = {}
+    for d, toks in probe_docs.items():
+        marks = [
+            i + 1
+            for i in range(len(toks) - L + 1)
+            if tuple(toks[i : i + L]) in ref_wins
+        ]
+        out, cur = [], None
+        for p in marks:
+            if cur is not None and p <= cur[1]:
+                cur[1] = max(cur[1], p + L - 1)
+            else:
+                if cur is not None:
+                    out.append(tuple(cur))
+                cur = [p, p + L - 1]
+        if cur is not None:
+            out.append(tuple(cur))
+        if out:
+            expect[d] = out
+    assert {d: sorted(v) for d, v in got.items()} == expect
+    assert 101 in got and 104 in got
+
+    # append: new reference docs fold in; replay is a no-op
+    more = {50: probe_docs[103][:20]}  # make doc 103's prefix 'known'
+    added = suffix.append_suffix_index(spark, path, _to_df(spark, more))
+    assert added > 0
+    assert suffix.append_suffix_index(spark, path, _to_df(spark, more)) == 0
+    got2 = {
+        r["doc_id"]
+        for r in suffix.probe_suffix_index(
+            spark, _to_df(spark, probe_docs), path
+        ).collect()
+    }
+    assert 103 in got2
+    # appended index == from-scratch over the union reference
+    path2 = str(tmp_path / "suffix_idx_full")
+    union = {**ref_docs, **more}
+    suffix.build_suffix_index(
+        _to_df(spark, union), path2, min_tokens=L, n_buckets=8
+    )
+    rows1 = sorted(
+        (r["bucket"], r["h"])
+        for r in spark.read.parquet(path).collect()
+    )
+    rows2 = sorted(
+        (r["bucket"], r["h"])
+        for r in spark.read.parquet(path2).collect()
+    )
+    assert rows1 == rows2
+
+
+def test_suffix_index_probe_prunes_buckets(spark, tmp_path):
+    """A bounded probe batch reads only its own bucket= directories:
+    the index scan's pushed partition filter names the probe's bucket
+    set (partition pruning, not a full-index read)."""
+    rng = np.random.RandomState(71)
+    ref = _rand_docs(rng, n_docs=8, vocab=300)
+    path = str(tmp_path / "suffix_idx_prune")
+    suffix.build_suffix_index(
+        _to_df(spark, ref), path, min_tokens=5, n_buckets=16
+    )
+    tiny = {999: ref[0][:8]}  # one doc, few windows -> few buckets
+    probe = suffix.probe_suffix_index(spark, _to_df(spark, tiny), path)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan  # the isin filter reached the scan
+    # stale-format guard
+    import json, os
+    mp = os.path.join(path, suffix.SUFFIX_INDEX_META)
+    bad = json.load(open(mp)); bad["format_version"] = -1
+    json.dump(bad, open(mp, "w"))
+    with pytest.raises(ValueError, match="stale"):
+        suffix.probe_suffix_index(spark, _to_df(spark, tiny), path)
