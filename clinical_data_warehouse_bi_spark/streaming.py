@@ -1003,6 +1003,65 @@ def streaming_bm25_ingest(
     return writer.start()
 
 
+def streaming_suffix_ingest(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming document ingest into a persisted exact-substring
+    digest index (suffix.append_suffix_index per micro-batch): each
+    batch's DISTINCT window digests anti-join the touched bucket=
+    directories only, so replay after any crash point is a no-op —
+    the decontamination-index face of streaming_vector_ingest. The
+    index must exist (suffix.build_suffix_index seeds it from the
+    initial reference corpus). Returns the started StreamingQuery."""
+    from clinical_data_warehouse_bi_spark.suffix import append_suffix_index
+
+    writer = docs.writeStream.foreachBatch(
+        lambda b, _id: append_suffix_index(b.sparkSession, index_path, b)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def streaming_decontaminate(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Per-micro-batch exact-substring decontamination REPORT: probe
+    each arriving batch against the persisted reference index
+    (suffix.probe_suffix_index — batch digests map-side, index scan
+    pruned to the batch's bucket set) and write the flagged
+    (doc_id, span_start, span_end, batch_id) spans to a parquet sink
+    partitioned by batch id — batch-id partition overwrite makes
+    redelivery exactly-once (the preagg synopsis protocol: a replayed
+    batch rewrites ITS OWN partition, never duplicates it). Consumers
+    drop or mask the flagged spans before the batch enters a
+    training corpus. Returns the started StreamingQuery."""
+    from pyspark.sql import functions as _F
+
+    from clinical_data_warehouse_bi_spark.suffix import probe_suffix_index
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        spans = probe_suffix_index(
+            batch.sparkSession, batch, index_path
+        ).withColumn("batch_id", _F.lit(int(batch_id)))
+        (
+            spans.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    writer = docs.writeStream.foreachBatch(_probe).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def expectations_apply_batch(
     batch: DataFrame,
     report_path: str,

@@ -1666,3 +1666,81 @@ def test_streaming_graph_ingest_extends_index(spark, tmp_path):
     probe = mk(239, 240)[0][1]
     got = hnsw.hnsw_index_search(spark, path, [(0, probe)], 5).collect()
     assert any(r["vec_id"] == 239 for r in got), got
+
+
+def test_streaming_suffix_ingest_and_decontaminate(spark, tmp_path):
+    """Two-drain e2e over the exact-substring decontamination pair:
+    streamed reference docs fold into the persisted digest index
+    exactly once (a re-delivered file adds nothing — the
+    touched-bucket anti-join), and the per-batch decontamination
+    report flags exactly the probe docs carrying reference passages,
+    with a replayed batch overwriting its own batch_id partition
+    rather than duplicating it."""
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark import suffix
+
+    rng = np.random.RandomState(83)
+    words = [f"w{j}" for j in range(300)]
+
+    def doc(n):
+        return " ".join(words[rng.randint(300)] for _ in range(n))
+
+    L = 5
+    schema = "doc_id long, text string"
+    ref0 = [(i, doc(60)) for i in range(4)]
+    idx = str(tmp_path / "sfx_idx")
+    suffix.build_suffix_index(
+        spark.createDataFrame(ref0, schema), idx, min_tokens=L, n_buckets=8
+    )
+
+    # --- ingest stream: two more reference docs, one file re-delivered
+    ref_extra = [(10, doc(50)), (11, doc(50))]
+    src = str(tmp_path / "sfx_src")
+    spark.createDataFrame(ref_extra, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming.streaming_suffix_ingest(
+        stream, idx, checkpoint_dir=str(tmp_path / "sfx_ck")
+    )
+    try:
+        q.processAllAvailable()
+        n_after_first = spark.read.parquet(idx).count()
+        # re-deliver the same rows in a second file: anti-join no-op
+        spark.createDataFrame(ref_extra, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(idx).count() == n_after_first
+
+    # --- decontamination stream: probe docs, one carrying a passage
+    # from the ORIGINAL reference and one from the STREAMED-IN batch
+    passage0 = ref0[1][1].split()[3 : 3 + L + 2]
+    passage1 = ref_extra[0][1].split()[0 : L + 1]
+    probes = [
+        (100, " ".join(passage0) + " " + doc(30)),
+        (101, doc(30) + " " + " ".join(passage1)),
+        (102, doc(40)),  # clean
+    ]
+    psrc = str(tmp_path / "probe_src")
+    spark.createDataFrame(probes, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+    out = str(tmp_path / "flags")
+    pstream = spark.readStream.schema(schema).parquet(psrc)
+    q2 = streaming.streaming_decontaminate(
+        pstream, idx, out, checkpoint_dir=str(tmp_path / "probe_ck")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    flagged = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(flagged) == {100, 101}
+    assert flagged[100][0] == 1  # the planted prefix passage
