@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_tfidf_keywords",
     "q_snapshot_diff",
     "q_ann_hnsw",
+    "q_ann_hnsw_routed",
 ]
 
 
@@ -302,6 +303,7 @@ def main() -> None:
     )
     from clinical_data_warehouse_bi_spark.queries.similarity import q_cosine_topk
     from clinical_data_warehouse_bi_spark.queries.similarity import (
+        q_ann_hnsw_routed,
         q_ann_ivf_learned,
     )
     from clinical_data_warehouse_bi_spark.queries.text_ops import (
@@ -331,6 +333,7 @@ def main() -> None:
         "q_cohort_retention": q_cohort_retention,
         "q_quota_sample": q_quota_sample,
         "q_ann_ivf_learned": q_ann_ivf_learned,
+        "q_ann_hnsw_routed": q_ann_hnsw_routed,
         "q_resample_fill": q_resample_fill,
         "q_readmission_gap": q_readmission_gap,
         "q_grouped_percentiles": q_grouped_percentiles,

@@ -794,3 +794,49 @@ def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
     return hnsw_index_search(spark, path, queries, k=5, beam=HNSW_BEAM)
+
+
+#: routed tier geometry: 8 cells so the 2-cell probe is a 25% scan
+HNSW_ROUTED_CLUSTERS = 8
+HNSW_PROBE_CLUSTERS = 2
+
+
+def q_ann_hnsw_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN served through the ROUTED tier (round-13 verdict
+    item 3; hnsw.build_routed_hnsw_index + hnsw_routed_search):
+    shards are k-means cells with centroids in the index meta, each
+    query probes its top-2 of 8 cells — a partition-pruned scan of
+    25% of the shard= directories and per-shard beam search
+    restricted to the routed queries, the sublinear serving path the
+    full fan-out (q_ann_hnsw) lacks at large shard counts. Bench-only
+    (not a gate slot): the routing contract is property-tested in
+    tests/test_hnsw.py (recall >= 0.85 at the 25% probe fraction,
+    strictly fewer distance evals than fan-out); this entry records
+    the serving-latency number next to q_ann_hnsw's."""
+    import os
+    import shutil
+
+    from clinical_data_warehouse_bi_spark.hnsw import (
+        HNSW_INDEX_META,
+        build_routed_hnsw_index,
+        hnsw_routed_search,
+    )
+    from clinical_data_warehouse_bi_spark.io import publish_index_dir
+
+    path = _hnsw_index_path(sf_dir) + "_routed"
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    if not os.path.exists(os.path.join(path, HNSW_INDEX_META)):
+        build_dir = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(build_dir, ignore_errors=True)
+        build_routed_hnsw_index(
+            emb, build_dir, n_clusters=HNSW_ROUTED_CLUSTERS, m=HNSW_M
+        )
+        publish_index_dir(build_dir, path, HNSW_INDEX_META)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    return hnsw_routed_search(
+        spark, path, queries, k=5, beam=HNSW_BEAM,
+        probe_clusters=HNSW_PROBE_CLUSTERS,
+    )
