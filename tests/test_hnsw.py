@@ -340,3 +340,35 @@ def test_routed_index_sub_shards_and_guards(spark, corpus, tmp_path):
         hnsw.hnsw_routed_search(spark, hash_path, queries, K)
     with pytest.raises(ValueError):
         hnsw.build_routed_hnsw_index(df, path, n_clusters=0)
+
+
+def test_routed_real_embeddings_self_retrieval(spark, sf_dir, tmp_path):
+    """Routing on the REAL embeddings table (not synthetic clusters):
+    a corpus member used as its own query lands in its rank-1 routed
+    cell by construction (assignment metric == routing metric), so
+    routed search must find it — and the routed top-1 must equal the
+    full fan-out's top-1 (the self vector) for every query."""
+    from clinical_data_warehouse_bi_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "routed_real")
+    hnsw.build_routed_hnsw_index(emb, path, n_clusters=6, m=12)
+    rows = emb.filter("vec_id < 5").collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in rows]
+    routed = {}
+    for r in hnsw.hnsw_routed_search(
+        spark, path, queries, 5, probe_clusters=2
+    ).collect():
+        routed.setdefault(r["query_id"], []).append(
+            (r["score"], r["vec_id"])
+        )
+    fanout = {}
+    for r in hnsw.hnsw_index_search(spark, path, queries, 5).collect():
+        fanout.setdefault(r["query_id"], []).append(
+            (r["score"], r["vec_id"])
+        )
+    for qid, _ in queries:
+        assert any(v == qid for _, v in routed[qid]), (qid, routed[qid])
+        top_r = max(routed[qid], key=lambda t: (t[0], -t[1]))
+        top_f = max(fanout[qid], key=lambda t: (t[0], -t[1]))
+        assert top_r == top_f == (1.0, qid), (qid, top_r, top_f)
