@@ -146,6 +146,7 @@ def main() -> None:
     )
     from clinical_data_warehouse_bi_spark.queries.similarity import (
         SQL_COSINE_TOPK,
+        q_ann_hnsw_routed,
         q_ann_ivf_learned,
         q_cosine_topk,
     )
@@ -185,6 +186,7 @@ def main() -> None:
         "q_cohort_retention": q_cohort_retention,
         "q_quota_sample": q_quota_sample,
         "q_ann_ivf_learned": q_ann_ivf_learned,
+        "q_ann_hnsw_routed": q_ann_hnsw_routed,
         "q_resample_fill": q_resample_fill,
         "q_readmission_gap": q_readmission_gap,
         "q_grouped_percentiles": q_grouped_percentiles,
