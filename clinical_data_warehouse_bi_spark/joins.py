@@ -86,6 +86,24 @@ def interval_join_pick_first(
     )
 
 
+#: bounded FIFO of packed-interval relations pinned by the broadcast
+#: path of interval_pick_first_mapside: the newest few stay cached
+#: for their callers' (lazy) actions, the oldest is unpersisted when
+#: the registry overflows — executor storage memory holds at most
+#: this many pinned probes per session regardless of call count.
+_PINNED_PACKED: list[DataFrame] = []
+_PINNED_PACKED_MAX = 4
+
+
+def _pin_packed(df: DataFrame) -> None:
+    _PINNED_PACKED.append(df)
+    while len(_PINNED_PACKED) > _PINNED_PACKED_MAX:
+        try:
+            _PINNED_PACKED.pop(0).unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+
+
 def interval_pick_first_mapside(
     left: DataFrame,
     right: DataFrame,
@@ -150,9 +168,12 @@ def interval_pick_first_mapside(
     # broadcast build (without it the probe's count and the broadcast
     # exchange would each recompute the groupBy). Released on the
     # fallback path below (never read again there); on the broadcast
-    # path the pinned relation is bounded by max_broadcast_rows and
-    # must outlive the caller's (lazy) action — session cache-clear
-    # (bench.py's clearCache between queries) is its release point.
+    # path the relation must outlive the caller's (lazy) action, so
+    # it is handed to the bounded _PINNED_PACKED registry — a
+    # long-lived session pins at most _PINNED_PACKED_MAX probes
+    # (each <= max_broadcast_rows) instead of accumulating one per
+    # call (round-14 advice). Eviction is always safe: unpersist
+    # only drops the cache, a still-referenced plan just recomputes.
     side, fits = size_gated_broadcast(packed, max_broadcast_rows)
     if not fits:
         packed.unpersist()
@@ -172,6 +193,7 @@ def interval_pick_first_mapside(
         )
         extras = [c for c in right.columns if c not in payload]
         return joined.drop(*extras)
+    _pin_packed(packed)
     cond = None
     for lk, rk in on:
         c = F.col(lk) == F.col(rk)

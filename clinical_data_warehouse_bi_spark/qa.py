@@ -1118,13 +1118,46 @@ def freshness_report(
 SNAPSHOT_UNIQUE_PROBE_MAX_ROWS = 100_000_000
 
 
+#: optimized-plan node names that can EMIT MORE ROWS than their scan
+#: holds — any of these voids the footer-sum upper bound below
+_ROW_MULTIPLYING_NODES = (
+    "Join", "Generate", "InPandas", "MapPartitions", "CoGroup",
+    "MapGroups", "FlatMap",
+)
+
+
+def _plan_multiplies_rows(df: DataFrame) -> bool:
+    """True when ``df``'s optimized plan contains an operator that
+    can produce more output rows than its inputs hold (join,
+    generate/explode, arbitrary-arity Python transforms) — the
+    shapes for which a parquet-footer sum is NOT an upper bound.
+    Conservative: an unreadable plan counts as multiplying."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — plan not inspectable
+        return True
+    import re
+
+    # operator names lead each plan line (after tree-drawing glyphs);
+    # matching there never confuses a column alias for an operator
+    pat = "|".join(_ROW_MULTIPLYING_NODES)
+    return bool(
+        re.search(rf"^[\s+:\-]*'?\w*(?:{pat})", plan, re.MULTILINE)
+    )
+
+
 def _footer_rows(df: DataFrame) -> int | None:
     """Sum of parquet-footer row counts behind ``df``'s scan — a
     driver-side metadata read (io.parquet_num_rows per input file),
-    no job. None when any input is not footer-readable. An UPPER
-    bound on df's rows (filters only shrink a scan)."""
+    no job. None when any input is not footer-readable OR the plan
+    contains a row-multiplying operator (join/generate/...), since
+    the footer sum upper-bounds only scan/filter/project-shaped
+    plans — filters shrink a scan, but a join or explode can emit
+    far more rows than its input files hold (round-14 advice)."""
     import pyarrow.parquet as pq
 
+    if _plan_multiplies_rows(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file-backed plan

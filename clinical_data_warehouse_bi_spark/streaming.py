@@ -961,7 +961,11 @@ def streaming_graph_ingest(
     pruning, not an O(index) scan) makes replay after any crash
     point a no-op, so engine redelivery is exactly-once effective
     without an external guard. The index must exist
-    (hnsw.build_hnsw_index seeds it). Batch-proportional byte-work:
+    (hnsw.build_hnsw_index or hnsw.build_routed_hnsw_index seeds it
+    — a ROUTED index dispatches to hnsw.routed_index_append, which
+    assigns each batch by frozen-centroid GEMM and grows hot cells
+    under the skew guard, so streaming ingest serves both index
+    kinds through this one entry point). Batch-proportional byte-work:
     untouched shard files are hardlinked, never read or copied, and
     the new index state publishes via the crash-safe rename swap —
     concurrent searches see a complete index or fail fast on the

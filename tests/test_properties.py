@@ -3051,6 +3051,43 @@ def test_snapshot_diff_probe_on_by_default(spark, tmp_path, monkeypatch):
         snapshot_diff(r_dup, r_uniq, ["k"], check_unique=True)
 
 
+def test_footer_rows_void_for_row_multiplying_plans(spark, tmp_path):
+    """The footer-sum upper bound holds only for scan/filter/project
+    shapes: a join- or explode-bearing side can emit far more rows
+    than its input files hold, so _footer_rows must return None for
+    it (auto probe gate falls back to 'not provably bounded' — probe
+    skipped unless forced), while plain scans and filtered scans
+    still read their footers (round-14 advice item 3)."""
+    from clinical_data_warehouse_bi_spark import qa
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "x") for i in range(10)], "k int, fp string"
+    ).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert qa._footer_rows(scan) == 10
+    assert qa._footer_rows(scan.where("k > 3").select("k")) == 10
+    # join: output can exceed both inputs' footers
+    assert qa._footer_rows(scan.join(scan.select("k"), "k")) is None
+    # explode: one row fans out arbitrarily
+    exploded = scan.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("v")
+    )
+    assert qa._footer_rows(exploded) is None
+    # and the auto gate therefore does NOT launch the probe on a
+    # duplicate-keyed join-shaped side (no raise — not provably
+    # bounded), while check_unique=True still forces it
+    dup_join = scan.unionByName(scan).join(
+        spark.range(1).selectExpr("0 as j"), F.lit(True), "left"
+    ).select("k", "fp")
+    uniq = spark.createDataFrame([(1, "a")], "k int, fp string")
+    assert qa.snapshot_diff(dup_join, uniq, ["k"]).count() > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not unique"):
+        qa.snapshot_diff(dup_join, uniq, ["k"], check_unique=True)
+
+
 def test_snapshot_diff_plan_is_slim(spark, sf_dir):
     """q_snapshot_diff's exchanges carry only (key, fingerprint,
     presence) — no payload column (status/price/date/priority) ever
@@ -3153,3 +3190,36 @@ def test_interval_pick_first_mapside_matches_window_form(spark):
             max_broadcast_rows=budget,
         )
         assert normalize(got) == expected, budget
+
+
+def test_mapside_interval_pin_registry_bounded(spark):
+    """Round-14 advice item 4: the broadcast path's persisted packed
+    relation is handed to a bounded FIFO registry — many calls in one
+    session leave at most _PINNED_PACKED_MAX relations cached (the
+    evicted ones are unpersisted), instead of pinning one per call
+    until a session-wide clearCache."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from clinical_data_warehouse_bi_spark import joins
+
+    joins._PINNED_PACKED.clear()
+    left = spark.createDataFrame([(1, 5)], "k bigint, ts bigint")
+    evicted = []
+    for i in range(joins._PINNED_PACKED_MAX + 3):
+        right = spark.createDataFrame(
+            [(1, 0, 9, f"p{i}")], "rk bigint, lo bigint, hi bigint, pay string"
+        )
+        got = joins.interval_pick_first_mapside(
+            left, right,
+            on=[("k", "rk")], ts_col=F.col("ts"), lo="lo", hi="hi",
+            order_cols=["lo"], payload=["pay"], left_row_key=["k", "ts"],
+        )
+        assert got.collect()[0]["pay"] == f"p{i}"
+        if len(joins._PINNED_PACKED) == joins._PINNED_PACKED_MAX:
+            evicted = [joins._PINNED_PACKED[0]]
+    assert len(joins._PINNED_PACKED) == joins._PINNED_PACKED_MAX
+    # an evicted relation is no longer cached
+    for df in evicted:
+        if df not in joins._PINNED_PACKED:
+            assert df.storageLevel == StorageLevel.NONE

@@ -1668,6 +1668,64 @@ def test_streaming_graph_ingest_extends_index(spark, tmp_path):
     assert any(r["vec_id"] == 239 for r in got), got
 
 
+def test_streaming_routed_graph_ingest(spark, tmp_path):
+    """The streaming twin of routed_index_append (round-14 verdict
+    item 1): streaming embedding ingest into a ROUTED graph index
+    dispatches through hnsw_index_append to the centroid-assignment
+    path, so streamed vectors land in the k-means cell the router
+    probes (NOT an id-hash shard the router never reads), re-delivered
+    rows no-op via the cell-scoped anti-join, and a streamed-in
+    vector is immediately findable by routed search probing its
+    rank-1 cell alone."""
+    import numpy as np
+
+    from clinical_data_warehouse_bi_spark import hnsw
+
+    rng = np.random.RandomState(53)
+    k, dims = 4, 16
+    centers = rng.normal(0, 10.0, size=(k, dims))
+
+    def mk(lo, hi):
+        return [
+            (i, [float(x) for x in centers[i % k] + rng.normal(0, 1.0, dims)])
+            for i in range(lo, hi)
+        ]
+
+    schema = "vec_id long, embedding array<float>"
+    path = str(tmp_path / "routed_gidx")
+    hnsw.build_routed_hnsw_index(
+        spark.createDataFrame(mk(0, 160), schema), path, n_clusters=4, m=8
+    )
+    src = str(tmp_path / "routed_gvec_src")
+    b1 = spark.createDataFrame(mk(160, 200), schema)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    # re-deliver batch 1 in a second file (at-least-once source)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming.streaming_graph_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "routed_gck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(path).select("vec_id").collect()
+    assert sorted(r.vec_id for r in rows) == list(range(200))
+    # the streamed vector sits in its centroid cell: routed search on
+    # its own (persisted) embedding probing ONE cell must return it as
+    # the exact top hit (an id-hash placement would never be probed)
+    probe = [
+        float(v)
+        for v in spark.read.parquet(path)
+        .where("vec_id = 199").collect()[0]["embedding"]
+    ]
+    got = hnsw.hnsw_routed_search(
+        spark, path, [(0, probe)], 5, probe_clusters=1
+    ).collect()
+    top = max(got, key=lambda r: (r["score"], -r["vec_id"]))
+    assert (top["vec_id"], top["score"]) == (199, 1.0), got
+
+
 def test_streaming_suffix_ingest_and_decontaminate(spark, tmp_path):
     """Two-drain e2e over the exact-substring decontamination pair:
     streamed reference docs fold into the persisted digest index
