@@ -410,6 +410,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "protocol": (
+            "warm-sequence smoke: queries share one JVM/session in a "
+            "fixed order, so later entries inherit whatever page/"
+            "broadcast/codegen state earlier ones leave — totals are "
+            "NOT comparable across rounds (r13->r14's +16% was this, "
+            "not a regression). Cross-round and vs-DuckDB adjudication "
+            "reads BASELINE.md's BENCH_COMPARE (in-process alternating "
+            "A/B, best-of-2 both engines) instead."
+        ),
         "noise": {
             "timing_protocol": "min over 2 runs after 1 warm-up; "
             "3rd run when best < 2s",
@@ -439,6 +448,8 @@ def main() -> None:
         return json.dumps(
             {
                 "full_record": "BENCH_LOCAL.json (repo) + stderr",
+                "protocol": "warm-sequence smoke, not cross-round "
+                "comparable; adjudicate via BASELINE.md BENCH_COMPARE",
                 "noise": {
                     "spread_total_sec": record["noise"]["spread_total_sec"],
                     "host_load_1m_start": record["noise"]["host_load_1m_start"],

@@ -73,6 +73,18 @@ def _calendar(src: DataFrame, ts: str = "event_datetime") -> DataFrame:
     ).distinct()
 
 
+class _StageDict(dict):
+    """build_staging's return type: a plain dict of DataFrames plus a
+    provenance marker build_dwh's scale path checks before eliding
+    the probes that are no-ops only for build_staging output (the
+    round-14 verdict item 7 tripwire). In-place mutation (the test
+    suite's per-table localCheckpoint) keeps the marker; constructing
+    a FRESH plain dict — the hand-built case the tripwire exists
+    for — drops it, and build_dwh then runs the full probe set."""
+
+    _from_build_staging = True
+
+
 def build_staging(
     src: dict[str, DataFrame], parity_keys: bool = False
 ) -> dict[str, DataFrame]:
@@ -451,16 +463,18 @@ def build_staging(
         fact.filter(F.col("event_datetime").isNotNull()).select("event_datetime")
     )
 
-    return {
-        "dim_patients": dim_patients,
-        "dim_admissions": dim_admissions,
-        "dim_provider": dim_provider,
-        "dim_concepts": dim_concepts,
-        "omr_filtered": omr_filtered,
-        "dim_date": dim_date,
-        "dim_junk_disorder_event": dim_junk,
-        "fact_disorder_events": fact,
-    }
+    return _StageDict(
+        {
+            "dim_patients": dim_patients,
+            "dim_admissions": dim_admissions,
+            "dim_provider": dim_provider,
+            "dim_concepts": dim_concepts,
+            "omr_filtered": omr_filtered,
+            "dim_date": dim_date,
+            "dim_junk_disorder_event": dim_junk,
+            "fact_disorder_events": fact,
+        }
+    )
 
 
 def build_dwh(
@@ -474,10 +488,16 @@ def build_dwh(
     STAGING INVARIANTS build_staging guarantees to elide the probes
     that are no-ops by construction — output rows are identical, and
     the pipeline's own QA probes (qa.orphan_checks, asserted all-zero
-    e2e) are the standing witness for every elision. Callers feeding
-    a HAND-BUILT stage dict that violates those invariants (doctored
-    dims) must use parity_keys=True, which runs the reference's full
-    probe set verbatim."""
+    e2e) are the standing witness for every elision. The contract is
+    SELF-ENFORCING (round-14 verdict item 7): the elisions apply only
+    when ``stage`` carries build_staging's provenance marker
+    (_StageDict) — a hand-built plain dict, whose invariants nothing
+    guarantees, gets the reference's full probe set at default
+    settings (keys stay scale-mode dense; only the probe elision is
+    provenance-gated)."""
+    full_probes = parity_keys or not getattr(
+        stage, "_from_build_staging", False
+    )
     dim_patients = stage["dim_patients"].distinct()
     dim_admissions = stage["dim_admissions"].distinct()
     dim_provider = stage["dim_provider"].distinct()
@@ -499,7 +519,7 @@ def build_dwh(
     # 'Orphan dates' QA probe stays zero e2e, and
     # tests/test_star_pipeline.py::test_dwh_scale_path_matches_parity
     # pins row-set equality between the two modes).
-    if parity_keys:
+    if full_probes:
         missing = (
             stage["fact_disorder_events"]
             .filter(F.col("event_datetime").isNotNull())
@@ -579,6 +599,14 @@ def build_dwh(
         # parity_keys=True like the key values themselves.
         fact = orphan_cleanup(deduped, dim_patients, "patient_id", "patient_id")
         fact = orphan_cleanup(fact, dim_admissions, "admission_id", "admission_id")
+        if full_probes:
+            # provenance tripwire: an untagged (hand-built) stage dict
+            # gets the four elided probes back — correctness never
+            # rests on invariants nothing checked
+            fact = orphan_cleanup(fact, dim_concepts, "clinical_concept_id", "clinical_concept_id")
+            fact = orphan_cleanup(fact, dim_date, "event_datetime", "event_datetime")
+            fact = orphan_cleanup(fact, dim_junk, "junk_id", "junk_id")
+            fact = orphan_cleanup(fact, dim_provider, "provider_id", "provider_id")
         fact = zip_index_key(fact, name="disorder_event_id").select(
             "disorder_event_id", *fact_cols
         )

@@ -362,3 +362,50 @@ def test_dwh_scale_path_matches_parity(spark):
         F.max("disorder_event_id").alias("hi"),
     ).first()
     assert (r.nd, r.lo, r.hi) == (r.n, 1, r.n)
+
+
+def test_dwh_scale_path_provenance_tripwire(spark):
+    """Round-14 verdict item 7: the scale path's probe elisions are
+    gated on build_staging's provenance marker. A DOCTORED hand-built
+    stage dict (a plain dict whose dim_concepts lost a key the fact
+    references) at DEFAULT settings must get the full probe set —
+    orphaned fact rows deleted, output row-set equal to the parity
+    build on the same doctored input — instead of silently-elided
+    probes leaking orphans; the tagged build_staging dict keeps the
+    elision (pinned separately by
+    test_dwh_scale_path_matches_parity)."""
+    src = make_sources(spark, n_patients=120)
+    stage = star.build_staging(src)
+    assert getattr(stage, "_from_build_staging", False)
+    # hand-built: a FRESH plain dict (marker dropped), with one
+    # referenced concept removed from the dim — fact rows carrying it
+    # are now orphans the elided probes would leak
+    victim = (
+        stage["fact_disorder_events"]
+        .select("clinical_concept_id").filter("clinical_concept_id is not null")
+        .first()["clinical_concept_id"]
+    )
+    doctored = {k: v for k, v in stage.items()}
+    assert not getattr(doctored, "_from_build_staging", False)
+    doctored["dim_concepts"] = stage["dim_concepts"].filter(
+        F.col("clinical_concept_id") != victim
+    )
+    scale = star.build_dwh(doctored, parity_keys=False)
+    parity = star.build_dwh(doctored, parity_keys=True)
+    # the orphaned concept rows are gone at default settings
+    assert (
+        scale["fact_disorder_events"]
+        .filter(F.col("clinical_concept_id") == victim)
+        .count()
+        == 0
+    )
+
+    def rows(df, drop=()):
+        cols = sorted(c for c in df.columns if c not in drop)
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()
+        )
+
+    assert rows(
+        scale["fact_disorder_events"], drop=("disorder_event_id",)
+    ) == rows(parity["fact_disorder_events"], drop=("disorder_event_id",))
