@@ -117,6 +117,86 @@ def replicate(spark, factor: int) -> str:
     return out
 
 
+#: planted-duplication corpus knobs (round-14 verdict item 2): the
+#: N-fold replica is DEGENERATE for substring dedup — every doc
+#: occurs N times, so output spans grow with N and the enumeration
+#: worst case dominates, a shape real pipelines never see after
+#: exact dedup. The representative corpus is unique synthetic docs
+#: with a small planted overlap rate.
+PLANTED_BASE_DOCS = 5_000  # = sf0.1 documents rows per 1x
+PLANTED_DUP_PCT = 5        # % of docs carrying one shared passage
+PLANTED_PASSAGE_TOKENS = 30
+PLANTED_VOCAB = 30_000
+PLANTED_SEED = 101
+
+
+def replicate_planted(spark, factor: int) -> str:
+    """documents := factor * PLANTED_BASE_DOCS UNIQUE synthetic docs
+    (20-90 tokens, drawn per-doc-deterministically from a 30k vocab,
+    so no 12-token window repeats by chance) with PLANTED_DUP_PCT %
+    of docs paired up to share one PLANTED_PASSAGE_TOKENS-token
+    passage at independent offsets — the post-exact-dedup corpus
+    shape where substring dedup's output is sparse and planted, not
+    volume-proportional. Non-document tables symlink to the base sf
+    so the oracle connection binds every view."""
+    import numpy as np
+
+    out = f"{OUT}_planted_{factor}x"
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    n_docs = PLANTED_BASE_DOCS * factor
+    n_planted = (n_docs * PLANTED_DUP_PCT // 100) & ~1  # even: full pairs
+
+    def gen(batches):
+        import pandas as pd
+
+        vocab = np.array([f"w{j}" for j in range(PLANTED_VOCAB)])
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for d in ids:
+                rng = np.random.RandomState(
+                    (PLANTED_SEED + int(d)) % (2**31 - 1)
+                )
+                toks = list(vocab[rng.randint(0, PLANTED_VOCAB,
+                                              rng.randint(20, 91))])
+                if d < n_planted:
+                    # pair (2k, 2k+1) shares passage k verbatim
+                    prng = np.random.RandomState(
+                        (PLANTED_SEED * 7 + int(d) // 2) % (2**31 - 1)
+                    )
+                    passage = list(
+                        vocab[prng.randint(0, PLANTED_VOCAB,
+                                           PLANTED_PASSAGE_TOKENS)]
+                    )
+                    at = int(rng.randint(0, len(toks) + 1))
+                    toks = toks[:at] + passage + toks[at:]
+                text = " ".join(toks)
+                texts.append(text)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": "en",
+                    "source": "synthetic-planted",
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    spark.range(n_docs).repartition(64).mapInPandas(
+        gen, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in SHIFT_KEYS:
+        if t != "documents":
+            os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    open(marker, "w").write("ok")
+    return out
+
+
 def time_query(spark, fn, sf_dir: str) -> float:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     runs = []
@@ -154,8 +234,9 @@ def time_oracle(con, sql: str) -> float:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--duckdb"]
+    argv = [a for a in sys.argv[1:] if a not in ("--duckdb", "--planted")]
     with_duckdb = "--duckdb" in sys.argv[1:]
+    planted = "--planted" in sys.argv[1:]
     factor = int(argv[0]) if argv else 16
     names = argv[1:] or DEFAULT_QUERIES
     spark = get_spark("bench-scaling")
@@ -164,7 +245,14 @@ def main() -> None:
         snapshot_persistent_rdds,
     )
 
-    big_dir = replicate(spark, factor)
+    if planted:
+        # 1x is the planted corpus at base size, Nx the planted
+        # corpus at N-fold doc count — both non-degenerate
+        global BASE
+        BASE = replicate_planted(spark, 1)
+        big_dir = replicate_planted(spark, factor)
+    else:
+        big_dir = replicate(spark, factor)
     # registry-retired operators remain probe-able via direct import
     # (the bench.py convention)
     from clinical_data_warehouse_bi_spark.queries.core import (
@@ -233,6 +321,30 @@ def main() -> None:
         "q_simhash_pairs": q_simhash_pairs,
         "q_anti_new_dates": q_anti_new_dates,
     }
+
+    # winnow-knob variants of the registered exact form (no SQL twin:
+    # winnowing trades guaranteed-match length L+w-1 for a w-fold
+    # smaller exchange; measured on the planted corpus per the
+    # round-14 verdict item 2)
+    def _substring_w(w: int):
+        def fn(spark, sf_dir):
+            from clinical_data_warehouse_bi_spark.io import read_table
+            from clinical_data_warehouse_bi_spark.queries.dedup import (
+                SUBSTRING_MIN_TOKENS,
+            )
+            from clinical_data_warehouse_bi_spark.suffix import (
+                duplicate_spans,
+            )
+
+            docs = read_table(spark, sf_dir, "documents")
+            return duplicate_spans(
+                docs, min_tokens=SUBSTRING_MIN_TOKENS, winnow_w=w
+            )
+
+        return fn
+
+    for w in (4, 8):
+        queries[f"q_substring_dedup_w{w}"] = _substring_w(w)
     oracles = {}
     cons = {}
     if with_duckdb:
