@@ -187,23 +187,14 @@ def bench_corpus(spark, sf_dir: str) -> float:
     import tempfile
     import time
 
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from clinical_data_warehouse_bi_spark import text as T
+    from clinical_data_warehouse_bi_spark.corpus import build_corpus_release
     from clinical_data_warehouse_bi_spark.io import (
         read_table,
         release_new_persistent_rdds,
         snapshot_persistent_rdds,
-        temperature_mix_keyed,
         verify_dataset_manifest,
         write_dataset_manifest,
     )
-    from clinical_data_warehouse_bi_spark.queries.text_ops import (
-        CLEAN_MIN_QUALITY,
-        CLEAN_MIN_TOKENS,
-    )
-    from clinical_data_warehouse_bi_spark.text import chunk_text, remove_boilerplate
 
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
@@ -213,44 +204,23 @@ def bench_corpus(spark, sf_dir: str) -> float:
     def run() -> dict:
         out_dir = tempfile.mkdtemp(prefix="bench-corpus-")
         try:
-            cleaned = remove_boilerplate(docs)
-            # ONE quality definition shared with q_quality_score /
-            # q_corpus_clean (T.quality_exprs) — this stage must stay
-            # the composition of the registered operators, not a
-            # third hand-written copy of their blend
-            qx = T.quality_exprs("text")
-            # slim dedup: fingerprint + id only cross the exchange
-            slim = cleaned.select(
-                "doc_id",
-                F.md5(T.normalized_text("text")).alias("fingerprint"),
-                qx["n_tokens"].alias("n_tokens"),
-                qx["quality_score"].alias("q"),
-            ).filter(
-                (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
-                & (F.col("q") >= CLEAN_MIN_QUALITY)
+            # the stage chain lives in corpus.build_corpus_release
+            # (round-14 verdict item 4 lifted it out of this file);
+            # the default arguments reproduce the recorded
+            # pipeline_corpus composition exactly
+            r = build_corpus_release(spark, docs)
+            r["chunks"].repartition(8).write.parquet(
+                out_dir, mode="overwrite"
             )
-            w = Window.partitionBy("fingerprint").orderBy("doc_id")
-            winners = (
-                slim.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("doc_id")
-            )
-            release = cleaned.join(winners, "doc_id")
-            n_release = release.count()
-            mixed = temperature_mix_keyed(
-                release, "source", "doc_id", alpha=0.7,
-                budget=n_release * 0.6,
-            )
-            chunks = chunk_text(mixed, chunk_tokens=64, overlap_tokens=8)
-            chunks.select(
-                (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
-                "chunk_text",
-            ).repartition(8).write.parquet(out_dir, mode="overwrite")
             man = write_dataset_manifest(
                 spark, out_dir, extra={"alpha": 0.7, "chunk_tokens": 64}
             )
             ok = verify_dataset_manifest(spark, out_dir)["ok"]
-            return {"n_release": n_release, "rows": man["total_rows"], "ok": ok}
+            return {
+                "n_release": r["n_release"],
+                "rows": man["total_rows"],
+                "ok": ok,
+            }
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
             release_new_persistent_rdds(spark, rdd_baseline)
@@ -260,6 +230,82 @@ def bench_corpus(spark, sf_dir: str) -> float:
     print(
         f"pipeline_corpus anchor: release_docs={anchor['n_release']}"
         f" chunks={anchor['rows']} verified={anchor['ok']}",
+        file=sys.stderr,
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
+def bench_corpus_full(spark, sf_dir: str) -> float:
+    """pipeline_corpus with the round-14 dedup additions enabled:
+    the same release composition plus exact-substring dedup
+    (keep-one-copy) and persisted-index decontamination against a
+    held-out reference slice — the full public-canon dedup ladder
+    end-to-end (round-14 verdict item 4). The reference digest index
+    builds ONCE per corpus outside the timed loop (a training org
+    maintains it across releases; per-release cost is the probe,
+    which is what this times), cached under /tmp keyed by
+    (format version, sf_dir) — the q_bm25_served convention."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+    import time
+
+    from clinical_data_warehouse_bi_spark.corpus import build_corpus_release
+    from clinical_data_warehouse_bi_spark.io import (
+        read_table,
+        release_new_persistent_rdds,
+        snapshot_persistent_rdds,
+    )
+    from clinical_data_warehouse_bi_spark.suffix import (
+        SUFFIX_INDEX_FORMAT_VERSION,
+        SUFFIX_INDEX_META,
+        build_suffix_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # held-out "eval" slice as the reference corpus: 2% of docs
+    ref = docs.filter("doc_id % 50 = 0")
+    corpus_docs = docs.filter("doc_id % 50 != 0")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = (
+        f"{tempfile.gettempdir()}/spark_graft_corpusfull_idx_"
+        f"v{SUFFIX_INDEX_FORMAT_VERSION}_{tag}"
+    )
+    if not _os.path.exists(_os.path.join(idx, SUFFIX_INDEX_META)):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_suffix_index(ref, idx, min_tokens=12, n_buckets=64)
+    rdd_baseline = snapshot_persistent_rdds(spark)
+
+    def run() -> dict:
+        out_dir = tempfile.mkdtemp(prefix="bench-corpus-full-")
+        try:
+            r = build_corpus_release(
+                spark,
+                corpus_docs,
+                decontaminate_index=idx,
+                substring_dedup=True,
+            )
+            r["chunks"].repartition(8).write.parquet(
+                out_dir, mode="overwrite"
+            )
+            return {"n_release": r["n_release"]}
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            release_new_persistent_rdds(spark, rdd_baseline)
+
+    anchor = run()
+    assert anchor["n_release"] > 0, anchor
+    print(
+        f"pipeline_corpus_full anchor: release_docs={anchor['n_release']}",
         file=sys.stderr,
     )
     best = None
@@ -397,6 +443,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         timings["pipeline_corpus"] = -1.0
         print(f"bench error in pipeline_corpus: {e}", file=sys.stderr)
+    try:
+        spark.catalog.clearCache()
+        timings["pipeline_corpus_full"] = bench_corpus_full(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        timings["pipeline_corpus_full"] = -1.0
+        print(f"bench error in pipeline_corpus_full: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     # The record self-describes its noise (round-12 verdict item 7):
     # per-query spread across the timed runs separates host drift

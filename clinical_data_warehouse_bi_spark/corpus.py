@@ -1,0 +1,139 @@
+"""The LLM corpus release pipeline as a REUSABLE composition — the
+flagship "documents -> training release" flow the bench harness
+(bench.py pipeline_corpus) and the e2e suite drive, lifted out of
+the bench file so the round-14 dedup additions (exact substring
+dedup, persisted-index decontamination) compose into the same
+lifecycle instead of living as standalone operators.
+
+Reference context: the reference warehouse (MariaDB BI SQL) has no
+corpus tooling; this composes SURVEY.md section 3's staged-
+materialization lifecycle (stage -> cleanse -> promote -> QA ->
+release, Stage_area.sql/DWH.sql's shape) onto the documents table,
+with each stage being an already-registered, oracle-checked
+operator — the pipeline adds NO third implementation of any of them.
+
+Stage order and scale shape (what survives 100 TB):
+
+1. boilerplate removal (text.remove_boilerplate): line hashes cross
+   the exchange, text never does.
+2. quality gate + exact dedup: ONE quality definition
+   (text.quality_exprs, shared with q_quality_score/q_corpus_clean);
+   the dedup window runs over a SLIM (fingerprint, doc_id) relation
+   and winners join back by the uniform doc_id — text shuffles once,
+   never keyed by content.
+3. (opt-in) decontamination: probe the persisted reference digest
+   index (suffix.probe_suffix_index — bucket-pruned,
+   batch-proportional) and DROP every document carrying a reference
+   passage (the conservative release policy; span-stripping callers
+   use suffix.strip_duplicate_spans with the probe's spans directly).
+4. (opt-in) exact substring dedup (Lee et al. 2022 ExactSubstr,
+   suffix.strip_duplicate_spans keep_first=True): all-but-one copy
+   of every duplicated >= L-token span is removed, keeping one copy
+   for training. Output text is the normalized token stream (the
+   module's documented contract — the form the tokenizer ingests).
+5. temperature-weighted mixing to a budget
+   (io.temperature_mix_keyed): all sources sized in one aggregation.
+6. RAG chunking (text.chunk_text): pure per-row array expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_corpus_release(
+    spark,
+    docs: DataFrame,
+    *,
+    min_tokens: int | None = None,
+    min_quality: float | None = None,
+    decontaminate_index: str | None = None,
+    substring_dedup: bool = False,
+    substring_min_tokens: int = 12,
+    alpha: float = 0.7,
+    budget_frac: float = 0.6,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+) -> dict:
+    """Run the release pipeline over ``docs`` (doc_id, source, text).
+
+    Returns {"release": DataFrame(doc_id, source, text),
+    "chunks": DataFrame(chunk_id, chunk_text), "n_release": int}.
+    ``n_release`` is counted AFTER every enabled cleaning stage (it
+    feeds the mix budget), so the one required action materializes
+    the full cleaning chain exactly once.
+
+    ``decontaminate_index``: path to a persisted reference digest
+    index (suffix.build_suffix_index over the held-out/eval corpus).
+    ``substring_dedup``: enable the ExactSubstr keep-one-copy pass.
+    Defaults (both off) reproduce the round-11 pipeline_corpus
+    composition unchanged."""
+    from clinical_data_warehouse_bi_spark import text as T
+    from clinical_data_warehouse_bi_spark.io import temperature_mix_keyed
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        CLEAN_MIN_QUALITY,
+        CLEAN_MIN_TOKENS,
+    )
+    from clinical_data_warehouse_bi_spark.text import (
+        chunk_text,
+        remove_boilerplate,
+    )
+
+    min_tokens = CLEAN_MIN_TOKENS if min_tokens is None else min_tokens
+    min_quality = CLEAN_MIN_QUALITY if min_quality is None else min_quality
+
+    cleaned = remove_boilerplate(docs)
+    qx = T.quality_exprs("text")
+    slim = cleaned.select(
+        "doc_id",
+        F.md5(T.normalized_text("text")).alias("fingerprint"),
+        qx["n_tokens"].alias("n_tokens"),
+        qx["quality_score"].alias("q"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("q") >= min_quality)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    winners = (
+        slim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    release = cleaned.join(winners, "doc_id")
+
+    if decontaminate_index is not None:
+        from clinical_data_warehouse_bi_spark.suffix import (
+            probe_suffix_index,
+        )
+
+        contaminated = probe_suffix_index(
+            spark, release, decontaminate_index
+        ).select("doc_id").distinct()
+        release = release.join(contaminated, "doc_id", "left_anti")
+
+    if substring_dedup:
+        from clinical_data_warehouse_bi_spark.suffix import (
+            strip_duplicate_spans,
+        )
+
+        stripped = strip_duplicate_spans(
+            release,
+            min_tokens=substring_min_tokens,
+            keep_first=True,
+        )
+        release = stripped.join(
+            release.select("doc_id", "source"), "doc_id"
+        ).select("doc_id", "source", "text")
+
+    n_release = release.count()
+    mixed = temperature_mix_keyed(
+        release, "source", "doc_id", alpha=alpha,
+        budget=n_release * budget_frac,
+    )
+    chunks = chunk_text(
+        mixed, chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    return {"release": release, "chunks": chunks, "n_release": n_release}
