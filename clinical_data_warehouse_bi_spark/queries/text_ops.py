@@ -714,6 +714,51 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+#: epoch-shuffle demo knobs: seed selects the permutation, shard
+#: size cuts the permuted order into training shards
+EPOCH_SEED = 7
+EPOCH_SHARD_DOCS = 500
+
+SQL_EPOCH_SHUFFLE = f"""
+    SELECT doc_id, epoch_pos,
+           CAST(floor((epoch_pos - 1) / {EPOCH_SHARD_DOCS}) AS BIGINT)
+             AS shard_id
+    FROM (SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS epoch_pos
+          FROM documents) t
+    """
+
+
+@register("q_epoch_shuffle", oracle=SQL_EPOCH_SHUFFLE)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment
+    (text.epoch_shuffle): every document takes a dense global
+    position 1..N in seeded-md5 order — the per-epoch permutation a
+    training pipeline applies before writing shard files, portable
+    and layout-independent where orderBy(rand()) is neither, and a
+    different permutation per seed for multi-epoch training.
+
+    Scale shape: NO global window — the hash range-partitions the
+    corpus, partitions sort locally, and the dense position comes
+    from keys.zip_index_key's offset-cumsum (one tiny stats job);
+    output ranks are range-boundary-independent by construction.
+    The oracle's single-partition ROW_NUMBER is the semantic twin,
+    not the plan."""
+    from clinical_data_warehouse_bi_spark.text import epoch_shuffle
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = epoch_shuffle(docs.select("doc_id"), seed=EPOCH_SEED)
+    return out.select(
+        "doc_id",
+        "epoch_pos",
+        F.floor((F.col("epoch_pos") - 1) / EPOCH_SHARD_DOCS)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
 #: vocabulary-divergence report size for the staged demo
 VOCAB_DIV_K = 50
 

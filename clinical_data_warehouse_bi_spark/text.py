@@ -696,6 +696,41 @@ def weighted_sample(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    pos_col: str = "epoch_pos",
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Deterministic training-epoch permutation: every row receives a
+    dense global position 1..N in the order of a seeded md5 over its
+    id — the epoch shuffle a training-data pipeline runs before
+    cutting each epoch into shards. Same promises as split_assign
+    (portable, cluster-layout-independent, stable per (seed, id),
+    a DIFFERENT permutation per seed) — none of which Spark's
+    rand()/orderBy(rand()) can make.
+
+    100 TB shape: NO global window. The seeded hash range-partitions
+    the rows (repartitionByRange — sampled boundaries, but the
+    output ranks are boundary-INDEPENDENT: over range-disjoint
+    sorted partitions, rank = partition offset + local index
+    whatever the cut points), each partition sorts locally, and
+    keys.zip_index_key assigns the dense global position with one
+    tiny per-partition stats job — the same machinery the DWH fact
+    key uses. The single-partition ORDER BY form is the DuckDB
+    oracle twin, not the execution plan."""
+    from clinical_data_warehouse_bi_spark.keys import zip_index_key
+
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    arranged = (
+        df.withColumn("__eh", h)
+        .repartitionByRange(n_ranges, F.col("__eh"), F.col(id_col))
+        .sortWithinPartitions("__eh", id_col)
+    )
+    return zip_index_key(arranged, name=pos_col).drop("__eh")
+
+
 def split_assign(
     docs: DataFrame,
     fractions: dict[str, float],

@@ -3223,3 +3223,41 @@ def test_mapside_interval_pin_registry_bounded(spark):
     for df in evicted:
         if df not in joins._PINNED_PACKED:
             assert df.storageLevel == StorageLevel.NONE
+
+
+def test_epoch_shuffle_properties(spark):
+    """epoch_shuffle: positions are a dense 1..N bijection; the
+    permutation is layout-independent (same output from a 1-partition
+    and a 13-partition input — the promise orderBy(rand()) cannot
+    make); different seeds produce different permutations; and the
+    order is exactly seeded-md5 order (the oracle semantics)."""
+    import hashlib
+
+    from clinical_data_warehouse_bi_spark.text import epoch_shuffle
+
+    ids = list(range(200))
+    df1 = spark.createDataFrame([(i,) for i in ids], "doc_id long").coalesce(1)
+    df13 = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(13)
+    out1 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(df1, seed=7).collect()
+    }
+    out13 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(df13, seed=7, n_ranges=5).collect()
+    }
+    assert sorted(out1.values()) == list(range(1, 201))  # dense bijection
+    assert out1 == out13  # layout-independent
+    expected = {
+        d: pos + 1
+        for pos, d in enumerate(
+            sorted(ids, key=lambda d: (hashlib.md5(f"7:{d}".encode()).hexdigest(), d))
+        )
+    }
+    assert out1 == expected  # exactly seeded-md5 order
+    out_seed9 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(df1, seed=9).collect()
+    }
+    assert out_seed9 != out1  # a different epoch is a different permutation
+    assert sorted(out_seed9.values()) == list(range(1, 201))
