@@ -16,8 +16,10 @@ puts token content into a keyed exchange:
 
 - **Intra-partition suffix-array tier** (``sa_dup_positions``): one
   ``mapInPandas`` pass over the INPUT partitions — no shuffle at all;
-  partition size is already bounded by the scan's maxPartitionBytes.
-  Per partition: token ids + per-document unique separators are
+  each partition is consumed in document-order CHUNKS of at most
+  MAX_SA_TOKENS tokens, so memory stays bounded whatever the scan's
+  maxPartitionBytes binning produced.
+  Per chunk: token ids + per-document unique separators are
   concatenated, a prefix-doubling suffix array (numpy lexsorts,
   O(n log n) passes, memory O(n)) orders the suffixes, and a CAPPED
   neighbor comparison marks duplicated window starts — suffixes
@@ -26,8 +28,10 @@ puts token content into a keyed exchange:
   with L vectorized equality sweeps instead of a Kasai LCP pass
   (O(n·L) vectorized beats O(n) interpreted Python at any realistic
   L). Unique separators make cross-document false matches and
-  short-tail windows impossible by construction. MAX_SA_TOKENS fails
-  loudly with sizing guidance (repartition) before memory does.
+  short-tail windows impossible by construction. An oversized
+  partition degrades to chunk-local exactness (the composed
+  >= L + w - 1 guarantee is the anchor tier's and is unaffected);
+  only a single document past MAX_SA_TOKENS fails loudly.
 - **Cross-partition anchor tier** (``window_hash_relation``): every
   L-token window keyed by a 128-bit content digest (md5 of the
   chr(1)-joined window — the repo's exact-dedup convention: content
@@ -160,6 +164,54 @@ def _tok_rel(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _sa_chunk(
+    doc_ids: list, tok_lists: list, min_tokens: int
+) -> "pd.DataFrame":
+    """The suffix-array pass over one bounded chunk of documents:
+    (doc_id, pos) rows for every duplicated ``min_tokens`` window
+    within the chunk."""
+    empty = pd.DataFrame({"doc_id": [], "pos": []}).astype(
+        {"doc_id": "int64", "pos": "int64"}
+    )
+    if not doc_ids:
+        return empty
+    # factorize the chunk vocabulary once; separators are unique
+    # negatives so no window can span two documents
+    flat = [t for toks in tok_lists for t in toks]
+    codes = (
+        np.unique(np.asarray(flat, dtype=object), return_inverse=True)[1]
+        .astype(np.int64)
+        if flat
+        else np.empty(0, dtype=np.int64)
+    )
+    pieces, starts, off, cursor = [], [], 0, 0
+    for i, toks in enumerate(tok_lists):
+        starts.append(off)
+        pieces.append(codes[cursor : cursor + len(toks)])
+        cursor += len(toks)
+        off += len(toks)
+        pieces.append(np.array([-(i + 1)], dtype=np.int64))
+        off += 1
+    arr = np.concatenate(pieces)
+    starts_arr = np.asarray(starts, dtype=np.int64)
+    ends_arr = starts_arr + np.asarray(
+        [len(t) for t in tok_lists], dtype=np.int64
+    )
+    pos = dup_window_starts(arr, min_tokens)
+    if not len(pos):
+        return empty
+    doc_idx = np.searchsorted(starts_arr, pos, side="right") - 1
+    # windows containing a separator can never match (unique ids),
+    # so pos is always inside its doc — assert the invariant
+    assert (pos + min_tokens <= ends_arr[doc_idx]).all()
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(doc_ids, dtype=np.int64)[doc_idx],
+            "pos": pos - starts_arr[doc_idx] + 1,  # 1-based
+        }
+    )
+
+
 def sa_dup_positions(
     docs: DataFrame,
     min_tokens: int,
@@ -167,10 +219,18 @@ def sa_dup_positions(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, pos): 1-based starts of duplicated ``min_tokens``
-    windows detectable WITHIN each input partition — the exchange-free
-    suffix-array tier (see module docstring). Exact for any corpus
-    that fits one partition; the anchor tier covers cross-partition
-    pairs in the composed operator."""
+    windows detectable WITHIN each bounded CHUNK of each input
+    partition — the exchange-free suffix-array tier (see module
+    docstring). A partition is consumed in document-order chunks of
+    at most MAX_SA_TOKENS tokens, so an oversized partition DEGRADES
+    to chunk-local exactness instead of failing (round-15: the 1024x
+    probe hit the old loud-fail through the scan's maxPartitionBytes
+    binning, which no caller-side file layout can control). The
+    composed operator's guarantee is unaffected: cross-chunk and
+    cross-partition pairs >= min_tokens + winnow_w - 1 are the
+    anchor tier's job either way. Only a SINGLE DOCUMENT larger
+    than MAX_SA_TOKENS still fails loudly — its suffix array cannot
+    be bounded by splitting."""
     if min_tokens < 1:
         raise ValueError("min_tokens must be positive")
 
@@ -178,61 +238,26 @@ def sa_dup_positions(
         doc_ids: list = []
         tok_lists: list = []
         total = 0
+        emitted = False
         for pdf in batches:
             for did, toks in zip(pdf["doc_id"], pdf["__toks"]):
+                n = len(toks) + 1
+                if n > MAX_SA_TOKENS:
+                    raise ValueError(
+                        f"a single document holds > MAX_SA_TOKENS="
+                        f"{MAX_SA_TOKENS} tokens (doc_id={did}): its "
+                        "suffix array cannot be bounded by chunking — "
+                        "split the document upstream"
+                    )
+                if total and total + n > MAX_SA_TOKENS:
+                    yield _sa_chunk(doc_ids, tok_lists, min_tokens)
+                    emitted = True
+                    doc_ids, tok_lists, total = [], [], 0
                 doc_ids.append(did)
                 tok_lists.append(list(toks))
-                total += len(toks) + 1
-            if total > MAX_SA_TOKENS:
-                raise ValueError(
-                    f"suffix-array partition holds > MAX_SA_TOKENS="
-                    f"{MAX_SA_TOKENS} tokens: repartition the corpus "
-                    "so partitions stay bounded (tokens / "
-                    "MAX_SA_TOKENS partitions minimum)"
-                )
-        if not doc_ids:
-            yield pd.DataFrame({"doc_id": [], "pos": []}).astype(
-                {"doc_id": "int64", "pos": "int64"}
-            )
-            return
-        # factorize the partition vocabulary once; separators are
-        # unique negatives so no window can span two documents
-        flat = [t for toks in tok_lists for t in toks]
-        codes = (
-            np.unique(np.asarray(flat, dtype=object), return_inverse=True)[1]
-            .astype(np.int64)
-            if flat
-            else np.empty(0, dtype=np.int64)
-        )
-        pieces, starts, off, cursor = [], [], 0, 0
-        for i, toks in enumerate(tok_lists):
-            starts.append(off)
-            pieces.append(codes[cursor : cursor + len(toks)])
-            cursor += len(toks)
-            off += len(toks)
-            pieces.append(np.array([-(i + 1)], dtype=np.int64))
-            off += 1
-        arr = np.concatenate(pieces)
-        starts_arr = np.asarray(starts, dtype=np.int64)
-        ends_arr = starts_arr + np.asarray(
-            [len(t) for t in tok_lists], dtype=np.int64
-        )
-        pos = dup_window_starts(arr, min_tokens)
-        if not len(pos):
-            yield pd.DataFrame({"doc_id": [], "pos": []}).astype(
-                {"doc_id": "int64", "pos": "int64"}
-            )
-            return
-        doc_idx = np.searchsorted(starts_arr, pos, side="right") - 1
-        # windows containing a separator can never match (unique ids),
-        # so pos is always inside its doc — assert the invariant
-        assert (pos + min_tokens <= ends_arr[doc_idx]).all()
-        yield pd.DataFrame(
-            {
-                "doc_id": np.asarray(doc_ids, dtype=np.int64)[doc_idx],
-                "pos": pos - starts_arr[doc_idx] + 1,  # 1-based
-            }
-        )
+                total += n
+        if doc_ids or not emitted:
+            yield _sa_chunk(doc_ids, tok_lists, min_tokens)
 
     return _tok_rel(docs, id_col, text_col).mapInPandas(
         op, "doc_id bigint, pos bigint"
@@ -347,8 +372,9 @@ def duplicate_spans(
     EXACT (every window hashed; the anchor tier alone is complete, so
     the suffix-array pass is skipped as redundant); ``winnow_w > 1``
     exchanges ~1/w of the windows and composes both tiers:
-    intra-partition duplicates exact at >= min_tokens (suffix array),
-    cross-partition duplicates guaranteed at >= min_tokens +
+    intra-chunk duplicates exact at >= min_tokens (suffix array over
+    bounded document-order chunks), cross-chunk/cross-partition
+    duplicates guaranteed at >= min_tokens +
     winnow_w - 1 (winnowing), with span edges resolved to anchor
     granularity. Exchanges: one on the 128-bit window digest
     (duplicate detection), one on doc_id (span merge) — both slim;

@@ -145,11 +145,59 @@ def test_sa_dup_positions_single_partition_matches_brute(spark):
     assert {d: sorted(p) for d, p in got.items()} == expect
 
 
-def test_sa_partition_bound_fails_loudly(spark, monkeypatch):
+def test_sa_single_doc_bound_fails_loudly(spark, monkeypatch):
+    """Only a single document past the bound fails (its suffix array
+    cannot be bounded by chunking); a multi-doc oversized partition
+    degrades to chunk-local exactness instead (next test)."""
     monkeypatch.setattr(suffix, "MAX_SA_TOKENS", 10)
     df = _to_df(spark, {0: ["a"] * 30, 1: ["b"] * 30}).coalesce(1)
     with pytest.raises(Exception, match="MAX_SA_TOKENS"):
         suffix.sa_dup_positions(df, 3).collect()
+
+
+def test_sa_oversized_partition_chunks_instead_of_failing(
+    spark, monkeypatch
+):
+    """Round-15: an oversized PARTITION no longer fails — it is
+    consumed in document-order chunks of <= MAX_SA_TOKENS tokens.
+    Duplicates inside one chunk are still found exactly; a pair
+    split across the chunk boundary is (by design) left to the
+    anchor tier, which the composed duplicate_spans(winnow_w>1)
+    demonstrates by still reporting the cross-chunk duplicate."""
+    monkeypatch.setattr(suffix, "MAX_SA_TOKENS", 25)
+    # 4 docs x ~10 tokens in ONE partition -> chunks of 2 docs.
+    # docs 0,1 share a 5-token run (same chunk); docs 0,3 share
+    # another 5-token run (across chunks).
+    intra = [f"i{k}" for k in range(5)]
+    cross = [f"c{k}" for k in range(5)]
+    docs = {
+        0: intra + cross,
+        1: [f"u1{k}" for k in range(5)] + intra,
+        2: [f"u2{k}" for k in range(10)],
+        3: [f"u3{k}" for k in range(5)] + cross,
+    }
+    df = _to_df(spark, docs).coalesce(1)
+    rows = suffix.sa_dup_positions(df, 5).collect()  # no raise
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["pos"])
+    # intra-chunk pair found exactly
+    assert 1 in got[0] and 6 in got[1]
+    # cross-chunk pair invisible to the SA tier (chunk-local scope)
+    assert 3 not in got
+    # ...but the COMPOSED operator still reports it via anchors:
+    # the shared run is 5 tokens = min_tokens + winnow_w - 1 at w=2
+    spans = suffix.duplicate_spans(df, min_tokens=4, winnow_w=2).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # span edges resolve to anchor granularity (documented), so the
+    # cross-chunk region [6,10] may report trimmed — require a span
+    # INSIDE it, disjoint from the intra span [1,5]
+    assert any(s >= 6 and e >= s for s, e in by_doc.get(0, [])), by_doc
+    assert 3 in by_doc, by_doc
 
 
 # ------------------------------------------------ Spark: composed operator
