@@ -714,6 +714,58 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+#: repeat-upsample demo mix: a published-recipe-shaped factor table —
+#: heavy repeat, light repeat, fractional downsample; everything else
+#: passes through once
+UPSAMPLE_SEED = "up0"
+UPSAMPLE_FACTORS = {"src0": 3.2, "src1": 2.0, "src2": 0.4}
+
+SQL_REPEAT_UPSAMPLE = f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 3.2
+                         WHEN 'src1' THEN 2.0
+                         WHEN 'src2' THEN 0.4
+                         ELSE 1.0 END AS f,
+             (('0x' || substr(md5('{UPSAMPLE_SEED}:'
+                                  || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 1.0) / 4294967297.0 AS u
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+             CAST(floor(f)
+                  + CASE WHEN u < f - floor(f) THEN 1 ELSE 0 END
+                  AS BIGINT) AS n
+      FROM w)
+    SELECT doc_id, source, CAST(g.copy_idx AS BIGINT) AS copy_idx
+    FROM r, LATERAL (SELECT unnest(generate_series(1, r.n)) AS copy_idx) g
+    WHERE r.n >= 1
+    """
+
+
+@register("q_repeat_upsample", oracle=SQL_REPEAT_UPSAMPLE)
+def q_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling (text.repeat_upsample):
+    the published-data-mix repeat table — each source's rows emit
+    floor(f) copies plus one more iff the row's portable md5-uniform
+    lands under frac(f), so expected multiplicity equals the factor
+    exactly and the realized copy count is a pure function of
+    (seed, doc_id): stable across runs and layouts where rand()-
+    Bernoulli rounding is neither. copy_idx = 1..n is the training
+    loader's repeat index.
+
+    Scale shape: one per-row CASE + a guarded generated-sequence
+    explode — map-side fan-out only, NO shuffle, no RNG state."""
+    from clinical_data_warehouse_bi_spark.text import repeat_upsample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return repeat_upsample(
+        docs.select("doc_id", "source"),
+        UPSAMPLE_FACTORS,
+        seed=UPSAMPLE_SEED,
+    ).select("doc_id", "source", "copy_idx")
+
+
 #: epoch-shuffle demo knobs: seed selects the permutation, shard
 #: size cuts the permuted order into training shards
 EPOCH_SEED = 7

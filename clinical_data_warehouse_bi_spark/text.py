@@ -696,6 +696,66 @@ def weighted_sample(
     )
 
 
+def repeat_upsample(
+    docs: DataFrame,
+    factors: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "up0",
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic FRACTIONAL upsampling by source — the data-mix
+    repeat factors public LLM recipes publish (e.g. "wiki x 3.2,
+    web x 0.8"): every row emits floor(f) copies plus one more iff
+    its portable md5-uniform falls under frac(f), so each source's
+    expected multiplicity is exactly its factor and the realized
+    copy COUNT per row is a pure function of (seed, id) — stable
+    across runs, cluster layouts, and corpus growth, where
+    rand()-based Bernoulli rounding is none of those. Output rows
+    carry ``out_col`` = 1..n (the training loader's copy index).
+    Factors < 1 downsample by the same rule (0 copies when the
+    uniform lands above f); sources absent from ``factors`` keep
+    factor 1.0 (pass through once).
+
+    Scale shape: one per-row CASE + a generated-sequence explode —
+    map-side fan-out only, NO shuffle, no RNG state; the sequence is
+    guarded (CASE WHEN n >= 1) because Spark's sequence(1, 0)
+    DESCENDS instead of returning empty."""
+    if any(f < 0 for f in factors.values()):
+        raise ValueError("repeat factors must be >= 0")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    f = F.lit(1.0)
+    for name, fac in factors.items():
+        f = F.when(F.col(source_col) == name, F.lit(float(fac))).otherwise(f)
+    n = (F.floor(f) + F.when(u < f - F.floor(f), F.lit(1)).otherwise(F.lit(0))).cast(
+        "bigint"
+    )
+    return (
+        docs.withColumn("__n", n)
+        .where(F.col("__n") >= 1)
+        .withColumn(
+            out_col,
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__n"))),
+        )
+        .drop("__n")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     seed: int,

@@ -3261,3 +3261,40 @@ def test_epoch_shuffle_properties(spark):
     }
     assert out_seed9 != out1  # a different epoch is a different permutation
     assert sorted(out_seed9.values()) == list(range(1, 201))
+
+
+def test_repeat_upsample_properties(spark):
+    """repeat_upsample: realized copy count per row equals the
+    python-computed md5 reference exactly (floor(f) + Bernoulli on
+    the portable uniform), copy_idx is dense 1..n per surviving row,
+    factor-0 sources vanish, unmapped sources pass through once, and
+    negative factors are rejected."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from clinical_data_warehouse_bi_spark.text import repeat_upsample
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    factors = {"a": 2.5, "b": 0.5, "c": 0.0}
+    got = {}
+    for r in repeat_upsample(df, factors, seed="t1").collect():
+        got.setdefault((r["doc_id"], r["source"]), []).append(r["copy_idx"])
+
+    def uniform(seed, d):
+        h = hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:8]
+        return (int(h, 16) + 1.0) / 4294967297.0
+
+    import math
+
+    for d, s in rows:
+        f = factors.get(s, 1.0)
+        n = int(math.floor(f)) + (1 if uniform("t1", d) < f - math.floor(f) else 0)
+        copies = sorted(got.get((d, s), []))
+        assert copies == list(range(1, n + 1)), (d, s, f, n, copies)
+    # factor-0 source fully vanished; unmapped passes through once
+    assert not any(s == "c" for _, s in got)
+    assert all(got[(d, "d")] == [1] for d, s in rows if s == "d")
+    with _pytest.raises(ValueError, match=">= 0"):
+        repeat_upsample(df, {"a": -1.0})
