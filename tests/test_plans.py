@@ -591,3 +591,45 @@ def test_size_gated_vocab_broadcast_flips(spark, sf_dir):
     )
     assert "BroadcastHashJoin" not in big_lm, big_lm[:2000]
     assert big_lm.count("ShuffledHashJoin") >= 2, big_lm[:2000]
+
+
+def test_repeat_upsample_is_exchange_free(spark, sf_dir):
+    """q_repeat_upsample: the fan-out is a per-row CASE + generated-
+    sequence explode — NO exchange of any kind, no window, and the
+    scan reads only (doc_id, source)."""
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        q_repeat_upsample,
+    )
+
+    plan = (
+        q_repeat_upsample(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "text" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_epoch_shuffle_has_no_single_partition_exchange(spark, sf_dir):
+    """q_epoch_shuffle: dense global positions WITHOUT a global
+    window — the plan carries the range repartition (the documented
+    exchange) but never an Exchange SinglePartition and never a
+    Window operator (zip_index_key's offset-cumsum replaces
+    ROW_NUMBER() OVER ())."""
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        q_epoch_shuffle,
+    )
+
+    plan = (
+        q_epoch_shuffle(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    # the only exchange is the tiny per-partition-stats broadcast
+    # (the range repartition lives upstream of zip_index_key's
+    # checkpoint barrier, outside this plan by construction)
+    import re
+
+    exchanges = re.findall(r"\w*Exchange\w*", plan)
+    assert all(e == "BroadcastExchange" for e in exchanges), exchanges
