@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "q_snapshot_diff",
     "q_ann_hnsw",
     "q_ann_hnsw_routed",
+    # round-15 additions
+    "q_epoch_shuffle",
+    "q_repeat_upsample",
 ]
 
 
