@@ -389,6 +389,16 @@ ROTATION_DONORS: list[str] = [
     "q_vocabulary_divergence",
     "q_outlier_report",
     "q_attribution",
+    # round-15 extension: registry growth (q_epoch_shuffle,
+    # q_repeat_upsample) put the auto-absorbing donor count at 12 of
+    # 15 — four more long-stable full-oracle entries keep the pool
+    # ahead of the next rounds' registrations (all predate round 13,
+    # none rows-only, none the round-2 pinned pair, none in the
+    # heavyweight/scale-critical tail)
+    "q_hybrid_topk",
+    "q_dedup_clusters",
+    "q_bm25_topk",
+    "q_benford",
 ]
 
 
