@@ -278,7 +278,25 @@ def bench_corpus_full(spark, sf_dir: str) -> float:
     # held-out "eval" slice as the reference corpus: 2% of docs
     ref = docs.filter("doc_id % 50 = 0")
     corpus_docs = docs.filter("doc_id % 50 != 0")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache tag includes a CONTENT key (file sizes + mtimes of the
+    # documents parquet), not just the sf_dir path — regenerated test
+    # data at the same path must rebuild the index, not silently
+    # reuse a stale one (round-16 advice)
+    doc_path = _os.path.join(sf_dir, "documents.parquet")
+    sig = hashlib.md5(sf_dir.encode())
+    paths = (
+        sorted(
+            _os.path.join(r, f)
+            for r, _, fs in _os.walk(doc_path)
+            for f in fs
+        )
+        if _os.path.isdir(doc_path)
+        else [doc_path]
+    )
+    for p in paths:
+        st = _os.stat(p)
+        sig.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    tag = sig.hexdigest()[:10]
     idx = (
         f"{tempfile.gettempdir()}/spark_graft_corpusfull_idx_"
         f"v{SUFFIX_INDEX_FORMAT_VERSION}_{tag}"

@@ -59,7 +59,15 @@ def build_corpus_release(
     """Run the release pipeline over ``docs`` (doc_id, source, text).
 
     Returns {"release": DataFrame(doc_id, source, text),
-    "chunks": DataFrame(chunk_id, chunk_text), "n_release": int}.
+    "chunks": DataFrame(doc_id, chunk_idx, chunk_id, chunk_text),
+    "n_release": int}. ``chunk_id`` is the collision-free string key
+    ``doc_id || ':' || chunk_idx`` (round-16 fix: the former
+    ``doc_id*1000 + chunk_idx`` arithmetic key silently collided
+    whenever a document yielded >= 1000 chunks — ~56k tokens at the
+    default 64/8 geometry, exactly the long-document tail a 100 TB
+    crawl has). Joins and shuffles should key on the composite
+    (doc_id, chunk_idx) columns, which stay first-class in the
+    schema; chunk_id exists for single-column sinks/manifests.
     ``n_release`` is counted AFTER every enabled cleaning stage (it
     feeds the mix budget), so the one required action materializes
     the full cleaning chain exactly once.
@@ -133,7 +141,11 @@ def build_corpus_release(
     chunks = chunk_text(
         mixed, chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens
     ).select(
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias(
+            "chunk_id"
+        ),
         "chunk_text",
     )
     return {"release": release, "chunks": chunks, "n_release": n_release}

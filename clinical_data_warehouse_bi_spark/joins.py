@@ -22,6 +22,8 @@ hash join at 100 TB; skewed keys are AQE-split.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -91,15 +93,40 @@ def interval_join_pick_first(
 #: for their callers' (lazy) actions, the oldest is unpersisted when
 #: the registry overflows — executor storage memory holds at most
 #: this many pinned probes per session regardless of call count.
+#: Mutation is lock-guarded (round-16 advice): concurrent driver
+#: threads building interval joins must not race the append/pop, and
+#: evictions are counted so a workload whose concurrency outruns the
+#: cap is observable (an evicted-before-action probe silently
+#: recomputes its groupBy — correct, but the perf guarantee degrades;
+#: raise the cap via set_pinned_packed_max when the counter climbs).
 _PINNED_PACKED: list[DataFrame] = []
 _PINNED_PACKED_MAX = 4
+_PINNED_PACKED_LOCK = threading.Lock()
+#: process-lifetime count of probes evicted by cap overflow
+PINNED_PACKED_EVICTIONS = 0
+
+
+def set_pinned_packed_max(n: int) -> None:
+    """Resize the pinned-probe cap for sessions whose driver-side
+    concurrency exceeds the default 4 in-flight interval joins."""
+    global _PINNED_PACKED_MAX
+    if n < 1:
+        raise ValueError("cap must be >= 1")
+    with _PINNED_PACKED_LOCK:
+        _PINNED_PACKED_MAX = n
 
 
 def _pin_packed(df: DataFrame) -> None:
-    _PINNED_PACKED.append(df)
-    while len(_PINNED_PACKED) > _PINNED_PACKED_MAX:
+    global PINNED_PACKED_EVICTIONS
+    evicted: list[DataFrame] = []
+    with _PINNED_PACKED_LOCK:
+        _PINNED_PACKED.append(df)
+        while len(_PINNED_PACKED) > _PINNED_PACKED_MAX:
+            evicted.append(_PINNED_PACKED.pop(0))
+            PINNED_PACKED_EVICTIONS += 1
+    for old in evicted:  # unpersist outside the lock (JVM call)
         try:
-            _PINNED_PACKED.pop(0).unpersist()
+            old.unpersist()
         except Exception:  # noqa: BLE001 — session already stopped
             pass
 

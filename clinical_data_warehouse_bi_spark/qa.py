@@ -1123,6 +1123,11 @@ SNAPSHOT_UNIQUE_PROBE_MAX_ROWS = 100_000_000
 _ROW_MULTIPLYING_NODES = (
     "Join", "Generate", "InPandas", "MapPartitions", "CoGroup",
     "MapGroups", "FlatMap",
+    # round-16 advice: Expand (rollup/cube/grouping-sets) replicates
+    # every input row per grouping set, MapInArrow and the
+    # *EvalPython nodes run arbitrary-arity Python — all can emit
+    # more rows than the scan footers hold
+    "Expand", "MapInArrow", "EvalPython",
 )
 
 

@@ -3074,6 +3074,17 @@ def test_footer_rows_void_for_row_multiplying_plans(spark, tmp_path):
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("v")
     )
     assert qa._footer_rows(exploded) is None
+    # round-16 advice: Expand (rollup/cube) replicates each input row
+    # per grouping set, and MapInArrow/EvalPython run arbitrary-arity
+    # Python — both void the footer bound too
+    rolled = scan.rollup("k", "fp").count()
+    assert qa._footer_rows(rolled) is None
+
+    def _fan(it):
+        yield from it
+
+    arrowed = scan.mapInArrow(_fan, "k int, fp string")
+    assert qa._footer_rows(arrowed) is None
     # and the auto gate therefore does NOT launch the probe on a
     # duplicate-keyed join-shaped side (no raise — not provably
     # bounded), while check_unique=True still forces it
@@ -3204,6 +3215,7 @@ def test_mapside_interval_pin_registry_bounded(spark):
     from clinical_data_warehouse_bi_spark import joins
 
     joins._PINNED_PACKED.clear()
+    ev0 = joins.PINNED_PACKED_EVICTIONS
     left = spark.createDataFrame([(1, 5)], "k bigint, ts bigint")
     evicted = []
     for i in range(joins._PINNED_PACKED_MAX + 3):
@@ -3223,6 +3235,15 @@ def test_mapside_interval_pin_registry_bounded(spark):
     for df in evicted:
         if df not in joins._PINNED_PACKED:
             assert df.storageLevel == StorageLevel.NONE
+    # round-16 advice: evictions are counted (observability for
+    # workloads whose concurrency outruns the cap)
+    assert joins.PINNED_PACKED_EVICTIONS - ev0 == 3
+    # and the cap is resizable at runtime
+    joins.set_pinned_packed_max(joins._PINNED_PACKED_MAX + 2)
+    try:
+        assert joins._PINNED_PACKED_MAX == 6
+    finally:
+        joins.set_pinned_packed_max(4)
 
 
 def test_epoch_shuffle_properties(spark):
