@@ -543,3 +543,199 @@ def audio_logmel(
         op,
         schema="doc_id bigint, n_frames int, n_mels int, logmel array<double>",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-dup (round-16 verdict item 3): the
+# multimodal dedup tier that works WITHOUT an embedding model — a
+# 100 TB crawl dedups images before any encoder runs. Composes the
+# codecs above with the engine's banded-Hamming candidate machinery
+# (the q_simhash_pairs construction, queries/dedup.py).
+# ---------------------------------------------------------------------------
+
+#: pHash geometry: DCT over a PHASH_SIZE*PHASH_HIGHFREQ square,
+#: keep the PHASH_SIZE x PHASH_SIZE low-frequency block -> 64 bits
+PHASH_SIZE = 8
+PHASH_HIGHFREQ = 4
+
+#: banded-Hamming defaults: 8 bands of 8 bits over the 64-bit hash.
+#: Pigeonhole: a pair within Hamming distance k agrees exactly on at
+#: least one band whenever k < bands — so candidates are EXACT (no
+#: recall loss) for the default radius.
+PHASH_BANDS = 8
+PHASH_MAX_HAMMING = 6
+
+#: luma weights (ITU-R BT.601) for RGB(A) -> grayscale
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    """Decoded array -> 2-D float grayscale. 3/4-channel images take
+    the BT.601 luma of the first three channels (alpha ignored),
+    gray+alpha takes the gray channel, 1-D byte streams (the fake
+    path and audio features) fold into the squarest (h, w) grid that
+    consumes every byte row-major — deterministic, so near-identical
+    payloads land on near-identical grids."""
+    if arr.ndim == 3:
+        if arr.shape[2] >= 3:
+            return arr[:, :, :3].astype(np.float64) @ _LUMA
+        return arr[:, :, 0].astype(np.float64)
+    if arr.ndim == 2:
+        return arr.astype(np.float64)
+    flat = arr.ravel()
+    n = max(flat.size, 1)
+    h = max(int(np.sqrt(n)), 1)
+    w = max(n // h, 1)
+    out = np.zeros(h * w, dtype=np.float64)
+    out[: min(flat.size, h * w)] = flat[: h * w].astype(np.float64)
+    return out.reshape(h, w)
+
+
+def _area_resize(img: np.ndarray, size: int) -> np.ndarray:
+    """Deterministic area-average resize to (size, size): output cell
+    (i, j) averages the input block rows [i*h//size, (i+1)*h//size) x
+    cols likewise (a zero-length block takes its boundary element —
+    np.add.reduceat's defined behavior — which is the nearest-neighbor
+    upsample case). Integer index arithmetic only: no interpolation
+    kernel, no float rounding ambiguity."""
+    out = img
+    for axis, dim in ((0, img.shape[0]), (1, img.shape[1])):
+        idx = (np.arange(size) * dim) // size
+        counts = np.append(idx[1:], dim) - idx
+        sums = np.add.reduceat(out, idx, axis=axis)
+        out = sums / np.maximum(counts, 1).reshape(
+            (-1, 1) if axis == 0 else (1, -1)
+        )
+    return out
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix: D[k, m] = c_k cos(pi (2m+1) k / 2n),
+    c_0 = sqrt(1/n), c_k = sqrt(2/n)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] *= np.sqrt(0.5)
+    return d
+
+
+def phash_py(arr: np.ndarray) -> int:
+    """Reference pHash of one decoded image (the imagehash recipe,
+    reimplemented from the published algorithm): grayscale ->
+    area-resize to 32x32 -> orthonormal 2-D DCT-II -> keep the 8x8
+    low-frequency block -> threshold each coefficient against the
+    block median -> pack 64 bits row-major, bit 63 first. Returns a
+    SIGNED 64-bit int (bit 63 set -> negative) so the value round-
+    trips through a Spark `long` column for xor/bit_count."""
+    side = PHASH_SIZE * PHASH_HIGHFREQ
+    small = _area_resize(_to_gray(arr), side)
+    d = _dct_matrix(side)
+    low = (d @ small @ d.T)[:PHASH_SIZE, :PHASH_SIZE]
+    bits = (low > np.median(low)).ravel()
+    h = np.uint64(0)
+    for b in bits:
+        h = np.uint64(h << np.uint64(1)) | np.uint64(int(b))
+    return int(h.astype(np.int64))
+
+
+def image_phash(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """(doc_id, phash): 64-bit perceptual hash per blob, one
+    Arrow-batched mapInPandas pass (partition-parallel, no shuffle —
+    the hash is ~300 doubles of numpy per image, the decode
+    dominates). ``real_decode=True`` routes through the PNG/WAV
+    codecs; the default hashes the raw-byte grid (deterministic,
+    media-library-free — the registered-query path)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(
+                pdf["doc_id"], pdf["content"], pdf["media_meta"]
+            ):
+                arr = decode_media(bytes(blob), meta["media_type"], real_decode)
+                rows.append({"doc_id": doc_id, "phash": phash_py(arr)})
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return media.mapInPandas(op, schema="doc_id bigint, phash bigint")
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every pair of (doc_id, phash) rows
+    within ``max_hamming`` bits — the q_simhash_pairs construction on
+    a 64-bit hash: split into ``n_bands`` bands, equi-join on
+    (band, band value) — bounded buckets, never all-pairs — then
+    verify exact Hamming with bit_count(a ^ b). EXACT (pigeonhole)
+    while max_hamming < n_bands; a wider radius would need more/
+    narrower bands. Band extraction uses shiftrightunsigned: phash is
+    a signed long and an arithmetic shift would smear the sign bit
+    across every high band."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding is exact only for max_hamming < n_bands"
+            f" ({max_hamming} >= {n_bands}): raise n_bands"
+        )
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    fp = hashes.select("doc_id", "phash")
+    bands = fp.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"shiftrightunsigned(phash, {j * bits}) & {mask}"
+                    for j in range(n_bands)
+                )
+                + ")"
+            )
+        ).alias("band", "sig"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"),
+        "band", "sig",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"),
+        F.col("band").alias("band_b"), F.col("sig").alias("sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(bit_count(ha ^ hb) as int)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_near_dup(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    n_bands: int = PHASH_BANDS,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs over a media relation
+    (doc_id, content, media_meta): pHash each blob (one mapInPandas
+    pass), then the exact banded-Hamming candidate join. The hash
+    relation (doc_id, phash — two scalars) is what crosses the
+    exchange; image bytes never do. Persisted once: both self-join
+    sides and the verification read the materialized form."""
+    hashes = image_phash(media, real_decode=real_decode).persist()
+    return phash_near_dup_pairs(hashes, max_hamming, n_bands)

@@ -428,30 +428,127 @@ BPE_MERGES = 64
 _BPE_CACHE: dict[tuple, list] = {}
 
 
-@register("q_bpe_encode", oracle=None)
+#: PINNED merge table for the registered q_bpe_encode (round-16
+#: verdict item 4: converting the gate from rows-only to
+#: value-checked requires the oracle to know the merges, and
+#: oracle_sql() strings are fixed at registration — so the gate
+#: encodes under this committed constant instead of refitting per
+#: corpus). Provenance: bpe.train_bpe over the sf0.001 documents
+#: histogram at n_merges=64, deterministic (lexicographic
+#: tie-break); regenerate with scripts shown in SURVEY.md round-16
+#: log. Corpus-FITTED training stays exercised by tests/test_bpe.py
+#: and the q_bpe_encode_fitted form below.
+BPE_GATE_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'), ('e', '</w>'), ('n', '</w>'), ('o', 'r'), ('t', '</w>'),
+    ('er', '</w>'), ('o', 'w'), ('ow', '</w>'), ('l', 'u'), ('i', 'n'),
+    ('y', '</w>'), ('a', 'r'), ('p', 'ar'), ('g', '</w>'), ('a', 's'),
+    ('h', '</w>'), ('a', '</w>'), ('s', 't'), ('a', 't'), ('a', 'n</w>'),
+    ('c', 'an</w>'), ('s', 'can</w>'), ('c', 'o'), ('co', 'lu'),
+    ('colu', 'm'), ('colum', 'n</w>'), ('d', 'ow</w>'), ('in', 'dow</w>'),
+    ('w', 'indow</w>'), ('d', 'er</w>'), ('or', 'der</w>'),
+    ('or', 't</w>'), ('s', 'ort</w>'), ('p', '</w>'), ('par', 't</w>'),
+    ('u', 'p</w>'), ('a', 'g'), ('ag', 'g</w>'), ('a', 'lu'),
+    ('alu', 'e</w>'), ('v', 'alue</w>'), ('in', 'e</w>'), ('l', 'ine</w>'),
+    ('e', 'y</w>'), ('k', 'ey</w>'), ('i', 'n</w>'), ('j', 'o'),
+    ('jo', 'in</w>'), ('er', 'g'), ('erg', 'e</w>'), ('m', 'erge</w>'),
+    ('er', 'y</w>'), ('g', 'r'), ('gr', 'o'), ('gro', 'up</w>'),
+    ('q', 'u'), ('qu', 'ery</w>'), ('c', 't'), ('ct', 'or'),
+    ('ctor', '</w>'), ('e', 'ctor</w>'), ('v', 'ector</w>'),
+    ('as', 'h</w>'), ('h', 'ash</w>'),
+]
+
+
+def _sql_bpe_encode() -> str:
+    """DuckDB replay of bpe.encode_word under BPE_GATE_MERGES, as a
+    chain of separator-aware global regexp_replace rewrites.
+
+    Equivalence to the greedy min-rank loop (proved by construction,
+    re-verified on 3k random words in tests/test_bpe.py): (a) a rule
+    that CONSUMES a merged token always ranks after the rule that
+    created it (BPE learns rules over existing symbols), so applying
+    rules once in ascending rank order equals repeatedly applying the
+    lowest-ranked present pair; (b) within one rule, merging can
+    never create a new occurrence of that same pair, and RE2's
+    leftmost non-overlapping global replace IS the greedy
+    one-at-a-time order for self-overlapping runs (a a a -> aa a).
+
+    Wire format: symbols joined by '##' with '##' at both ends
+    ('#' never occurs in a symbol: [a-z0-9] chars plus the '</w>'
+    marker); merge (a, b) rewrites '#a##b#' -> '#ab#', consuming one
+    '#' from each flank so the double-separator invariant holds.
+    Tokens each contribute chars + '</w>', so no learned rule can
+    cross a word boundary ('</w>' is terminal in training)."""
+    sep_words = (
+        "list_transform("
+        "  regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),"
+        "  w -> array_to_string(regexp_extract_all(w, '.'), '##')"
+        "       || '##</w>')"
+    )
+    expr = f"'##' || array_to_string({sep_words}, '##') || '##'"
+    for a, b in BPE_GATE_MERGES:
+        # symbols contain only [a-z0-9</w>] — no RE2 metacharacters
+        expr = f"regexp_replace({expr}, '#{a}##{b}#', '#{a}{b}#', 'g')"
+    return f"""
+    WITH enc AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                 '[a-z0-9]+')) AS nw,
+             {expr} AS s
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN nw = 0 THEN 0
+                ELSE length(s) - length(replace(s, '##', '#')) - 1
+           END AS n_bpe_tokens,
+           CASE WHEN nw = 0 THEN ''
+                ELSE replace(trim(s, '#'), '##', ' ')
+           END AS bpe_text
+    FROM enc
+    """
+
+
+@register("q_bpe_encode", oracle=_sql_bpe_encode())
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenization end-to-end (bpe.py): ONE
-    histogram job over the corpus (bpe.word_histogram), a driver-side
-    deterministic merge-learning loop over that small histogram
-    (bpe.train_bpe — ties break lexicographically, so the merge
-    table is a pure function of the corpus), then shuffle-free
-    Arrow-batched encoding of every document with the merge table
-    riding the closure (bpe.bpe_encode). Output per document:
-    token count and the space-joined token stream (arrays are
-    serialized for the driver's canonicalizer).
+    """Distributed BPE tokenization under the PINNED gate merge table
+    (BPE_GATE_MERGES): shuffle-free Arrow-batched encoding of every
+    document with the merge table riding the closure
+    (bpe.bpe_encode). Output per document: token count and the
+    space-joined token stream (arrays are serialized for the
+    driver's canonicalizer).
 
-    No oracle BY DESIGN (the q_ann_ivf_pq convention): BPE merge
-    learning is an iterative greedy algorithm no portable SQL
-    reproduces. The driver records the rows-only check — one row per
-    document, deterministic given the corpus; the value-level
-    evidence lives in tests/test_bpe.py (incremental-vs-naive
-    training equivalence, tie-break determinism, lossless word
-    round-trip, distributed-encode == driver-encode).
+    VALUE-CHECKED since round 16 (verdict item 4, the r13
+    q_bm25_served conversion precedent): encoding under a fixed merge
+    table is deterministic, so the DuckDB oracle replays the greedy
+    encoder as a rank-ordered chain of separator-aware
+    regexp_replace rewrites over the same merge constants
+    (_sql_bpe_encode) — the real mapInPandas encoder vs an
+    independent SQL reimplementation, hash-compared. Corpus-FITTED
+    merge learning (histogram -> train_bpe) stays exercised through
+    q_bpe_encode_fitted, bench, and tests/test_bpe.py.
 
-    Scale shape: training reads the histogram (vocabulary-sized, not
-    corpus-sized) onto the driver once; encoding is a pure map with
-    a per-batch word cache — no shuffle, no per-row Python, Arrow
-    batches in and out."""
+    Scale shape: encoding is a pure map with a per-batch word cache —
+    no shuffle, no per-row Python, Arrow batches in and out."""
+    from clinical_data_warehouse_bi_spark import bpe
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    enc = bpe.bpe_encode(
+        fan_out(docs.select("doc_id", "text")), BPE_GATE_MERGES
+    )
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+    )
+
+
+def q_bpe_encode_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-FITTED form (the registered entry through round
+    15): ONE histogram job (bpe.word_histogram), the deterministic
+    driver-side merge-learning loop (bpe.train_bpe — vocabulary-
+    sized, not corpus-sized), then the same distributed encode.
+    Unregistered since the round-16 value-check conversion pinned the
+    gate's merges; kept for bench/scale probes and as the
+    production-shaped API (train once, encode many corpora — the
+    _BPE_CACHE memo)."""
     from clinical_data_warehouse_bi_spark import bpe
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

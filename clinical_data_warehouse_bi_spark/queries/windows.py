@@ -229,6 +229,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_image_near_dup", oracle=None)
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs (round-16 verdict item 3
+    — the multimodal dedup tier that needs no embedding model): pHash
+    every media blob (grayscale -> area-resize -> 2-D DCT -> median-
+    threshold 64 bits, multimodal.phash_py) in one Arrow-batched
+    mapInPandas pass, then the EXACT banded-Hamming candidate join (8
+    bands of 8 bits; pigeonhole-exact for the radius-6 default — the
+    q_simhash_pairs construction on a 64-bit hash). Only the slim
+    (doc_id, phash) relation crosses the exchange; image bytes never
+    do.
+
+    Rows-only check BY DESIGN: the DCT hash runs in the decode path
+    (mapInPandas), not SQL. Value evidence: numpy-exact reference
+    equality, planted near-copy recall on real PNGs (noise within the
+    radius found, distinct images rejected), and invariance/
+    determinism properties in tests/test_multimodal.py.
+
+    The registered path hashes the fake-media byte grid (codec-free,
+    deterministic); real deployments flip real_decode=True and attach
+    their PIL/ffmpeg branch in decode_media — nothing else moves. The
+    driver's documents table carries exact text duplicates, so the
+    fake blobs yield hamming-0 pairs and the gate row is non-empty."""
+    from clinical_data_warehouse_bi_spark.multimodal import (
+        attach_fake_media,
+        image_near_dup,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return image_near_dup(attach_fake_media(docs))
+
+
 #: q_scd2_dim's DuckDB oracle, preserved after its round-9 registry
 #: retirement (slot went to q_readmission_gap) — the cross-engine
 #: value check survives in tests/test_retired_parity.py.

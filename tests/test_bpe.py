@@ -170,3 +170,63 @@ def test_write_training_contexts_deterministic(spark, tmp_path, sf_dir):
         for r in spark.read.parquet(b).collect()
     )
     assert ra == rb
+
+
+def test_gate_oracle_sweep_equals_greedy_encode():
+    """The round-16 oracle conversion's correctness core: applying
+    BPE_GATE_MERGES once each, in rank order, as leftmost
+    non-overlapping global rewrites (what the DuckDB regexp_replace
+    chain does) equals bpe.encode_word's greedy min-rank loop — on
+    every corpus word shape plus 3000 random words over the gate
+    alphabet (self-overlapping runs, terminal-marker merges, unknown
+    characters)."""
+    import random
+    import re
+
+    from clinical_data_warehouse_bi_spark.bpe import EOW, encode_word
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        BPE_GATE_MERGES,
+    )
+
+    ranks = {tuple(p): i for i, p in enumerate(BPE_GATE_MERGES)}
+
+    def sweep(word: str) -> list[str]:
+        s = "##" + "##".join(list(word) + [EOW]) + "##"
+        for a, b in BPE_GATE_MERGES:
+            s = re.sub(
+                "#" + re.escape(a) + "##" + re.escape(b) + "#",
+                "#" + a + b + "#",
+                s,
+            )
+        return s.strip("#").split("##")
+
+    words = [
+        "query", "vector", "window", "scan", "merge", "ordersort",
+        "value", "hashhash", "aaaa", "qqq", "x", "q", "0",
+    ]
+    rng = random.Random(0)
+    alphabet = "aeorstwcvqugh01"
+    words += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(3000)
+    ]
+    for w in words:
+        assert encode_word(w, ranks) == sweep(w), w
+
+
+def test_gate_merges_are_consistent_bpe_table():
+    """BPE_GATE_MERGES satisfies the rank-monotonicity the sweep
+    equivalence proof needs: every non-terminal symbol a rule
+    consumes is either a single character or was CREATED by an
+    earlier rule — so 'apply rules once in rank order' is the greedy
+    min-rank loop."""
+    from clinical_data_warehouse_bi_spark.bpe import EOW
+    from clinical_data_warehouse_bi_spark.queries.text_ops import (
+        BPE_GATE_MERGES,
+    )
+
+    known = {EOW} | set("abcdefghijklmnopqrstuvwxyz0123456789")
+    for a, b in BPE_GATE_MERGES:
+        assert a in known and b in known, (a, b)
+        known.add(a + b)
+        assert "#" not in a + b  # the SQL wire separator stays safe

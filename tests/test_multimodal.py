@@ -423,3 +423,137 @@ def test_audio_logmel_matches_numpy_reference(spark):
 
     with _pytest.raises(ValueError):
         multimodal.mel_filterbank(0, n_fft, sr)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (round-16 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def _hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_reference_properties():
+    """phash_py: deterministic, shape-polymorphic (gray / RGB / RGBA /
+    raw bytes), signed-long packed, and resolution-robust — the SAME
+    picture at 2x resolution hashes close, which is the property that
+    makes it a PERCEPTUAL hash rather than a byte hash."""
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (40, 52)).astype(np.uint8)
+    assert multimodal.phash_py(gray) == multimodal.phash_py(gray.copy())
+    # packs into a signed 64-bit long (bit 63 may be set)
+    h = multimodal.phash_py(gray)
+    assert -(1 << 63) <= h < (1 << 63)
+    # rgb luma path runs and differs from the raw gray of one channel
+    rgb = rng.randint(0, 256, (40, 52, 3)).astype(np.uint8)
+    assert isinstance(multimodal.phash_py(rgb), int)
+    rgba = np.dstack([rgb, np.full((40, 52), 255, np.uint8)])
+    # alpha is ignored: RGBA == RGB bit-for-bit
+    assert multimodal.phash_py(rgba) == multimodal.phash_py(rgb)
+    # 2x nearest-neighbor upscale of the same picture stays within a
+    # small radius (area-resize sees the same block structure)
+    big = np.kron(gray, np.ones((2, 2), dtype=np.uint8))
+    assert _hamming64(
+        multimodal.phash_py(big), multimodal.phash_py(gray)
+    ) <= 6
+    # raw 1-D bytes fold deterministically
+    flat = rng.randint(0, 256, 997).astype(np.uint8)
+    assert multimodal.phash_py(flat) == multimodal.phash_py(flat.copy())
+
+
+def test_phash_planted_near_dup_recall_png(spark):
+    """Planted-recall contract on REAL decoded PNGs: 6 distinct
+    random images, 3 of them with a near-copy carrying +-2 pixel
+    noise — image_near_dup(real_decode=True) must find exactly the 3
+    planted pairs (noise within radius, distinct images far apart)."""
+    rng = np.random.RandomState(42)
+    blobs, metas, ids = [], [], []
+    base_imgs = []
+    for i in range(6):
+        # smooth structured images (random low-freq mixture), not iid
+        # noise: pHash thresholds low-frequency DCT coefficients, so
+        # the planted perturbation must not be of the same magnitude
+        # as the image's own structure
+        yy, xx = np.mgrid[0:48, 0:64]
+        img = np.zeros((48, 64))
+        for _ in range(5):
+            fy, fx = rng.uniform(0.02, 0.2, 2)
+            img += rng.uniform(20, 60) * np.sin(
+                fy * yy + rng.uniform(0, 6)
+            ) * np.cos(fx * xx + rng.uniform(0, 6))
+        img = ((img - img.min()) / (img.ptp() + 1e-9) * 255).astype(np.uint8)
+        base_imgs.append(img)
+        blobs.append(_png_encode(img))
+        ids.append(i)
+    for i in range(3):  # near-copies of images 0..2 at ids 100..102
+        noisy = base_imgs[i].astype(np.int32) + rng.randint(-2, 3, (48, 64))
+        blobs.append(_png_encode(np.clip(noisy, 0, 255).astype(np.uint8)))
+        ids.append(100 + i)
+    rows = [
+        (int(ids[j]), bytearray(blobs[j]),
+         ("image/png", 64, 48, 16000, 0.0))
+        for j in range(len(ids))
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, content binary, media_meta struct<"
+        "media_type string, width int, height int, sample_rate int,"
+        " duration_s double>",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in multimodal.image_near_dup(media, real_decode=True).collect()
+    }
+    assert got == {(0, 100), (1, 101), (2, 102)}, got
+
+
+def test_phash_banding_matches_bruteforce(spark):
+    """The banded candidate join is EXACT for radius < n_bands: its
+    pair set equals the brute-force all-pairs Hamming filter on the
+    same hashes (pigeonhole — 6 differing bits cannot spoil all 8
+    bands)."""
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 2, 64)
+    hashes = []
+    for i in range(20):
+        v = base.copy()
+        flips = rng.choice(64, size=rng.randint(0, 12), replace=False)
+        v[flips] ^= 1
+        h = 0
+        for b in v:
+            h = (h << 1) | int(b)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        hashes.append((i, h))
+    df = spark.createDataFrame(hashes, "doc_id long, phash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal.phash_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    want = set()
+    for i, (ida, ha) in enumerate(hashes):
+        for idb, hb in hashes[i + 1:]:
+            d = _hamming64(ha & (1 << 64) - 1, hb & (1 << 64) - 1)
+            if d <= 6:
+                want.add((min(ida, idb), max(ida, idb), d))
+    assert got == want
+    with pytest.raises(ValueError, match="exact only"):
+        multimodal.phash_near_dup_pairs(df, max_hamming=8, n_bands=8)
+    with pytest.raises(ValueError, match="divide 64"):
+        multimodal.phash_near_dup_pairs(df, max_hamming=2, n_bands=5)
+
+
+def test_q_image_near_dup_registered(spark, sf_dir):
+    """The registered gate entry: the documents table's exact text
+    duplicates give identical fake blobs -> hamming-0 pairs, so the
+    rows-only gate row is non-empty; output is deterministic across
+    partitionings."""
+    from clinical_data_warehouse_bi_spark.queries.windows import (
+        q_image_near_dup,
+    )
+
+    out = q_image_near_dup(spark, sf_dir)
+    rows = {tuple(r) for r in out.collect()}
+    assert rows and all(h == 0 for *_ab, h in rows)
+    assert {tuple(r) for r in q_image_near_dup(spark, sf_dir).collect()} == rows
