@@ -51,6 +51,7 @@ def build_corpus_release(
     decontaminate_index: str | None = None,
     substring_dedup: bool = False,
     substring_min_tokens: int = 12,
+    substring_winnow_w: int = 8,
     alpha: float = 0.7,
     budget_frac: float = 0.6,
     chunk_tokens: int = 64,
@@ -76,7 +77,19 @@ def build_corpus_release(
     index (suffix.build_suffix_index over the held-out/eval corpus).
     ``substring_dedup``: enable the ExactSubstr keep-one-copy pass.
     Defaults (both off) reproduce the round-11 pipeline_corpus
-    composition unchanged."""
+    composition unchanged.
+
+    ``substring_winnow_w``: the ExactSubstr stage's winnowing window
+    — w=8 is the documented SCALE default (round-16 verdict item 5):
+    it cuts the window-digest exchange 8-fold and is the measured
+    100 TB configuration (2.33x vs DuckDB at the 1024x planted
+    corpus and improving with volume, vs the exact w=1 form's
+    terminal ~3.3x plateau — BASELINE.md). The guarantee trade:
+    winnowing certifies removal only for duplicated spans of at
+    least ``substring_min_tokens + w - 1`` tokens (Schleimer et al.'s
+    winnowing bound); shorter duplicated spans MAY survive. Pass
+    winnow_w=1 for the exact >= min_tokens guarantee at the
+    enumeration cost (the q_substring_dedup gate form)."""
     from clinical_data_warehouse_bi_spark import text as T
     from clinical_data_warehouse_bi_spark.io import temperature_mix_keyed
     from clinical_data_warehouse_bi_spark.queries.text_ops import (
@@ -127,6 +140,7 @@ def build_corpus_release(
         stripped = strip_duplicate_spans(
             release,
             min_tokens=substring_min_tokens,
+            winnow_w=substring_winnow_w,
             keep_first=True,
         )
         release = stripped.join(

@@ -787,10 +787,17 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The registered form runs winnow_w=1 — EXACT, hash-checked
     against the brute-force window-count definition in DuckDB. The
-    100 TB form raises winnow_w (w-fold smaller exchange, matches
-    >= L + w - 1 guaranteed by robust winnowing, intra-partition
-    matches exact at >= L via the suffix-array tier) — property-
-    tested in tests/test_suffix.py.
+    100 TB configuration is winnow_w=8 (round-16 verdict item 5),
+    which is the DEFAULT in the composed release pipeline
+    (corpus.build_corpus_release substring_winnow_w=8): the w-fold
+    smaller window-digest exchange measured 2.33x vs DuckDB at the
+    1024x planted corpus and improves with volume, where this exact
+    form plateaus ~3.3x (BASELINE.md). Guarantee trade: winnowing
+    certifies only duplicated spans of >= L + w - 1 tokens
+    (Schleimer et al.'s bound; intra-partition matches stay exact at
+    >= L via the suffix-array tier) — shorter duplicated spans MAY
+    survive. Property-tested in tests/test_suffix.py; the w=1 gate
+    entry here keeps the full brute-force oracle.
 
     Scale shape: window digests are computed INSIDE the map-side
     transform (md5 in the lambda, exploded after hashing), so the

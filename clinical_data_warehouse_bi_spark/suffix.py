@@ -140,6 +140,37 @@ def dup_window_starts(arr: np.ndarray, min_len: int) -> np.ndarray:
     return np.flatnonzero(dup)
 
 
+def dup_window_groups(
+    arr: np.ndarray, min_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, labels) for every duplicated ``min_len`` window:
+    same label <=> identical window content. Sharing an L-prefix is
+    an equivalence relation and equivalent suffixes are CONTIGUOUS in
+    suffix order, so the label is a cumsum over neighbor-inequality
+    boundaries — the group view dup_window_starts discards, needed by
+    the keep-first (canonical-survivor) ranking (round 16)."""
+    n = len(arr)
+    if n < min_len or min_len < 1:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    sa = suffix_array(arr)
+    pad = -(np.arange(min_len, dtype=np.int64) + 1) - (
+        np.abs(arr).max() + 2 if n else 2
+    )
+    arrp = np.concatenate([arr, pad])
+    a, b = sa[:-1], sa[1:]
+    eq = np.ones(n - 1, dtype=bool)
+    for off in range(min_len):
+        eq &= arrp[a + off] == arrp[b + off]
+        if not eq.any():
+            break
+    lbl = np.zeros(n, dtype=np.int64)
+    lbl[1:] = np.cumsum(~eq)
+    member = np.zeros(n, dtype=bool)
+    member[:-1] |= eq
+    member[1:] |= eq
+    return sa[member], lbl[member]
+
+
 def _winnow_anchors(sel_hash: np.ndarray, w: int) -> np.ndarray:
     """Robust-winnowing anchor positions over a window-hash sequence:
     the argmin (leftmost tie) of every w consecutive hashes, deduped.
@@ -165,11 +196,17 @@ def _tok_rel(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _sa_chunk(
-    doc_ids: list, tok_lists: list, min_tokens: int
+    doc_ids: list, tok_lists: list, min_tokens: int,
+    keep_first: bool = False,
 ) -> "pd.DataFrame":
     """The suffix-array pass over one bounded chunk of documents:
     (doc_id, pos) rows for every duplicated ``min_tokens`` window
-    within the chunk."""
+    within the chunk. ``keep_first=True`` ranks each window's
+    occurrences by (doc_id, pos) and emits only the NON-canonical
+    ones — the same total order the anchor tier's hash-group window
+    uses, so the chunk-local survivor is exactly the global
+    canonical whenever the global canonical lives in this chunk (and
+    is itself marked by the anchor tier otherwise)."""
     empty = pd.DataFrame({"doc_id": [], "pos": []}).astype(
         {"doc_id": "int64", "pos": "int64"}
     )
@@ -197,19 +234,27 @@ def _sa_chunk(
     ends_arr = starts_arr + np.asarray(
         [len(t) for t in tok_lists], dtype=np.int64
     )
-    pos = dup_window_starts(arr, min_tokens)
+    if keep_first:
+        pos, lbl = dup_window_groups(arr, min_tokens)
+    else:
+        pos = dup_window_starts(arr, min_tokens)
+        lbl = None
     if not len(pos):
         return empty
     doc_idx = np.searchsorted(starts_arr, pos, side="right") - 1
     # windows containing a separator can never match (unique ids),
     # so pos is always inside its doc — assert the invariant
     assert (pos + min_tokens <= ends_arr[doc_idx]).all()
-    return pd.DataFrame(
-        {
-            "doc_id": np.asarray(doc_ids, dtype=np.int64)[doc_idx],
-            "pos": pos - starts_arr[doc_idx] + 1,  # 1-based
-        }
-    )
+    docs_of_pos = np.asarray(doc_ids, dtype=np.int64)[doc_idx]
+    rel_pos = pos - starts_arr[doc_idx] + 1  # 1-based
+    if keep_first:
+        order = np.lexsort((rel_pos, docs_of_pos, lbl))
+        is_canon = np.zeros(len(order), dtype=bool)
+        is_canon[0] = True
+        is_canon[1:] = lbl[order][1:] != lbl[order][:-1]
+        keep = order[~is_canon]
+        docs_of_pos, rel_pos = docs_of_pos[keep], rel_pos[keep]
+    return pd.DataFrame({"doc_id": docs_of_pos, "pos": rel_pos})
 
 
 def sa_dup_positions(
@@ -217,6 +262,7 @@ def sa_dup_positions(
     min_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """(doc_id, pos): 1-based starts of duplicated ``min_tokens``
     windows detectable WITHIN each bounded CHUNK of each input
@@ -250,14 +296,15 @@ def sa_dup_positions(
                         "split the document upstream"
                     )
                 if total and total + n > MAX_SA_TOKENS:
-                    yield _sa_chunk(doc_ids, tok_lists, min_tokens)
+                    yield _sa_chunk(doc_ids, tok_lists, min_tokens,
+                                    keep_first)
                     emitted = True
                     doc_ids, tok_lists, total = [], [], 0
                 doc_ids.append(did)
                 tok_lists.append(list(toks))
                 total += n
         if doc_ids or not emitted:
-            yield _sa_chunk(doc_ids, tok_lists, min_tokens)
+            yield _sa_chunk(doc_ids, tok_lists, min_tokens, keep_first)
 
     return _tok_rel(docs, id_col, text_col).mapInPandas(
         op, "doc_id bigint, pos bigint"
@@ -386,14 +433,20 @@ def duplicate_spans(
     keep-one-copy training form Lee et al. apply; default False
     marks every occurrence, the conservative decontamination form).
     The ranking rides the same hash-keyed window as the count — no
-    extra exchange. Exact tier only (winnow_w must be 1: the
-    suffix-array tier has no group view to rank within)."""
-    if keep_first and winnow_w != 1:
-        raise ValueError(
-            "keep_first requires winnow_w == 1: the intra-partition "
-            "suffix-array tier marks duplicates without a global "
-            "group view, so it cannot rank a canonical survivor"
-        )
+    extra exchange.
+
+    keep_first composes with winnow_w > 1 (round 16): the SA tier
+    ranks by the SAME (doc_id, pos) total order within its group view
+    (suffix.dup_window_groups), so the tiers agree on the survivor —
+    when the global canonical copy is inside a chunk it IS that
+    chunk's local minimum (never marked by either tier), and when it
+    is elsewhere, the chunk-local survivor is marked by the anchor
+    tier (any >= min_tokens + w - 1 shared span carries >= 1 shared
+    winnow anchor, whose hash group spans partitions). The winnow
+    guarantee carries over: every NON-canonical copy of a
+    >= min_tokens + w - 1 span loses at least one >= min_tokens
+    window; shorter cross-partition duplicates may keep one copy per
+    partition-chunk."""
     anchors = window_hash_relation(
         docs, min_tokens, winnow_w, id_col, text_col
     )
@@ -411,7 +464,9 @@ def duplicate_spans(
     )
     if winnow_w > 1:
         marked = marked.unionByName(
-            sa_dup_positions(docs, min_tokens, id_col, text_col)
+            sa_dup_positions(
+                docs, min_tokens, id_col, text_col, keep_first=keep_first
+            )
         )
     return _merge_spans(marked, min_tokens)
 

@@ -366,9 +366,41 @@ def test_keep_first_marks_only_later_occurrences(spark):
     needle = " ".join(docs[2][s : s + L + 4])
     assert needle in out[2]
     assert needle not in out[7]
-    with pytest.raises(ValueError, match="keep_first"):
-        suffix.duplicate_spans(_to_df(spark, docs), L, winnow_w=4,
-                               keep_first=True)
+
+
+def test_keep_first_composes_with_winnowing(spark):
+    """Round-16: keep_first now composes with winnow_w > 1 (the
+    corpus-release scale default). Contract on a planted
+    >= L + w - 1 span shared by three docs across partitions: the
+    global canonical copy (lowest doc_id) survives INTACT, every
+    other copy loses the phrase — regardless of whether the
+    duplicate is seen by the SA tier (same partition) or only by the
+    winnowed anchor tier (cross-partition). A short duplicate
+    (< L + w - 1, cross-partition) is the documented guarantee
+    trade: it may survive in more than one copy, but never loses
+    its canonical."""
+    rng = np.random.RandomState(71)
+    docs = _rand_docs(rng, n_docs=12, vocab=400)
+    L, w = 6, 4
+    # long planted span: L + w - 1 + margin tokens, docs 1 < 5 < 9
+    span_len = L + w - 1 + 6
+    s1, _ = _plant(docs, 1, 5, span_len, rng)
+    passage = docs[1][s1 : s1 + span_len]
+    at = rng.randint(0, len(docs[9]) + 1)
+    docs[9] = docs[9][:at] + passage + docs[9][at:]
+    df = _to_df(spark, docs).repartitionByRange(3, "doc_id")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in suffix.strip_duplicate_spans(
+            df, min_tokens=L, winnow_w=w, keep_first=True
+        ).collect()
+    }
+    needle = " ".join(passage)
+    assert needle in out[1], "canonical copy must survive intact"
+    assert needle not in out[5]
+    assert needle not in out[9]
+    # every doc survives as a row (keep-one-copy, not drop-doc)
+    assert set(out) == set(docs)
 
 
 def test_suffix_index_probe_matches_brute_force(spark, tmp_path):
