@@ -798,6 +798,112 @@ def semantic_dedup(
     )
 
 
+def semdedup_index(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable SemDeDup index relation (vec_id, cluster, keep,
+    embedding) for a corpus: semantic_dedup's verdicts joined back
+    with the raw vectors. Build ONCE under a frozen centroid set,
+    persist (io.write_training_shards, or bucketed on ``cluster`` for
+    an exchange-free probe join); incremental batches then probe the
+    stored index (incremental_semantic_dedup) — corpus vectors are
+    never re-read or re-assigned. The lsh_index convention
+    (text.py:299) applied to the embedding-space dedup tier
+    (round-16 verdict item 6).
+
+    DROPPED members stay in the index on purpose: the batch drop
+    rule is 'any lower-id cluster-mate above threshold', and a
+    dropped corpus vector is still a lower-id mate of every future
+    batch vector — pruning them would diverge from the full-rebuild
+    verdicts (chain shape: corpus v dropped for kept u, batch x near
+    v but not u)."""
+    verdicts = semantic_dedup(
+        vectors, centroids, threshold, id_col, vec_col
+    )
+    return verdicts.join(
+        vectors.select(
+            F.col(id_col), F.col(vec_col).alias("embedding")
+        ),
+        id_col,
+    ).select(F.col(id_col).alias("vec_id"), "cluster", "keep", "embedding")
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup verdicts for an INCOMING batch without re-scoring the
+    corpus (round-16 verdict item 6 — the index-probe steady state
+    every other dedup tier already has): assign the batch to the
+    FROZEN centroids (one broadcast-GEMM Arrow pass, batch-
+    proportional), then pairwise-verify each batch vector ONLY
+    against (a) the stored members of its cluster and (b) its own
+    lower-id batch cluster-mates. Returns (vec_id, cluster, keep)
+    for the batch rows.
+
+    EXACTLY the full rebuild's verdicts (pinned by
+    tests/test_similarity_engine.py): corpus ids MUST all precede
+    batch ids (any real ingest assigns monotone ids), so 'dropped
+    iff some lower-id cluster-mate is above threshold' decomposes
+    into the two candidate legs above — including near-dups of
+    corpus members that were themselves dropped, which is why the
+    index keeps them (see semdedup_index). Cost: cluster-bounded
+    pairwise over touched clusters only, one shuffle on cluster id,
+    never corpus^2 and never a corpus re-scan."""
+    b = batch.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    assign = centroid_rank(b, centroids, max_rank=1, metric="euclidean").filter(
+        F.col("rn") == 1
+    )
+    tagged = b.join(assign.select("vec_id", "cid"), "vec_id")
+    bx = tagged.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("cid").alias("cb"),
+    )
+    # (a) stored members of the batch rows' clusters (kept AND
+    # dropped — the full-rebuild contract)
+    ix = index.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("cluster").alias("ca"),
+    )
+    corpus_cand = ix.join(bx, F.col("ca") == F.col("cb")).select(
+        "id_a", "id_b", "va", "vb"
+    )
+    # (b) within-batch, lower id verifies against higher
+    ax = tagged.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("cid").alias("ca"),
+    )
+    batch_cand = ax.join(
+        bx, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", "va", "vb")
+    close = pairwise_cosine(
+        corpus_cand.unionByName(batch_cand), ("id_a", "id_b"), ("va", "vb")
+    ).filter(F.col("cos") >= threshold)
+    dropped = close.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assign.select("vec_id", F.col("cid").alias("cluster"))
+        .join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
+        .select(
+            F.col("vec_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def covariance_stats(vectors: DataFrame, vec_col: str = "embedding") -> dict:
     """Exact mean vector and covariance matrix of an embedding
     column, distributed: every Arrow batch reduces to ONE partial row

@@ -947,6 +947,86 @@ def streaming_vector_ingest(
     return writer.start()
 
 
+def semantic_ingest_batch(
+    batch: DataFrame,
+    index_path: str,
+    centroids: list,
+    threshold: float = 0.95,
+) -> None:
+    """One micro-batch of streaming SEMANTIC dedup (round-16 verdict
+    item 6 — the embedding-space face of near_dup_ingest_batch):
+    assign the batch to the FROZEN centroids, verify only against the
+    stored members of the touched clusters plus lower-id batch-mates
+    (similarity.incremental_semantic_dedup), and append the batch's
+    verdict rows (vec_id, cluster, keep, embedding) to the persisted
+    index — which is simultaneously the sink and the next batch's
+    probe target.
+
+    Crash/replay semantics (the near-dup pattern): if a crash lands
+    after the append but before the offset commit, the replayed
+    batch's own rows are already IN the index — probing them would
+    drop every batch vector against itself. The replay guard
+    anti-joins the index down to rows whose vec_id is NOT in this
+    batch (broadcast: one micro-batch of ids), so the probe side is
+    genuinely pre-batch corpus and the recomputed verdicts are
+    IDENTICAL — replay appends duplicate rows of correct verdicts,
+    never changed ones. Consumers read the index DISTINCT (or run
+    io.compact_parquet_dir with a distinct transform). Batch ids
+    must be globally fresh and larger than every stored id (any real
+    ingest assigns monotone ids — the full-rebuild-equivalence
+    contract)."""
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+    from clinical_data_warehouse_bi_spark.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    spark = batch.sparkSession
+    recover_compacted_dir(index_path)
+    b = batch.select("vec_id", "embedding").localCheckpoint()
+    if os.path.isdir(index_path):
+        idx = spark.read.parquet(index_path)
+        batch_ids = b.select("vec_id").distinct()
+        idx = idx.join(F.broadcast(batch_ids), "vec_id", "left_anti")
+    else:
+        # seed drain: an empty index with the batch's own schema
+        idx = b.limit(0).select(
+            "vec_id",
+            F.lit(0).cast("long").alias("cluster"),
+            F.lit(True).alias("keep"),
+            "embedding",
+        )
+    verdicts = incremental_semantic_dedup(b, idx, centroids, threshold)
+    rows = verdicts.join(b, "vec_id").select(
+        "vec_id", "cluster", "keep", "embedding"
+    )
+    rows.write.mode("append").parquet(index_path)
+
+
+def streaming_semantic_ingest(
+    vectors: DataFrame,
+    index_path: str,
+    centroids: list,
+    threshold: float = 0.95,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming embedding ingest with SemDeDup verdicts maintained
+    incrementally (semantic_ingest_batch per micro-batch): the
+    persisted (vec_id, cluster, keep, embedding) relation stays
+    equal — as a distinct set — to the full-rebuild
+    similarity.semantic_dedup verdicts over everything ingested so
+    far, at batch-proportional cost. Centroids are frozen at index
+    build time (the IVF-PQ convention: a cadence job re-trains as
+    distribution drifts). Returns the started StreamingQuery."""
+    writer = vectors.writeStream.foreachBatch(
+        lambda b, _id: semantic_ingest_batch(
+            b, index_path, centroids, threshold
+        )
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_graph_ingest(
     vectors: DataFrame,
     index_path: str,

@@ -804,3 +804,85 @@ def test_served_index_repairs_corrupt_cache_dir(spark):
     # full wipe also recovers (fresh-build path regression anchor)
     shutil.rmtree(path)
     assert q_ann_ivf_pq_served(spark, sf).count() == n0
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup (round-16 verdict item 6)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_fixture(spark):
+    """4-d fixture with frozen centroids, a planted corpus-internal
+    near-dup chain, and a planted batch pair. Geometry: cos(17deg)
+    ~= 0.956 >= 0.95 (near-dup) while cos(34deg) ~= 0.829 < 0.95 —
+    so u(1)~v(2), v~x(100) but u !~ x: the CHAIN case where x's only
+    near-dup in the corpus is a vector the corpus build DROPPED."""
+    import math
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    a = math.radians(17)
+    corpus = [
+        (1, [1.0, 0.0, 0.0, 0.0]),                               # u kept
+        (2, [math.cos(a), 0.0, math.sin(a), 0.0]),               # v dropped (near u)
+        (3, [0.9, 0.05, -0.3, 0.3]),
+        (4, [0.0, 0.9, 0.0, -0.44]),
+        (5, [0.1, 0.9, -0.4, 0.1]),
+    ]
+    batch = [
+        (100, [math.cos(2 * a), 0.0, math.sin(2 * a), 0.0]),     # x: near v only
+        (101, [0.0, 1.0, 0.05, 0.0]),
+        (102, [0.0, math.cos(a / 2), math.sin(a / 2), 0.0]),     # near 101
+        (103, [0.2, 0.8, 0.5, -0.2]),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(corpus, schema),
+        spark.createDataFrame(batch, schema),
+        cents,
+    )
+
+
+def test_incremental_semantic_dedup_matches_full_rebuild(spark):
+    """The contract: incremental verdicts over a batch probed against
+    the persisted index == the full-rebuild semantic_dedup verdicts
+    over corpus+batch, restricted to the batch — INCLUDING the chain
+    case (batch x near a DROPPED corpus member only), which is why
+    semdedup_index keeps dropped members."""
+    corpus, batch, cents = _semdedup_fixture(spark)
+    idx = similarity.semdedup_index(corpus, cents)
+    # the index keeps dropped members (the chain contract)
+    flags = {r.vec_id: r.keep for r in idx.collect()}
+    assert flags[1] is True and flags[2] is False
+    inc = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in similarity.incremental_semantic_dedup(
+            batch, idx, cents
+        ).collect()
+    }
+    full = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in similarity.semantic_dedup(
+            corpus.unionByName(batch), cents
+        ).collect()
+        if r.vec_id >= 100
+    }
+    assert inc == full
+    # chain: x(100) dropped because of the DROPPED corpus member v
+    assert inc[100][1] is False
+    # within-batch: 102 dropped against lower-id batch-mate 101
+    assert inc[101][1] is True and inc[102][1] is False
+
+
+def test_incremental_semantic_dedup_kept_only_index_misses_chain(spark):
+    """The negative control documenting WHY dropped members stay in
+    the index: probing a kept-only index keeps the chain vector x —
+    diverging from the full rebuild."""
+    corpus, batch, cents = _semdedup_fixture(spark)
+    idx = similarity.semdedup_index(corpus, cents).filter(F.col("keep"))
+    inc = {
+        r.vec_id: r.keep
+        for r in similarity.incremental_semantic_dedup(
+            batch, idx, cents
+        ).collect()
+    }
+    assert inc[100] is True  # the miss a pruned index would cause

@@ -1802,3 +1802,104 @@ def test_streaming_suffix_ingest_and_decontaminate(spark, tmp_path):
     }
     assert set(flagged) == {100, 101}
     assert flagged[100][0] == 1  # the planted prefix passage
+
+
+def test_streaming_semantic_ingest_matches_batch_rebuild(spark, tmp_path):
+    """Two file-source drains of embedding batches; the persisted
+    semantic-dedup index (read DISTINCT) must equal the from-scratch
+    similarity.semantic_dedup verdicts over everything ingested —
+    including a cross-drain near-dup (drain-2 vector near a drain-1
+    member) resolved against the index, not a re-scan."""
+    import math
+
+    from clinical_data_warehouse_bi_spark import similarity
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    a = math.radians(17)
+    d1 = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [math.cos(a), 0.0, math.sin(a), 0.0]),  # near 1 -> dropped
+        (3, [0.0, 0.9, 0.0, -0.44]),
+    ]
+    d2 = [
+        (10, [math.cos(2 * a), 0.0, math.sin(2 * a), 0.0]),  # near 2 only
+        (11, [0.1, 0.85, -0.5, 0.1]),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "vec_stream")
+    index_path = str(tmp_path / "sem_index")
+    spark.createDataFrame(d1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming.streaming_semantic_ingest(
+        stream, index_path, cents, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(d2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.vec_id, r.cluster, r.keep)
+        for r in spark.read.parquet(index_path)
+        .select("vec_id", "cluster", "keep")
+        .distinct()
+        .collect()
+    }
+    alldf = spark.createDataFrame(d1 + d2, schema)
+    want = {
+        (r.vec_id, r.cluster, r.keep)
+        for r in similarity.semantic_dedup(alldf, cents).collect()
+    }
+    assert got == want
+    # the cross-drain chain actually exercised the index probe
+    flags = {v: k for v, _c, k in got}
+    assert flags[2] is False and flags[10] is False
+
+
+def test_semantic_ingest_replay_after_append_is_verdict_stable(spark, tmp_path):
+    """Worst replay window: crash AFTER the index append but before
+    the offset commit. The replayed batch's own rows are already in
+    the index — without the anti-join guard every batch vector would
+    match itself (cos 1.0) and flip to keep=False. Replay must
+    append only duplicate ROWS of the SAME verdicts."""
+    import math
+
+    from clinical_data_warehouse_bi_spark import streaming as S
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    a = math.radians(17)
+    schema = "vec_id long, embedding array<double>"
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    b2 = spark.createDataFrame(
+        [(10, [math.cos(a), 0.0, math.sin(a), 0.0]), (11, [0.3, 0.8, 0.4, 0.2])],
+        schema,
+    )
+    index_path = str(tmp_path / "sem_index")
+    S.semantic_ingest_batch(b1, index_path, cents)
+    S.semantic_ingest_batch(b2, index_path, cents)
+    first = {
+        (r.vec_id, r.cluster, r.keep)
+        for r in spark.read.parquet(index_path)
+        .select("vec_id", "cluster", "keep")
+        .collect()
+    }
+    n_rows_first = spark.read.parquet(index_path).count()
+    S.semantic_ingest_batch(b2, index_path, cents)  # replay verbatim
+    after = {
+        (r.vec_id, r.cluster, r.keep)
+        for r in spark.read.parquet(index_path)
+        .select("vec_id", "cluster", "keep")
+        .collect()
+    }
+    assert after == first  # no verdict flips, no inventions
+    assert spark.read.parquet(index_path).count() > n_rows_first
+    # 10 is near 1 -> dropped; replay did not resurrect or re-drop it
+    flags = {v: k for v, _c, k in after}
+    assert flags[10] is False and flags[11] is True
