@@ -739,3 +739,79 @@ def image_near_dup(
     sides and the verification read the materialized form."""
     hashes = image_phash(media, real_decode=real_decode).persist()
     return phash_near_dup_pairs(hashes, max_hamming, n_bands)
+
+
+def _phash_bands(hashes: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, phash, band, sig) banding relation shared by the batch
+    and incremental candidate joins."""
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    return hashes.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"shiftrightunsigned(phash, {j * bits}) & {mask}"
+                    for j in range(n_bands)
+                )
+                + ")"
+            )
+        ).alias("band", "sig"),
+    )
+
+
+def incremental_phash_pairs(
+    batch_hashes: DataFrame,
+    index: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Perceptual near-dup pairs for an INCOMING batch of image
+    hashes against a persisted (doc_id, phash) index, without
+    re-hashing or re-reading the corpus — the index-probe steady
+    state every dedup tier in this engine ships
+    (text.incremental_near_dup_pairs for MinHash,
+    similarity.incremental_semantic_dedup for embeddings; this is
+    the image tier's). Work is batch-proportional: the batch's bands
+    join the index's bands (bounded buckets, pigeonhole-exact for
+    max_hamming < n_bands), plus a batch self-join.
+
+    Returns distinct (doc_a, doc_b, hamming, origin) with origin
+    'corpus-batch' (doc_a from the index) or 'batch' (both new,
+    doc_a < doc_b). Corpus and batch id spaces MUST be disjoint."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding is exact only for max_hamming < n_bands"
+            f" ({max_hamming} >= {n_bands}): raise n_bands"
+        )
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    nb = _phash_bands(batch_hashes, n_bands)
+    ib = _phash_bands(index.select("doc_id", "phash"), n_bands)
+    i = ib.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"),
+        F.col("band").alias("band_i"), F.col("sig").alias("sig_i"),
+    )
+    b = nb.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"),
+        "band", "sig",
+    )
+    hamming = F.expr("cast(bit_count(ha ^ hb) as int)")
+    corpus_batch = (
+        i.join(
+            b,
+            (F.col("band_i") == F.col("band"))
+            & (F.col("sig_i") == F.col("sig")),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("origin", F.lit("corpus-batch"))
+    )
+    batch_batch = phash_near_dup_pairs(
+        batch_hashes, max_hamming, n_bands
+    ).withColumn("origin", F.lit("batch"))
+    return corpus_batch.unionByName(batch_batch)

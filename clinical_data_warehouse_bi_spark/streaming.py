@@ -1027,6 +1027,70 @@ def streaming_semantic_ingest(
     return writer.start()
 
 
+def phash_ingest_batch(
+    batch: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    max_hamming: int | None = None,
+    real_decode: bool = False,
+) -> None:
+    """One micro-batch of streaming perceptual-image near-dup: pHash
+    the batch's blobs (batch-proportional, one mapInPandas pass),
+    probe the persisted (doc_id, phash) index for corpus-vs-batch
+    pairs within the Hamming radius, self-join the batch for
+    batch-vs-batch pairs, append pairs then hashes — the image face
+    of near_dup_ingest_batch, with the identical crash/replay
+    semantics: pairs-before-hashes ordering plus the anti-join
+    replay guard (a replayed batch whose hashes already landed
+    re-emits only duplicate ROWS of correct pairs, never self-pairs);
+    consumers read pairs DISTINCT (compact_pairs_distinct)."""
+    from clinical_data_warehouse_bi_spark import multimodal as M
+    from clinical_data_warehouse_bi_spark.io import recover_compacted_dir
+
+    spark = batch.sparkSession
+    k = M.PHASH_MAX_HAMMING if max_hamming is None else max_hamming
+    hashes = M.image_phash(batch, real_decode=real_decode).localCheckpoint()
+    recover_compacted_dir(index_path)
+    recover_compacted_dir(pairs_path)
+    bb = M.phash_near_dup_pairs(hashes, k).withColumn(
+        "origin", F.lit("batch")
+    )
+    if os.path.isdir(index_path):
+        idx = spark.read.parquet(index_path)
+        batch_ids = hashes.select("doc_id").distinct()
+        idx = idx.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        cb = M.incremental_phash_pairs(hashes, idx, k).filter(
+            F.col("origin") == "corpus-batch"
+        )
+        pairs = cb.unionByName(bb)
+    else:
+        pairs = bb
+    pairs.write.mode("append").parquet(pairs_path)
+    hashes.write.mode("append").parquet(index_path)
+
+
+def streaming_phash_ingest(
+    media: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    max_hamming: int | None = None,
+    real_decode: bool = False,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming perceptual image near-dup detection: maintain the
+    (doc_id, phash) index incrementally and emit Hamming-radius pairs
+    per micro-batch (phash_ingest_batch) — the multimodal face of
+    streaming_near_dup. Returns the started StreamingQuery."""
+    writer = media.writeStream.foreachBatch(
+        lambda b, _id: phash_ingest_batch(
+            b, index_path, pairs_path, max_hamming, real_decode
+        )
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_graph_ingest(
     vectors: DataFrame,
     index_path: str,
