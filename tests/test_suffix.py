@@ -512,3 +512,27 @@ def test_suffix_index_probe_prunes_buckets(spark, tmp_path):
     json.dump(bad, open(mp, "w"))
     with pytest.raises(ValueError, match="stale"):
         suffix.probe_suffix_index(spark, _to_df(spark, tiny), path)
+
+
+def test_dup_window_groups_labels_content_equivalence():
+    """Spark-free pin of the round-16 primitive: dup_window_groups'
+    positions equal dup_window_starts' (same duplicate criterion),
+    and two positions share a label IFF their min_len windows are
+    token-identical — the group view the winnowed keep-first ranking
+    stands on."""
+    rng = np.random.RandomState(9)
+    for trial in range(20):
+        n = int(rng.randint(10, 80))
+        arr = rng.randint(0, 6, n).astype(np.int64)
+        L = int(rng.randint(2, 5))
+        pos, lbl = suffix.dup_window_groups(arr, L)
+        assert set(pos.tolist()) == set(
+            suffix.dup_window_starts(arr, L).tolist()
+        )
+        wins = {int(p): tuple(arr[p : p + L]) for p in pos}
+        for i, pi in enumerate(pos):
+            for pj in pos[i + 1 :]:
+                same = wins[int(pi)] == wins[int(pj)]
+                assert same == (
+                    lbl[i] == lbl[list(pos).index(pj)]
+                ), (trial, pi, pj)
