@@ -350,3 +350,49 @@ def test_release_chunk_ids_collision_free_past_1000_chunks(spark):
     ids = [row["chunk_id"] for row in rows]
     assert len(ids) == len(set(ids))
     assert "7:1000" in set(ids) and "8:0" in set(ids)
+
+
+def test_release_barriers_equal_unmaterialized(spark):
+    """Round-16 optimization: the localCheckpoint barriers added to
+    build_corpus_release (cleaned / pre-strip release / final
+    release) are pure reuse points — the released doc set, the mixed
+    chunk relation, and n_release must be IDENTICAL with and without
+    them. Pins the guide-section-5 rule that a barrier may change
+    where a plan recomputes, never what it computes."""
+    from clinical_data_warehouse_bi_spark.corpus import build_corpus_release
+
+    rows = []
+    for i in range(40):
+        body = f"document {i} body token{i % 7} " + " ".join(
+            f"w{j * (i % 5 + 1)}" for j in range(30)
+        )
+        # plant exact duplicates so the dedup window has work
+        rows.append(
+            (i, f"src{i % 3}", body if i % 11 or not rows else rows[0][2])
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def snap(materialize):
+        r = build_corpus_release(
+            spark,
+            docs,
+            min_tokens=1,
+            min_quality=-1e9,
+            substring_dedup=True,
+            substring_min_tokens=6,
+            budget_frac=0.9,
+            chunk_tokens=8,
+            overlap_tokens=2,
+            materialize=materialize,
+        )
+        release = sorted(
+            (row["doc_id"], row["source"], row["text"])
+            for row in r["release"].collect()
+        )
+        chunks = sorted(
+            (row["doc_id"], row["chunk_idx"], row["chunk_text"])
+            for row in r["chunks"].collect()
+        )
+        return r["n_release"], release, chunks
+
+    assert snap(True) == snap(False)
