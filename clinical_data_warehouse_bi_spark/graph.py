@@ -49,6 +49,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "auto",
     stats: dict | None = None,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """(id, component): each vertex labeled with the smallest vertex
     id reachable from it over the undirected ``edges``.
@@ -80,6 +81,15 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
     )
+    if materialize_edges:
+        # one materialization of the symmetric edge list (round-16):
+        # every propagation round joins sym, so an un-materialized sym
+        # recomputes the caller's whole pair-generation subtree (for
+        # q_dedup_clusters: the full MinHash + LSH banding + candidate
+        # join) once PER ROUND. Lazy — the eager labels checkpoint
+        # below is the action that pays for it. Edge-scale state, the
+        # same footprint _star_components already materializes.
+        sym = sym.localCheckpoint(eager=False)
     base = sym.select(F.col("s").alias("id"))
     if vertices is not None:
         base = base.unionByName(vertices.select(F.col(vertex_col).alias("id")))
@@ -273,6 +283,11 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    # materialize the edge list once (round-16, the
+    # connected_components discipline): every power-iteration round
+    # joins e, so an expensive caller-side edge subtree would
+    # recompute per round; the eager verts checkpoint below pays it
+    e = e.localCheckpoint(eager=False)
 
     base = e.select(F.col("s").alias("id")).unionByName(
         e.select(F.col("d").alias("id"))

@@ -221,7 +221,12 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_data_warehouse_bi_spark import lm
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return lm.perplexity(fan_out(docs.select("doc_id", "text")))
+    # fan_out keyed BY doc_id (round-16): the scoring pass's final
+    # per-document mean rides the fan_out exchange instead of adding
+    # its own (11 -> 10 exchanges; 2.70 -> 2.40 s alternating A/B at
+    # sf0.1, identical rows — the 4-decimal ppl round absorbs the
+    # partial-aggregation order change by contract)
+    return lm.perplexity(fan_out(docs.select("doc_id", "text"), "doc_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -653,7 +653,14 @@ def q_daily_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows ~linenumber-fold on whatever split count the scan has, so
     # an under-split local file would run the explode+aggregate
     # nearly serially (measured 3.4 -> 1.9 s at sf0.1); exact no-op
-    # on a well-split scan
+    # on a well-split scan.
+    # Keyed BY (unit, patient) (round-16): hash partitioning on a
+    # SUBSET of the aggregate's (unit, day, patient) keys satisfies
+    # its clustering requirement — the partial-distinct aggregate
+    # runs in place and Catalyst elides the post-explode exchange of
+    # the ~4x-multiplied slim triple (3 Exchanges -> 2; measured
+    # 3.25 -> 2.44 s at sf0.1, identical rows). The keys are the
+    # uniform high-cardinality pair, so no skew is introduced.
     stays = fan_out(li.select(
         F.col("l_suppkey").alias("careunit_id"),
         F.col("l_orderkey").alias("patient_id"),
@@ -662,7 +669,7 @@ def q_daily_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate")
             + F.make_dt_interval(days=F.col("l_linenumber"))
         ).cast("timestamp").alias("outtime"),
-    ))
+    ), "careunit_id", "patient_id")
     return kpi.daily_census(stays, max_days=CENSUS_MAX_DAYS).select(
         "unit",
         F.col("census_date").cast("string").alias("census_date"),
