@@ -448,7 +448,11 @@ def test_lm_perplexity_broadcasts_model_one_doc_exchange(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^#,]+)[#,]", plan):
         key = m.group(1)
-        assert key == "__id" or key.startswith("w"), (key, plan[:2000])
+        # doc_id is the round-16 keyed fan_out (the rebalance exchange
+        # the per-document mean now rides) — still a doc-key exchange
+        assert key in ("__id", "doc_id") or key.startswith("w"), (
+            key, plan[:2000],
+        )
 
 
 def test_quota_sample_uses_window_group_limit(spark, sf_dir):
