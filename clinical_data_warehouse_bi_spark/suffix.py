@@ -190,6 +190,11 @@ def _winnow_anchors(sel_hash: np.ndarray, w: int) -> np.ndarray:
 
 
 def _tok_rel(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    if "__toks" in docs.columns:
+        # already tokenized (strip_duplicate_spans materializes the
+        # token relation once and feeds it to all three consumers —
+        # round-16); pass through untouched
+        return docs.select("doc_id", "__toks")
     return docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )
@@ -480,6 +485,7 @@ def strip_duplicate_spans(
     spans: DataFrame | None = None,
     spans_broadcast_max_rows: int = 2_000_000,
     keep_first: bool = False,
+    materialize_tokens: bool = False,
 ) -> DataFrame:
     """(id_col, text): the corpus with duplicated spans' tokens
     REMOVED — every occurrence by default (the conservative
@@ -498,15 +504,32 @@ def strip_duplicate_spans(
     from clinical_data_warehouse_bi_spark.joins import size_gated_broadcast
 
     if spans is None:
+        src = docs
+        if materialize_tokens:
+            # tokenize once for the three consumers (winnow anchors,
+            # SA tier, rebuild) instead of three times. OFF BY
+            # DEFAULT: the round-16 quiet-host A/B measured the
+            # materialized array<string> relation SLOWER than
+            # re-tokenizing (best 3.78 vs 2.19 s at sf0.1, w=8) —
+            # columnar-encoding token arrays costs more than the
+            # 0.44 s tokenize pass saves, re-confirming the module
+            # header's caching verdict. The knob stays for callers
+            # whose tokenizer is genuinely expensive (subword/
+            # normalizing tokenizers, not whitespace split).
+            src = _tok_rel(docs, id_col, text_col).localCheckpoint(
+                eager=False
+            )
         spans = duplicate_spans(
-            docs, min_tokens, winnow_w, id_col, text_col,
+            src, min_tokens, winnow_w, id_col, text_col,
             keep_first=keep_first,
         )
+    else:
+        src = docs
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     side, _ = size_gated_broadcast(per_doc, spans_broadcast_max_rows)
-    rel = _tok_rel(docs, id_col, text_col).join(side, "doc_id", "left")
+    rel = _tok_rel(src, id_col, text_col).join(side, "doc_id", "left")
     kept = F.expr(
         "array_join(transform(filter(transform("
         "sequence(1, size(__toks)), i -> struct(i AS i, __toks[i-1] AS t)), "
