@@ -501,14 +501,8 @@ def main() -> None:
             "host_load_1m_end": round(load_end[0], 2),
         },
     }
-    # The driver archives only the LAST 2000 bytes of stdout, so the
-    # full record (noise block included) goes to a repo file and to
-    # stderr, while stdout ends with a TAIL-LOADED compact line:
-    # queries ascending by time (slowest entries last, nearest the
-    # tail) and the headline fields after them — a truncated prefix
-    # still leaves the headline number and the slowest per-query
-    # timings in the archived artifact (round-13 verdict item 2:
-    # BENCH_r13.json lost its own headline to the noise block).
+    # Full record (noise block included) also goes to a repo file and
+    # to stderr for the archived artifact.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_LOCAL.json"),
@@ -516,34 +510,40 @@ def main() -> None:
     ) as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record), file=sys.stderr)
-    def tail_line(n_slowest: int) -> str:
-        slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:n_slowest]
-        return json.dumps(
-            {
-                "full_record": "BENCH_LOCAL.json (repo) + stderr",
-                "protocol": "warm-sequence smoke, not cross-round "
-                "comparable; adjudicate via BASELINE.md BENCH_COMPARE",
-                "noise": {
-                    "spread_total_sec": record["noise"]["spread_total_sec"],
-                    "host_load_1m_start": record["noise"]["host_load_1m_start"],
-                    "host_load_1m_end": record["noise"]["host_load_1m_end"],
+    # The ONE stdout JSON line carries the COMPLETE per-query timings
+    # map plus per-entry spreads (round-16 verdict item 1: the prior
+    # tail line capped `slowest` at the top-53 of 78, so the driver's
+    # per-query comparator saw no common entries — PERF_r16 had
+    # n_common=0 and a null geomean; two rounds of per-query evidence
+    # were invisible to the ground-truth comparison). Key order is
+    # still tail-loaded for the driver's 2000-byte stdout-tail
+    # archive: `queries` ascending by time, then spreads (same
+    # order), then the headline fields last — a truncated prefix
+    # still leaves the slowest timings and the headline value intact
+    # in the archived artifact, while the untruncated line parses to
+    # the full contract map.
+    by_time = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    print(json.dumps(
+        {
+            "full_record": "BENCH_LOCAL.json (repo) + stderr",
+            "protocol": "warm-sequence smoke; per-query spreads in "
+            "noise.per_query_spread_sec band each entry",
+            "n_queries": len(timings),
+            "noise": {
+                "per_query_spread_sec": {
+                    k: spreads[k] for k in by_time if k in spreads
                 },
-                "n_queries": len(timings),
-                "slowest": dict(sorted(slowest, key=lambda kv: kv[1])),
-                "sf": record["sf"],
-                "metric": "headline_queries_wall_clock",
-                "unit": "sec",
-                "value": total,
-            }
-        )
-    # shrink until the whole line fits the driver's 2000-byte stdout
-    # tail (it must PARSE there, not just leave fragments)
-    n = len(timings)
-    line = tail_line(n)
-    while len(line) > 1900 and n > 5:
-        n -= 5
-        line = tail_line(n)
-    print(line)
+                "spread_total_sec": record["noise"]["spread_total_sec"],
+                "host_load_1m_start": record["noise"]["host_load_1m_start"],
+                "host_load_1m_end": record["noise"]["host_load_1m_end"],
+            },
+            "queries": by_time,
+            "sf": record["sf"],
+            "metric": "headline_queries_wall_clock",
+            "unit": "sec",
+            "value": total,
+        }
+    ))
     spark.stop()
 
 

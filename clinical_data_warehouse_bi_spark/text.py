@@ -1509,6 +1509,7 @@ def tfidf_keywords(
     *,
     vocab_broadcast_max_rows: int = VOCAB_BROADCAST_MAX_ROWS,
     memoize_size_gate: bool = True,
+    count_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF keywords — the classic
     keyword-extraction / document-labeling primitive (Salton &
@@ -1548,7 +1549,16 @@ def tfidf_keywords(
     under an identical plan (an appended-to directory re-read in one
     session) — the memoized 'fits' verdict would otherwise freeze at
     first sight and broadcast a relation that has outgrown the
-    budget."""
+    budget.
+
+    ``count_docs`` (round-17): an alternative relation to count N
+    from — MUST hold exactly one row per document of ``docs``.
+    Callers that rebalance ``docs`` (io.fan_out) pass the raw scan
+    here so the document count — a single cheap aggregation that
+    needs no rebalance — does not inherit the fan_out's
+    full-relation hash exchange (guide §2.4 "Exchange nodes you did
+    not expect": the count subtree paid a doc_id repartition of the
+    whole id column just to count rows)."""
     from pyspark.sql import Window
 
     if k < 1:
@@ -1562,7 +1572,9 @@ def tfidf_keywords(
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    n_docs = (count_docs if count_docs is not None else docs).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
     # df = docs-containing-term = row count per term of the DISTINCT
     # (doc, term) relation tf already is
     idf = (

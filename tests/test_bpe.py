@@ -5,6 +5,8 @@ merge table."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import defaultdict
 
@@ -75,6 +77,7 @@ def test_encode_word_roundtrip_and_compression():
     assert "".join(bpe.encode_word("zq", ranks)) == "zq" + bpe.EOW
 
 
+@pytest.mark.slow
 def test_distributed_encode_matches_driver_side(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     hist = [
@@ -99,6 +102,7 @@ def test_distributed_encode_matches_driver_side(spark, sf_dir):
     assert any(len(a) + len(b) > 2 for a, b in merges)
 
 
+@pytest.mark.slow
 def test_write_training_contexts_exact_stream(spark, tmp_path, sf_dir):
     """The on-disk contexts are the per-shard concatenated token-id
     stream, chunked to exactly ctx ids, truncated at the last full
@@ -151,6 +155,7 @@ def test_write_training_contexts_exact_stream(spark, tmp_path, sf_dir):
     assert total_ctx == stats["n_contexts"]
 
 
+@pytest.mark.slow
 def test_write_training_contexts_deterministic(spark, tmp_path, sf_dir):
     from clinical_data_warehouse_bi_spark.io import read_table
 

@@ -4,6 +4,8 @@ scoring, and the corpus-filter composition."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -24,6 +26,7 @@ def _planted(spark, n=400, d=4, seed=7):
     return df, x, y
 
 
+@pytest.mark.slow
 def test_distributed_matches_numpy_reference(spark):
     df, x, y = _planted(spark)
     w_dist = classifier.train_logreg(df, n_iter=15, lr=0.5)
@@ -32,6 +35,7 @@ def test_distributed_matches_numpy_reference(spark):
     assert np.allclose(w_dist, w_ref, atol=1e-8), (w_dist, w_ref)
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(spark):
     df, _, _ = _planted(spark)
     w1 = classifier.train_logreg(df, n_iter=10, lr=0.5)
@@ -39,6 +43,7 @@ def test_training_is_deterministic(spark):
     assert np.array_equal(w1, w2)
 
 
+@pytest.mark.slow
 def test_recovers_planted_signal(spark):
     df, x, y = _planted(spark)
     w = classifier.train_logreg(df, n_iter=60, lr=1.0)
@@ -55,6 +60,7 @@ def test_recovers_planted_signal(spark):
     assert acc >= 0.95, acc
 
 
+@pytest.mark.slow
 def test_l2_shrinks_weights(spark):
     df, _, _ = _planted(spark)
     w_free = classifier.train_logreg(df, n_iter=30, lr=1.0, l2=0.0)
@@ -79,6 +85,7 @@ def test_predict_proba_is_jvm_side(spark):
         assert abs(got[i] - want[i]) < 1e-12
 
 
+@pytest.mark.slow
 def test_quality_filter_end_to_end(spark, sf_dir):
     """Train on heuristic labels over the real documents table; the
     learned filter must agree with the labeling rule on ~all docs
@@ -104,6 +111,7 @@ def test_quality_filter_end_to_end(spark, sf_dir):
     assert 0 < kept.count() < n
 
 
+@pytest.mark.slow
 def test_auc_matches_numpy_reference_with_ties(spark):
     """Exact tie-corrected AUC vs an independent numpy Mann-Whitney
     implementation, on scores with heavy ties."""
@@ -179,6 +187,7 @@ def test_threshold_for_keep_rate(spark):
     assert 15 <= kept <= 25
 
 
+@pytest.mark.slow
 def test_standardize_zero_mean_unit_std_and_replays(spark):
     df, x, y = _planted(spark, n=300)
     scaled, stats = classifier.standardize(df)

@@ -12,6 +12,8 @@ claim, executed.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -25,6 +27,7 @@ from clinical_data_warehouse_bi_spark.io import (
 )
 
 
+@pytest.mark.slow
 def test_training_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # fan_out: the local parquet is one split — without it every
     # compute-heavy stage (regex chain, repetition metrics, n-gram
@@ -220,6 +223,7 @@ def test_release_packaging_pipeline(spark, sf_dir, tmp_path):
     assert set(back.columns) == {"chunk_id", "chunk_text"}
 
 
+@pytest.mark.slow
 def test_full_release_drops_planted_contamination_and_substring_dups(
     spark, sf_dir, tmp_path
 ):
@@ -352,6 +356,7 @@ def test_release_chunk_ids_collision_free_past_1000_chunks(spark):
     assert "7:1000" in set(ids) and "8:0" in set(ids)
 
 
+@pytest.mark.slow
 def test_release_barriers_equal_unmaterialized(spark):
     """Round-16 optimization: the localCheckpoint barriers added to
     build_corpus_release (cleaned / pre-strip release / final

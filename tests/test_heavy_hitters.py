@@ -89,6 +89,7 @@ def test_per_batch_state_is_bounded(spark, built):
     assert all(n <= K for n in per_batch.values())
 
 
+@pytest.mark.slow
 def test_replay_is_idempotent(spark, built):
     path, batches, truth = built
     before = _bounds(spark, path)
@@ -97,6 +98,7 @@ def test_replay_is_idempotent(spark, built):
     assert _bounds(spark, path) == before
 
 
+@pytest.mark.slow
 def test_compaction_preserves_bound_validity(spark, built):
     path, batches, truth = built
     before = _bounds(spark, path)
@@ -120,6 +122,7 @@ def test_compaction_preserves_bound_validity(spark, built):
     _assert_valid(_bounds(spark, path), truth2)
 
 
+@pytest.mark.slow
 def test_streaming_end_to_end(spark, tmp_path):
     batches = _zipf_batches(n_batches=2, rows_per=300, seed=5)
     src = str(tmp_path / "src")
@@ -156,6 +159,7 @@ def test_rejects_bad_k(spark, tmp_path):
 # --------------------------------------- as-of (time-travel) reads
 
 
+@pytest.mark.slow
 def test_read_as_of_reconstructs_each_historical_state(spark, built):
     from clinical_data_warehouse_bi_spark import io
 
@@ -176,6 +180,7 @@ def test_read_as_of_reconstructs_each_historical_state(spark, built):
             assert n <= truth_t[key]
 
 
+@pytest.mark.slow
 def test_read_as_of_prunes_partitions(spark, built):
     from clinical_data_warehouse_bi_spark import io
 
@@ -190,6 +195,7 @@ def test_read_as_of_prunes_partitions(spark, built):
     assert df.select("batch_id").distinct().count() == 2
 
 
+@pytest.mark.slow
 def test_read_as_of_refuses_compacted_history(spark, built):
     from clinical_data_warehouse_bi_spark import io
 

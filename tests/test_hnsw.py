@@ -177,6 +177,7 @@ def test_tiny_shards_and_validation(spark):
         hnsw.search_graph(g, [], 2)
 
 
+@pytest.mark.slow
 def test_index_append_rebuilds_only_touched_shards(spark, corpus, tmp_path):
     """hnsw_index_append: batch-proportional ingest — only shards the
     new ids hash into are rebuilt (untouched shard files stay
@@ -310,6 +311,7 @@ def test_routed_index_recall_at_bounded_probe_fraction(
     assert routed_evals < fanout_evals, (routed_evals, fanout_evals)
 
 
+@pytest.mark.slow
 def test_routed_index_sub_shards_and_guards(spark, corpus, tmp_path):
     """sub_shards splits cells under the GEMM bound without changing
     the search contract; a hash-sharded index refuses routed serving
@@ -387,6 +389,7 @@ def test_route_queries_probe_guard(spark, corpus, tmp_path):
         hnsw.hnsw_routed_search(spark, path, queries, K, probe_clusters=0)
 
 
+@pytest.mark.slow
 def test_routed_append_parity_replay_and_hardlinks(
     spark, corpus, tmp_path
 ):
@@ -485,6 +488,7 @@ def test_routed_append_parity_replay_and_hardlinks(
         assert qid in by_q[qid]
 
 
+@pytest.mark.slow
 def test_routed_append_skew_guard_grows_hot_cell(
     spark, tmp_path, monkeypatch
 ):
@@ -548,6 +552,7 @@ def test_routed_append_skew_guard_grows_hot_cell(
     assert hnsw.hnsw_index_append(spark, path, hot) == 0
 
 
+@pytest.mark.slow
 def test_routed_64_cell_recall_floor_at_operating_point(spark, tmp_path):
     """Round-16 verdict item 8: the 64-cell operating point, pinned.
     On a 64-cluster corpus (the regime routing is FOR — the

@@ -128,6 +128,7 @@ def test_mix_sources_rates_and_determinism(spark, sf_dir):
         mix_sources([(half, 1.5)], "doc_id")
 
 
+@pytest.mark.slow
 def test_compact_parquet_dir_preserves_content(spark, tmp_path):
     """Many small appended files -> few files, identical content, and
     the RDD blocks pinned by the rewrite's checkpoint are released
@@ -154,6 +155,7 @@ def test_compact_parquet_dir_preserves_content(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_compact_parquet_dir_crash_recovery(spark, tmp_path):
     """Every crash point in the compaction rename protocol leaves a
     state the next compaction recovers from without manual repair

@@ -71,6 +71,7 @@ def _rows(df, cols):
 # ---------------------------------------------------------- LOS
 
 
+@pytest.mark.slow
 def test_los_matches_duckdb(dims, duck_dims):
     got = kpi.length_of_stay(dims["adm"]).select(
         "admission_id", F.round("los_hours", 6).alias("los_hours")

@@ -135,6 +135,7 @@ def test_quantile_normalization_is_equi_depth_under_skew(spark):
     assert min(qtl.values()) > ideal / 4, qtl
 
 
+@pytest.mark.slow
 def test_optimize_zordered_recovers_and_reclusters(spark, tmp_path):
     """Appended arrival-order batches -> optimize_zordered rewrites
     the directory clustered (footer pruning improves vs the appended

@@ -603,6 +603,7 @@ def test_incremental_phash_matches_full_rebuild(spark):
     assert any(o == "batch" for *_x, o in inc)
 
 
+@pytest.mark.slow
 def test_streaming_phash_ingest_two_drains_and_replay(spark, tmp_path):
     """Two drains of fake-media batches: the pairs sink (distinct)
     equals the full-rebuild pair id-set; a verbatim replay of the

@@ -35,6 +35,7 @@ def _spark_pagerank(spark, n, edge_list, **kw):
     return {r["id"]: r["rank"] for r in out.collect()}
 
 
+@pytest.mark.slow
 def test_matches_numpy_on_random_graph(spark):
     rng = random.Random(42)
     n = 40
@@ -50,6 +51,7 @@ def test_matches_numpy_on_random_graph(spark):
         assert abs(got[i] - want[i]) < 1e-7, (i, got[i], want[i])
 
 
+@pytest.mark.slow
 def test_ranks_sum_to_one(spark):
     rng = random.Random(7)
     n = 25
@@ -58,6 +60,7 @@ def test_ranks_sum_to_one(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-8
 
 
+@pytest.mark.slow
 def test_hand_checked_triangle_with_sink(spark):
     # 0 -> 1 -> 2 -> 0 plus 2 -> 3 (3 is a dangling sink)
     edge_list = [(0, 1), (1, 2), (2, 0), (2, 3)]

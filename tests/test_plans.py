@@ -218,6 +218,7 @@ def test_range_join_auto_bin_matches_explicit(spark, sf_dir):
     assert explicit.exceptAll(auto).count() == 0
 
 
+@pytest.mark.slow
 def test_star_fact_scale_keys_avoid_single_partition(spark):
     """W2 at scale: the default (scale) surrogate-key path must not
     funnel the fact or dim_provider through a single-partition window;

@@ -8,6 +8,8 @@ by test_plans.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -30,6 +32,7 @@ opt_keys = st.one_of(st.none(), keys)
     fact=st.lists(opt_keys, min_size=0, max_size=12),
     dim=st.lists(keys, min_size=0, max_size=6),
 )
+@pytest.mark.slow
 def test_orphan_cleanup_keeps_nulls_and_matches(spark, fact, dim):
     """DWH.sql:150-177 semantics: keep fact rows whose FK is NULL or
     present in dim; drop dangling non-null FKs."""
@@ -47,6 +50,7 @@ def test_orphan_cleanup_keeps_nulls_and_matches(spark, fact, dim):
     left=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=15),
     right=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=15),
 )
+@pytest.mark.slow
 def test_salted_join_equals_plain_join(spark, left, right):
     """Salting is a pure physical rewrite: same multiset as the plain
     inner equi-join for any inputs, including duplicate keys."""
@@ -68,6 +72,7 @@ def test_salted_join_equals_plain_join(spark, left, right):
         st.tuples(keys, st.integers(0, 20), st.integers(0, 20)), min_size=0, max_size=15
     )
 )
+@pytest.mark.slow
 def test_interval_pick_first_is_deterministic_min(spark, rows):
     """J5/J6: for each left row, the surviving match is exactly the
     ORDER-minimal right row within the interval — never an arbitrary
@@ -105,6 +110,7 @@ def test_interval_pick_first_is_deterministic_min(spark, rows):
     assert out.count() == len(rows)
 
 
+@pytest.mark.slow
 @settings(**SETTINGS)
 @given(s=st.text(alphabet=" aAbB\t.", max_size=12))
 def test_normalized_key_idempotent(spark, s):
@@ -155,6 +161,7 @@ def test_range_join_binned_equals_brute_force(spark, points, intervals, width):
     rows=st.lists(st.integers(min_value=-100, max_value=100), min_size=0, max_size=40),
     nparts=st.integers(min_value=1, max_value=7),
 )
+@pytest.mark.slow
 def test_zip_index_key_dense_unique(spark, rows, nparts):
     """zip_index_key must assign exactly the keys 1..N (dense, unique)
     for any input size and partitioning, and preserve the row
@@ -175,6 +182,7 @@ def test_zip_index_key_dense_unique(spark, rows, nparts):
         st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=2, max_size=24
     ),
 )
+@pytest.mark.slow
 def test_simhash_band_join_exact_for_k3(spark, fps):
     """4x8-bit banding over a 32-bit fingerprint is EXACT for Hamming
     radius <= 3 (pigeonhole): the banded candidate join must find
@@ -479,6 +487,7 @@ def test_range_join_streaming_requires_explicit_bin_width(spark, tmp_path):
     ),
     isolated=st.lists(st.integers(0, 15), min_size=0, max_size=5),
 )
+@pytest.mark.slow
 def test_connected_components_match_union_find(spark, edges, isolated):
     """Min-label propagation must agree with a brute-force union-find
     for any graph, including self-loops, duplicate edges, and
@@ -521,6 +530,7 @@ def test_connected_components_match_union_find(spark, edges, isolated):
     ),
     isolated=st.lists(st.integers(0, 15), min_size=0, max_size=5),
 )
+@pytest.mark.slow
 def test_star_components_match_union_find(spark, edges, isolated):
     """The large-star/small-star path must agree with brute-force
     union-find on arbitrary graphs — same contract as label
@@ -577,6 +587,7 @@ def test_raw_md5_dedup_matches_duckdb(spark, sf_dir, duck):
     assert got == want
 
 
+@pytest.mark.slow
 def test_deep_chain_converges_via_star_fallback(spark):
     """A path graph far deeper than max_iter must still return correct
     components: auto PLATEAU-bails to large-star/small-star after a
@@ -846,6 +857,7 @@ def test_incremental_near_dup_matches_full_rebuild(spark, sf_dir):
     assert any(o == "corpus-batch" for _, _, o in got) or not expected
 
 
+@pytest.mark.slow
 def test_incremental_verify_jaccard_matches_python(spark, sf_dir):
     """Exact Jaccard on incremental candidates vs an independent
     Python computation over the same documents."""
@@ -1236,6 +1248,7 @@ def test_resample_fill_matches_duckdb(spark, sf_dir, duck):
     ),
     how=st.sampled_from(["ffill", "zero", "null"]),
 )
+@pytest.mark.slow
 def test_resample_fill_matches_python_model(spark, obs, how):
     """resample_fill vs a direct Python model on random sparse
     series: dense per-key grid over the key's own span, bucket sums,
@@ -1296,6 +1309,7 @@ def test_resample_fill_matches_python_model(spark, obs, how):
     ),
     n=st.integers(1, 5),
 )
+@pytest.mark.slow
 def test_quota_sample_idempotent_and_capped(spark, docs, n):
     """quota_sample is deterministic, idempotent (re-capping the
     capped output changes nothing), and never exceeds n per group or
@@ -1423,6 +1437,7 @@ def test_cdc_chunk_dedup_text_never_shuffles(spark, sf_dir):
         assert "__chunks#" not in b, b
 
 
+@pytest.mark.slow
 def test_normalize_unicode_folds_and_is_idempotent(spark):
     docs = spark.createDataFrame(
         [
@@ -1473,6 +1488,7 @@ def test_weighted_sample_matches_duckdb_twin(spark, sf_dir, duck):
     assert got == want
 
 
+@pytest.mark.slow
 def test_weighted_sample_favors_heavy_weights(spark):
     """Inclusion frequency tracks weight: across many disjoint seeds,
     a weight-9 row appears far more often than a weight-1 row."""
@@ -1568,6 +1584,7 @@ def test_ewma_anomalies_single_key_exchange(spark, sf_dir):
     ri=st.lists(st.tuples(st.integers(0, 40), st.integers(0, 12)), min_size=0, max_size=10),
     width=st.sampled_from([1, 4, 9, 16]),
 )
+@pytest.mark.slow
 def test_interval_overlap_join_equals_brute_force(spark, li, ri, width):
     """Binned interval-overlap join == the O(L x R) predicate, every
     true pair exactly once, for any bin width."""
@@ -2803,6 +2820,7 @@ def test_outlier_report_oracle_shaped_duckdb_parity(spark, sf_dir, duck):
     ),
     seed=st.sampled_from(["h1", "h2"]),
 )
+@pytest.mark.slow
 def test_cluster_safe_split_property(spark, edges, seed):
     """Random near-dup pair sets: composing connected_components with
     cluster_safe_split never lets two connected documents straddle a
@@ -3246,6 +3264,7 @@ def test_mapside_interval_pin_registry_bounded(spark):
         joins.set_pinned_packed_max(4)
 
 
+@pytest.mark.slow
 def test_epoch_shuffle_properties(spark):
     """epoch_shuffle: positions are a dense 1..N bijection; the
     permutation is layout-independent (same output from a 1-partition

@@ -125,6 +125,7 @@ def test_grouped_keys(spark, tmp_path):
     assert abs(out["b"] - 4.95) <= W + 1e-9
 
 
+@pytest.mark.slow
 def test_streaming_end_to_end(spark, tmp_path):
     batches = _batches(seed=9, n_batches=2, rows=400)
     src = str(tmp_path / "src")

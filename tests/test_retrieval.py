@@ -583,6 +583,7 @@ def test_corpus_card_lexical_section(spark, sf_dir, tmp_path):
     assert card["lexical"]["vocab_size"] == qa.zipf_profile(docs)["vocab_size"]
 
 
+@pytest.mark.slow
 def test_hybrid_served_fuses_persisted_indexes(spark, sf_dir, tmp_path):
     """hybrid_topk_served: both legs come from their persisted
     indexes and the fusion is exactly the RRF of the two served

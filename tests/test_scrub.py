@@ -155,6 +155,7 @@ _texts = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(_texts)
 def test_repetition_metrics_property_vs_python(spark, texts):
     """Hypothesis: the JVM split/array expressions agree with the
@@ -602,6 +603,7 @@ def test_suppress_to_k_null_class_follows_same_rule(spark):
     assert (rep3["rows_suppressed"], rep3["classes_suppressed"]) == (6, 3)
 
 
+@pytest.mark.slow
 def test_decontaminate_release_loop(spark, sf_dir):
     from clinical_data_warehouse_bi_spark.io import read_table
 

@@ -3,6 +3,8 @@ SQL-expressed oracle-checked baseline."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -33,6 +35,7 @@ def test_numpy_topk_matches_sql_topk(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_kmeans_ivf_assign_covers_all_vectors(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     assign = similarity.kmeans_ivf_assign(emb, n_clusters=4)
@@ -193,6 +196,7 @@ def test_pq_reconstruction_beats_global_mean(spark, sf_dir):
     assert mse < 0.5 * baseline, (mse, baseline)
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_on_clustered_data(spark):
     """ADC over PQ codes is a SHORTLIST generator, not a final
     ranker: within a tight cluster the quantization error is the same
@@ -238,6 +242,7 @@ def test_pq_adc_recall_on_clustered_data(spark):
     assert all(qid % k == nid % k for qid, nid in shortlist)
 
 
+@pytest.mark.slow
 def test_ivf_pq_search_with_rerank_recovers_recall(spark):
     """The composed IVF->ADC-shortlist->exact-re-rank pipeline must
     recover most of the brute-force cosine top-5 on planted clusters —
@@ -271,6 +276,7 @@ def test_ivf_pq_search_with_rerank_recovers_recall(spark):
     assert recall >= 0.8, recall
 
 
+@pytest.mark.slow
 def test_pq_pack_codes_roundtrip_and_disk_width(spark, sf_dir, tmp_path):
     """The PQ index at rest must honor the 'm bytes/vector' claim:
     pack codes to binary, write parquet, and check the codes column's
@@ -441,6 +447,7 @@ def test_pca_project_properties(spark):
     assert np.allclose(cov, np.eye(3), atol=0.05)
 
 
+@pytest.mark.slow
 def test_pca_composed_ivf_keeps_recall(spark):
     """The reduced-dimension ANN path end-to-end: project planted
     16-dim clusters to 6 PCA dims, run the learned-IVF search in the
@@ -484,6 +491,7 @@ def test_pca_composed_ivf_keeps_recall(spark):
     assert same / len(hits) >= 0.95, same / len(hits)
 
 
+@pytest.mark.slow
 def test_persisted_ivf_pq_index_serves_searches(spark, tmp_path):
     """Build the IVF-PQ index to disk once, then serve searches from
     the persisted postings: results match the in-memory composed
@@ -540,6 +548,7 @@ def test_persisted_ivf_pq_index_serves_searches(spark, tmp_path):
     assert recall >= 0.8, recall
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_incremental_append(spark, tmp_path):
     """Appended vectors become searchable without retraining; a
     replayed append adds nothing; the postings id set stays exact."""
@@ -579,6 +588,7 @@ def test_ivf_pq_index_incremental_append(spark, tmp_path):
     assert any(nid >= 240 for nid in neighbor_ids) or len(neighbor_ids) == 20
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_compaction(spark, tmp_path):
     """Repeated appends fragment the bucket partitions; compaction
     must shrink the file count, preserve the exact posting set and
@@ -632,6 +642,7 @@ def test_ivf_pq_index_compaction(spark, tmp_path):
     assert same / len(got) >= 0.9, same
 
 
+@pytest.mark.slow
 def test_filtered_ivf_pq_search_respects_predicate(spark, tmp_path):
     """Filtered search: with an allowed-id set (the metadata
     predicate's output), every result id qualifies, the top-k is as
@@ -676,6 +687,7 @@ def test_filtered_ivf_pq_search_respects_predicate(spark, tmp_path):
     assert hits / (n_queries * topk) >= 0.6  # clustered data: high recall
 
 
+@pytest.mark.slow
 def test_pq_distortion_detects_distribution_drift(spark):
     """The drift statistic: in-distribution vectors quantize with low
     error under the frozen codebooks; a shifted distribution's
@@ -775,6 +787,7 @@ def test_mine_hard_negatives_rejections(spark, sf_dir):
         mine_hard_negatives(emb, emb, [(0, [0.0])], k=0)
 
 
+@pytest.mark.slow
 def test_served_index_repairs_corrupt_cache_dir(spark):
     """q_ann_ivf_pq_served self-heals a cache directory that exists
     but lost its INDEX_META (external deletion/crash mid-publish):
@@ -842,6 +855,7 @@ def _semdedup_fixture(spark):
     )
 
 
+@pytest.mark.slow
 def test_incremental_semantic_dedup_matches_full_rebuild(spark):
     """The contract: incremental verdicts over a batch probed against
     the persisted index == the full-rebuild semantic_dedup verdicts

@@ -22,6 +22,7 @@ def pipeline(spark):
     return src, out["stage"], out["dwh"]
 
 
+@pytest.mark.slow
 def test_stage_fact_shape(pipeline):
     src, stage, dwh = pipeline
     fact = stage["fact_disorder_events"]
@@ -134,6 +135,7 @@ def test_agg_matches_manual(pipeline):
     assert joined.filter(F.col("total_events") != F.col("n")).count() == 0
 
 
+@pytest.mark.slow
 def test_materialized_layers_partition_fact(spark, tmp_path_factory):
     """out_dir writes each layer to parquet; the DWH fact is
     partitioned by event_source_type (the reference's fact-index
@@ -160,6 +162,7 @@ def test_materialized_layers_partition_fact(spark, tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_release_frees_pipeline_checkpoints(spark):
     """A pipeline run pins localCheckpoint RDD blocks that
     catalog.clearCache cannot release (not CacheManager-registered);
@@ -188,6 +191,7 @@ def test_release_frees_pipeline_checkpoints(spark):
     assert snapshot_persistent_rdds(spark) - baseline == set()
 
 
+@pytest.mark.slow
 def test_zordered_fact_layout_prunes_point_probes(spark, tmp_path_factory):
     """M8 end-to-end: run_pipeline(zorder_fact=True) writes the DWH
     fact Z-ordered on (admission_id, event_datetime); a point/range
@@ -326,6 +330,7 @@ def test_deidentified_release_preserves_analytics(pipeline):
     assert not ({str(p) for p in raw_pids} & rel_pids)
 
 
+@pytest.mark.slow
 def test_dwh_scale_path_matches_parity(spark):
     """The round-14 scale-path elisions (four provably-no-op orphan
     probes + the provably-empty dim_date top-up + post-cleanup dense
@@ -364,6 +369,7 @@ def test_dwh_scale_path_matches_parity(spark):
     assert (r.nd, r.lo, r.hi) == (r.n, 1, r.n)
 
 
+@pytest.mark.slow
 def test_dwh_scale_path_provenance_tripwire(spark):
     """Round-14 verdict item 7: the scale path's probe elisions are
     gated on build_staging's provenance marker. A DOCTORED hand-built

@@ -156,6 +156,7 @@ def test_stratified_sample_filter_is_stream_compatible(spark, stream_dir, batch_
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, stream_dir, batch_events):
     """Watermarked stream-stream interval join (clicks x purchases of
     the same user within 1 hour) must produce exactly the batch join's
@@ -327,6 +328,7 @@ def test_scd2_incremental_equals_one_shot(spark):
     assert opens.filter(F.col("count") != 1).count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_scd2_end_to_end(spark, tmp_path):
     """Drive the foreachBatch merge with a file source, adding files
     between drains so micro-batches arrive in event-time order; the
@@ -472,6 +474,7 @@ def test_scd2_publish_never_deletes_before_replacement_ready(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_streaming_dedup_ingest_end_to_end(spark, tmp_path):
     """File-source stream in two drains with duplicates inside a
     batch, across batches, and a formatting-only variant (normalized
@@ -701,6 +704,7 @@ def test_streaming_preagg_exactly_once_and_compaction(spark, tmp_path):
     assert got4[4] == 1 and got4[1] == want[1][0]
 
 
+@pytest.mark.slow
 def test_streaming_preagg_from_file_stream(spark, tmp_path):
     """End-to-end through the streaming engine: two drained
     micro-batches produce the same derived aggregate as a batch
@@ -733,6 +737,7 @@ def test_streaming_preagg_from_file_stream(spark, tmp_path):
     assert got == {1: (3, 2, 2), 2: (2, 2, 1)}
 
 
+@pytest.mark.slow
 def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
     """Two event-time-ordered drains through the engine: the LAST
     emitted row per user must equal funnel_steps' batch fold over the
@@ -855,6 +860,7 @@ def test_preagg_synopsis_recovers_mid_compaction_crash(spark, tmp_path):
     assert got2 == {1: 2, 2: 1, 3: 1}
 
 
+@pytest.mark.slow
 def test_streaming_vector_ingest_extends_index(spark, tmp_path):
     """Two drained micro-batches of embeddings land in the persisted
     IVF-PQ index exactly once (a re-delivered file adds nothing) and
@@ -902,6 +908,7 @@ def test_streaming_vector_ingest_extends_index(spark, tmp_path):
     assert sorted(ids) == list(range(240))  # exactly once, no dupes
 
 
+@pytest.mark.slow
 def test_streaming_bm25_ingest_extends_index(spark, tmp_path):
     """Two drained document micro-batches land in the persisted BM25
     index as committed batch dirs, and the served search equals the
@@ -1028,6 +1035,7 @@ def test_expectations_reject_unique_checks(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_streaming_expectations_end_to_end(spark, tmp_path):
     """The foreachBatch wrapper drains a file stream and the totals
     match the batch-computed suite over everything delivered."""
@@ -1137,6 +1145,7 @@ def test_join_view_scd2_as_of_versions_are_stable(spark, tmp_path):
     assert got == {0: "gold", 1: "gold", 2: "silver"}
 
 
+@pytest.mark.slow
 def test_streaming_join_view_end_to_end(spark, tmp_path):
     from clinical_data_warehouse_bi_spark import streaming as S
 
@@ -1181,6 +1190,7 @@ def test_compact_expectations_preserves_totals(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_compact_join_view_preserves_rows(spark, tmp_path):
     from clinical_data_warehouse_bi_spark import streaming as S
 
@@ -1248,6 +1258,7 @@ def test_new_sinks_recover_interrupted_compaction(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     """Two drained micro-batches of per-key metrics produce the same
     rows (pre-point estimates + flags) as the batch EWMA fold over
@@ -1382,6 +1393,7 @@ def test_sliding_windowed_counts_matches_batch(spark, stream_dir, batch_events):
     assert sum(got.values()) == 2 * batch_events.count()
 
 
+@pytest.mark.slow
 def test_streaming_attribution_matches_batch_dual(spark, tmp_path):
     """Stream==batch duality for last- and first-touch attribution:
     two drains over a file source equal timeseries.attribution on
@@ -1446,6 +1458,7 @@ def test_streaming_attribution_matches_batch_dual(spark, tmp_path):
             assert by_user[1] == ["ad", "ad"]
 
 
+@pytest.mark.slow
 def test_streaming_seasonal_residuals_match_batch(spark, tmp_path):
     """Two-drain duality: streaming same-slot median baselines equal
     timeseries.seasonal_anomalies' window on the union."""
@@ -1497,6 +1510,7 @@ def test_streaming_seasonal_residuals_match_batch(spark, tmp_path):
 # -------------------------------------------- token-count synopsis
 
 
+@pytest.mark.slow
 def test_token_counts_exactly_once_compaction_and_drift(spark, tmp_path):
     """The corpus-drift monitor's state machine end to end: batch
     partials merge exactly; a REPLAYED batch (same batch_id) is a
@@ -1618,6 +1632,7 @@ def test_streaming_token_counts_two_drain_duality(spark, tmp_path):
     assert got == want and len(got) == 4
 
 
+@pytest.mark.slow
 def test_streaming_graph_ingest_extends_index(spark, tmp_path):
     """Two drained micro-batches of embeddings land in the persisted
     graph-ANN index exactly once (a re-delivered file adds nothing —
@@ -1668,6 +1683,7 @@ def test_streaming_graph_ingest_extends_index(spark, tmp_path):
     assert any(r["vec_id"] == 239 for r in got), got
 
 
+@pytest.mark.slow
 def test_streaming_routed_graph_ingest(spark, tmp_path):
     """The streaming twin of routed_index_append (round-14 verdict
     item 1): streaming embedding ingest into a ROUTED graph index
@@ -1726,6 +1742,7 @@ def test_streaming_routed_graph_ingest(spark, tmp_path):
     assert (top["vec_id"], top["score"]) == (199, 1.0), got
 
 
+@pytest.mark.slow
 def test_streaming_suffix_ingest_and_decontaminate(spark, tmp_path):
     """Two-drain e2e over the exact-substring decontamination pair:
     streamed reference docs fold into the persisted digest index
@@ -1804,6 +1821,7 @@ def test_streaming_suffix_ingest_and_decontaminate(spark, tmp_path):
     assert flagged[100][0] == 1  # the planted prefix passage
 
 
+@pytest.mark.slow
 def test_streaming_semantic_ingest_matches_batch_rebuild(spark, tmp_path):
     """Two file-source drains of embedding batches; the persisted
     semantic-dedup index (read DISTINCT) must equal the from-scratch
@@ -1861,6 +1879,7 @@ def test_streaming_semantic_ingest_matches_batch_rebuild(spark, tmp_path):
     assert flags[2] is False and flags[10] is False
 
 
+@pytest.mark.slow
 def test_semantic_ingest_replay_after_append_is_verdict_stable(spark, tmp_path):
     """Worst replay window: crash AFTER the index append but before
     the offset commit. The replayed batch's own rows are already in
