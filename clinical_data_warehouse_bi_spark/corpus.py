@@ -102,10 +102,25 @@ def build_corpus_release(
     TRAVERSAL PER ACTION — measured 1.60x end-to-end on the plain
     composition (3.52 -> 2.20 s at sf0.1) and 1.46x on the full one
     (10.07 -> 6.92 s), identical outputs, alternating in-process A/B
-    (scripts/bench_corpus_barriers.py). This is staged
-    materialization WITHIN one run (the reference's own
-    stage->DWH->agg discipline), not cross-run caching: every
-    invocation still computes everything from the input relation."""
+    (scripts/bench_corpus_barriers.py); re-measured at replica scale
+    in round 17 (1.4x at 16x, 1.6x at 64x, checkpoint storage
+    33/127 MB all-memory, zero disk spill — BASELINE.md barrier
+    audit). This is staged materialization WITHIN one run (the
+    reference's own stage->DWH->agg discipline), not cross-run
+    caching: every invocation still computes everything from the
+    input relation.
+
+    Retention (round-16 advice): the checkpointed relations are
+    executor-pinned until the driver GC collects them — Spark's
+    catalog.clearCache() never frees localCheckpoint blocks. A
+    long-lived session that calls this repeatedly should bracket
+    each call with io.snapshot_persistent_rdds /
+    release_new_persistent_rdds (the bench harness's protocol), or
+    pass ``materialize=False``. localCheckpoint also trades fault
+    tolerance for speed: on a real cluster a lost executor fails the
+    job instead of recomputing lineage — deployments that cannot
+    retry the whole job should use a reliable checkpoint dir or
+    persist with replication at these three points instead."""
     from clinical_data_warehouse_bi_spark import text as T
     from clinical_data_warehouse_bi_spark.io import temperature_mix_keyed
     from clinical_data_warehouse_bi_spark.queries.text_ops import (

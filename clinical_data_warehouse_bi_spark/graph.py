@@ -248,6 +248,7 @@ def pagerank(
     vertices: DataFrame | None = None,
     vertex_col: str = "id",
     stats: dict | None = None,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """(id, rank): PageRank over the directed ``edges`` (Brin &
     Page 1998) — the link-graph quality weight a web-scale corpus
@@ -286,8 +287,13 @@ def pagerank(
     # materialize the edge list once (round-16, the
     # connected_components discipline): every power-iteration round
     # joins e, so an expensive caller-side edge subtree would
-    # recompute per round; the eager verts checkpoint below pays it
-    e = e.localCheckpoint(eager=False)
+    # recompute per round; the eager verts checkpoint below pays it.
+    # ``materialize_edges=False`` opts out for callers whose edges
+    # are a plain scan (round-16 advice: symmetry with
+    # connected_components' flag — a bare scan pays an extra
+    # edge-scale materialization for nothing)
+    if materialize_edges:
+        e = e.localCheckpoint(eager=False)
 
     base = e.select(F.col("s").alias("id")).unionByName(
         e.select(F.col("d").alias("id"))

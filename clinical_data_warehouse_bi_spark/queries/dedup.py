@@ -803,12 +803,25 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform (md5 in the lambda, exploded after hashing), so the
     duplicate-detection exchange carries (h, doc_id, pos) only and
     the span-merge exchange carries (doc_id, pos) — token content
-    never enters a keyed exchange (plan-locked)."""
+    never enters a keyed exchange (plan-locked).
+
+    fan_out (round-17): the tokenize + per-window digest explode is
+    the heavy map-side stage and previously pipelined onto the
+    single-task local scan; round-robin fan_out distributes it
+    (exact no-op on a well-split scan). 1.196 -> 1.048 s best /
+    1.387 -> 1.145 median alternating A/B at sf0.1, identical
+    span checksums. (The xxhash64-pair digest variant measured
+    equal-within-noise on top of the fan_out — 1.004 best / 1.226
+    median — and was rejected: the r14 256x record shows the
+    window enumeration, not the digest, is the floor, so the md5
+    digest and index format stay.)"""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     from clinical_data_warehouse_bi_spark.suffix import duplicate_spans
 
     return duplicate_spans(
-        docs, min_tokens=SUBSTRING_MIN_TOKENS, winnow_w=1
+        fan_out(docs.select("doc_id", "text")),
+        min_tokens=SUBSTRING_MIN_TOKENS,
+        winnow_w=1,
     )
 
 

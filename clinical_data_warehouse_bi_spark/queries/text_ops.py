@@ -700,15 +700,26 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     furniture, present in 100% of the source's docs — followed by
     the document's words one per line, so common words cross the
     50% threshold too); the DuckDB oracle recomputes the removal on
-    the line STRINGS, verifying the md5-pair hash shortcut
+    the line STRINGS, verifying the salted-hash-pair shortcut
     value-for-value.
 
     Scale shape (plan-locked in tests/test_properties.py): line text
-    never shuffles — lines leave the scan as md5 pairs, the
-    boilerplate relation is two slim per-source aggregations, and
-    the rebuild is a per-row array filter against a broadcast
-    per-source hash set. Registered per the round-8 verdict
-    (q_boilerplate named a ready oracle candidate)."""
+    never shuffles — lines leave the scan as salted xxhash64 pairs
+    (md5 until round 17; same 128-bit identity budget, a fraction of
+    the per-line CPU and 16 bytes per line through the counting
+    exchange instead of 64 hex chars), the boilerplate relation is
+    two slim per-source aggregations, and the rebuild is a per-row
+    array filter against a broadcast per-source hash set. Registered
+    per the round-8 verdict (q_boilerplate named a ready oracle
+    candidate).
+
+    fan_out keyed BY doc_id (round-17): doc_id is a member of the
+    counting side's distinct key set (__id, __src, h1, h2), so the
+    distinct aggregation rides the fan_out exchange instead of
+    re-exchanging the exploded per-line hash rows (guide §2.4).
+    A/B at sf0.1, identical output checksums: md5 + round-robin
+    1.434 best / 1.589 median s -> xxhash pair 1.249/1.563 ->
+    xxhash pair + keyed fan_out 1.232/1.266."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     staged = docs.select(
         "doc_id",
@@ -721,7 +732,7 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return T.remove_boilerplate(
-        fan_out(staged), min_frac=0.5, min_docs=3
+        fan_out(staged, "doc_id"), min_frac=0.5, min_docs=3
     )
 
 
@@ -1023,8 +1034,14 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the top-k window's partition key, so both ride the
     fan_out exchange instead of adding their own (measured 7.45 ->
     4.07 s best-of-3 alternating at sf0.1 with the size-gate
-    re-probed; identical rows)."""
-    docs = fan_out(
-        load_tables(spark, sf_dir, ("documents",))["documents"], "doc_id"
+    re-probed; identical rows).
+
+    The document count N feeds from the RAW scan (round-17
+    ``count_docs``): a count needs no rebalance, so the count
+    subtree stops paying the fan_out's full-relation doc_id
+    exchange (one fewer Exchange; 0.913 -> 0.666 s best / 0.951 ->
+    0.809 median alternating A/B at sf0.1, identical rows)."""
+    raw = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return T.tfidf_keywords(
+        fan_out(raw, "doc_id"), k=TFIDF_K, count_docs=raw
     )
-    return T.tfidf_keywords(docs, k=TFIDF_K)

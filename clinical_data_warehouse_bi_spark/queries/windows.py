@@ -654,13 +654,18 @@ def q_daily_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an under-split local file would run the explode+aggregate
     # nearly serially (measured 3.4 -> 1.9 s at sf0.1); exact no-op
     # on a well-split scan.
-    # Keyed BY (unit, patient) (round-16): hash partitioning on a
-    # SUBSET of the aggregate's (unit, day, patient) keys satisfies
-    # its clustering requirement — the partial-distinct aggregate
-    # runs in place and Catalyst elides the post-explode exchange of
-    # the ~4x-multiplied slim triple (3 Exchanges -> 2; measured
-    # 3.25 -> 2.44 s at sf0.1, identical rows). The keys are the
-    # uniform high-cardinality pair, so no skew is introduced.
+    # Keyed BY (unit) alone (round-17, tightening round-16's
+    # (unit, patient) pair): hash partitioning on the unit is a
+    # subset of BOTH downstream aggregate key sets — the
+    # (unit, day, patient) distinct partial AND the final
+    # (unit, day) count — so every aggregation stage runs in place
+    # and the plan keeps exactly ONE exchange (the fan_out itself;
+    # round-16's pair keying still paid a mid-plan exchange for the
+    # final (unit, day) aggregate). Measured 3.24 -> 2.63 s best /
+    # 3.87 -> 3.73 median alternating A/B at sf0.1, identical
+    # output checksums. Skew: units are TPC-H suppkeys — uniform,
+    # ~1000 distinct at sf0.1 (31x the partition count, inside the
+    # guide §2.5 20-100x band) and growing with sf.
     stays = fan_out(li.select(
         F.col("l_suppkey").alias("careunit_id"),
         F.col("l_orderkey").alias("patient_id"),
@@ -669,7 +674,7 @@ def q_daily_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate")
             + F.make_dt_interval(days=F.col("l_linenumber"))
         ).cast("timestamp").alias("outtime"),
-    ), "careunit_id", "patient_id")
+    ), "careunit_id")
     return kpi.daily_census(stays, max_days=CENSUS_MAX_DAYS).select(
         "unit",
         F.col("census_date").cast("string").alias("census_date"),

@@ -207,12 +207,22 @@ def build_staging(
         # note above).
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark.util import inheritable_thread_target
+
+        # inheritable_thread_target copies this thread's JVM-local
+        # properties (job group/description, scheduler pool) into the
+        # worker threads — under pinned-thread mode a plain pool
+        # thread would not inherit them, so caller-side job
+        # cancellation or pool tagging would miss these two jobs
+        # (round-16 advice)
         with ThreadPoolExecutor(max_workers=2) as _pool:
             _f_prov = _pool.submit(
-                zip_index_key, prov_base, "provider_id"
+                inheritable_thread_target(zip_index_key),
+                prov_base, "provider_id",
             )
             _f_conc = _pool.submit(
-                zip_index_key, concept_base, "clinical_concept_id"
+                inheritable_thread_target(zip_index_key),
+                concept_base, "clinical_concept_id",
             )
             dim_provider = _f_prov.result().select(
                 "provider_id", "patient_id", "admission_id",

@@ -190,11 +190,14 @@ def _winnow_anchors(sel_hash: np.ndarray, w: int) -> np.ndarray:
 
 
 def _tok_rel(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    if "__toks" in docs.columns:
+    if set(docs.columns) == {"doc_id", "__toks"}:
         # already tokenized (strip_duplicate_spans materializes the
         # token relation once and feeds it to all three consumers —
-        # round-16); pass through untouched
-        return docs.select("doc_id", "__toks")
+        # round-16); pass through untouched. Gated on the EXACT
+        # column set (round-16 advice): an arbitrary caller frame
+        # that merely happens to carry a '__toks' column must not
+        # silently bypass tokenization and id_col/text_col.
+        return docs
     return docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )

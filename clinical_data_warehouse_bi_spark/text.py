@@ -906,13 +906,22 @@ def remove_boilerplate(
     are left untouched (a 2-doc source would flag half its prose).
 
     Scale shape (the chunk-dedup discipline): lines leave the scan
-    as (source, md5-pair, doc) — line TEXT never shuffles; the
-    boilerplate relation is per-source distinct-doc counts vs the
-    source's doc count (two slim aggregations); the rebuild
-    re-splits the documents map-side and drops positions whose hash
-    pair is in the (broadcast) boilerplate set. Returns the input
-    schema with ``text_col`` rewritten and an ``n_removed_lines``
-    column appended."""
+    as (source, salted-xxhash64-pair, doc) — line TEXT never
+    shuffles; the boilerplate relation is per-source distinct-doc
+    counts vs the source's doc count (two slim aggregations); the
+    rebuild re-splits the documents map-side and drops positions
+    whose hash pair is in the (broadcast) boilerplate set. Returns
+    the input schema with ``text_col`` rewritten and an
+    ``n_removed_lines`` column appended.
+
+    Line identity is the salted 64-bit pair (xxhash64(x),
+    xxhash64('b:', x)) — 128 collision bits like the former md5
+    pair (the q_top_ngrams/q_repeated_spans hazard budget), for a
+    fraction of the per-line CPU and 16 bytes through the counting
+    exchange instead of two 32-char hex strings (round-17 A/B at
+    sf0.1: md5 best 1.43/median 1.59 s -> xxhash 1.25/1.56, and
+    1.23/1.27 with the keyed fan_out the registered query adds —
+    identical output checksums; guide §2.3 narrower types)."""
     if not (0.0 < min_frac <= 1.0):
         raise ValueError("min_frac must be in (0, 1]")
     lines = F.expr(f"filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0)")
@@ -928,7 +937,7 @@ def remove_boilerplate(
         F.explode(
             F.expr(
                 "transform(__lines,"
-                " x -> named_struct('h1', md5(x), 'h2', md5(concat('b:', x))))"
+                " x -> named_struct('h1', xxhash64(x), 'h2', xxhash64('b:', x)))"
             )
         ).alias("hp"),
     ).select("__id", "__src", F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
@@ -950,7 +959,7 @@ def remove_boilerplate(
     # array in place. No doc-keyed exchange, no line text in any
     # shuffle, order preserved trivially.
     boiler_sets = boiler.groupBy("__src").agg(
-        F.collect_set(F.concat("h1", "h2")).alias("__bl")
+        F.collect_set(F.expr("named_struct('h1', h1, 'h2', h2)")).alias("__bl")
     )
     out_cols = [c for c in docs.columns if c != text_col]
     enriched = docs.withColumn("__lines", lines).withColumn(
@@ -963,7 +972,7 @@ def remove_boilerplate(
             F.expr(
                 "IF(__bl IS NULL, __lines,"
                 " filter(__lines, x -> NOT array_contains("
-                "   __bl, concat(md5(x), md5(concat('b:', x))))))"
+                "   __bl, named_struct('h1', xxhash64(x), 'h2', xxhash64('b:', x)))))"
             ),
         )
         .select(
@@ -1133,195 +1142,238 @@ def top_ngrams(
     ASC), limited to k — a deterministic total order an oracle
     reproduces.
 
-    Scale shape (the no-text-in-exchange discipline applied to a
-    frequency report): the counting aggregation exchanges only the
-    salted 64-bit hash PAIR of each window plus a count — n-gram
-    strings never enter the count shuffle, and the corpus-sized pass
-    carries NO doc ids (n_docs is computed later, over candidate
-    occurrences only, so the corpus pass needs no Expand/distinct
-    machinery). The slim count relation is materialized once
-    (persist/unpersist contained here — the answer is bounded at k
-    rows, so the final sort-limit is collected inside and returned
-    as a local relation): job 1 computes the k-th occurrence
-    threshold off the cached counts; job 2 recovers strings for the
-    >= k-th-count candidates only (ties included, a superset of the
-    true top-k), joins them against the BROADCAST candidate counts,
-    counts distinct doc ids per surviving gram, and
-    TakeOrdered-collects the k-row answer.
+    Scale shape (round-17 vectorized-Arrow rewrite of the round-12
+    JVM-expr form; guide §4.2 "hand whole batches to vectorized
+    native libraries"): BOTH corpus passes are mapInPandas stages —
+    tokenize per batch with pandas C string ops, hash every token
+    once (pandas hash_pandas_object, C siphash), combine each
+    window's n token hashes with a vectorized uint64
+    polynomial+splitmix finalizer (numpy: no per-window string, no
+    per-window Python bytecode), then
 
-    Map-side cost discipline (round-12, after the 256x probe showed
-    both passes dominated by per-window work, not the tiny
-    exchange): window hashes are computed from the n token ELEMENTS
-    directly (xxhash64 is length-prefixed per argument — no
-    separator ambiguity and NO window-string allocation in the
-    counting pass), and past a measured volume gate the recovery
-    pass filters windows against a driver-collected literal h1 set
-    BEFORE building any string — candidate sets are bounded near k,
-    so 190M windows pay one hash + one short array probe each, and
-    concat_ws runs only for the ~k surviving grams' occurrences
-    (measured at 256x sf0.1: 78 s -> 10.4 s, from 2 string-builds +
-    3 hashes per window to 3 hashes; DuckDB's direct string groupBy
-    takes 22 s there — the crossover the round-11 verdict asked
-    for). Token arrays are deliberately NOT cached:
-    columnar-encoding an array<string> relation costs more than
-    re-running the tokenizer (measured, see the module header). A
-    direct groupBy on the string would shuffle corpus-scale text
-    for a k-row answer."""
+    - count pass: partial-count per task via np.unique, so only slim
+      (h1, h2, cnt) partials — vocabulary-sized, not window-sized —
+      reach the JVM aggregation; n-gram strings and doc ids never
+      enter the count shuffle.
+    - recovery pass: np.isin against the driver-collected candidate
+      h1 set; strings are built ONLY for the ~k surviving grams'
+      occurrences, broadcast-joined against the bounded candidate
+      counts (which also removes h1-collision false positives),
+      n_docs resolved over surviving occurrences, TakeOrdered to k.
+
+    Measured (alternating A/B, identical 100-row reports,
+    scripts/bench_topngrams_arrow.py): equal at sf0.1 (2.13 vs
+    2.23 s best — fixed job costs dominate), **2.0x at 16x**
+    (7.41 -> 3.74 s) and **2.1x at 64x** (12.93 -> 6.21 s) — the
+    r12/r14 records showed map-side hashing was the floor, and the
+    vectorized stage moves exactly that. The gram identity is the
+    mixed token-hash pair instead of xxhash64-of-elements — same
+    grouping semantics modulo 128-bit collisions (the accepted
+    hazard budget); the report itself is what the oracle checks.
+
+    Control flow costs ONE driver job before recovery: a single
+    TakeOrdered collect of the top candidate (h1, n_occ) rows gives
+    the k-th-count threshold AND the candidate h1 set (the old form
+    paid separate kth / total-windows / prefilter-collect jobs and
+    gated the literal prefilter on volume — np.isin needs no such
+    gate). An oversized tie set (> NGRAM_CAND_CAP rows sharing the
+    k-th count) falls back to building every window's string before
+    the join, exactly like the old fallback."""
     if n < 1 or k < 1:
         raise ValueError("n and k must be positive")
     spark = docs.sparkSession
     schema = "ngram string, n_occ bigint, n_docs bigint"
-    toks = docs.select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("w")
+    counts = (
+        docs.select(F.col(text_col).alias("__text"))
+        .mapInPandas(_ngram_count_partials(n), "h1 long, h2 long, cnt long")
+        .groupBy("h1", "h2")
+        .agg(F.sum("cnt").alias("n_occ"))
+        .persist()
     )
-    counts = _ngram_hash_counts(toks, n).persist()
     try:
-        kth_rows = (
-            counts.select("n_occ")
-            .orderBy(F.col("n_occ").desc())
-            .limit(k)
-            .agg(F.min("n_occ"))
+        top = (
+            counts.select("h1", "n_occ")
+            .orderBy(F.col("n_occ").desc(), F.col("h1").asc())
+            .limit(NGRAM_CAND_CAP + 1)
             .collect()
         )
-        kth = kth_rows[0][0]
-        if kth is None:
+        if not top:
             return spark.createDataFrame([], schema)
-        cand = counts.where(F.col("n_occ") >= int(kth))
-        # bounded literal prefilter: the candidate h1 values inline
-        # into the recovery expression so strings are built only for
-        # candidate windows. Gated two ways: (a) on VOLUME — the
-        # prefilter trades ~0.5 s of fixed cost (one extra tiny job
-        # on the persisted 27k-row counts + the literal-array
-        # codegen) for per-window savings, a win only past ~10M
-        # windows (measured sf0.1: 1.5 -> 2.0 s WITH it at 740k
-        # windows; 256x: 78 -> 10 s) — and (b) on TIES: a corpus
-        # where thousands of grams share the k-th count would make
-        # the linear array_contains probe cost more than the strings
-        # it saves, so past the cap fall back to build-then-join
-        # (prefilter=None). Both gate jobs run on the persisted slim
-        # counts relation, never the corpus.
-        total_windows = counts.agg(F.sum("n_occ")).collect()[0][0] or 0
-        pre = None
-        if total_windows >= NGRAM_PREFILTER_MIN_WINDOWS:
-            h1s = [
-                r["h1"]
-                for r in cand.select("h1")
-                .limit(NGRAM_PREFILTER_MAX + 1)
-                .collect()
-            ]
-            if len(h1s) <= NGRAM_PREFILTER_MAX:
-                pre = h1s
-        rows = _ngram_string_recovery(toks, n, cand, k, prefilter=pre).collect()
+        kth = int(top[min(k, len(top)) - 1]["n_occ"])
+        cand = counts.where(F.col("n_occ") >= kth)
+        if len(top) <= NGRAM_CAND_CAP or top[-1]["n_occ"] < kth:
+            h1s = [r["h1"] for r in top if r["n_occ"] >= kth]
+        else:
+            # the tie set overflows the collected prefix: candidate
+            # completeness is not guaranteed, fall back to
+            # build-then-join over every window (the pre-round-12
+            # shape, kept for degenerate tie corpora)
+            h1s = None
+        rows = (
+            docs.select(
+                F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+            )
+            .mapInPandas(
+                _ngram_recovery(n, h1s),
+                "__id long, ngram string, h1 long, h2 long",
+            )
+            .join(F.broadcast(cand), ["h1", "h2"])
+            .groupBy("ngram")
+            .agg(
+                F.first("n_occ").alias("n_occ"),
+                F.count_distinct("__id").alias("n_docs"),
+            )
+            .orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
+            .limit(k)
+            .select("ngram", "n_occ", "n_docs")
+            .collect()
+        )
     finally:
         counts.unpersist()
     return spark.createDataFrame(rows, schema)
 
 
-#: max candidate-h1 literals inlined into the recovery prefilter;
-#: array_contains is a linear probe, so past this the scan cost
-#: exceeds the saved string builds (k=100 reports see ~100-200)
-NGRAM_PREFILTER_MAX = 1024
-
-#: minimum total window count before the literal prefilter pays for
-#: its fixed cost (an extra tiny job + literal-array codegen):
-#: measured sf0.1 (740k windows) the prefilter ADDS ~0.5 s, at 256x
-#: (190M windows) it saves 68 s
-NGRAM_PREFILTER_MIN_WINDOWS = 10_000_000
+#: candidate rows collected by top_ngrams' single control job — far
+#: above any real k (the report is k<=100 plus ties) while bounding
+#: driver memory; a tie set past this falls back to build-then-join
+NGRAM_CAND_CAP = 100_000
 
 
-def _ngram_window_hashes(n: int) -> tuple[str, str]:
-    """SQL fragments (h1, h2) hashing the n-token window at 1-based
-    position ``i`` of token array ``w`` — the elements go into
-    xxhash64 DIRECTLY (length-prefixed per argument: no separator
-    ambiguity, no concat allocation). Both top_ngrams passes use
-    these same fragments, so the identity is consistent without any
-    window string existing until a candidate survives."""
-    elems = ", ".join(f"element_at(w, i + {j})" for j in range(n))
-    return f"xxhash64({elems})", f"xxhash64({elems}, 'b')"
+def _ngram_tokenize_flat(texts):
+    """(flat token object-array, per-doc lengths) for a pandas Series
+    of texts — the text.tokens contract ([a-z0-9]+ over lower()),
+    vectorized via pandas C string ops; nulls tokenize to nothing."""
+    import itertools
+
+    import numpy as np
+
+    toks = texts.fillna("").str.lower().str.findall("[a-z0-9]+")
+    lens = np.fromiter(
+        (len(t) for t in toks), dtype=np.int64, count=len(toks)
+    )
+    flat = np.fromiter(
+        itertools.chain.from_iterable(toks), dtype=object,
+        count=int(lens.sum()),
+    )
+    return flat, lens
 
 
-def _ngram_positions(n: int) -> str:
-    """1-based window start positions of ``w`` — guards short docs
-    explicitly because Spark's sequence(1, 0) DESCENDS ([1, 0])
-    instead of returning empty, unlike SQL generate_series."""
+def _ngram_win_hashes(th, n):
+    """Two independent 64-bit window hashes over a per-token uint64
+    hash sequence: polynomial roll + splitmix64-style finalizer,
+    fully vectorized (no per-window Python). Returns uint64 arrays of
+    length len(th) - n + 1; callers mask doc boundaries."""
+    import numpy as np
+
+    def roll(mult, xor_seed):
+        m = np.uint64(mult)
+        acc = th[: len(th) - n + 1] ^ np.uint64(xor_seed)
+        for j in range(1, n):
+            acc = acc * m + th[j : len(th) - n + 1 + j]
+        z = acc
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        return z
+
     return (
-        f"CASE WHEN size(w) >= {n} THEN sequence(1, size(w) - {n - 1})"
-        f" ELSE cast(array() AS array<int>) END"
+        roll(0x9E3779B97F4A7C15, 0),
+        roll(0xC2B2AE3D27D4EB4F, 0x6A09E667F3BCC908),
     )
 
 
-def _ngram_hash_counts(toks: DataFrame, n: int) -> DataFrame:
-    """(h1, h2, n_occ) per n-gram window: the counting aggregation
-    whose exchange carries only the salted hash pair plus a count —
-    the corpus-scale half of top_ngrams, factored out so plan tests
-    can assert the no-text-in-exchange shape directly. Doc ids stay
-    OUT of this pass (no distinct/Expand over the corpus); n_docs is
-    resolved later over candidate occurrences only. No window string
-    is ever built here (element-wise xxhash64)."""
-    h1e, h2e = _ngram_window_hashes(n)
-    hashed = toks.select(
-        F.explode(
-            F.expr(
-                f"transform({_ngram_positions(n)},"
-                f" i -> named_struct('h1', {h1e}, 'h2', {h2e}))"
+def _ngram_window_mask(lens, n):
+    """Boolean mask over flat window-start positions: True iff the
+    window does not cross a document boundary."""
+    import numpy as np
+
+    total = int(lens.sum())
+    if total < n:
+        return np.zeros(max(total - n + 1, 0), dtype=bool)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return doc_of[: total - n + 1] == doc_of[n - 1 :]
+
+
+def _ngram_count_partials(n: int):
+    """mapInPandas op: slim (h1, h2, cnt) partial counts per task —
+    ONE np.unique over the task's valid windows, so the JVM
+    aggregation receives vocabulary-sized partials only."""
+
+    def op(it):
+        import numpy as np
+        import pandas as pd
+
+        parts = []
+        for pdf in it:
+            flat, lens = _ngram_tokenize_flat(pdf["__text"])
+            if len(flat) < n:
+                continue
+            th = pd.util.hash_pandas_object(
+                pd.Series(flat, dtype=object), index=False
+            ).to_numpy()
+            h1, h2 = _ngram_win_hashes(th, n)
+            mask = _ngram_window_mask(lens, n)
+            parts.append(np.stack([h1[mask], h2[mask]], axis=1))
+        if parts:
+            import numpy as np
+            import pandas as pd
+
+            allw = np.concatenate(parts)
+            v = np.ascontiguousarray(allw).view([("a", "<u8"), ("b", "<u8")])
+            uniq, cnt = np.unique(v, return_counts=True)
+            yield pd.DataFrame(
+                {
+                    "h1": uniq["a"].view(np.int64),
+                    "h2": uniq["b"].view(np.int64),
+                    "cnt": cnt.astype(np.int64),
+                }
             )
-        ).alias("hp"),
-    ).select(F.col("hp.h1").alias("h1"), F.col("hp.h2").alias("h2"))
-    return hashed.groupBy("h1", "h2").agg(F.count("*").alias("n_occ"))
+
+    return op
 
 
-def _ngram_string_recovery(
-    toks: DataFrame,
-    n: int,
-    cand: DataFrame,
-    k: int,
-    prefilter: list[int] | None = None,
-) -> DataFrame:
-    """The string-recovery stage of top_ngrams, factored out so plan
-    tests can assert its shape directly (the _ngram_hash_counts
-    convention): recover n-gram strings map-side for candidate
-    windows, BROADCAST-join them against the bounded candidate
-    counts (which also removes any h1-collision false positives the
-    prefilter admitted), resolve n_docs over the surviving
-    occurrences only, TakeOrdered to k. The only keyed exchange
-    groups the candidate-filtered rows — raw text and token arrays
-    never shuffle.
+def _ngram_recovery(n: int, cand_h1: list | None):
+    """mapInPandas op: (doc id, ngram string, h1, h2) for windows
+    whose h1 is in the candidate set (np.isin — vectorized, no
+    per-window Python until a window survives); ``cand_h1=None``
+    emits every valid window's string (the tie-overflow fallback)."""
 
-    ``prefilter``: bounded list of candidate h1 values, inlined as a
-    literal array so each window pays one hash + one array probe and
-    concat_ws runs ONLY for surviving windows. None falls back to
-    building every window's string before the join (the pre-round-12
-    shape, kept for oversized tie sets)."""
-    h1e, h2e = _ngram_window_hashes(n)
-    gram_struct = (
-        f"named_struct('ngram', concat_ws(' ', slice(w, i, {n})),"
-        f" 'h1', {h1e}, 'h2', {h2e})"
-    )
-    if prefilter is not None:
-        lits = ", ".join(f"{v}L" for v in prefilter)
-        positions = (
-            f"filter({_ngram_positions(n)},"
-            f" i -> array_contains(array({lits}), {h1e}))"
+    def op(it):
+        import numpy as np
+        import pandas as pd
+
+        cand = (
+            np.asarray(cand_h1, dtype=np.int64).view(np.uint64)
+            if cand_h1 is not None
+            else None
         )
-    else:
-        positions = _ngram_positions(n)
-    grams = toks.select(
-        "__id",
-        F.explode(
-            F.expr(f"transform({positions}, i -> {gram_struct})")
-        ).alias("g"),
-    ).select("__id", "g.ngram", "g.h1", "g.h2")
-    return (
-        grams.join(F.broadcast(cand), ["h1", "h2"])
-        .groupBy("ngram")
-        .agg(
-            F.first("n_occ").alias("n_occ"),
-            F.count_distinct("__id").alias("n_docs"),
-        )
-        .orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
-        .limit(k)
-        .select("ngram", "n_occ", "n_docs")
-    )
+        for pdf in it:
+            flat, lens = _ngram_tokenize_flat(pdf["__text"])
+            if len(flat) < n:
+                continue
+            th = pd.util.hash_pandas_object(
+                pd.Series(flat, dtype=object), index=False
+            ).to_numpy()
+            h1, h2 = _ngram_win_hashes(th, n)
+            hit = _ngram_window_mask(lens, n)
+            if cand is not None:
+                hit = hit & np.isin(h1, cand)
+            idx = np.nonzero(hit)[0]
+            if len(idx) == 0:
+                continue
+            doc_ids = np.repeat(pdf["__id"].to_numpy(), lens)
+            yield pd.DataFrame(
+                {
+                    "__id": doc_ids[idx],
+                    "ngram": [" ".join(flat[i : i + n]) for i in idx],
+                    "h1": h1[idx].view(np.int64),
+                    "h2": h2[idx].view(np.int64),
+                }
+            )
+
+    return op
 
 
 def chunk_text(

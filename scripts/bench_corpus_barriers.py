@@ -83,6 +83,12 @@ def main() -> None:
                     results[label].append(dt)
         a0 = anchors.get("A_current")
         b0 = anchors.get("B_barrier")
+        # counts-only comparison (n_release + chunk rows); the
+        # row-level id-set mirror lives in
+        # tests/test_corpus_pipeline.py::test_release_barriers_equal_unmaterialized.
+        # ASSERTED, not just printed (round-16 advice): a perf win
+        # with divergent output must abort the record.
+        assert a0 == b0, (a0, b0)
         print(
             f"[{vname}] anchors A={a0} B={b0} equal={a0 == b0}\n"
             f"[{vname}] A_current best={min(results['A_current']):.3f} "

@@ -1931,10 +1931,11 @@ def test_pivot_unpivot_roundtrip_and_guards(spark):
 
 
 def test_top_ngrams_matches_duckdb_and_never_shuffles_text(spark, sf_dir, duck):
-    """text.top_ngrams (round-10 registration candidate): exact
+    """text.top_ngrams (round-17 vectorized-Arrow rewrite): exact
     (ngram, n_occ, n_docs) agreement with DuckDB's direct
-    string-grouped top-k, and the counting exchange carries only the
-    hash pair — n-gram strings reach no count shuffle."""
+    string-grouped top-k, and the counting side ships only slim
+    (h1, h2, cnt) partials — n-gram strings and raw text reach no
+    count shuffle."""
     from clinical_data_warehouse_bi_spark import text as T2
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1958,59 +1959,66 @@ def test_top_ngrams_matches_duckdb_and_never_shuffles_text(spark, sf_dir, duck):
         """).fetchall()
     ]
     assert got == want
-    # plan: the CORPUS-SIZED counting aggregation (now materialized
-    # once inside top_ngrams) exchanges on the hash pair (h1 leads
-    # the key), never on the gram string
-    toks = docs.select(
-        F.col("doc_id").alias("__id"), T2.tokens("text").alias("w")
+    # plan: the CORPUS-SIZED counting aggregation receives the Arrow
+    # stage's per-task partials and exchanges only (h1, h2, cnt) —
+    # never text or token arrays
+    counts = (
+        docs.select(F.col("text").alias("__text"))
+        .mapInPandas(
+            T2._ngram_count_partials(3), "h1 long, h2 long, cnt long"
+        )
+        .groupBy("h1", "h2")
+        .agg(F.sum("cnt").alias("n_occ"))
     )
-    cplan = (
-        T2._ngram_hash_counts(toks, 3)
-        ._jdf.queryExecution().toString()
-    )
+    cplan = counts._jdf.queryExecution().toString()
     cheads = [
         seg.split("\n", 1)[0]
         for seg in cplan.split("Exchange hashpartitioning")[1:]
     ]
     assert any(h.startswith("(h1#") for h in cheads), cheads
     assert not any("text#" in h or " w#" in h for h in cheads), cheads
-    # the counting pass must never BUILD a window string either (the
-    # round-12 map-cost discipline: element-wise xxhash64, no
-    # concat) — concat_ws may only appear in the recovery stage
+    # the counting pass must never BUILD a window string either: no
+    # concat_ws anywhere in the counting plan (strings exist only in
+    # the recovery stage, and there only for candidate windows)
     assert "concat_ws" not in cplan, cplan[:1500]
-    # and the string-recovery stage, plan-asserted DIRECTLY (the
-    # returned top_ngrams relation is a collected LocalTableScan, so
-    # asserting on it would be vacuous): the candidate join must be a
-    # broadcast hash join, the only keyed exchange groups the
-    # bounded candidate-join output on the ngram string, and raw
-    # text / token arrays enter no exchange — asserted on BOTH the
-    # literal-prefilter path and the build-then-join fallback
-    cand = T2._ngram_hash_counts(toks, 3).limit(5)
+    # recovery stage shape, asserted directly (the returned
+    # top_ngrams relation is a collected LocalTableScan, so
+    # asserting on it would be vacuous): candidate join is a
+    # broadcast hash join; keyed exchanges carry only the bounded
+    # ngram/h1 groupings; raw text enters no exchange — on BOTH the
+    # candidate-filtered path and the tie-overflow fallback, and the
+    # two paths recover identical relations
+    cand = counts.limit(5)
     h1s = [r["h1"] for r in cand.select("h1").collect()]
+    outs = []
     for pre in (h1s, None):
-        rplan = (
-            T2._ngram_string_recovery(toks, 3, cand, 5, prefilter=pre)
-            ._jdf.queryExecution().executedPlan().toString()
+        rec = (
+            docs.select(
+                F.col("doc_id").alias("__id"), F.col("text").alias("__text")
+            )
+            .mapInPandas(
+                T2._ngram_recovery(3, pre),
+                "__id long, ngram string, h1 long, h2 long",
+            )
+            .join(F.broadcast(cand), ["h1", "h2"])
+            .groupBy("ngram")
+            .agg(
+                F.first("n_occ").alias("n_occ"),
+                F.count_distinct("__id").alias("n_docs"),
+            )
         )
+        rplan = rec._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in rplan, rplan[:1500]
         rheads = [
             seg.split("\n", 1)[0]
             for seg in rplan.split("Exchange hashpartitioning")[1:]
         ]
-        # exchanges: the candidate relation's own slim (h1, h2) count
-        # aggregation (persisted in production, re-planned here) and
-        # the bounded post-join ngram/doc-count groupings — never
-        # text/tokens
         assert rheads and all(
             h.startswith("(ngram#") or h.startswith("(h1#") for h in rheads
         ), rheads
         assert not any("text#" in h or " w#" in h for h in rheads), rheads
-    # prefilter and fallback recover identical relations
-    a = sorted(map(tuple, T2._ngram_string_recovery(
-        toks, 3, cand, 5, prefilter=h1s).collect()))
-    b = sorted(map(tuple, T2._ngram_string_recovery(
-        toks, 3, cand, 5, prefilter=None).collect()))
-    assert a == b and len(a) > 0
+        outs.append(sorted(map(tuple, rec.collect())))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
 
 
 def test_top_ngrams_edges(spark):
